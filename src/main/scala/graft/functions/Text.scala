@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline
+  * (SURVEY.md §7.5): tokenization, quality scoring, language ID,
+  * fingerprinting, SimHash, MinHash.
+  *
+  * Everything here is composed from `org.apache.spark.sql.functions`
+  * higher-order array functions, so the whole pipeline stays inside
+  * whole-stage codegen — no Scala UDF boundary, no serialization of
+  * row data to closures, and Catalyst can still prune/push the scan.
+  */
+object Text {
+
+  /** Lowercased whitespace tokenization; empty strings removed. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Word n-gram shingles as space-joined strings: the unit set for
+    * MinHash / Jaccard near-dup detection. */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
+    transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+
+  /** Ratio of characters matching a class (e.g. punctuation) —
+    * building block for quality scores. */
+  def charClassRatio(text: Column, regexClass: String): Column = {
+    val total = greatest(length(text), lit(1)).cast("double")
+    length(regexp_replace(text, s"[^$regexClass]", "")).cast("double") / total
+  }
+
+  /** Fraction of tokens found in `words` (e.g. a stopword list). */
+  def listHitRatio(toks: Column, words: Seq[String]): Column = {
+    val wl = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(wl, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Minimal per-language function-word lists for the n-gram/stopword
+    * language-ID heuristic. Tiny on purpose: these ship into the plan
+    * as literals (broadcast with the task binary, zero shuffle). */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "una"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"))
+
+  /** Language-ID: struct(lang, score) with the max marker-hit ratio;
+    * ties and zero-hit rows → "und". Deterministic argmax (lexicographic
+    * tie-break via the ordered fold). */
+  def langId(toks: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(listHitRatio(toks, ws).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best)
+      .otherwise(struct(lit(0.0).as("score"), lit("und").as("lang")))
+  }
+
+  /** Heuristic document quality in [0,1]: rewards normal-length docs,
+    * penalizes punctuation/digit-heavy text, rewards stopword presence
+    * (prose-likeness). Mirrors C4/Gopher-style rule scoring. */
+  def qualityScore(text: Column): Column = {
+    val toks = Text.tokens(text)
+    val lenScore = least(size(toks).cast("double") / 20.0, lit(1.0))
+    val punct = charClassRatio(text, "\\p{Punct}")
+    val digits = charClassRatio(text, "0-9")
+    val stop = listHitRatio(toks, langMarkers.values.flatten.toSeq)
+    val raw = lenScore * 0.4 + (lit(1.0) - punct) * 0.2 +
+      (lit(1.0) - digits) * 0.2 + least(stop * 5.0, lit(1.0)) * 0.2
+    round(raw, 4)
+  }
+
+  /** Content fingerprint over whitespace-normalized lowercase text —
+    * exact-dup key that survives formatting noise. md5 keeps the
+    * oracle (DuckDB) bit-identical. */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** 64-bit SimHash over the token multiset, xxhash64 per token.
+    * bit_i(sig) = majority over tokens of bit_i(xxhash64(token)).
+    * Returned as Long. Pure expression fold: aggregate() keeps a
+    * 64-wide count vector per row; no shuffle, no UDF. */
+  def simhash64(toks: Column): Column = {
+    val counts = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (c, i) => c + when(
+            call_function("shiftright", h, i).bitwiseAND(1) === 1, 1)
+            .otherwise(-1))
+      })
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two SimHash longs. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** MinHash signature (k permutations) over a shingle array.
+    * One xxhash64 over the string per shingle, then k cheap fixed-width
+    * re-hashes `xxhash64(h, salt_i)` over the resulting long — the
+    * one-hash trick without the a*h+b overflow that ANSI mode rejects.
+    * All codegen'd; deterministic: salts derived from `seed`. */
+  def minhashSig(shingles: Column, k: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val salts = Seq.fill(k)(rng.nextLong())
+    val hashes = transform(shingles, s => xxhash64(s))
+    array(salts.map { salt =>
+      coalesce(array_min(transform(hashes,
+        h => xxhash64(h, lit(salt)))), lit(Long.MaxValue))
+    }: _*)
+  }
+
+  /** LSH band keys for a MinHash signature: `bands` hashes, each over
+    * `rows = k/bands` consecutive signature slots. Two docs sharing any
+    * band key are near-dup candidates → equi-join on (band, key). */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(concat_ws(",",
+          slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("key"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two string arrays (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val ad = array_distinct(a)
+    val bd = array_distinct(b)
+    val inter = size(array_intersect(ad, bd)).cast("double")
+    val uni = size(array_union(ad, bd)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector similarity operators (training-data pipeline,
+  * SURVEY.md §7.5): brute-force cosine top-k as the exact baseline and
+  * an IVF (inverted-file) variant as the 100 TB scale path.
+  *
+  * Vectors are `array<float>` columns; arithmetic happens in double via
+  * `zip_with`/`aggregate` builtins — inside whole-stage codegen, no UDF.
+  */
+object Vectors {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k by cosine similarity against one query vector.
+    * The query vector is inlined as a literal → shipped with the plan
+    * (broadcast), so this is a single scan + TakeOrderedAndProject:
+    * embarrassingly parallel, no shuffle. The right baseline even at
+    * 100 TB when k is small.
+    */
+  def topKCosine(vectors: DataFrame, vecCol: String, query: Seq[Float],
+                 k: Int, idCol: String = "vec_id",
+                 simName: String = "sim"): DataFrame = {
+    val q = array(query.map(lit): _*)
+    vectors
+      .withColumn(simName, cosine(col(vecCol), q))
+      .orderBy(col(simName).desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Assign each vector to its nearest centroid (argmax cosine).
+    * `centroids` are plan literals (small, like IVF nlist ≤ 64k);
+    * at scale the assignment is one codegen'd scan. Returns the input
+    * plus a `cluster` column — write partitioned by it and ANN probes
+    * read only `nprobe` partitions (partition pruning = the IVF index).
+    */
+  def ivfAssign(vectors: DataFrame, vecCol: String,
+                centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+    val scored = centroids.map { case (cid, c) =>
+      struct(cosine(col(vecCol), array(c.map(lit): _*)).as("sim"),
+        lit(cid).as("cid"))
+    }
+    vectors.withColumn("cluster", greatest(scored: _*).getField("cid"))
+  }
+
+  /** IVF probe: search only the `nprobe` clusters whose centroids are
+    * closest to the query, then exact top-k within them. With the
+    * table partitioned by `cluster`, the filter prunes partitions at
+    * the source — the scan touches nprobe/nlist of the data.
+    */
+  def ivfTopK(assigned: DataFrame, vecCol: String,
+              centroids: Seq[(Int, Seq[Float])], query: Seq[Float],
+              k: Int, nprobe: Int, idCol: String = "vec_id",
+              simName: String = "sim"): DataFrame = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val probe = centroids.sortBy { case (_, c) => -cos(c, query) }
+      .take(nprobe).map(_._1)
+    topKCosine(assigned.filter(col("cluster").isin(probe: _*)),
+      vecCol, query, k, idCol, simName)
+  }
+}

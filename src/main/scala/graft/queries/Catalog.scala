@@ -1,0 +1,496 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.{Text, Vectors}
+import graft.query.{Feeds, Predicates, Where}
+import graft.state.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One entry per operator in SURVEY.md §2 (+ the training-data
+  * extensions, §7.5), each expressed over the driver testdata tables
+  * with an equivalent DuckDB oracle where SQL can express it.
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  *   - every sort carries a unique tie-break column;
+  *   - no raw timestamps in outputs (parquet NANOS vs MICROS don't
+  *     round-trip identically) — format to strings instead; oracle SQL
+  *     sorts/filters on `CAST(ts AS TIMESTAMP)` to match Spark's
+  *     microsecond truncation;
+  *   - double aggregations either rounded or restated in exact integer
+  *     arithmetic (cents, hit counts, set sizes);
+  *   - DuckDB `sum(BIGINT)` returns HUGEINT → always `CAST` in oracle;
+  *     Spark `row_number` is INT → always `.cast("long")` in Spark.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Catalog {
+
+  // Shared tokenizer fragment for oracle SQL (must match Text.tokens:
+  // lowercase, split on \s+, drop empties).
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+
+  val all: Seq[Q] = Seq(
+
+    // ── §2.2 predicate algebra ────────────────────────────────────────
+    Q("q01_where_algebra",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val pred = Predicates.all(
+          Where(eq = Some("O")).compile(col("o_orderstatus")),
+          Where(nin = Some(Seq("5-LOW"))).compile(col("o_orderpriority")),
+          Where(gt = Some(10000.0), lte = Some(400000.0))
+            .compile(col("o_totalprice")),
+          Where(ne = Some(1L)).compile(col("o_custkey")),
+          Where(regex = Some("^[12]-")).compile(col("o_orderpriority")),
+          Where(in = Some(Nil)).compile(col("o_orderstatus")) // empty _in ⇒ skipped
+        )
+        o.filter(pred)
+          .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'O' AND o_orderpriority NOT IN ('5-LOW')
+          AND o_totalprice > 10000 AND o_totalprice <= 400000
+          AND o_custkey <> 1 AND regexp_matches(o_orderpriority, '^[12]-')
+        ORDER BY o_orderkey""")),
+
+    // ── Q1 point lookup ───────────────────────────────────────────────
+    Q("q02_point_lookup",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderkey") === 7L)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"))
+        .limit(1),
+      Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+          strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        FROM orders WHERE o_orderkey = 7 LIMIT 1""")),
+
+    // ── Q8 socialFeed: filter → sort → skip → limit ───────────────────
+    Q("q03_feed_page",
+      (s, d) => Feeds.page(
+        Tables.events(s, d), col("event_type") === "view",
+        Seq(col("ts").desc, col("event_id").desc), skip = 10, limit = 100)
+        .select(col("event_id"), col("user_id"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s")),
+      Some("""SELECT event_id, user_id, value,
+          strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts_s
+        FROM events WHERE event_type = 'view'
+        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+        LIMIT 100 OFFSET 10""")),
+
+    // ── Q10 trendingFeed: anchor max → window → metric sort ──────────
+    Q("q04_trending",
+      (s, d) => Feeds.trending(
+        Tables.events(s, d), col("event_type") === "purchase",
+        col("ts"), expr("INTERVAL 3 DAYS"),
+        Seq(col("value").desc, col("event_id").asc), limit = 50)
+        .select("event_id", "user_id", "value"),
+      Some("""SELECT event_id, user_id, value FROM events
+        WHERE event_type = 'purchase'
+          AND CAST(ts AS TIMESTAMP) >
+            (SELECT max(CAST(ts AS TIMESTAMP)) FROM events
+             WHERE event_type = 'purchase') - INTERVAL 3 DAY
+        ORDER BY value DESC, event_id LIMIT 50""")),
+
+    // ── A1 trendingTags: explode → count → top-k ─────────────────────
+    Q("q05_trending_tags",
+      (s, d) => Feeds.topTags(Tables.documents(s, d),
+        col("lang") === "en", Text.tokens(col("text")), k = 10),
+      Some(s"""SELECT tag, CAST(count(*) AS BIGINT) AS score
+        FROM (SELECT unnest($sqlToks) AS tag FROM documents
+              WHERE lang = 'en')
+        GROUP BY tag ORDER BY score DESC, tag LIMIT 10""")),
+
+    // ── Q9 searchFeed: conjunctive token match + tf score ────────────
+    Q("q06_search",
+      (s, d) => Feeds.search(Tables.documents(s, d), col("text"),
+        Seq("spark", "join"))
+        .select("doc_id", "score")
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20),
+      Some(s"""SELECT doc_id,
+          CAST(len(list_filter(toks, x -> x = 'spark'))
+             + len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS score
+        FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+        WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
+    // ── J1/F13 byFollower: left semi join ────────────────────────────
+    Q("q07_semi_join",
+      (s, d) => {
+        val dim = Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")
+        Tables.orders(s, d)
+          .join(broadcast(dim), col("o_custkey") === col("c_custkey"),
+            "left_semi")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey""")),
+
+    // ── J7 missing-profile discovery: left anti join ─────────────────
+    Q("q08_anti_join",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'O')
+        ORDER BY c_custkey""")),
+
+    // ── J5/J6 profile hydration: broadcast left outer join ───────────
+    Q("q09_left_join",
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
+          coalesce(col("c_mktsegment"), lit("?")).as("segment"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_totalprice, c_name,
+          COALESCE(c_mktsegment, '?') AS segment
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey""")),
+
+    // ── A2/J4 num_comments: set-based child count joined back ────────
+    Q("q10_children_count",
+      (s, d) => {
+        val counts = Tables.lineitem(s, d)
+          .groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+        Tables.orders(s, d)
+          .join(counts, col("o_orderkey") === col("l_orderkey"), "left")
+          .select(col("o_orderkey"),
+            coalesce(col("n_items"), lit(0L)).as("n_items"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+          CAST(COALESCE(n_items, 0) AS BIGINT) AS n_items
+        FROM orders LEFT JOIN
+          (SELECT l_orderkey, count(*) AS n_items FROM lineitem
+           GROUP BY l_orderkey) ON o_orderkey = l_orderkey
+        ORDER BY o_orderkey""")),
+
+    // ── Q13 leaderBoard: global rank window ──────────────────────────
+    Q("q11_leaderboard",
+      (s, d) => Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc))
+          .cast("long"))
+        .select("rank", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("rank"),
+      Some("""SELECT CAST(row_number() OVER
+            (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rank,
+          c_custkey, c_name, c_acctbal
+        FROM customer WHERE c_acctbal > 0
+        ORDER BY rank""")),
+
+    // ── J8 first_upload: first event per key ─────────────────────────
+    Q("q12_first_event",
+      (s, d) => Merge.firstPerKey(Tables.events(s, d), Seq("user_id"),
+        col("ts"), Seq(col("event_id")))
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, event_type FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP), event_id) = 1
+        ORDER BY user_id""")),
+
+    // ── J3/S8 latest-wins upsert compaction ──────────────────────────
+    Q("q13_latest_wins",
+      (s, d) => Merge.latestWins(Tables.events(s, d), Seq("user_id"),
+        col("ts"), Seq(col("event_id")))
+        .select("user_id", "event_id", "value")
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, value FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id
+          ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) = 1
+        ORDER BY user_id""")),
+
+    // ── A5/A8 distinct ───────────────────────────────────────────────
+    Q("q14_distinct",
+      (s, d) => Tables.events(s, d)
+        .select("user_id", "event_type").distinct()
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type""")),
+
+    // ── §2.9 set ops: EXCEPT (J11 reconcile) ─────────────────────────
+    Q("q15_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        o.filter(col("o_orderstatus") === "F").select("o_custkey")
+          .except(o.filter(col("o_orderstatus") === "O")
+            .select("o_custkey"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_custkey""")),
+
+    // ── §2.9 set ops: UNION of two sources ───────────────────────────
+    Q("q16_union",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        ev.filter(col("event_type") === "view")
+          .select("event_id", "user_id", "event_type")
+          .unionByName(ev.filter(col("event_type") === "error")
+            .select("event_id", "user_id", "event_type"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, event_type FROM events
+        WHERE event_type = 'view'
+        UNION ALL
+        SELECT event_id, user_id, event_type FROM events
+        WHERE event_type = 'error'
+        ORDER BY event_id""")),
+
+    // ── A6 channel score: multi-agg + score formula ──────────────────
+    Q("q17_score_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(
+          count(when(col("event_type") === "purchase", 1)).as("purchases"),
+          count(when(col("event_type") === "click", 1)).as("clicks"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100, 0).cast("long")).otherwise(0L))
+            .as("spend_cents"))
+        .filter(col("purchases") + col("clicks") > 0)
+        .withColumn("score",
+          round(col("purchases") * 3 + col("clicks") * 0.1, 1))
+        .select("user_id", "purchases", "clicks", "spend_cents", "score")
+        .orderBy(col("score").desc, col("user_id").asc),
+      Some("""SELECT user_id, purchases, clicks, spend_cents,
+          round(purchases * 3 + clicks * CAST(0.1 AS DOUBLE), 1) AS score
+        FROM (SELECT user_id,
+            CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+              AS BIGINT) AS purchases,
+            CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+              AS BIGINT) AS clicks,
+            CAST(sum(CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100, 0) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS spend_cents
+          FROM events GROUP BY user_id)
+        WHERE purchases + clicks > 0
+        ORDER BY score DESC, user_id""")),
+
+    // ── §2.10 scalar functions: JSON / date / string / math ──────────
+    Q("q18_scalar_funcs",
+      (s, d) => Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          format_string("%.2f HBD", col("value")).as("money"))
+        .withColumn("parsed",
+          element_at(split(col("money"), " "), 1).cast("double"))
+        .withColumn("k_mod", pmod(col("k"), lit(7)))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+          strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+          printf('%.2f HBD', value) AS money,
+          CAST(split_part(printf('%.2f HBD', value), ' ', 1) AS DOUBLE)
+            AS parsed,
+          CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS k_mod
+        FROM events ORDER BY event_id""")),
+
+    // ── top-k per group (window + filter) ────────────────────────────
+    Q("q19_group_topk",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("o_orderstatus")
+            .orderBy(col("o_totalprice").desc, col("o_orderkey").asc))
+          .cast("long"))
+        .filter(col("rk") <= 3)
+        .select("o_orderstatus", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderstatus", "rk"),
+      Some("""SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk,
+          o_orderkey, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+        WHERE rk <= 3 ORDER BY o_orderstatus, rk""")),
+
+    // ── Q11 relatedFeed $sample: seeded uniform sample (no SQL
+    //    oracle: Spark's rand(seed) is engine-specific) ───────────────
+    Q("q20_related_sample",
+      (s, d) => Feeds.relatedSample(Tables.documents(s, d),
+        col("lang") === "en", k = 25, seed = 42L)
+        .select("doc_id", "lang", "source"),
+      None),
+
+    // ── §7.5 exact dedup groups ──────────────────────────────────────
+    Q("d01_dedup_exact",
+      (s, d) => Dedup.exactGroups(Tables.documents(s, d), "text", "doc_id")
+        .orderBy("fp"),
+      Some(s"""SELECT md5(array_to_string($sqlToks, ' ')) AS fp,
+          CAST(count(*) AS BIGINT) AS n_dups,
+          CAST(min(doc_id) AS BIGINT) AS keep_id
+        FROM documents
+        GROUP BY 1 ORDER BY fp""")),
+
+    // ── §7.5 token stats / fingerprint ───────────────────────────────
+    Q("d02_token_stats",
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          Text.tokenCount(col("text")).as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"),
+          Text.fingerprint(col("text")).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+          CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+          CAST(len(list_distinct($sqlToks)) AS BIGINT) AS n_uniq,
+          md5(array_to_string($sqlToks, ' ')) AS fp
+        FROM documents ORDER BY doc_id""")),
+
+    // ── §7.5 language ID (n-gram/function-word heuristic) ────────────
+    Q("d03_lang_id",
+      (s, d) => {
+        val toks = Text.tokens(col("text"))
+        def hits(lang: String) = size(filter(toks,
+          t => array_contains(
+            array(Text.langMarkers(lang).map(lit): _*), t))).cast("long")
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          Text.langId(toks).getField("lang").as("pred_lang"),
+          hits("en").as("hits_en"), hits("es").as("hits_es"),
+          hits("de").as("hits_de"), hits("fr").as("hits_fr"))
+          .orderBy("doc_id")
+      },
+      Some {
+        def h(lang: String, ws: Seq[String]) =
+          s"CAST(len(list_filter($sqlToks, x -> list_contains(" +
+            ws.map(w => s"'$w'").mkString("[", ",", "]") +
+            s", x))) AS BIGINT) AS hits_$lang"
+        val m = Text.langMarkers
+        s"""SELECT doc_id,
+          CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0
+               THEN 'und'
+               WHEN hits_fr >= hits_es AND hits_fr >= hits_en
+                AND hits_fr >= hits_de THEN 'fr'
+               WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+               WHEN hits_en >= hits_de THEN 'en'
+               ELSE 'de' END AS pred_lang,
+          hits_en, hits_es, hits_de, hits_fr
+        FROM (SELECT doc_id, ${h("en", m("en"))}, ${h("es", m("es"))},
+              ${h("de", m("de"))}, ${h("fr", m("fr"))} FROM documents)
+        ORDER BY doc_id"""
+      }),
+
+    // ── §7.5 quality score ───────────────────────────────────────────
+    Q("d04_quality",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+        .orderBy("doc_id"),
+      None), // formula validated by unit test; FP-rounding too fragile
+             // for a cross-engine hash — rows-only check
+
+    // ── §7.5 n-gram Jaccard similarity vs anchor doc ─────────────────
+    Q("d05_jaccard_anchor",
+      (s, d) => {
+        val sh = array_distinct(
+          Text.wordShingles(Text.tokens(col("text")), 3))
+        val docs = Tables.documents(s, d)
+        val anchor = docs.filter(col("doc_id") === 0)
+          .select(sh.as("a_sh"))
+        docs.crossJoin(broadcast(anchor))
+          .select(col("doc_id"),
+            size(array_intersect(sh, col("a_sh"))).cast("long")
+              .as("n_inter"),
+            size(array_union(sh, col("a_sh"))).cast("long").as("n_union"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val shSql = s"list_distinct(list_transform(" +
+          s"range(1, greatest(len($sqlToks) - 2, 0) + 1), " +
+          s"i -> array_to_string(list_slice($sqlToks, i, i + 2), ' ')))"
+        s"""SELECT doc_id,
+          CAST(len(list_filter(sh, x -> list_contains(a_sh, x)))
+            AS BIGINT) AS n_inter,
+          CAST(len(sh) + len(a_sh)
+            - len(list_filter(sh, x -> list_contains(a_sh, x)))
+            AS BIGINT) AS n_union
+        FROM (SELECT doc_id, $shSql AS sh FROM documents)
+        CROSS JOIN (SELECT $shSql AS a_sh FROM documents WHERE doc_id = 0)
+        ORDER BY doc_id"""
+      }),
+
+    // ── §7.5 MinHash-LSH near-dup pairs (no SQL oracle: xxhash64
+    //    signatures are Spark-specific) ───────────────────────────────
+    Q("m01_minhash_pairs",
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d),
+        "text", "doc_id", shingleN = 3, k = 32, bands = 8,
+        threshold = 0.2, seed = 42L)
+        .withColumn("jaccard", round(col("jaccard"), 4))
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ── §7.5 SimHash near-dup pairs (no SQL oracle) ──────────────────
+    Q("m02_simhash_pairs",
+      (s, d) => Dedup.simhashPairs(Tables.documents(s, d),
+        "text", "doc_id", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    // ── §7.5 ANN: exact cosine top-k vs anchor vector ────────────────
+    Q("v01_ann_cosine",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val anchor = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("a_emb"))
+        emb.crossJoin(broadcast(anchor))
+          .select(col("vec_id"),
+            round(Vectors.cosine(col("embedding"), col("a_emb")), 4)
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some("""SELECT vec_id,
+          round(list_dot_product(e, a) /
+            (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(a, a))),
+            4) AS sim
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings)
+        CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS a
+                    FROM embeddings WHERE vec_id = 0)
+        ORDER BY sim DESC, vec_id LIMIT 20""")),
+
+    // ── §7.5 ANN: IVF-partitioned variant (no SQL oracle; centroid
+    //    assignment exercised end-to-end, correctness via unit test) ──
+    Q("v02_ann_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select("vec_id", "embedding")
+          .collect()
+          .map(r => (r.getLong(0).toInt,
+            r.getSeq[Float](1).toSeq))
+          .toSeq
+        val query = centroids.find(_._1 == 1).get._2
+        val assigned = Vectors.ivfAssign(emb, "embedding", centroids)
+        Vectors.ivfTopK(assigned, "embedding", centroids, query,
+          k = 20, nprobe = 3)
+          .select(col("vec_id"), round(col("sim"), 4).as("sim"),
+            col("cluster"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+      },
+      None)
+  )
+}

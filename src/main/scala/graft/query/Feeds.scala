@@ -1,0 +1,95 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Feed-shaped read pipelines.
+  *
+  * Re-expresses the reference's GraphQL feed resolvers
+  * (src/modules/api/graphql-v2/resolvers/index.ts:165-307, 363-405) as
+  * declarative DataFrame pipelines. Each shape compiles to a plan
+  * Catalyst turns into `TakeOrderedAndProject` (sort+limit fused, no
+  * global sort) — the scale-safe equivalent of Mongo's index-backed
+  * sort+skip+limit.
+  *
+  * Determinism note: every sort takes explicit tie-break columns so a
+  * page is a well-defined row set on any cluster layout — the reference
+  * inherits whatever order Mongo's index walk yields; we make it exact.
+  */
+object Feeds {
+
+  /** socialFeed (resolvers/index.ts:165-192): filter → sort desc →
+    * skip → limit. Executes as one TakeOrderedAndProject(skip+limit)
+    * followed by a driver-side offset — no global sort, no full shuffle.
+    */
+  def page(df: DataFrame, pred: Column, sort: Seq[Column],
+           skip: Int, limit: Int): DataFrame =
+    df.filter(pred).orderBy(sort: _*).offset(skip).limit(limit)
+
+  /** trendingFeed (resolvers/index.ts:224-267): anchor = newest
+    * matching row; keep rows within `windowExpr` of the anchor; order
+    * by the trending metric. The anchor is a scalar aggregate
+    * (one-row broadcast), not a per-row window — at 100 TB the anchor
+    * agg is a cheap column-pruned scan with partial max pushdown.
+    */
+  def trending(df: DataFrame, pred: Column, timeCol: Column,
+               windowExpr: Column, metric: Seq[Column],
+               limit: Int): DataFrame = {
+    val filtered = df.filter(pred)
+    val anchor = filtered.agg(max(timeCol).as("latest"))
+    filtered
+      .join(anchor)           // 1-row cross join → broadcast, no shuffle
+      .filter(timeCol > col("latest") - windowExpr)
+      .orderBy(metric: _*)
+      .limit(limit)
+      .drop("latest")
+  }
+
+  /** trendingTags (resolvers/index.ts:363-405): recent window →
+    * unwind tags → count per tag → top-k. explode+hashAgg with
+    * map-side partial aggregation; top-k via TakeOrderedAndProject.
+    */
+  def topTags(df: DataFrame, pred: Column, tagsCol: Column,
+              k: Int, tieAsc: Boolean = true): DataFrame = {
+    val sorted =
+      if (tieAsc) Seq(col("score").desc, col("tag").asc)
+      else Seq(col("score").desc)
+    df.filter(pred)
+      .select(explode(tagsCol).as("tag"))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("score"))
+      .orderBy(sorted: _*)
+      .limit(k)
+  }
+
+  /** relatedFeed (resolvers/index.ts:268-307): rows related to an
+    * anchor (overlapping tags, or same parent for top-level anchors),
+    * then a uniform random sample of size k. The reference uses Mongo
+    * `$sample`; we use seeded rand so tests can replicate
+    * (SURVEY.md §7.4).
+    */
+  def relatedSample(df: DataFrame, relatedPred: Column, k: Int,
+                    seed: Long): DataFrame =
+    df.filter(relatedPred).orderBy(rand(seed)).limit(k)
+
+  /** searchFeed (resolvers/index.ts:193-223; Mongo $text index
+    * db.ts:61-63): v1 contract = conjunctive token match with a
+    * term-frequency score (documented divergence from Mongo's stemmed
+    * OR, SURVEY.md §7.4). Pure builtins ⇒ whole-stage codegen.
+    *
+    * score = Σ_t (occurrences of t in text); rows must contain every
+    * term at least once.
+    */
+  def search(df: DataFrame, textCol: Column, terms: Seq[String],
+             scoreName: String = "score"): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val toks = split(lower(textCol), "\\s+")
+    val tf: Column = terms.map { t =>
+      size(filter(toks, e => e === lit(t)))
+    }.reduce(_ + _)
+    val hasAll: Column = terms.map { t =>
+      array_contains(toks, t)
+    }.reduce(_ && _)
+    df.filter(hasAll).withColumn(scoreName, tf.cast("long"))
+  }
+}
