@@ -1,0 +1,174 @@
+package graft.enrich
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Background-enrichment jobs (reference src/workers/background-proc/
+  * core.ts, src/workers/process-meta.ts) re-expressed as set-based
+  * joins: what the reference does with per-document RPC loops at
+  * concurrency 50 becomes one join per batch — the N-round-trip → one
+  * shuffle transformation that makes this plane scale.
+  */
+object Enrich {
+
+  /** X12: `"1.234 HBD"` → 1.234 (core.ts:104, post-stats.ts:46-48). */
+  def moneyToDouble(c: Column): Column =
+    split(c, " ").getItem(0).cast("double")
+
+  /** postStats (core.ts:73-162): dirty posts ⋈ content_rpc (J5/S3) +
+    * self-join comment counts (A2) → recomputed `stats` struct +
+    * `hive_rewards`, dirty flag cleared.
+    *
+    * A4 payout: pending if last_payout is epoch, else total+curator
+    * (core.ts:104). A3 vote tallies from active_votes signs
+    * (core.ts:117-126).
+    */
+  def postStats(posts: DataFrame, contentRpc: DataFrame): DataFrame = {
+    // A2: one aggregation replaces N countDocuments round-trips.
+    val commentCounts = posts
+      .filter(col("parent_author") =!= "")
+      .groupBy(col("parent_author").as("ca"),
+        col("parent_permlink").as("cp"))
+      .agg(count(lit(1)).cast("int").as("num_comments"))
+
+    val av = col("active_votes")
+    val payout = when(col("last_payout") <= "1970-01-01T00:00:00",
+      moneyToDouble(col("pending_payout_value")))
+      .otherwise(moneyToDouble(col("total_payout_value")) +
+        moneyToDouble(col("curator_payout_value")))
+
+    posts.alias("p")
+      .join(contentRpc.alias("c"), Seq("author", "permlink"), "left")
+      .join(commentCounts,
+        col("p.author") === col("ca") && col("p.permlink") === col("cp"),
+        "left")
+      .withColumn("stats",
+        when(col("c.net_votes").isNotNull || col("ca").isNotNull, struct(
+          coalesce(col("num_comments"), lit(0)).as("num_comments"),
+          coalesce(col("c.net_votes"), lit(0)).as("num_votes"),
+          coalesce(size(filter(av, v => v.getField("rshares") > 0)),
+            lit(0)).as("num_up_votes"),
+          coalesce(size(filter(av, v => v.getField("rshares") < 0)),
+            lit(0)).as("num_down_votes"),
+          coalesce(payout, lit(0.0)).as("total_hive_reward"),
+          coalesce(av, array().cast(
+            "array<struct<voter:string,rshares:double," +
+              "percent:int,weight:double>>")).as("active_voters")))
+          .otherwise(col("p.stats")))
+      .withColumn("hive_rewards",
+        when(col("c.net_votes").isNotNull, struct(
+          col("c.max_accepted_payout"),
+          col("c.max_cashout_time"),
+          col("c.cashout_time"),
+          col("c.total_payout_value"),
+          col("c.curator_payout_value"),
+          payout.as("payout"),
+          col("c.cashout_time").as("payout_at")))
+          .otherwise(col("p.hive_rewards")))
+      .withColumn("needs_stat_update",
+        when(col("c.net_votes").isNotNull, lit(false))
+          .otherwise(col("p.needs_stat_update")))
+      .select(posts.columns.map { n =>
+        if (Seq("stats", "hive_rewards", "needs_stat_update")
+          .contains(n)) col(n).as(n)
+        else col(s"p.$n")
+      }.toSeq: _*)
+  }
+
+  /** updateHeightWeight (core.ts:193-246): video posts without
+    * dimensions ⋈ fetched playlists (S6) → width/height via the
+    * RESOLUTION regex (X9) + is_short (X10: ≤180 s and portrait).
+    * `playlists` carries (author, permlink, body). */
+  def videoMeta(posts: DataFrame, playlists: DataFrame): DataFrame = {
+    val res = "RESOLUTION=([0-9]+)x([0-9]+)"
+    val pl = playlists.select(col("author"), col("permlink"),
+      regexp_extract(col("body"), res, 1).cast("int").as("w"),
+      regexp_extract(col("body"), res, 2).cast("int").as("h"))
+      .withColumn("w", coalesce(when(col("w") =!= 0, col("w")), lit(0)))
+      .withColumn("h", coalesce(when(col("h") =!= 0, col("h")), lit(0)))
+    val duration = get_json_object(col("json_metadata_raw"),
+      "$.video.info.duration").cast("double")
+    val sv = col("app_metadata.spkvideo")
+    posts.join(pl, Seq("author", "permlink"), "left")
+      .withColumn("app_metadata",
+        when(col("w").isNotNull && sv.isNotNull, struct(
+          col("app_metadata.types").as("types"),
+          col("app_metadata.app").as("app"),
+          struct(
+            sv.getField("authority_signed").as("authority_signed"),
+            sv.getField("storage_type").as("storage_type"),
+            sv.getField("first_upload").as("first_upload"),
+            col("h").as("height"),
+            col("w").as("width"),
+            (duration <= 180 && col("h") >= col("w")).as("is_short"))
+            .as("spkvideo")))
+          .otherwise(col("app_metadata")))
+      .drop("w", "h")
+  }
+
+  /** scoreChannels (A6, core.ts:285-383): per 3speak author,
+    * score = 3×(first-level comments on their videos) + 0.1×(video
+    * votes); everyone else zeroed (S11 as a left join, not a scan-
+    * and-update loop). */
+  def channelScores(posts: DataFrame, profiles: DataFrame): DataFrame = {
+    val videos = posts.filter(
+      col("app_metadata.app") === "3speak" &&
+        !array_contains(col("flags"), "comment"))
+    val commentCounts = posts
+      .filter(col("parent_author") =!= "")
+      .groupBy(col("parent_author").as("ca"),
+        col("parent_permlink").as("cp"))
+      .agg(count(lit(1)).as("n_comments"))
+    val perAuthor = videos.alias("v")
+      .join(commentCounts,
+        col("v.author") === col("ca") && col("v.permlink") === col("cp"),
+        "left")
+      .groupBy(col("v.author").as("author"))
+      .agg(
+        sum(coalesce(col("n_comments"), lit(0L))).as("total_comments"),
+        sum(coalesce(col("v.stats.num_votes").cast("long"), lit(0L)))
+          .as("total_votes"))
+      .withColumn("new_score",
+        col("total_comments") * 3 + col("total_votes") * 0.1)
+    profiles.alias("pr")
+      .join(perAuthor.alias("sc"),
+        col("pr.username") === col("sc.author"), "left")
+      .withColumn("score", coalesce(col("new_score"), lit(0.0)))
+      .select(profiles.columns.map {
+        case "score" => col("score")
+        case n => col(s"pr.$n")
+      }.toSeq: _*)
+  }
+
+  /** process-meta notifications (X7, src/services/block_processing/
+    * notifications.ts:5-56): extract @mentions from post bodies →
+    * notification rows; DID mentions typed separately; hive names
+    * lowercased. */
+  def mentionNotifications(posts: DataFrame): DataFrame = {
+    val mentionRe = "@([a-zA-Z0-9._:-]+)"
+    posts
+      .select(col("author"), col("permlink"), col("created_at"),
+        explode(array_distinct(
+          regexp_extract_all(col("body"), lit(mentionRe), lit(1))))
+          .as("mention"))
+      .filter(col("mention") =!= col("author"))
+      .select(
+        when(col("mention").startsWith("did:"), col("mention"))
+          .otherwise(lower(col("mention"))).as("target"),
+        col("author").as("from"),
+        when(col("mention").startsWith("did:"), lit("ceramic"))
+          .otherwise(lit("hive")).as("type"),
+        lit("mention").as("notification_type"),
+        col("created_at").as("mentioned_at"),
+        concat_ws(":", lit("hive"), col("author"), col("permlink"))
+          .as("ref"))
+      .distinct()
+  }
+
+  /** pullAllAccounts discovery (J7, core.ts:393-449): distinct authors
+    * with no profile row — the left anti join replacing the findOne
+    * loop. */
+  def missingProfiles(posts: DataFrame, profiles: DataFrame): DataFrame =
+    posts.select(col("author")).distinct()
+      .join(profiles, col("author") === col("username"), "left_anti")
+}

@@ -1,0 +1,252 @@
+package graft.ingest
+
+import graft.functions.Dmp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One comment-op event after payload parsing + sibling-op join. */
+final case class CommentEv(
+    author: String, permlink: String,
+    parent_author: String, parent_permlink: String,
+    block_height: Long, op_index: Int, ts: java.sql.Timestamp,
+    title: String, body: String, json_metadata_raw: String,
+    deleted: Boolean, authority_signed: Boolean,
+    beneficiaries: scala.collection.Seq[Beneficiary])
+
+final case class Beneficiary(account: String, weight: Int)
+
+/** Folded per-(author,permlink) post state before relational
+  * decoration. */
+final case class FoldedPost(
+    author: String, permlink: String,
+    parent_author: String, parent_permlink: String,
+    title: String, body: String, json_metadata_raw: String,
+    created_at: java.sql.Timestamp, updated_at: java.sql.Timestamp,
+    block_height: Long, status: String, authority_signed: Boolean,
+    beneficiaries: scala.collection.Seq[Beneficiary], n_edits: Int)
+
+/** The comment pipeline (SURVEY.md §2/§3.2; reference
+  * src/workers/hive-stream.ts:494-698).
+  *
+  * Spark-first shape: everything relational except the one genuinely
+  * sequential piece — the per-post edit chain, where each edit is a
+  * diff-match-patch applied to the *previous* body
+  * (hive-stream.ts:540-548). That is a per-key ordered fold, done with
+  * `groupByKey.flatMapGroups` over ops sorted by (block_height,
+  * op_index): one shuffle on the post key, then a linear scan per
+  * post. Posts are small groups (edit counts are tiny), so the fold
+  * parallelizes across keys at any scale — the reference serializes
+  * the entire chain through one Node process.
+  *
+  * Out-of-order arrivals: the reference guards with
+  * `state_control.block_height` monotonicity (hive-stream.ts:538); the
+  * sorted fold replays canonically ordered instead, which converges to
+  * the same final state (a stale op never wins).
+  */
+object PostsIngest {
+
+  private val payloadSchema =
+    "struct<parent_author:string,parent_permlink:string,author:string," +
+      "permlink:string,title:string,body:string,json_metadata:string>"
+
+  /** comment ops → parsed events incl. sibling-op facts (J10, joined
+    * per transaction). */
+  def commentEvents(ops: DataFrame): DataFrame = {
+    val facts = OpExtract.txSiblingFacts(ops)
+    val meta = from_json(col("json_metadata_raw"),
+      graft.domain.Schemas.commentMeta)
+    ops.filter(col("op_name") === "comment")
+      .withColumn("p", from_json(col("payload"), graft.ddl(payloadSchema)))
+      .filter(col("p.author").isNotNull && col("p.permlink").isNotNull)
+      .join(facts, Seq("block_height", "trx_id"), "left")
+      .select(
+        col("p.author").as("author"),
+        col("p.permlink").as("permlink"),
+        coalesce(col("p.parent_author"), lit("")).as("parent_author"),
+        coalesce(col("p.parent_permlink"), lit(""))
+          .as("parent_permlink"),
+        col("block_height"), col("op_index"), col("ts"),
+        col("p.title").as("title"),
+        coalesce(col("p.body"), lit("")).as("body"),
+        col("p.json_metadata").as("json_metadata_raw"),
+        coalesce(col("authority_signed"), lit(false))
+          .as("authority_signed"),
+        col("beneficiaries"))
+      .withColumn("deleted",
+        coalesce(array_contains(meta.getField("flags"), "deleted") ||
+          array_contains(meta.getField("tags"), "deleted"), lit(false)))
+  }
+
+  /** The sequential per-post fold: insert body verbatim, edits via
+    * dmp-or-replace, delete flags, last-op-wins metadata
+    * (hive-stream.ts:530-561). */
+  def foldPosts(evs: Dataset[CommentEv])
+      (implicit spark: SparkSession): Dataset[FoldedPost] = {
+    import spark.implicits._
+    evs.groupByKey(e => (e.author, e.permlink)).flatMapGroups {
+      (key: (String, String), it: Iterator[CommentEv]) =>
+        val (author, permlink) = key
+        val ordered = it.toArray.sortBy(e => (e.block_height, e.op_index))
+        if (ordered.isEmpty) Iterator.empty
+        else {
+          val head = ordered.head
+          var body = head.body            // insert: verbatim
+          var title = head.title
+          var meta = head.json_metadata_raw
+          var status = if (head.deleted) "deleted" else "published"
+          var signed = head.authority_signed
+          var benefs = head.beneficiaries
+          ordered.tail.foreach { e =>     // edits: dmp-or-replace
+            body = Dmp.applyOrReplace(e.body, body)
+            if (e.title != null) title = e.title
+            if (e.json_metadata_raw != null) meta = e.json_metadata_raw
+            status = if (e.deleted) "deleted" else "published"
+            signed = signed || e.authority_signed
+            if (e.beneficiaries != null && e.beneficiaries.nonEmpty)
+              benefs = e.beneficiaries
+          }
+          val last = ordered.last
+          Iterator.single(FoldedPost(author, permlink,
+            head.parent_author, head.parent_permlink,
+            title, body, meta, head.ts, last.ts, last.block_height,
+            status, signed, benefs, ordered.length - 1))
+        }
+    }
+  }
+
+  /** Relational decoration of folded posts into the full posts schema:
+    * type gate (X3), parent gate (J2 semi join), app_metadata/spkvideo
+    * (hive-stream.ts:607-649), ipfs links (X5), first_upload (J8
+    * window), origin/state control, discriminators. */
+  def decorate(folded: DataFrame,
+               existingPosts: Option[DataFrame] = None): DataFrame = {
+    val meta = from_json(col("json_metadata_raw"),
+      graft.domain.Schemas.commentMeta)
+    val appFull = meta.getField("app")
+    val appName = split(appFull, "/").getItem(0)               // X2
+    val allowedApps = Seq("3speak", "dbuzz")                    // X3 gate
+    val video = meta.getField("video").getField("info")
+    val hasVideo = video.getField("duration").isNotNull
+    val srcMap = video.getField("sourceMap")
+    val videoUrl = filter(srcMap, e => e.getField("type") === "video")
+      .getItem(0).getField("url")
+    val thumbUrl = filter(srcMap,
+      e => e.getField("type") === "thumbnail")
+      .getItem(0).getField("url")
+
+    val withCols = folded
+      .withColumn("tags",
+        coalesce(meta.getField("tags"), array().cast("array<string>")))
+      .withColumn("flags",
+        when(col("parent_author") =!= "", array(lit("comment")))
+          .otherwise(array().cast("array<string>")))
+      .withColumn("app_name", appName)
+      .withColumn("allowed_by_type", appName.isin(allowedApps: _*))
+      .withColumn("has_video", coalesce(hasVideo, lit(false)))
+      .withColumn("storage_type",
+        when(coalesce(videoUrl.startsWith("ipfs://"), lit(false)),
+          "ipfs")
+          .when(coalesce(thumbUrl.startsWith("ipfs://"), lit(false)),
+            "thumbnail_ipfs")
+          .otherwise("legacy"))
+      .withColumn("ipfs_links",
+        transform(
+          filter(coalesce(srcMap, array().cast(
+            "array<struct<type:string,url:string,format:string>>")),
+            e => e.getField("url").startsWith("ipfs://")),
+          e => struct(regexp_extract(e.getField("url"),
+            "^ipfs://([^/]+)", 1).as("cid"))))
+
+    // J8: first spkvideo post per author (window, not per-row lookup).
+    val withFirst = withCols.withColumn("first_upload",
+      col("has_video") &&
+        (row_number().over(
+          Window.partitionBy("author", "has_video")
+            .orderBy(col("block_height").asc, col("permlink").asc))
+          === 1))
+
+    // J2: parent gate — reply's parent must exist among current batch
+    // tops or the existing posts table (hive-stream.ts:516-524).
+    val tops = withFirst.filter(col("parent_author") === "")
+      .select(col("author").as("pa"), col("permlink").as("pp"))
+    val parents = existingPosts match {
+      case Some(p) => tops.unionByName(
+        p.select(col("author").as("pa"), col("permlink").as("pp")))
+      case None => tops
+    }
+    val gated = withFirst.alias("c")
+      .join(parents.distinct().alias("par"),
+        col("c.parent_author") === col("par.pa") &&
+          col("c.parent_permlink") === col("par.pp"), "left")
+      .withColumn("allowed_by_parent",
+        col("c.parent_author") === "" || col("par.pa").isNotNull)
+      .drop("pa", "pp")
+
+    gated.select(
+      col("parent_author"), col("parent_permlink"),
+      col("author"), col("permlink"), col("status"),
+      col("title"), col("body"), col("tags"),
+      col("created_at"), col("updated_at"),
+      lit("unprocessed").as("metadata_status"),
+      lit(false).as("needs_stat_update"),
+      lit(false).as("needs_stream_id"),
+      lit(null).cast(graft.domain.Schemas.stats).as("stats"),
+      lit(null).cast(graft.domain.Schemas.hiveRewards)
+        .as("hive_rewards"),
+      struct(col("block_height"),
+        lit(null).cast("string").as("version_id")).as("state_control"),
+      struct(col("allowed_by_parent"), col("allowed_by_type"),
+        lit(true).as("allowed_by_community")).as("origin_control"),
+      col("json_metadata_raw"),
+      struct(
+        when(col("has_video"), array(lit("spkvideo")))
+          .otherwise(array().cast("array<string>")).as("types"),
+        col("app_name").as("app"),
+        when(col("has_video"), struct(
+          col("authority_signed"),
+          col("storage_type"),
+          col("first_upload"),
+          lit(null).cast("int").as("height"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("boolean").as("is_short")))
+          .otherwise(lit(null).cast(graft.domain.Schemas.spkvideo))
+          .as("spkvideo")).as("app_metadata"),
+      col("ipfs_links"),
+      col("beneficiaries").cast(
+        "array<struct<account:string,weight:int>>").as("beneficiaries"),
+      lit("HIVE").as("TYPE"),
+      lit("post_hive").as("__t"),
+      lit("0.1").as("__v"),
+      col("flags"),
+      lit(null).cast("string").as("off_chain_id"))
+  }
+
+  /** Full pipeline: ops → posts rows (batch replay). */
+  def ingest(ops: DataFrame, existingPosts: Option[DataFrame] = None)
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val evs = commentEvents(ops).as[CommentEv]
+    decorate(foldPosts(evs).toDF(), existingPosts)
+  }
+
+  /** Vote ops → dirty set (J9, hive-stream.ts:224-238): distinct
+    * (author, permlink) needing a stat refresh. */
+  def voteDirtySet(ops: DataFrame): DataFrame =
+    ops.filter(col("op_name") === "vote")
+      .select(
+        get_json_object(col("payload"), "$.author").as("author"),
+        get_json_object(col("payload"), "$.permlink").as("permlink"))
+      .filter(col("author").isNotNull)
+      .distinct()
+
+  /** Apply the dirty set: set needs_stat_update on matching posts
+    * (MERGE-shaped; batch = left join + boolean or). */
+  def flagNeedsStatUpdate(posts: DataFrame, dirty: DataFrame): DataFrame =
+    posts.alias("p")
+      .join(dirty.withColumn("__dirty", lit(true)).alias("d"),
+        Seq("author", "permlink"), "left")
+      .withColumn("needs_stat_update",
+        col("needs_stat_update") || coalesce(col("__dirty"), lit(false)))
+      .drop("__dirty")
+}

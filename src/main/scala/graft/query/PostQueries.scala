@@ -1,0 +1,207 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feed-filter arguments — the engine's equivalent of the reference's
+  * GraphQL input object (schema.ts:284-291) compiled by
+  * TransformFeedArgs (resolvers/index.ts:58-149). Field-for-field per
+  * SURVEY.md §2.2 F1-F14. */
+final case class FeedArgs(
+    spkvideoFirstUpload: Boolean = false,            // F1
+    spkvideoOnly: Boolean = false,                   // F2
+    spkvideoIsShort: Boolean = false,                // F3
+    includeComments: Boolean = false,                // F4 (default off)
+    byTag: Option[Where] = None,                     // F5
+    byCreator: Option[Where] = None,                 // F6
+    byPermlink: Option[Where] = None,
+    byCommunity: Option[Where] = None,               // F7
+    byApp: Option[Where] = None,                     // F8
+    byType: Option[Where] = None,                    // F9
+    byLang: Option[Where] = None,                    // F10
+    or: Seq[FeedArgs] = Nil,                         // F11
+    includeCeramic: Boolean = false,                 // F12
+    byFollower: Option[String] = None,               // F13 (semi join)
+    limit: Int = 100, skip: Int = 0)
+
+/** The read-path query surface over the posts/profiles/communities/
+  * follows entity tables (SURVEY.md §2.3-§2.5, §3.1).
+  *
+  * Where the reference issues one MongoDB query per GraphQL field
+  * (N+1), every method here is a single DataFrame pipeline: filters
+  * compile to pushed-down predicates, `byFollower` is a broadcast
+  * left-semi join, hydration is a broadcast left join — so a feed is
+  * one scan + one TakeOrderedAndProject regardless of page size.
+  */
+object PostQueries {
+
+  /** F1-F12 compiled to one predicate (no F13 — that's a join). */
+  def feedPredicate(a: FeedArgs): Column = {
+    val base = Predicates.all(
+      Option.when(a.spkvideoFirstUpload)(
+        col("app_metadata.spkvideo.first_upload") === true),
+      Option.when(a.spkvideoOnly)(
+        array_contains(col("app_metadata.types"), "spkvideo")),
+      Option.when(a.spkvideoIsShort)(
+        col("app_metadata.spkvideo.is_short") === true),
+      // F4: flags must NOT contain 'comment'; null-safe (missing ⇒ keep)
+      Option.when(!a.includeComments)(
+        !coalesce(array_contains(col("flags"), "comment"), lit(false))),
+      a.byTag.flatMap(_.compileArray(col("tags"))),
+      a.byCreator.flatMap(_.compile(col("author"))),
+      a.byPermlink.flatMap(_.compile(col("permlink"))),
+      a.byCommunity.flatMap(_.compile(col("parent_permlink"))),
+      a.byApp.flatMap(_.compile(col("app_metadata.app"))),
+      a.byType.flatMap(_.compileArray(col("app_metadata.types"))),
+      a.byLang.flatMap(_.compile(
+        get_json_object(col("json_metadata_raw"), "$.video.info.lang"))),
+      // F12: TYPE != CERAMIC unless opted in (null-safe)
+      Option.when(!a.includeCeramic)(
+        coalesce(col("TYPE"), lit("")) =!= "CERAMIC"))
+    // F11: _or of sub-filters
+    if (a.or.isEmpty) base
+    else base && a.or.map(feedPredicate).reduce(_ || _)
+  }
+
+  /** Apply F13 byFollower as a broadcast left-semi join against the
+    * follows edge list (resolvers/index.ts:126-146): keep posts whose
+    * author is followed by X. The follow set of one account is tiny ⇒
+    * broadcast, no shuffle of posts. */
+  def applyFollower(posts: DataFrame, follows: DataFrame,
+                    follower: String): DataFrame =
+    posts.join(
+      broadcast(follows.filter(col("follower") === follower)
+        .select(col("following"))),
+      posts("author") === col("following"), "left_semi")
+
+  private def filtered(posts: DataFrame, follows: DataFrame,
+                       a: FeedArgs): DataFrame = {
+    val base = posts.filter(feedPredicate(a))
+    a.byFollower.fold(base)(f => applyFollower(base, follows, f))
+  }
+
+  /** Q8 socialFeed: newest-first page. */
+  def socialFeed(posts: DataFrame, follows: DataFrame,
+                 a: FeedArgs): DataFrame =
+    Feeds.page(filtered(posts, follows, a), lit(true),
+      Seq(col("created_at").desc, col("author").asc,
+        col("permlink").asc),
+      a.skip, a.limit)
+
+  /** Q9 searchFeed: token match + tf score, newest-first
+    * (documented divergence from Mongo $text, SURVEY.md §7.4). */
+  def searchFeed(posts: DataFrame, follows: DataFrame, a: FeedArgs,
+                 term: String): DataFrame = {
+    val terms = term.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    Feeds.search(filtered(posts, follows, a), col("body"), terms)
+      .orderBy(col("created_at").desc, col("author").asc,
+        col("permlink").asc)
+      .offset(a.skip).limit(a.limit)
+  }
+
+  sealed trait TrendingBy
+  case object ByComments extends TrendingBy
+  case object ByPayout extends TrendingBy
+
+  /** Q10 trendingFeed: 3-day window back from the newest matching
+    * post, ranked by comments or payout (resolvers/index.ts:224-267).
+    */
+  def trendingFeed(posts: DataFrame, follows: DataFrame, a: FeedArgs,
+                   by: TrendingBy = ByComments): DataFrame = {
+    val metric = by match {
+      case ByComments => col("stats.num_comments")
+      case ByPayout   => col("stats.total_hive_reward")
+    }
+    Feeds.trending(filtered(posts, follows, a), lit(true),
+      col("created_at"), expr("INTERVAL 3 DAYS"),
+      Seq(metric.desc, col("author").asc, col("permlink").asc),
+      a.limit)
+      .offset(a.skip)
+  }
+
+  /** Q11 relatedFeed: posts sharing tags with the anchor (or same
+    * community for top-level anchors), uniform seeded sample of 25
+    * (resolvers/index.ts:268-307). Anchor is resolved relationally —
+    * a one-row broadcast, not a driver lookup. */
+  def relatedFeed(posts: DataFrame, follows: DataFrame, a: FeedArgs,
+                  author: String, permlink: String,
+                  seed: Long = 42L): DataFrame = {
+    val anchor = posts
+      .filter(col("author") === author && col("permlink") === permlink)
+      .select(col("tags").as("a_tags"),
+        col("parent_author").as("a_pa"),
+        col("parent_permlink").as("a_pp"))
+      .limit(1)
+    val related = filtered(posts, follows, a)
+      .crossJoin(broadcast(anchor))
+      .filter(
+        arrays_overlap(col("tags"), col("a_tags")) ||
+          (col("a_pa") === "" && col("parent_permlink") === col("a_pp")))
+      .filter(!(col("author") === author && col("permlink") === permlink))
+      .drop("a_tags", "a_pa", "a_pp")
+    related.orderBy(rand(seed)).limit(if (a.limit > 0) a.limit else 25)
+  }
+
+  /** Q1 socialPost: point lookup. */
+  def socialPost(posts: DataFrame, author: String,
+                 permlink: String): DataFrame =
+    posts.filter(col("author") === author &&
+      col("permlink") === permlink).limit(1)
+
+  /** Q3 children: one level of the reply tree with skip/limit
+    * (posts.ts:161-231). */
+  def children(posts: DataFrame, author: String, permlink: String,
+               limit: Int = 100, skip: Int = 0): DataFrame =
+    posts.filter(col("parent_author") === author &&
+        col("parent_permlink") === permlink)
+      .orderBy(col("created_at").asc, col("author").asc,
+        col("permlink").asc)
+      .offset(skip).limit(limit)
+
+  /** Q2 parent_post hydration for a set of posts: one self-join
+    * replacing the reference's per-row findOne. */
+  def withParent(posts: DataFrame): DataFrame = {
+    val parents = posts.select(
+      col("author").as("_pa"), col("permlink").as("_pp"),
+      struct(posts.columns.map(col).toSeq: _*).as("parent_post"))
+    posts.join(parents,
+      col("parent_author") === col("_pa") &&
+        col("parent_permlink") === col("_pp"), "left")
+      .drop("_pa", "_pp")
+  }
+
+  /** J6 profile hydration: batched broadcast join, not N+1. */
+  def hydrateAuthors(posts: DataFrame, profiles: DataFrame): DataFrame =
+    posts.join(
+      broadcast(profiles.select(col("username"),
+        struct(col("displayName"), col("about"), col("images"))
+          .as("author_profile"))),
+      posts("author") === col("username"), "left")
+      .drop("username")
+
+  /** Q12 follows: both directions + counts (A9) in two aggregations.
+    */
+  def followCounts(follows: DataFrame, id: String): DataFrame =
+    follows.agg(
+      sum(when(col("follower") === id, 1).otherwise(0))
+        .as("following_count"),
+      sum(when(col("following") === id, 1).otherwise(0))
+        .as("follower_count"))
+
+  /** Q13 leaderBoard: score>0 profiles ranked (window), plus
+    * total_active_creators (A7). */
+  def leaderBoard(profiles: DataFrame): DataFrame =
+    profiles.filter(col("score") > 0)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("username").asc))
+        .cast("long"))
+      .select(col("rank"), col("username"), col("score"))
+
+  /** A1 trendingTags over posts: 14-day window, unwind, count, top-k.
+    */
+  def trendingTags(posts: DataFrame, now: Column, k: Int = 5): DataFrame =
+    Feeds.topTags(posts,
+      col("created_at") > now - expr("INTERVAL 14 DAYS"),
+      col("tags"), k)
+}

@@ -1,0 +1,130 @@
+package graft.enrich
+
+import graft.SparkSpec
+import graft.ingest.{Fixtures, PostsIngest}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+class EnrichSpec extends SparkSpec {
+  import Fixtures._
+
+  private def mkPosts(): DataFrame = {
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("comment", comment("alice", "v1", "a video @bob",
+          jsonMeta = videoMeta)))),
+        ("t2", Seq(("comment", comment("carol", "x1", "plain @alice @bob"))))),
+      block(101, "2024-05-01T12:00:03",
+        ("t3", Seq(("comment", comment("bob", "r1", "nice!",
+          parentAuthor = "alice", parentPermlink = "v1")))),
+        ("t4", Seq(("comment", comment("dave", "r2", "agreed @Alice",
+          parentAuthor = "alice", parentPermlink = "v1"))))))
+    PostsIngest.ingest(ops)(spark)
+  }
+
+  test("postStats: payout branches (A4), vote tallies (A3), comment counts (A2)") {
+    import spark.implicits._
+    val posts = mkPosts()
+    val rpc = Seq(
+      // paid-out post: total + curator
+      ("alice", "v1", "2024-05-10T00:00:00", "0.000 HBD", "1.500 HBD",
+        "0.500 HBD", 3,
+        Seq(("bob", 100.0, 10000, 1.0), ("carol", -5.0, -10000, 1.0),
+          ("dave", 7.0, 10000, 1.0))),
+      // pending post
+      ("carol", "x1", "1970-01-01T00:00:00", "2.250 HBD", "0.000 HBD",
+        "0.000 HBD", 1, Seq(("bob", 10.0, 10000, 1.0))))
+      .toDF("author", "permlink", "last_payout", "pending_payout_value",
+        "total_payout_value", "curator_payout_value", "net_votes",
+        "votes")
+      .withColumn("active_votes",
+        transform(col("votes"), v => struct(
+          v.getField("_1").as("voter"), v.getField("_2").as("rshares"),
+          v.getField("_3").as("percent"), v.getField("_4").as("weight"))))
+      .withColumn("max_accepted_payout", lit("1000000.000 HBD"))
+      .withColumn("max_cashout_time", lit("2024-05-08T00:00:00"))
+      .withColumn("cashout_time", lit("2024-05-08T00:00:00"))
+      .drop("votes")
+    val out = Enrich.postStats(posts, rpc).collect()
+      .map(r => r.getAs[String]("permlink") -> r).toMap
+    val a = out("v1").getAs[Row]("stats")
+    assert(a.getAs[Int]("num_comments") == 2)          // A2: r1 + r2
+    assert(a.getAs[Int]("num_votes") == 3)
+    assert(a.getAs[Int]("num_up_votes") == 2)
+    assert(a.getAs[Int]("num_down_votes") == 1)
+    assert(math.abs(a.getAs[Double]("total_hive_reward") - 2.0) < 1e-9)
+    assert(!out("v1").getAs[Boolean]("needs_stat_update"))
+    val c = out("x1").getAs[Row]("stats")
+    assert(math.abs(c.getAs[Double]("total_hive_reward") - 2.25) < 1e-9)
+    // replies with no rpc row keep their null stats
+    assert(out("r1").getAs[Row]("stats") == null)
+  }
+
+  test("videoMeta: RESOLUTION regex (X9) + is_short (X10)") {
+    import spark.implicits._
+    val posts = mkPosts()
+    val playlists = Seq(
+      ("alice", "v1",
+        "#EXTM3U\n#EXT-X-STREAM-INF:RESOLUTION=1080x1920,BANDWIDTH=1\nv.m3u8"))
+      .toDF("author", "permlink", "body")
+    val out = Enrich.videoMeta(posts, playlists).collect()
+      .map(r => r.getAs[String]("permlink") -> r).toMap
+    val sv = out("v1").getAs[Row]("app_metadata").getAs[Row]("spkvideo")
+    assert(sv.getAs[Int]("width") == 1080)
+    assert(sv.getAs[Int]("height") == 1920)
+    assert(sv.getAs[Boolean]("is_short"))   // 120.5s ≤ 180 and portrait
+    // non-video post untouched
+    assert(out("x1").getAs[Row]("app_metadata")
+      .getAs[Row]("spkvideo") == null)
+  }
+
+  test("channelScores: 3×comments + 0.1×votes; others zeroed (A6/S11)") {
+    import spark.implicits._
+    val posts = mkPosts()
+    // give alice's video stats num_votes = 10
+    val posts2 = posts.withColumn("stats",
+      when(col("permlink") === "v1",
+        struct(lit(2).as("num_comments"), lit(10).as("num_votes"),
+          lit(0).as("num_up_votes"), lit(0).as("num_down_votes"),
+          lit(0.0).as("total_hive_reward"),
+          lit(null).cast(
+            "array<struct<voter:string,rshares:double,percent:int," +
+              "weight:double>>").as("active_voters")))
+        .otherwise(col("stats")))
+    val profiles = Seq(("hive/alice", "alice", 5.0),
+      ("hive/zed", "zed", 7.0))
+      .toDF("_id", "username", "score_old")
+      .withColumn("score", col("score_old")).drop("score_old")
+    val out = Enrich.channelScores(posts2, profiles).collect()
+      .map(r => r.getAs[String]("username") ->
+        r.getAs[Double]("score")).toMap
+    assert(math.abs(out("alice") - (2 * 3 + 10 * 0.1)) < 1e-9)
+    assert(out("zed") == 0.0)               // S11 zero-out
+  }
+
+  test("mentionNotifications: @mentions, DID typing, lowercase (X7)") {
+    val posts = mkPosts()
+    val notifs = Enrich.mentionNotifications(
+      posts.withColumn("body",
+        when(col("permlink") === "x1",
+          lit("hey @Bob and @did:key:z6MkTest")).otherwise(col("body"))))
+      .collect()
+    val targets = notifs.map(r => (r.getAs[String]("target"),
+      r.getAs[String]("from"), r.getAs[String]("type"))).toSet
+    assert(targets.contains(("bob", "carol", "hive")))       // lowercased
+    assert(targets.contains(("did:key:z6MkTest", "carol", "ceramic")))
+    assert(targets.contains(("bob", "alice", "hive")))
+    // self-mentions excluded, ref format correct
+    assert(!targets.exists(t => t._1 == t._2))
+    assert(notifs.head.getAs[String]("ref").startsWith("hive:"))
+  }
+
+  test("missingProfiles: authors without profile rows (J7)") {
+    import spark.implicits._
+    val posts = mkPosts()
+    val profiles = Seq(("hive/alice", "alice")).toDF("_id", "username")
+    val missing = Enrich.missingProfiles(posts, profiles)
+      .collect().map(_.getAs[String]("author")).toSet
+    assert(missing == Set("bob", "carol", "dave"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class GraphSpec extends SparkSpec {
+  import Fixtures._
+
+  private def cj(id: String, signer: String, json: String): String =
+    s"""{"id":${js(id)},"required_posting_auths":[${js(signer)}],""" +
+      s""""json":${js(json)}}"""
+
+  test("follow → edge; empty-what unfollow removes it; signer enforced") {
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("custom_json", cj("follow", "alice",
+          """["follow",{"follower":"alice","following":"bob","what":["blog"]}]""")))),
+        ("t2", Seq(("custom_json", cj("follow", "alice",
+          """["follow",{"follower":"alice","following":"carol","what":["blog"]}]""")))),
+        ("t3", Seq(("custom_json", cj("mallory", "mallory",
+          """["follow",{"follower":"alice","following":"eve","what":["blog"]}]"""))))),
+      block(101, "2024-05-01T12:00:03",
+        ("t4", Seq(("custom_json", cj("follow", "alice",
+          """["follow",{"follower":"alice","following":"bob","what":[]}]"""))))))
+    val f = GraphIngest.follows(ops).collect()
+    val edges = f.map(r => (r.getAs[String]("follower"),
+      r.getAs[String]("following"))).toSet
+    assert(edges == Set(("alice", "carol"))) // bob unfollowed; eve spoofed
+    assert(f.head.getAs[String]("_id") == "hive-alice-carol")
+  }
+
+  test("spk.follow DID edges + community subscribe edges") {
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("custom_json", cj("spk.follow", "alice",
+          """{"did":"did:key:z6Mk","what":["posts"]}""")))),
+        ("t2", Seq(("custom_json", cj("community", "bob",
+          """["subscribe",{"community":"hive-125"}]"""))))))
+    val edges = GraphIngest.follows(ops).collect()
+      .map(r => (r.getAs[String]("follower"),
+        r.getAs[String]("following"))).toSet
+    assert(edges == Set(("alice", "did:key:z6Mk"), ("bob", "hive-125")))
+  }
+
+  test("account_update2 → profile for users, community for hive-*; latest wins") {
+    val p1 = """{"account":"alice","posting_json_metadata":""" +
+      js("""{"profile":{"name":"Alice V1","about":"old"}}""") + "}"
+    val p2 = """{"account":"alice","posting_json_metadata":""" +
+      js("""{"profile":{"name":"Alice V2","about":"new",""" +
+        """"profile_image":"https://img/a.png"},"did":"did:key:abc"}""") + "}"
+    val c1 = """{"account":"hive-199","posting_json_metadata":""" +
+      js("""{"profile":{"name":"My Community"}}""") + "}"
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("account_update2", p1))),
+        ("t2", Seq(("account_update2", c1)))),
+      block(101, "2024-05-01T12:00:03",
+        ("t3", Seq(("account_update2", p2)))))
+    val prof = GraphIngest.profiles(ops).collect()
+    assert(prof.length == 1)
+    assert(prof.head.getAs[String]("_id") == "hive/alice")
+    assert(prof.head.getAs[String]("displayName") == "Alice V2")
+    assert(prof.head.getAs[String]("did") == "did:key:abc")
+    assert(prof.head.getAs[Row]("images").getAs[String]("avatar")
+      == "https://img/a.png")
+    val comm = GraphIngest.communities(ops).collect()
+    assert(comm.length == 1)
+    assert(comm.head.getAs[String]("username") == "hive-199")
+    assert(comm.head.getAs[String]("title") == "My Community")
+    assert(comm.head.getAs[Boolean]("needs_update"))
+  }
+
+  test("account_update → delegated authority; newer op replaces set (J11)") {
+    val a1 = """{"account":"alice","posting":{"account_auths":""" +
+      """[["threespeak",1],["other",1]]}}"""
+    val a2 = """{"account":"alice","posting":{"account_auths":""" +
+      """[["threespeak",1]]}}"""
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("account_update", a1)))),
+      block(101, "2024-05-01T12:00:03",
+        ("t2", Seq(("account_update", a2)))))
+    val auth = GraphIngest.delegatedAuthority(ops).collect()
+    assert(auth.map(_.getAs[String]("to")).toSeq == Seq("threespeak"))
+    assert(auth.head.getAs[String]("from") == "alice")
+    assert(auth.head.getAs[String]("type") == "posting")
+  }
+
+  test("spk.bridge_id → stream-id requests (needs_stream_id source)") {
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("custom_json", cj("spk.bridge_id", "alice",
+          """{"author":"alice","permlink":"p1","stream_id":"kjz123"}"""))))))
+    val req = GraphIngest.streamIdRequests(ops).collect()
+    assert(req.length == 1)
+    assert(req.head.getAs[String]("stream_id") == "kjz123")
+  }
+}

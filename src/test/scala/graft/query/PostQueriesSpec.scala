@@ -1,0 +1,125 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.ingest.{Fixtures, GraphIngest, PostsIngest}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class PostQueriesSpec extends SparkSpec {
+  import Fixtures._
+
+  private lazy val (posts, follows) = {
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("comment", comment("alice", "v1", "spark video one",
+          jsonMeta = videoMeta)))),
+        ("t2", Seq(("comment", comment("bob", "b1", "hello world",
+          jsonMeta = """{"app":"dbuzz/1.0","tags":["chat"]}""")))),
+        ("t3", Seq(("custom_json",
+          s"""{"id":"follow","required_posting_auths":["carol"],""" +
+            s""""json":${js("""["follow",{"follower":"carol","following":"alice","what":["blog"]}]""")}}""")))),
+      block(101, "2024-05-01T12:00:03",
+        ("t4", Seq(("comment", comment("alice", "v2", "spark video two",
+          jsonMeta = videoMeta)))),
+        ("t5", Seq(("comment", comment("dave", "r1", "a reply",
+          parentAuthor = "alice", parentPermlink = "v1"))))),
+      block(102, "2024-05-04T12:00:04",
+        ("t6", Seq(("comment", comment("eve", "e1", "late spark post",
+          jsonMeta = """{"app":"other/1.0","tags":["video"]}"""))))))
+    (PostsIngest.ingest(ops)(spark).cache(),
+      GraphIngest.follows(ops).cache())
+  }
+
+  test("socialFeed: comments excluded by default (F4), newest first (Q8)") {
+    val out = PostQueries.socialFeed(posts, follows, FeedArgs())
+      .select("permlink").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("e1", "v2", "v1", "b1"))   // no r1 (comment flag)
+    val withComments = PostQueries.socialFeed(posts, follows,
+      FeedArgs(includeComments = true))
+      .select("permlink").collect().map(_.getString(0)).toSeq
+    assert(withComments.contains("r1"))
+  }
+
+  test("byCreator (F6) / byApp (F8) / byTag (F5) / spkvideoOnly (F2)") {
+    def perms(a: FeedArgs) =
+      PostQueries.socialFeed(posts, follows, a)
+        .select("permlink").collect().map(_.getString(0)).toSet
+    assert(perms(FeedArgs(byCreator = Some(Where(eq = Some("alice")))))
+      == Set("v1", "v2"))
+    assert(perms(FeedArgs(byApp = Some(Where(eq = Some("dbuzz")))))
+      == Set("b1"))
+    assert(perms(FeedArgs(byTag = Some(Where(eq = Some("video")))))
+      == Set("v1", "v2", "e1"))
+    assert(perms(FeedArgs(spkvideoOnly = true)) == Set("v1", "v2"))
+  }
+
+  test("_or combinator (F11)") {
+    val out = PostQueries.socialFeed(posts, follows, FeedArgs(or = Seq(
+      FeedArgs(byCreator = Some(Where(eq = Some("bob")))),
+      FeedArgs(byCreator = Some(Where(eq = Some("eve")))))))
+      .select("permlink").collect().map(_.getString(0)).toSet
+    assert(out == Set("b1", "e1"))
+  }
+
+  test("byFollower semi join (F13/J1)") {
+    val out = PostQueries.socialFeed(posts, follows,
+      FeedArgs(byFollower = Some("carol")))
+      .select("permlink").collect().map(_.getString(0)).toSet
+    assert(out == Set("v1", "v2"))        // carol follows only alice
+  }
+
+  test("trendingFeed: 3-day window from newest match (Q10)") {
+    // newest post e1 at 05-04; v1/v2/b1 at 05-01 are > 3 days older
+    val out = PostQueries.trendingFeed(posts, follows, FeedArgs())
+      .select("permlink").collect().map(_.getString(0)).toSeq
+    assert(out == Seq("e1"))
+  }
+
+  test("searchFeed: conjunctive token match (Q9)") {
+    val out = PostQueries.searchFeed(posts, follows,
+      FeedArgs(includeComments = true), "spark video")
+      .select("permlink", "score").collect()
+      .map(r => r.getString(0)).toSeq
+    assert(out.toSet == Set("v1", "v2"))  // e1 lacks 'video' token
+  }
+
+  test("relatedFeed: tag overlap, anchor excluded, seeded (Q11)") {
+    val out = PostQueries.relatedFeed(posts, follows, FeedArgs(),
+      "alice", "v1", seed = 7L)
+      .select("permlink").collect().map(_.getString(0)).toSet
+    assert(out == Set("v2", "e1", "b1"))  // tag overlap or same community
+  }
+
+  test("socialPost point lookup (Q1) and children (Q3)") {
+    assert(PostQueries.socialPost(posts, "alice", "v1").count() == 1)
+    val kids = PostQueries.children(posts, "alice", "v1")
+      .select("permlink").collect().map(_.getString(0)).toSeq
+    assert(kids == Seq("r1"))
+  }
+
+  test("withParent self-join hydration (Q2)") {
+    val out = PostQueries.withParent(posts)
+      .filter(col("permlink") === "r1")
+      .select(col("parent_post.permlink")).collect()
+    assert(out.head.getString(0) == "v1")
+  }
+
+  test("leaderBoard rank window (Q13) + followCounts (A9/Q12)") {
+    import spark.implicits._
+    val profiles = Seq(("a", 10.0), ("b", 30.0), ("c", 0.0), ("d", 30.0))
+      .toDF("username", "score")
+    val lb = PostQueries.leaderBoard(profiles).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("username")))
+    assert(lb.toSeq == Seq((1L, "b"), (2L, "d"), (3L, "a")))
+    val fc = PostQueries.followCounts(follows, "carol").collect().head
+    assert(fc.getAs[Long]("following_count") == 1)
+    assert(fc.getAs[Long]("follower_count") == 0)
+  }
+
+  test("trendingTags 14-day window (A1)") {
+    val tags = PostQueries.trendingTags(posts,
+      to_timestamp(lit("2024-05-05 00:00:00")), k = 3)
+      .collect().map(r => (r.getAs[String]("tag"), r.getAs[Long]("score")))
+    assert(tags.head == ("video", 4L))    // v1 v2 e1 + reply r1
+  }
+}
