@@ -173,6 +173,30 @@ object Schemas {
     StructField("cashout_time", StringType),
     StructField("active_votes", ArrayType(activeVoter))))
 
+  /** Ceramic CDC change-stream event (FIXTURES.md §B.5; reference
+    * src/services/index.ts:57-131). */
+  val cdcEvent: StructType = StructType(Seq(
+    StructField("operationType", StringType),
+    StructField("clusterTime", LongType),
+    StructField("ns", StructType(Seq(StructField("coll", StringType)))),
+    StructField("updateDescription", StructType(Seq(
+      StructField("updatedFields", MapType(StringType, StringType))))),
+    StructField("fullDocument", StructType(Seq(
+      StructField("id", StringType),
+      StructField("creator_id", StringType),
+      StructField("version_id", StringType),
+      StructField("created_at", TimestampType),
+      StructField("updated_at", TimestampType),
+      StructField("parent_headers", StructType(Seq(
+        StructField("author", StringType),
+        StructField("permlink", StringType)))),
+      StructField("app_metadata", StructType(Seq(
+        StructField("permlink", StringType)))),
+      StructField("content", StructType(Seq(
+        StructField("title", StringType),
+        StructField("body", StringType),
+        StructField("json_metadata_raw", StringType)))))))))
+
   /** comment op json_metadata shape (posts.ts:51-56, 109-152) for
     * from_json extraction; unknown keys stay in json_metadata_raw. */
   val commentMeta: StructType = StructType(Seq(

@@ -472,6 +472,48 @@ object Catalog {
                     FROM embeddings WHERE vec_id = 0)
         ORDER BY sim DESC, vec_id LIMIT 20""")),
 
+    // ── §7.5 multimodal: metadata-only pass over binary media ───────
+    Q("mm01_media_meta",
+      (s, d) => graft.multimodal.Multimodal
+        .fakeMediaFromDocs(Tables.documents(s, d))
+        .select(col("media_id"), col("kind"),
+          length(col("bytes")).cast("long").as("n_bytes"),
+          hex(substring(col("bytes"), 1, 4)).as("magic"),
+          col("duration_ms"))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          substring(hex(encode(text)), 1, 8) AS magic,
+          CAST(length(text) * 10 AS BIGINT) AS duration_ms
+        FROM documents ORDER BY media_id""")),
+
+    // ── §7.5 multimodal: stubbed decode/feature-extract
+    //    (mapPartitions batch shape; sha256-derived so oracle-able) ──
+    Q("mm02_media_features",
+      (s, d) => {
+        import s.implicits._
+        val media = graft.multimodal.Multimodal
+          .fakeMediaFromDocs(Tables.documents(s, d))
+          .as[graft.multimodal.MediaRow]
+        graft.multimodal.Multimodal.extractFeatures(media)(s)
+          .toDF()
+          .select(col("media_id"), col("kind"), col("n_bytes"),
+            col("sha_prefix"),
+            col("frames_sampled").cast("long").as("frames_sampled"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+          CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               ELSE 'video' END AS kind,
+          CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+          substring(sha256(text), 1, 8) AS sha_prefix,
+          CAST(CASE WHEN doc_id % 3 = 2
+               THEN greatest(1, octet_length(encode(text)) // 4096)
+               ELSE 1 END AS BIGINT) AS frames_sampled
+        FROM documents ORDER BY media_id""")),
+
     // ── §7.5 ANN: IVF-partitioned variant (no SQL oracle; centroid
     //    assignment exercised end-to-end, correctness via unit test) ──
     Q("v02_ann_ivf",

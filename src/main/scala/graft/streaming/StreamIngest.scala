@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.ingest.{GraphIngest, OpExtract, PostsIngest}
+import graft.state.Merge
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming ingest plane (SURVEY.md §2.11; reference
+  * src/workers/hive-stream.ts + src/services/index.ts CDC).
+  *
+  * The reference hand-rolls ordering (reorder buffer), checkpointing
+  * (2 s timers writing `hive_stream_state`), backpressure (heap
+  * watermarks) and at-least-once flushing (idempotent upserts). In
+  * Structured Streaming each of those is a platform primitive:
+  *
+  *   - ordering: restored relationally per micro-batch + the
+  *     latest-wins MERGE guard (Merge.latestWins on block_height) —
+  *     exactly the reference's state_control monotonicity;
+  *   - checkpointing: the query checkpoint dir (exact offsets, not a
+  *     2 s-stale height) — strictly stronger than the reference's
+  *     checkpoint-ahead/behind-of-buffer race (hive-stream.ts:164-197);
+  *   - backpressure: maxFilesPerTrigger / maxOffsetsPerTrigger;
+  *   - exactly-once per micro-batch: foreachBatch + idempotent
+  *     latest-wins rewrite (Delta MERGE at production scale).
+  */
+object StreamIngest {
+
+  /** Blocks arriving as JSON files in `inDir` (the block-archive
+    * layout S1 maps to in batch mode). */
+  def blockStream(spark: SparkSession, inDir: String,
+                  maxFilesPerTrigger: Int = 8): DataFrame =
+    spark.readStream
+      .schema(graft.domain.Schemas.block)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(inDir)
+
+  /** One micro-batch of blocks merged into the posts table at
+    * `postsDir` (parquet latest-wins; MERGE INTO on Delta). Shared by
+    * the streaming sink and batch `Trigger.AvailableNow` catch-up. */
+  def mergeBlocksBatch(spark: SparkSession, blocks: DataFrame,
+                       postsDir: String): Unit = {
+    implicit val s: SparkSession = spark
+    val ops = OpExtract.ops(blocks)
+    val existing =
+      try Some(spark.read.parquet(postsDir))
+      catch { case _: Exception => None }
+    val fresh = PostsIngest.ingest(ops, existing)
+    val merged = existing match {
+      case Some(ex) => Merge.latestWins(
+        ex.unionByName(fresh, allowMissingColumns = true),
+        Seq("author", "permlink"), col("state_control.block_height"))
+      case None => fresh
+    }
+    // rewrite (small entity table); Delta MERGE at scale
+    val tmp = postsDir + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(postsDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** The streaming query: block files → per-micro-batch ingest+merge,
+    * exactly-once via checkpoint. */
+  def run(spark: SparkSession, inDir: String, postsDir: String,
+          checkpointDir: String,
+          trigger: Trigger = Trigger.ProcessingTime("2 seconds"))
+      : StreamingQuery =
+    blockStream(spark, inDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeBlocksBatch(spark, batch, postsDir)
+      }
+      .start()
+
+  /** S2: the Ceramic CDC change-stream source mapped onto the posts
+    * schema (reference src/services/index.ts:57-138): keep only
+    * graph.docs events, drop last_pinged-only updates and deletes,
+    * project fullDocument → PostStruct fields, then unionByName with
+    * the Hive posts (§2.9). Works identically on a batch snapshot or
+    * a readStream of the CDC feed. */
+  def ceramicPosts(cdc: DataFrame): DataFrame = {
+    val doc = col("fullDocument")
+    cdc
+      .filter(col("ns.coll") === "graph.docs")
+      .filter(col("operationType") =!= "delete")
+      .filter(!(col("operationType") === "update" &&
+        size(map_keys(col("updateDescription.updatedFields"))) === 1 &&
+        array_contains(map_keys(col("updateDescription.updatedFields")),
+          "last_pinged")))
+      .select(
+        coalesce(doc.getField("parent_headers").getField("author"),
+          lit("")).as("parent_author"),
+        coalesce(doc.getField("parent_headers").getField("permlink"),
+          lit("")).as("parent_permlink"),
+        doc.getField("creator_id").as("author"),
+        coalesce(doc.getField("app_metadata").getField("permlink"),
+          doc.getField("id")).as("permlink"),
+        lit("published").as("status"),
+        doc.getField("content").getField("title").as("title"),
+        doc.getField("content").getField("body").as("body"),
+        doc.getField("content").getField("json_metadata_raw")
+          .as("json_metadata_raw"),
+        doc.getField("created_at").as("created_at"),
+        doc.getField("updated_at").as("updated_at"),
+        doc.getField("id").as("off_chain_id"),
+        doc.getField("version_id").as("version_id"),
+        lit("CERAMIC").as("TYPE"),
+        lit("post_ceramic").as("__t"),
+        lit("0.1").as("__v"))
+  }
+
+  /** Union the two post sources into one queryable table
+    * (reference: both writers upsert the same collection). */
+  def unifiedPosts(hivePosts: DataFrame,
+                   ceramicPosts: DataFrame): DataFrame =
+    hivePosts.unionByName(ceramicPosts, allowMissingColumns = true)
+}

@@ -1,0 +1,51 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq((0L, "tiny image payload"), (1L, "audio-ish bytes here"),
+      (2L, "video " * 2000), (3L, "another image"))
+      .toDF("doc_id", "text")
+  }
+
+  test("fake media: kinds round-robin, bytes = utf-8 text") {
+    val m = Multimodal.fakeMediaFromDocs(docs).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(m(0L).getAs[String]("kind") == "image")
+    assert(m(1L).getAs[String]("kind") == "audio")
+    assert(m(2L).getAs[String]("kind") == "video")
+    assert(new String(m(0L).getAs[Array[Byte]]("bytes"), "UTF-8")
+      == "tiny image payload")
+  }
+
+  test("metadata-only predicate prunes before decode (no byte access)") {
+    val selected = Multimodal.selectForDecode(
+      Multimodal.fakeMediaFromDocs(docs), Seq("image", "video"),
+      maxBytes = 1000)
+    val ids = selected.collect().map(_.getAs[Long]("media_id")).toSet
+    assert(ids == Set(0L, 3L))      // audio excluded; big video excluded
+  }
+
+  test("extractFeatures: deterministic stub decode, batch shape, frame sampling") {
+    import spark.implicits._
+    val media = Multimodal.fakeMediaFromDocs(docs).as[MediaRow]
+    val feats = Multimodal.extractFeatures(media)(spark).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(0L).n_bytes == 18)
+    assert(feats(0L).frames_sampled == 1)
+    assert(feats(2L).kind == "video")
+    assert(feats(2L).frames_sampled ==
+      math.max(1, ("video " * 2000).getBytes("UTF-8").length / 4096))
+    assert(feats(0L).embedding.length == 8)
+    assert(feats(0L).embedding.forall(v => v >= 0f && v <= 1f))
+    // determinism: same input → same features on re-run
+    val again = Multimodal.extractFeatures(media)(spark).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(again(0L).sha_prefix == feats(0L).sha_prefix)
+    assert(again(0L).embedding.toSeq == feats(0L).embedding.toSeq)
+  }
+}

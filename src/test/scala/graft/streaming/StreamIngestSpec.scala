@@ -1,0 +1,113 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ingest.Fixtures
+import graft.query.{FeedArgs, PostQueries}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class StreamIngestSpec extends SparkSpec {
+  import Fixtures._
+
+  test("file-stream ingest: micro-batches merge into posts with checkpoint") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$dir/blocks"
+    val postsDir = s"$dir/posts"
+    val ckDir = s"$dir/ck"
+    new java.io.File(inDir).mkdirs()
+
+    // batch 1: insert
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b1.json"),
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("comment", comment("alice", "p1", "v1 body"))))))
+    val q1 = StreamIngest.run(spark, inDir, postsDir, ckDir,
+      Trigger.AvailableNow())
+    q1.awaitTermination()
+    val after1 = spark.read.parquet(postsDir)
+    assert(after1.count() == 1)
+    assert(after1.head().getAs[String]("body") == "v1 body")
+
+    // batch 2: edit (replace) + a second author — resumes from checkpoint
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b2.json"),
+      block(101, "2024-05-01T12:00:03",
+        ("t2", Seq(("comment", comment("alice", "p1", "v2 body")))),
+        ("t3", Seq(("comment", comment("bob", "p2", "other"))))))
+    val q2 = StreamIngest.run(spark, inDir, postsDir, ckDir,
+      Trigger.AvailableNow())
+    q2.awaitTermination()
+    val after2 = spark.read.parquet(postsDir)
+    assert(after2.count() == 2)
+    val byKey = after2.collect().map(r =>
+      r.getAs[String]("permlink") -> r).toMap
+    assert(byKey("p1").getAs[String]("body") == "v2 body")
+    assert(byKey("p1").getAs[org.apache.spark.sql.Row]("state_control")
+      .getAs[Long]("block_height") == 101)
+
+    // replaying batch 1's file only (fresh checkpoint) must not
+    // regress p1 — latest-wins guard (state_control monotonicity)
+    StreamIngest.mergeBlocksBatch(spark,
+      spark.read.schema(graft.domain.Schemas.block)
+        .json(s"$inDir/b1.json"), postsDir)
+    val after3 = spark.read.parquet(postsDir)
+    assert(after3.filter(col("permlink") === "p1").head()
+      .getAs[String]("body") == "v2 body")
+  }
+
+  test("ceramic CDC → posts schema → unified queryable table (S2)") {
+    import spark.implicits._
+    val cdcJson = Seq(
+      // kept: insert of a graph.docs post
+      """{"operationType":"insert","clusterTime":1,"ns":{"coll":"graph.docs"},
+         "fullDocument":{"id":"kjzstream1","creator_id":"did:key:z6MkA",
+         "version_id":"v1","created_at":"2024-05-02T00:00:00",
+         "updated_at":"2024-05-02T00:00:00",
+         "parent_headers":{"author":"","permlink":""},
+         "app_metadata":{"permlink":"ceramic-post-1"},
+         "content":{"title":"C1","body":"ceramic body","json_metadata_raw":"{}"}}}""",
+      // dropped: wrong collection
+      """{"operationType":"insert","clusterTime":2,"ns":{"coll":"other"},
+         "fullDocument":{"id":"x","creator_id":"d","version_id":"v",
+         "created_at":"2024-05-02T00:00:00","updated_at":"2024-05-02T00:00:00",
+         "parent_headers":{"author":"","permlink":""},
+         "app_metadata":{"permlink":"x"},
+         "content":{"title":"","body":"","json_metadata_raw":"{}"}}}""",
+      // dropped: last_pinged-only update
+      """{"operationType":"update","clusterTime":3,"ns":{"coll":"graph.docs"},
+         "updateDescription":{"updatedFields":{"last_pinged":"2024"}},
+         "fullDocument":{"id":"kjzstream2","creator_id":"did:key:z6MkB",
+         "version_id":"v1","created_at":"2024-05-02T00:00:00",
+         "updated_at":"2024-05-02T00:00:00",
+         "parent_headers":{"author":"","permlink":""},
+         "app_metadata":{"permlink":"p"},
+         "content":{"title":"","body":"","json_metadata_raw":"{}"}}}""",
+      // dropped: delete
+      """{"operationType":"delete","clusterTime":4,"ns":{"coll":"graph.docs"},
+         "fullDocument":null}""").map(_.replaceAll("\n\\s*", ""))
+    val cdc = spark.read.schema(graft.domain.Schemas.cdcEvent)
+      .json(cdcJson.toDS())
+    val ceramic = StreamIngest.ceramicPosts(cdc)
+    val rows = ceramic.collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("TYPE") == "CERAMIC")
+    assert(rows.head.getAs[String]("permlink") == "ceramic-post-1")
+    assert(rows.head.getAs[String]("off_chain_id") == "kjzstream1")
+
+    // union with hive posts; F12 includeCeramic gate applies
+    val ops = toOps(spark, block(100, "2024-05-01T12:00:00",
+      ("t1", Seq(("comment", comment("alice", "h1", "hive body"))))))
+    val hive = graft.ingest.PostsIngest.ingest(ops)(spark)
+    val unified = StreamIngest.unifiedPosts(hive,
+      ceramic.withColumn("created_at",
+        to_timestamp(col("created_at")))
+        .withColumn("updated_at", to_timestamp(col("updated_at"))))
+    assert(unified.count() == 2)
+    val noCeramic = unified.filter(
+      PostQueries.feedPredicate(FeedArgs()))
+    assert(noCeramic.collect().map(_.getAs[String]("permlink")).toSeq
+      == Seq("h1"))
+    val withCeramic = unified.filter(
+      PostQueries.feedPredicate(FeedArgs(includeCeramic = true)))
+    assert(withCeramic.count() == 2)
+  }
+}
