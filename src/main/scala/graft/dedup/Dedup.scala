@@ -48,25 +48,43 @@ object Dedup {
                       threshold: Double = 0.5,
                       seed: Long = 42L): DataFrame = {
     val rowsPerBand = k / bands
-    val sh = docs.select(
-      col(idCol).as("id"),
-      Text.wordShingles(Text.tokens(col(textCol)), shingleN).as("sh"))
+    // Materialize the shingle sets once: they feed the signature AND
+    // both sides of the verification join. At 100 TB this is the
+    // persisted signature/shingle side table; here persist() plays
+    // that role (re-read 3×, computed 1×).
+    val sh = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        Text.wordShingles(col("toks"), shingleN).as("sh"))
+      .persist()
+    // Banding rows carry ONLY (id, band, key) — the candidate shuffle
+    // moves 24 bytes/row, never the shingle arrays.
     val banded = sh
-      .withColumn("sig", Text.minhashSig(col("sh"), k, seed))
-      .select(col("id"), col("sh"),
-        explode(Text.lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
-      .select(col("id"), col("sh"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.select(col("band"), col("key"),
-      col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("key"),
-      col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "key"))
+      .withColumn("hashes", transform(col("sh"), s => xxhash64(s)))
+      // sig materialized as a column: lshBandKeys slices it 8×, and an
+      // inline sig expression would be recomputed per band
+      .withColumn("sig",
+        Text.minhashSigFromHashes(col("hashes"), k, seed))
+      .select(col("id"),
+        explode(Text.lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+      .persist()
+    val cand = banded.select(col("band"), col("key"),
+        col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
+        Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()                          // same pair can share >1 band
+    // Verification joins pull shingles back by id — two hash joins on
+    // the (small) candidate set, not an array-weighted shuffle.
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .groupBy("id_a", "id_b")              // same pair can share >1 band
-      .agg(max("jaccard").as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -76,8 +94,13 @@ object Dedup {
     * any pair within Hamming 3 must share one of 4 bands). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigd = docs.select(col(idCol).as("id"),
-      Text.simhash64(Text.tokens(col(textCol))).as("sig"))
+    val sigd = docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .withColumn("hashes", transform(col("toks"), t => xxhash64(t)))
+      .select(col("id"),
+        Text.simhash64Fast(col("hashes")).as("sig"))
+      .persist()    // signature table: computed once, read by both
+                    // self-join branches (materialized index at scale)
     val banded = sigd.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -103,8 +126,9 @@ object Dedup {
                       anchorShingles: Seq[String], shingleN: Int,
                       simName: String = "jaccard"): DataFrame = {
     val anchor = array(anchorShingles.map(lit): _*)
-    docs.withColumn(simName,
-      Text.jaccard(
-        Text.wordShingles(Text.tokens(col(textCol)), shingleN), anchor))
+    docs.withColumn("__toks", Text.tokens(col(textCol)))
+      .withColumn("__sh", Text.wordShingles(col("__toks"), shingleN))
+      .withColumn(simName, Text.jaccard(col("__sh"), anchor))
+      .drop("__toks", "__sh")
   }
 }

@@ -21,7 +21,12 @@ object Text {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Word n-gram shingles as space-joined strings: the unit set for
-    * MinHash / Jaccard near-dup detection. */
+    * MinHash / Jaccard near-dup detection.
+    *
+    * PERF: pass `toks` as a *materialized column reference*, not an
+    * inline expression — Catalyst does not CSE across higher-order-
+    * function lambdas, so an inline tokenizer here would re-run once
+    * per shingle position (O(T²) per row). See BENCH notes. */
   def wordShingles(toks: Column, n: Int): Column = {
     val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
     transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))
@@ -104,6 +109,12 @@ object Text {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** SimHash via the native codegen expression ([[SimHashExpr]]) over
+    * pre-hashed tokens — same bits as [[simhash64]], one generated
+    * loop per row instead of 64 composed ops per token. */
+  def simhash64Fast(tokenHashes: Column): Column =
+    SimHashExpr.simhash64FromHashes(tokenHashes)
+
   /** Hamming distance between two SimHash longs. */
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
@@ -113,10 +124,17 @@ object Text {
     * re-hashes `xxhash64(h, salt_i)` over the resulting long — the
     * one-hash trick without the a*h+b overflow that ANSI mode rejects.
     * All codegen'd; deterministic: salts derived from `seed`. */
-  def minhashSig(shingles: Column, k: Int, seed: Long = 42L): Column = {
+  def minhashSig(shingles: Column, k: Int, seed: Long = 42L): Column =
+    minhashSigFromHashes(transform(shingles, s => xxhash64(s)), k, seed)
+
+  /** MinHash over pre-hashed shingles. PERF: materialize the hash
+    * array (`withColumn`) before calling — the k salt branches each
+    * reference it, and an inline hash expression would be recomputed
+    * k times (k full string-hash passes instead of 1). */
+  def minhashSigFromHashes(hashes: Column, k: Int,
+                           seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
     val salts = Seq.fill(k)(rng.nextLong())
-    val hashes = transform(shingles, s => xxhash64(s))
     array(salts.map { salt =>
       coalesce(array_min(transform(hashes,
         h => xxhash64(h, lit(salt)))), lit(Long.MaxValue))

@@ -405,16 +405,18 @@ object Catalog {
     // ── §7.5 n-gram Jaccard similarity vs anchor doc ─────────────────
     Q("d05_jaccard_anchor",
       (s, d) => {
-        val sh = array_distinct(
-          Text.wordShingles(Text.tokens(col("text")), 3))
         val docs = Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .withColumn("sh",
+            array_distinct(Text.wordShingles(col("__toks"), 3)))
         val anchor = docs.filter(col("doc_id") === 0)
-          .select(sh.as("a_sh"))
+          .select(col("sh").as("a_sh"))
         docs.crossJoin(broadcast(anchor))
           .select(col("doc_id"),
-            size(array_intersect(sh, col("a_sh"))).cast("long")
+            size(array_intersect(col("sh"), col("a_sh"))).cast("long")
               .as("n_inter"),
-            size(array_union(sh, col("a_sh"))).cast("long").as("n_union"))
+            size(array_union(col("sh"), col("a_sh"))).cast("long")
+              .as("n_union"))
           .orderBy("doc_id")
       },
       Some {

@@ -83,13 +83,17 @@ object Feeds {
   def search(df: DataFrame, textCol: Column, terms: Seq[String],
              scoreName: String = "score"): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
-    val toks = split(lower(textCol), "\\s+")
+    // tokenize ONCE into a materialized column; the per-term filters
+    // and tf sums all read it (vs re-splitting per term)
+    val toks = col("__toks")
     val tf: Column = terms.map { t =>
       size(filter(toks, e => e === lit(t)))
     }.reduce(_ + _)
     val hasAll: Column = terms.map { t =>
       array_contains(toks, t)
     }.reduce(_ && _)
-    df.filter(hasAll).withColumn(scoreName, tf.cast("long"))
+    df.withColumn("__toks", split(lower(textCol), "\\s+"))
+      .filter(hasAll).withColumn(scoreName, tf.cast("long"))
+      .drop("__toks")
   }
 }

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only: dump formatted plans for representative queries and grep
+  * for the properties that matter at scale: PushedFilters reaching the
+  * parquet scan, pruned ReadSchema, broadcast joins for small dims,
+  * TakeOrderedAndProject for feed pages, WholeStageCodegen spans. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = "/root/testdata/sf0.01"
+    for (name <- Seq("q01_where_algebra", "q03_feed_page",
+      "q07_semi_join", "q09_left_join", "q10_children_count",
+      "v01_ann_cosine")) {
+      println(s"\n######## $name ########")
+      val df = graft.SparkEntry.queries(name)(spark, d)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
