@@ -39,6 +39,58 @@ object Vectors {
       .limit(k)
   }
 
+  /** Random-hyperplane (signed random projection) bit signature: bit
+    * i = sign(v · r_i) for `bits` seeded hyperplanes. Hamming distance
+    * between signatures estimates angular distance — the LSH family
+    * for cosine similarity. Deterministic in `seed`; planes ship as
+    * plan literals. */
+  def hyperplaneSig(vec: Column, dim: Int, bits: Int,
+                    seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val proj = dot(vec, array(p.map(lit): _*))
+      when(proj > 0, call_function("shiftleft", lit(1L), lit(i)))
+        .otherwise(lit(0L))
+    }
+    bitCols.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Embedding-cosine near-dup candidate pairs: hyperplane signature
+    * → band on 16-bit signature slices → equi-join on (band, key) →
+    * verify exact cosine ≥ threshold. Same slim-shuffle shape as the
+    * MinHash pipeline: the banding join moves 24 bytes/row; vectors
+    * join back by id only for the candidate set. */
+  def cosinePairs(vectors: DataFrame, vecCol: String, idCol: String,
+                  dim: Int, threshold: Double = 0.9,
+                  bits: Int = 64, seed: Long = 42L): DataFrame = {
+    val base = vectors.select(col(idCol).as("id"),
+      col(vecCol).as("v")).persist()
+    val sigd = base.select(col("id"),
+      hyperplaneSig(col("v"), dim, bits, seed).as("sig")).persist()
+    val nBands = bits / 16
+    val banded = sigd.select(col("id"),
+      explode(array((0 until nBands).map { b =>
+        struct(lit(b).as("band"),
+          call_function("shiftright", col("sig"), lit(b * 16))
+            .bitwiseAND(0xFFFF).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = banded.select(col("band"), col("key"),
+        col("id").as("id_a"))
+      .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
+        Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Assign each vector to its nearest centroid (argmax cosine).
     * `centroids` are plan literals (small, like IVF nlist ≤ 64k);
     * at scale the assignment is one codegen'd scan. Returns the input

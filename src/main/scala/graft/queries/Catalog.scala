@@ -124,6 +124,22 @@ object Catalog {
         WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
         ORDER BY score DESC, doc_id LIMIT 20""")),
 
+    // ── Q9 v2: inverted-index search — same contract/oracle as the
+    //    brute-force scan, O(posting lists) instead of O(corpus) ─────
+    Q("q21_inverted_search",
+      (s, d) => {
+        val idx = graft.text.InvertedIndex.build(
+          Tables.documents(s, d), "text", "doc_id")
+        graft.text.InvertedIndex.search(idx, Seq("spark", "join"), 20)
+          .withColumnRenamed("id", "doc_id")
+      },
+      Some(s"""SELECT doc_id,
+          CAST(len(list_filter(toks, x -> x = 'spark'))
+             + len(list_filter(toks, x -> x = 'join')) AS BIGINT) AS score
+        FROM (SELECT doc_id, $sqlToks AS toks FROM documents)
+        WHERE list_contains(toks, 'spark') AND list_contains(toks, 'join')
+        ORDER BY score DESC, doc_id LIMIT 20""")),
+
     // ── J1/F13 byFollower: left semi join ────────────────────────────
     Q("q07_semi_join",
       (s, d) => {
@@ -515,6 +531,30 @@ object Catalog {
                THEN greatest(1, octet_length(encode(text)) // 4096)
                ELSE 1 END AS BIGINT) AS frames_sampled
         FROM documents ORDER BY media_id""")),
+
+    // ── §7.5 embedding-cosine near-dup pairs: random-hyperplane LSH
+    //    → banded candidates → exact-cosine verify. Duplicates are
+    //    constructed from the table (ids +100000) so recall is exact
+    //    and the oracle can enumerate the true pair set. ─────────────
+    Q("v03_cosine_pairs",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+        val dups = emb.filter(col("vec_id") < 10)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            col("embedding"))
+        Vectors.cosinePairs(emb.unionByName(dups), "embedding",
+          "vec_id", dim = 64, threshold = 0.99)
+          .withColumn("cosine", round(col("cosine"), 4))
+          .orderBy("id_a", "id_b")
+      },
+      Some("""SELECT vec_id AS id_a,
+          CAST(vec_id + 100000 AS BIGINT) AS id_b,
+          round(list_dot_product(e, e) /
+            (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(e, e))),
+            4) AS cosine
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings WHERE vec_id < 10)
+        ORDER BY id_a, id_b""")),
 
     // ── §7.5 ANN: IVF-partitioned variant (no SQL oracle; centroid
     //    assignment exercised end-to-end, correctness via unit test) ──

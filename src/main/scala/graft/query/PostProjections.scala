@@ -1,0 +1,133 @@
+package graft.query
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Read-side computed fields — the reference's GraphQL field
+  * resolvers (SURVEY.md §2.2 P1-P8; resolvers/posts.ts,
+  * resolvers/profiles.ts, resolvers/index.ts:413-420) as column
+  * expressions, so hydrating a feed page is part of the same plan
+  * instead of per-row resolver calls.
+  */
+object PostProjections {
+
+  private val cdnDefaultThumb =
+    "https://media.3speak.tv/default_thumbnail.png"
+
+  /** P1 refs: ["hive:<author>:<permlink>"] (posts.ts:37-40). */
+  def refs: Column =
+    array(concat_ws(":", lit("hive"), col("author"), col("permlink")))
+
+  /** P2 json_metadata projection {image, app, raw} (posts.ts:50-56). */
+  def jsonMetadataProjection: Column = {
+    val meta = from_json(col("json_metadata_raw"),
+      graft.domain.Schemas.commentMeta)
+    struct(
+      meta.getField("image").as("image"),
+      meta.getField("app").as("app"),
+      col("json_metadata_raw").as("raw"))
+  }
+
+  /** P3 lang: video.info.lang else null (posts.ts:79-86). */
+  def lang: Column =
+    get_json_object(col("json_metadata_raw"), "$.video.info.lang")
+
+  /** P4 community_ref: parent_permlink iff it starts with 'hive-'
+    * (posts.ts:88-94). */
+  def communityRef: Column =
+    when(col("parent_permlink").startsWith("hive-"),
+      col("parent_permlink")).otherwise(lit(null).cast("string"))
+
+  /** P5 spkvideo projection (posts.ts:104-130): null unless a video;
+    * thumbnail = last image else CDN default; play_url = sourceMap
+    * entry with type='video' else CDN template; body stripped of the
+    * 3speak header (X15). */
+  def spkvideoProjection: Column = {
+    val meta = from_json(col("json_metadata_raw"),
+      graft.domain.Schemas.commentMeta)
+    val info = meta.getField("video").getField("info")
+    val srcMap = info.getField("sourceMap")
+    val playEntry = filter(srcMap, e => e.getField("type") === "video")
+      .getItem(0)
+    val images = meta.getField("image")
+    when(info.getField("duration").isNotNull, struct(
+      info.getField("duration").as("duration"),
+      coalesce(element_at(images, -1), lit(cdnDefaultThumb))
+        .as("thumbnail"),
+      coalesce(playEntry.getField("url"),
+        format_string("https://media.3speak.tv/%s/default.m3u8",
+          col("permlink"))).as("play_url"),
+      coalesce(element_at(split(col("body"), "---\n\n"), 2),
+        col("body")).as("body")))
+      .otherwise(lit(null).cast(
+        "struct<duration:double,thumbnail:string,play_url:string," +
+          "body:string>"))
+  }
+
+  /** P6 __typename dispatch (posts.ts:70-77). */
+  def typename: Column =
+    when(col("TYPE") === "HIVE", lit("HivePost"))
+      .when(col("__t") === "post_ceramic", lit("CeramicPost"))
+      .otherwise(lit(null).cast("string"))
+
+  /** Attach all post projections (what a GraphQL selection of every
+    * computed field compiles to). */
+  def project(posts: DataFrame): DataFrame =
+    posts
+      .withColumn("refs", refs)
+      .withColumn("json_metadata", jsonMetadataProjection)
+      .withColumn("lang", lang)
+      .withColumn("community_ref", communityRef)
+      .withColumn("spkvideo", spkvideoProjection)
+      .withColumn("__typename", typename)
+
+  /** P7 profile projection with null fallbacks
+    * (resolvers/profiles.ts:13-67). */
+  def profileView(profiles: DataFrame): DataFrame =
+    profiles.select(
+      col("username").as("id"),
+      coalesce(col("displayName"), col("username")).as("name"),
+      col("about"), col("location"), col("website"), col("did"),
+      struct(col("images.avatar").as("avatar"),
+        col("images.cover").as("cover")).as("images"),
+      col("extra.pinned_post").as("pinned_post"),
+      col("score"))
+
+  /** P7 (Ceramic variant): about←description, website←url,
+    * avatar←image.original.src (resolvers/profiles.ts:117-150). */
+  def ceramicProfileView(ceramicProfiles: DataFrame): DataFrame =
+    ceramicProfiles.select(
+      col("did").as("id"),
+      col("name"),
+      col("description").as("about"),
+      col("location"),
+      col("url").as("website"),
+      col("did"),
+      struct(col("image.original.src").as("avatar"),
+        col("background.original.src").as("cover")).as("images"))
+
+  /** P8 community roles unpack: [[username, role, title]] → array of
+    * structs (resolvers/index.ts:413-420). */
+  def rolesUnpacked: Column =
+    transform(col("roles"), r => struct(
+      r.getItem(0).as("username"),
+      r.getItem(1).as("role"),
+      r.getItem(2).as("title")))
+
+  /** Q4 community(id): point lookup + two nested feeds with
+    * byCommunity forced (resolvers/index.ts:406-453). Returns
+    * (community row with unpacked roles, trending feed, new feed). */
+  def community(communities: DataFrame, posts: DataFrame,
+                follows: DataFrame, id: String,
+                feedLimit: Int = 100)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val row = communities.filter(col("_id") === s"hive/$id")
+      .withColumn("roles_unpacked", rolesUnpacked)
+      .limit(1)
+    val forced = FeedArgs(
+      byCommunity = Some(Where(eq = Some(id))), limit = feedLimit)
+    val trending = PostQueries.trendingFeed(posts, follows, forced)
+    val newest = PostQueries.socialFeed(posts, follows, forced)
+    (row, trending, newest)
+  }
+}

@@ -1,0 +1,47 @@
+package graft.text
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch-built inverted index — the scale path for text search
+  * (SURVEY.md §7.4; replaces Mongo's `$text` index, reference
+  * src/services/db.ts:61-63).
+  *
+  * The index is an ordinary table of posting rows (term, id, tf).
+  * Written out partitioned/bucketed by `term`, a query touches only
+  * the partitions of its query terms — the 100 TB search cost is
+  * O(posting lists hit), not O(corpus), while the brute-force scan
+  * (Feeds.search) stays the fallback for un-indexed columns.
+  *
+  * Contract matches Feeds.search exactly: conjunctive token match,
+  * score = Σ term frequency — so both paths verify against the same
+  * oracle.
+  */
+object InvertedIndex {
+
+  /** docs → posting rows (term, id, tf). One explode + one partial-
+    * aggregated groupBy; at scale, write .bucketBy(term) so search
+    * lookups are shuffle-free. */
+  def build(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), explode(col("toks")).as("term"))
+      .groupBy("term", "id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Conjunctive search over the index: k term-partition lookups →
+    * per-doc term-coverage count + tf sum → top-k. */
+  def search(index: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val uniq = terms.map(_.toLowerCase).distinct
+    index
+      .filter(col("term").isin(uniq: _*))   // partition-prunable
+      .groupBy("id")
+      .agg(count(lit(1)).as("nt"), sum("tf").as("score"))
+      .filter(col("nt") === uniq.size)      // AND semantics
+      .select(col("id"), col("score").cast("long").as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.query
+
+import graft.SparkSpec
+import graft.functions.Vectors
+import graft.ingest.{Fixtures, GraphIngest, PostsIngest}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ProjectionsAndVectorsSpec extends SparkSpec {
+  import Fixtures._
+
+  private lazy val posts = {
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("comment", comment("alice", "v1",
+          "intro\n---\n\nreal video body", jsonMeta = videoMeta)))),
+        ("t2", Seq(("comment", comment("bob", "b1", "plain post",
+          parentPermlink = "general"))))))
+    PostsIngest.ingest(ops)(spark)
+  }
+
+  test("P1-P6: refs, metadata projection, lang, community_ref, spkvideo, typename") {
+    val p = PostProjections.project(posts).collect()
+      .map(r => r.getAs[String]("permlink") -> r).toMap
+    val v1 = p("v1")
+    assert(v1.getAs[scala.collection.Seq[String]]("refs")
+      == Seq("hive:alice:v1"))                                   // P1
+    assert(v1.getAs[Row]("json_metadata").getAs[String]("app")
+      == "3speak/0.3")                                           // P2
+    assert(v1.getAs[String]("lang") == "en")                     // P3
+    assert(v1.getAs[String]("community_ref") == "hive-100")      // P4
+    assert(p("b1").getAs[String]("community_ref") == null)
+    val sv = v1.getAs[Row]("spkvideo")                           // P5
+    assert(sv.getAs[String]("play_url") == "ipfs://QmVid123/manifest.m3u8")
+    assert(sv.getAs[String]("thumbnail") == "https://img/2.png") // last
+    assert(sv.getAs[String]("body") == "real video body")        // X15
+    assert(p("b1").getAs[Row]("spkvideo") == null)
+    assert(v1.getAs[String]("__typename") == "HivePost")         // P6
+  }
+
+  test("P7/P8: profile views and community roles unpack") {
+    import spark.implicits._
+    val profiles = Seq(("hive/alice", "alice", null: String, "about",
+      null: String, null: String, null: String))
+      .toDF("_id", "username", "displayName", "about", "location",
+        "website", "did")
+      .withColumn("images", struct(lit("av.png").as("avatar"),
+        lit(null).cast("string").as("cover")))
+      .withColumn("extra",
+        struct(lit(null).cast("string").as("pinned_post")))
+      .withColumn("score", lit(1.0))
+    val view = PostProjections.profileView(profiles).collect().head
+    assert(view.getAs[String]("name") == "alice")  // fallback to username
+    assert(view.getAs[Row]("images").getAs[String]("avatar") == "av.png")
+
+    val comm = Seq(Tuple1("hive/hive-1")).toDF("_id")
+      .withColumn("roles", array(
+        array(lit("alice"), lit("admin"), lit("boss")),
+        array(lit("bob"), lit("mod"), lit(""))))
+    val roles = comm.withColumn("r", PostProjections.rolesUnpacked)
+      .select(explode(col("r")).as("x")).select("x.*").collect()
+      .map(r => (r.getAs[String]("username"), r.getAs[String]("role")))
+    assert(roles.toSeq == Seq(("alice", "admin"), ("bob", "mod")))
+  }
+
+  test("cosinePairs: finds near-dup vectors, verified cosine, no false positives") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    def vec() = Seq.fill(16)(rng.nextGaussian().toFloat)
+    val v0 = vec(); val v1 = vec(); val v2 = vec()
+    // v0 ~ v0' (tiny noise), v1/v2 unrelated
+    val v0near = v0.map(x => x + 0.001f)
+    val vectors = Seq((0L, v0), (1L, v0near), (2L, v1), (3L, v2))
+      .toDF("vec_id", "embedding")
+    val pairs = Vectors.cosinePairs(vectors, "embedding", "vec_id",
+      dim = 16, threshold = 0.98).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine")))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((0L, 1L)))
+    assert(pairs.head._3 > 0.999)
+  }
+
+  test("Q4 community: point lookup + two feeds with forced byCommunity") {
+    import spark.implicits._
+    val communities = Seq(("hive/hive-100", "hive-100", "My Comm"))
+      .toDF("_id", "username", "title")
+      .withColumn("roles", array(array(lit("alice"), lit("admin"),
+        lit(""))))
+    val follows = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        java.util.List.of[Row](),
+        graft.domain.Schemas.follow)
+    val (row, trending, newest) = PostProjections.community(
+      communities, posts, follows, "hive-100")
+    assert(row.count() == 1)
+    assert(newest.collect().map(_.getAs[String]("permlink")).toSeq
+      == Seq("v1"))
+    assert(trending.count() == 1)
+  }
+}

@@ -1,0 +1,42 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.query.Feeds
+import org.apache.spark.sql.functions._
+
+class InvertedIndexSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq((1L, "spark join spark agg"), (2L, "join only here"),
+      (3L, "spark alone"), (4L, "spark join"), (5L, ""))
+      .toDF("doc_id", "text")
+  }
+
+  test("index search = brute-force search (same contract, both paths)") {
+    val idx = InvertedIndex.build(docs, "text", "doc_id")
+    val viaIndex = InvertedIndex.search(idx, Seq("spark", "join"), 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("score")))
+    val brute = Feeds.search(docs, col("text"), Seq("spark", "join"))
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("score")))
+    assert(viaIndex.toSeq == brute.toSeq)
+    assert(viaIndex.toSeq == Seq((1L, 3L), (4L, 2L)))
+  }
+
+  test("posting list shape: (term, id, tf)") {
+    val idx = InvertedIndex.build(docs, "text", "doc_id")
+    val sparkPostings = idx.filter(col("term") === "spark")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("tf")))
+      .toSet
+    assert(sparkPostings == Set((1L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("single term and absent term") {
+    val idx = InvertedIndex.build(docs, "text", "doc_id")
+    assert(InvertedIndex.search(idx, Seq("only"), 10).count() == 1)
+    assert(InvertedIndex.search(idx, Seq("absent"), 10).count() == 0)
+  }
+}
