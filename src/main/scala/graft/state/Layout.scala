@@ -1,0 +1,56 @@
+package graft.state
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical layout + skew tooling (SURVEY.md §4.3) — the piece that
+  * replaces the reference's 14 Mongo secondary indexes at 100 TB.
+  *
+  * The declared indexes tell us the access patterns:
+  * feeds are time-descending (`created_at` desc), entity lookups are
+  * by `(author, permlink)`, trending sorts by stat columns within a
+  * community. So: partition the posts table by a date bucket of
+  * `created_at` (feed/trending windows prune partitions), and sort
+  * within files by `(author, permlink)` (point lookups and the J4
+  * self-join hit clustered row groups via parquet min/max).
+  */
+object Layout {
+
+  /** Month bucket — coarse enough for small partitions counts, fine
+    * enough that a 3-day trending window reads ≤ 2 partitions. */
+  def monthBucket(ts: Column): Column =
+    date_format(ts, "yyyy-MM")
+
+  /** Write an entity table with the feed-serving layout. */
+  def writePosts(posts: DataFrame, dir: String): Unit =
+    posts
+      .withColumn("created_month", monthBucket(col("created_at")))
+      .repartition(col("created_month"))
+      .sortWithinPartitions("author", "permlink")
+      .write
+      .partitionBy("created_month")
+      .mode("overwrite")
+      .parquet(dir)
+
+  /** Read back; time predicates on created_at/created_month prune
+    * partitions at the source. */
+  def readPosts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Skew-aware join (SURVEY §4.2 "AQE skew handling" + manual path):
+    * salt the skewed (left) side into `buckets` sub-keys and explode
+    * the build (right) side once per bucket, so one hot key spreads
+    * over `buckets` tasks. Use when AQE's skew split can't help (e.g.
+    * a single massive build-side key). Equi-join on `keys` only.
+    */
+  def saltedJoin(skewed: DataFrame, build: DataFrame,
+                 keys: Seq[String], buckets: Int,
+                 joinType: String = "inner"): DataFrame = {
+    val salted = skewed.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+        lit(buckets)).cast("int"))
+    val exploded = build.withColumn("__salt",
+      explode(array((0 until buckets).map(lit): _*)))
+    salted.join(exploded, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

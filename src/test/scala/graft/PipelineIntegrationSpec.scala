@@ -1,0 +1,91 @@
+package graft
+
+import graft.enrich.Enrich
+import graft.ingest.{Fixtures, GraphIngest, PostsIngest}
+import graft.query._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** End-to-end: fixture blocks → ingest (posts + graph) → dirty flags
+  * → enrichment joins → the full GraphQL-shaped query surface.
+  * This is the reference's §3 lifecycle run as one Spark pipeline.
+  */
+class PipelineIntegrationSpec extends SparkSpec {
+  import Fixtures._
+
+  test("blocks → entities → enrichment → feeds/leaderboard, one pipeline") {
+    import spark.implicits._
+    // -- chain activity: video + reply + votes + follow + profile
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("comment",
+          comment("alice", "v1", "a spark video", jsonMeta = videoMeta)))),
+        ("t2", Seq(("custom_json",
+          s"""{"id":"follow","required_posting_auths":["bob"],""" +
+            s""""json":${js("""["follow",{"follower":"bob","following":"alice","what":["blog"]}]""")}}"""))),
+        ("t3", Seq(("account_update2",
+          """{"account":"alice","posting_json_metadata":""" +
+            js("""{"profile":{"name":"Alice"}}""") + "}")))),
+      block(101, "2024-05-01T12:00:03",
+        ("t4", Seq(("comment", comment("bob", "r1", "nice @alice",
+          parentAuthor = "alice", parentPermlink = "v1")))),
+        ("t5", Seq(("vote",
+          """{"voter":"carol","author":"alice","permlink":"v1","weight":10000}""")))))
+
+    // -- ingest plane
+    val posts0 = PostsIngest.ingest(ops)(spark)
+    val follows = GraphIngest.follows(ops)
+    val profiles0 = GraphIngest.profiles(ops)
+
+    // -- dirty flags from votes (J9)
+    val posts1 = PostsIngest.flagNeedsStatUpdate(posts0,
+      PostsIngest.voteDirtySet(ops))
+    assert(posts1.filter(col("needs_stat_update")).count() == 1)
+
+    // -- enrichment plane: stats from the content_rpc stand-in (J5)
+    val rpc = Seq(("alice", "v1", "1970-01-01T00:00:00", "3.000 HBD",
+      "0.000 HBD", "0.000 HBD", 2))
+      .toDF("author", "permlink", "last_payout", "pending_payout_value",
+        "total_payout_value", "curator_payout_value", "net_votes")
+      .withColumn("active_votes", array(
+        struct(lit("carol").as("voter"), lit(50.0).as("rshares"),
+          lit(10000).as("percent"), lit(1.0).as("weight")),
+        struct(lit("dan").as("voter"), lit(-1.0).as("rshares"),
+          lit(-10000).as("percent"), lit(1.0).as("weight"))))
+      .withColumn("max_accepted_payout", lit("1000000.000 HBD"))
+      .withColumn("max_cashout_time", lit("2024-05-08T00:00:00"))
+      .withColumn("cashout_time", lit("2024-05-08T00:00:00"))
+    val posts2 = Enrich.postStats(posts1, rpc)
+    val v1 = posts2.filter(col("permlink") === "v1").head()
+    assert(v1.getAs[Row]("stats").getAs[Int]("num_comments") == 1)
+    assert(v1.getAs[Row]("stats").getAs[Int]("num_up_votes") == 1)
+    assert(math.abs(v1.getAs[Row]("stats")
+      .getAs[Double]("total_hive_reward") - 3.0) < 1e-9)
+    assert(!v1.getAs[Boolean]("needs_stat_update"))   // flag cleared
+
+    // -- creator scores + leaderboard (A6 → Q13)
+    val profiles1 = Enrich.channelScores(posts2, profiles0)
+    val lb = PostQueries.leaderBoard(profiles1).collect()
+    assert(lb.length == 1)
+    assert(lb.head.getAs[String]("username") == "alice")
+    assert(math.abs(lb.head.getAs[Double]("score") - 3.2) < 1e-9)
+    // 1 comment × 3 + 2 votes × 0.1
+
+    // -- query surface over the enriched table
+    val feed = PostQueries.socialFeed(posts2, follows,
+      FeedArgs(byFollower = Some("bob")))
+    assert(feed.collect().map(_.getAs[String]("permlink")).toSeq
+      == Seq("v1"))
+    val hydrated = PostQueries.hydrateAuthors(feed,
+      PostProjections.profileView(profiles1)
+        .withColumnRenamed("id", "username")
+        .withColumn("displayName", col("name"))
+        .withColumn("about", lit(null).cast("string")))
+    assert(hydrated.head().getAs[Row]("author_profile") != null)
+
+    // -- notifications from mentions (X7)
+    val notifs = Enrich.mentionNotifications(posts2)
+    assert(notifs.collect().map(_.getAs[String]("target")).toSeq
+      == Seq("alice"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft.state
+
+import graft.SparkSpec
+import graft.ingest.{Fixtures, PostsIngest}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class LayoutSpec extends SparkSpec {
+  import Fixtures._
+
+  test("date-bucketed layout: time predicate prunes partitions at the source") {
+    val dir = Files.createTempDirectory("graft-layout").toString + "/posts"
+    val ops = toOps(spark,
+      block(100, "2024-04-15T00:00:00",
+        ("t1", Seq(("comment", comment("alice", "apr", "april post"))))),
+      block(200, "2024-05-15T00:00:00",
+        ("t2", Seq(("comment", comment("alice", "may", "may post"))))),
+      block(300, "2024-06-15T00:00:00",
+        ("t3", Seq(("comment", comment("alice", "jun", "june post"))))))
+    Layout.writePosts(PostsIngest.ingest(ops)(spark), dir)
+
+    // three month partitions on disk
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("created_month=")).map(_.getName)
+    assert(parts.toSet == Set("created_month=2024-04",
+      "created_month=2024-05", "created_month=2024-06"))
+
+    val pruned = Layout.readPosts(spark, dir)
+      .filter(col("created_month") === "2024-05")
+    assert(pruned.collect().map(_.getAs[String]("permlink")).toSeq
+      == Seq("may"))
+    // partition filter visible in the plan (pruning, not a row filter)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("created_month"))
+    // and the scan reports only one of three partitions read
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(!scan.contains("2024-04") || scan.contains("2024-05"))
+  }
+
+  test("saltedJoin spreads a hot key and matches the plain join result") {
+    import spark.implicits._
+    val skewed = (1 to 1000).map(i => ("hot", i)) ++
+      Seq(("cold", 1), ("cold", 2))
+    val left = skewed.toDF("k", "v")
+    val right = Seq(("hot", "H"), ("cold", "C")).toDF("k", "tag")
+    val plain = left.join(right, Seq("k")).groupBy("k", "tag").count()
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSet
+    val salted = Layout.saltedJoin(left, right, Seq("k"), buckets = 8)
+      .groupBy("k", "tag").count()
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2))).toSet
+    assert(salted == plain)
+    assert(salted == Set(("hot", "H", 1000L), ("cold", "C", 2L)))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+class StreamDedupSpec extends SparkSpec {
+
+  test("first-seen dedup holds across micro-batches AND restarts (state store)") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val inDir = s"$dir/in"; val outDir = s"$dir/out"
+    val ckDir = s"$dir/ck"
+    new java.io.File(inDir).mkdirs()
+
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b1.json"),
+      """{"doc_id":1,"text":"hello world"}
+        |{"doc_id":2,"text":"unique two"}
+        |{"doc_id":3,"text":"hello world"}""".stripMargin)
+    val q1 = StreamDedup.run(spark, inDir, outDir, ckDir,
+      Trigger.AvailableNow())
+    q1.awaitTermination()
+    val r1 = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(r1 == Set(1L, 2L))    // doc 3 is an in-batch duplicate
+
+    // restart: duplicate of doc 1 arrives in a NEW query run — the
+    // checkpointed state store must still reject it
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b2.json"),
+      """{"doc_id":4,"text":"hello world"}
+        |{"doc_id":5,"text":"fresh content"}""".stripMargin)
+    val q2 = StreamDedup.run(spark, inDir, outDir, ckDir,
+      Trigger.AvailableNow())
+    q2.awaitTermination()
+    val r2 = spark.read.parquet(outDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(r2 == Set(1L, 2L, 5L))  // 4 deduped against state from run 1
+  }
+
+  test("batch mode: same operator on a static DataFrame") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = StreamDedup.firstSeen(docs)(spark).collect()
+      .map(_.doc_id).toSet
+    assert(out == Set(1L, 3L))
+  }
+}
