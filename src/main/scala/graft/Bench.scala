@@ -13,6 +13,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/scan warmup (untimed): without it the first queries
+    // absorb one-time JIT + parquet-footer costs and the per-query
+    // numbers measure the JVM, not the plans.
+    try {
+      graft.Tables.names.foreach { t =>
+        graft.Tables.load(spark, sfDir, t).count()
+      }
+      SparkEntry.queries.get("q03_feed_page")
+        .foreach(f => f(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -109,6 +109,27 @@ object Text {
       lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
+  /** BPE-ish tokenization: the GPT-2-style pre-tokenizer regex
+    * (contractions, letter runs, digit runs, punct runs — lookahead
+    * variant dropped for RE2/Java portability). Counting these
+    * approximates BPE token counts for budget accounting. */
+  val bpeishPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  def bpeishCount(text: Column): Column =
+    size(bpeishTokens(text)).cast("long")
+
+  /** Order-sensitive rolling fingerprint over the token sequence:
+    * acc_{i+1} = xxhash64(acc_i, hash(tok_i)). Unlike the set-based
+    * [[fingerprint]], token order matters; overflow-free (no a*x+b),
+    * so ANSI-mode safe. */
+  def rollingFingerprint(toks: Column, seed: Long = 0L): Column =
+    aggregate(toks, lit(seed),
+      (acc, t) => xxhash64(acc, xxhash64(t)))
+
   /** SimHash via the native codegen expression ([[SimHashExpr]]) over
     * pre-hashed tokens — same bits as [[simhash64]], one generated
     * loop per row instead of 64 composed ops per token. */

@@ -415,8 +415,29 @@ object Catalog {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
         .orderBy("doc_id"),
-      None), // formula validated by unit test; FP-rounding too fragile
-             // for a cross-engine hash — rows-only check
+      Some {
+        // Mirrors Text.qualityScore term-for-term, same association
+        // order; Java \p{Punct} == RE2 [[:punct:]] (ASCII set).
+        val stop = Text.langMarkers.values.flatten.toSeq
+          .map(w => s"'$w'").mkString("[", ",", "]")
+        s"""SELECT doc_id, round(
+            least(len($sqlToks) / CAST(20 AS DOUBLE), CAST(1.0 AS DOUBLE))
+              * CAST(0.4 AS DOUBLE)
+          + (CAST(1.0 AS DOUBLE)
+              - length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+                / CAST(greatest(length(text), 1) AS DOUBLE))
+              * CAST(0.2 AS DOUBLE)
+          + (CAST(1.0 AS DOUBLE)
+              - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                / CAST(greatest(length(text), 1) AS DOUBLE))
+              * CAST(0.2 AS DOUBLE)
+          + least(len(list_filter($sqlToks,
+                x -> list_contains($stop, x)))
+                / CAST(greatest(len($sqlToks), 1) AS DOUBLE)
+                * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+              * CAST(0.2 AS DOUBLE), 4) AS q
+        FROM documents ORDER BY doc_id"""
+      }),
 
     // ── §7.5 n-gram Jaccard similarity vs anchor doc ─────────────────
     Q("d05_jaccard_anchor",
@@ -489,6 +510,40 @@ object Catalog {
         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS a
                     FROM embeddings WHERE vec_id = 0)
         ORDER BY sim DESC, vec_id LIMIT 20""")),
+
+    // ── §7.5 BPE-ish token counting (budget accounting) ─────────────
+    Q("d06_bpeish_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          Text.bpeishCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id"),
+      Some {
+        // SQL-escape the pattern's leading apostrophe by doubling it
+        val p = Text.bpeishPattern.replace("'", "''")
+        s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_bpeish
+        FROM documents ORDER BY doc_id"""
+      }),
+
+    // ── §7.5 order-sensitive rolling-hash fingerprint (no SQL
+    //    oracle: xxhash64 chain is Spark-specific) ───────────────────
+    Q("d07_rolling_fp",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("__toks", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          Text.rollingFingerprint(col("__toks")).as("fp"))
+        .orderBy("doc_id"),
+      None),
+
+    // ── A5/Q13-at-scale: HLL approximate distinct (no SQL oracle:
+    //    sketch implementations differ across engines) ───────────────
+    Q("q22_approx_distinct",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct("user_id").as("approx_users"),
+          countDistinct("user_id").as("exact_users"))
+        .orderBy("event_type"),
+      None),
 
     // ── §7.5 multimodal: metadata-only pass over binary media ───────
     Q("mm01_media_meta",

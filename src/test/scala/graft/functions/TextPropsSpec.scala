@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextPropsSpec extends SparkSpec {
+
+  test("minhash signature agreement approximates Jaccard similarity") {
+    import spark.implicits._
+    // doc pairs with known overlap: share `s` of 40 shingle tokens
+    val base = (1 to 60).map(i => s"tok$i")
+    val docs = Seq(
+      ("a1", base.take(40)), ("a2", base.take(40)),            // J = 1.0
+      ("b1", base.take(40)), ("b2", base.slice(20, 60)),       // J = 0.33
+      ("c1", base.take(30)), ("c2", base.slice(30, 60)))       // J = 0.0
+      .map { case (id, toks) => (id, toks.mkString(" ")) }
+      .toDF("id", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("sig", Text.minhashSig(col("toks"), k = 128))
+    val sigs = docs.collect()
+      .map(r => r.getAs[String]("id") ->
+        r.getAs[scala.collection.Seq[Long]]("sig")).toMap
+    def agree(a: String, b: String): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 128.0
+    assert(agree("a1", "a2") == 1.0)
+    assert(math.abs(agree("b1", "b2") - 1.0 / 3) < 0.15)
+    assert(agree("c1", "c2") < 0.1)
+  }
+
+  test("langId picks the marker-dense language; und for no hits") {
+    import spark.implicits._
+    val r = Seq(
+      ("en", "the cat and the dog is in the house"),
+      ("es", "el perro y la casa de los gatos"),
+      ("de", "der hund ist nicht das problem und zu gross"),
+      ("fr", "le chat est dans les maisons des gens"),
+      ("und", "zzz qqq www"))
+      .toDF("expect", "text")
+      .withColumn("got",
+        Text.langId(Text.tokens(col("text"))).getField("lang"))
+      .select("expect", "got")
+      .collect()
+    r.foreach(row =>
+      assert(row.getString(0) == row.getString(1),
+        s"'${row.getString(0)}' text classified as '${row.getString(1)}'"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive but content-sensitive") {
+    import spark.implicits._
+    val fps = Seq(("a", "Hello  World"), ("b", "hello world"),
+      ("c", "hello\tworld"), ("d", "hello there"))
+      .toDF("id", "text")
+      .withColumn("fp", Text.fingerprint(col("text")))
+      .collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("fp")).toMap
+    assert(fps("a") == fps("b") && fps("b") == fps("c"))
+    assert(fps("a") != fps("d"))
+  }
+
+  test("rolling fingerprint is order-sensitive (unlike set fingerprint)") {
+    import spark.implicits._
+    val df = Seq(("x", "alpha beta gamma"), ("y", "gamma beta alpha"))
+      .toDF("id", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("roll", Text.rollingFingerprint(col("toks")))
+      .withColumn("set_fp", Text.fingerprint(col("text")))
+    val rows = df.collect().map(r =>
+      r.getAs[String]("id") -> (r.getAs[Long]("roll"),
+        r.getAs[String]("set_fp"))).toMap
+    assert(rows("x")._1 != rows("y")._1)   // order matters
+    assert(rows("x")._2 != rows("y")._2)   // md5 of joined also ordered
+  }
+
+  test("bpeish token count: contractions and punct split like GPT-2 pretokenizer") {
+    import spark.implicits._
+    val n = Seq(Tuple1("it's a well-known fact, isn't it?"))
+      .toDF("text")
+      .select(Text.bpeishCount(col("text"))).head().getLong(0)
+    // it|'s| a| well|-|known| fact|,| isn|'t| it|?
+    assert(n == 12L)
+  }
+
+  test("hamming64 and jaccard basics") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (0L, 1L), (0L, 7L), (-1L, 0L))
+      .toDF("a", "b")
+      .select(Text.hamming64(col("a"), col("b")).as("h"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 3, 64))
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("x", "y")
+      .select(Text.jaccard(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+}
