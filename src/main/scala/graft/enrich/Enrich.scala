@@ -165,6 +165,77 @@ object Enrich {
       .distinct()
   }
 
+  /** communityRefresh (S4, core.ts:248-283): communities flagged
+    * needs_update ⋈ `communities_rpc` (bridge.get_community stand-in:
+    * name, title, about, description, flag_text, lang, is_nsfw,
+    * subscribers, team) → refreshed metadata + roles, flag cleared. */
+  def communityRefresh(communities: DataFrame,
+                       communitiesRpc: DataFrame): DataFrame = {
+    val joined = communities.alias("c")
+      .join(communitiesRpc.alias("r"),
+        col("c.username") === col("r.name"), "left")
+    def pick(f: String) =
+      when(col("c.needs_update") && col("r.name").isNotNull,
+        col(s"r.$f")).otherwise(col(s"c.$f"))
+    joined.select(
+      col("c._id").as("_id"), col("c.username").as("username"),
+      pick("title").as("title"), pick("about").as("about"),
+      pick("description").as("description"),
+      pick("flag_text").as("flag_text"), pick("lang").as("lang"),
+      pick("is_nsfw").as("is_nsfw"),
+      pick("subscribers").as("subscribers"),
+      col("c.created_at").as("created_at"),
+      when(col("c.needs_update") && col("r.name").isNotNull,
+        col("r.team")).otherwise(col("c.roles")).as("roles"),
+      col("c.images").as("images"),
+      when(col("r.name").isNotNull, lit(false))
+        .otherwise(col("c.needs_update")).as("needs_update"))
+  }
+
+  /** pullAllAccounts apply (S5, core.ts:393-449): missing-profile
+    * authors ⋈ `accounts_rpc` (database.getAccounts stand-in) →
+    * profile rows. Rows with unparseable JSON or no `.profile` key
+    * are skipped, matching the reference's try/catch-continue. */
+  def profilesFromAccountsRpc(accountsRpc: DataFrame): DataFrame = {
+    def pf(f: String) = get_json_object(
+      col("posting_json_metadata"), s"$$.profile.$f")
+    accountsRpc
+      .filter(get_json_object(col("posting_json_metadata"), "$.profile")
+        .isNotNull)
+      .select(
+        concat(lit("hive/"), col("name")).as("_id"),
+        col("name").as("username"),
+        lit("HIVE").as("TYPE"),
+        pf("name").as("displayName"),
+        pf("about").as("about"),
+        pf("location").as("location"),
+        pf("website").as("website"),
+        get_json_object(col("posting_json_metadata"), "$.did").as("did"),
+        struct(pf("profile_image").as("avatar"),
+          pf("cover_image").as("cover")).as("images"),
+        struct(pf("pinned").as("pinned_post")).as("extra"),
+        lit(null).cast("double").as("score"))
+  }
+
+  /** offchainIdRefresh (core.ts:44-71): stream-id grants (from
+    * spk.bridge_id ops or the Ceramic bridge) applied to posts —
+    * off_chain_id set, needs_stream_id cleared. */
+  def applyStreamIds(posts: DataFrame, streamIds: DataFrame): DataFrame =
+    posts.alias("p")
+      .join(streamIds.select(col("author").as("sa"),
+        col("permlink").as("sp"), col("stream_id")),
+        col("p.author") === col("sa") && col("p.permlink") === col("sp"),
+        "left")
+      .withColumn("off_chain_id",
+        coalesce(col("stream_id"), col("p.off_chain_id")))
+      .withColumn("needs_stream_id",
+        when(col("stream_id").isNotNull, lit(false))
+          .otherwise(col("p.needs_stream_id")))
+      .select(posts.columns.map {
+        case n @ ("off_chain_id" | "needs_stream_id") => col(n).as(n)
+        case n => col(s"p.$n")
+      }.toSeq: _*)
+
   /** pullAllAccounts discovery (J7, core.ts:393-449): distinct authors
     * with no profile row — the left anti join replacing the findOne
     * loop. */

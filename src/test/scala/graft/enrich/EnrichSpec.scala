@@ -119,6 +119,61 @@ class EnrichSpec extends SparkSpec {
     assert(notifs.head.getAs[String]("ref").startsWith("hive:"))
   }
 
+  test("communityRefresh: needs_update rows refreshed from rpc, flag cleared (S4)") {
+    import spark.implicits._
+    val communities = Seq(
+      ("hive/hive-1", "hive-1", "old title", true),
+      ("hive/hive-2", "hive-2", "keep", false))
+      .toDF("_id", "username", "title", "needs_update")
+      .withColumn("about", lit(null).cast("string"))
+      .withColumn("description", lit(null).cast("string"))
+      .withColumn("flag_text", lit(null).cast("string"))
+      .withColumn("lang", lit(null).cast("string"))
+      .withColumn("is_nsfw", lit(null).cast("boolean"))
+      .withColumn("subscribers", lit(null).cast("int"))
+      .withColumn("created_at", current_timestamp())
+      .withColumn("roles", lit(null).cast("array<array<string>>"))
+      .withColumn("images", struct(lit(null).cast("string").as("avatar"),
+        lit(null).cast("string").as("cover")))
+    val rpc = Seq(("hive-1", "Fresh Title", "about!", "desc", "", "en",
+      false, 42)).toDF("name", "title", "about", "description",
+        "flag_text", "lang", "is_nsfw", "subscribers")
+      .withColumn("team", array(array(lit("alice"), lit("admin"),
+        lit(""))))
+    val out = Enrich.communityRefresh(communities, rpc).collect()
+      .map(r => r.getAs[String]("username") -> r).toMap
+    assert(out("hive-1").getAs[String]("title") == "Fresh Title")
+    assert(out("hive-1").getAs[Int]("subscribers") == 42)
+    assert(!out("hive-1").getAs[Boolean]("needs_update"))
+    assert(out("hive-2").getAs[String]("title") == "keep")
+    assert(!out("hive-2").getAs[Boolean]("needs_update"))
+  }
+
+  test("profilesFromAccountsRpc: parses profiles, skips malformed/profile-less (S5)") {
+    import spark.implicits._
+    val rpc = Seq(
+      ("alice", """{"profile":{"name":"Alice","profile_image":"a.png"}}"""),
+      ("bob", """not json at all"""),
+      ("carol", """{"something":"else"}"""))
+      .toDF("name", "posting_json_metadata")
+    val out = Enrich.profilesFromAccountsRpc(rpc).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("username") == "alice")
+    assert(out.head.getAs[String]("displayName") == "Alice")
+  }
+
+  test("applyStreamIds: off_chain_id set, needs_stream_id cleared") {
+    import spark.implicits._
+    val posts = mkPosts()
+    val grants = Seq(("alice", "v1", "kjz99")).toDF(
+      "author", "permlink", "stream_id")
+    val out = Enrich.applyStreamIds(posts, grants).collect()
+      .map(r => r.getAs[String]("permlink") -> r).toMap
+    assert(out("v1").getAs[String]("off_chain_id") == "kjz99")
+    assert(!out("v1").getAs[Boolean]("needs_stream_id"))
+    assert(out("x1").getAs[String]("off_chain_id") == null)
+  }
+
   test("missingProfiles: authors without profile rows (J7)") {
     import spark.implicits._
     val posts = mkPosts()
