@@ -36,6 +36,30 @@ class StreamDedupSpec extends SparkSpec {
     assert(r2 == Set(1L, 2L, 5L))  // 4 deduped against state from run 1
   }
 
+  test("SyncMetrics listener folds per-batch progress into the stats shape (A10)") {
+    val dir = Files.createTempDirectory("graft-metrics").toString
+    val inDir = s"$dir/in"
+    new java.io.File(inDir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b1.json"),
+      """{"doc_id":10,"text":"m one"}
+        |{"doc_id":11,"text":"m two"}""".stripMargin)
+    val metrics = SyncMetrics.attach(spark)
+    try {
+      val q = StreamDedup.run(spark, inDir, s"$dir/out", s"$dir/ck",
+        Trigger.AvailableNow())
+      q.awaitTermination()
+      // listener events are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (metrics.current.batches == 0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val s = metrics.current
+      assert(s.batches >= 1)
+      assert(s.rowsIngested == 2)
+      assert(metrics.etaSeconds(0) == 0.0)
+      assert(metrics.etaSeconds(1000) > 0)
+    } finally spark.streams.removeListener(metrics)
+  }
+
   test("batch mode: same operator on a static DataFrame") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
