@@ -39,6 +39,33 @@ class LayoutSpec extends SparkSpec {
     assert(!scan.contains("2024-04") || scan.contains("2024-05"))
   }
 
+  test("IVF layout: cluster-partitioned vectors, probe prunes to nprobe partitions") {
+    import graft.functions.Vectors
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ivf").toString + "/vecs"
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(col("vec_id") < 8)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id").toInt,
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+      .toSeq
+    Vectors.ivfAssign(emb, "embedding", centroids)
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+    // IVF probe over the partitioned layout: nprobe cluster filter
+    // becomes a partition filter — the scan skips the other clusters
+    val assigned = spark.read.parquet(dir)
+    val probed = Vectors.ivfTopK(assigned, "embedding", centroids,
+      centroids.head._2, k = 5, nprobe = 2)
+    assert(probed.count() == 5)
+    val scanStr = probed.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanStr.contains("PartitionFilters") &&
+      scanStr.contains("cluster"))
+    // exact-vs-ivf sanity: the query vector's own id is rank 1
+    assert(probed.orderBy(col("sim").desc).head()
+      .getAs[Long]("vec_id") == 0L)
+  }
+
   test("saltedJoin spreads a hot key and matches the plain join result") {
     import spark.implicits._
     val skewed = (1 to 1000).map(i => ("hot", i)) ++
