@@ -69,6 +69,44 @@ object Multimodal {
     }
   }
 
+  /** ---- STUB ---- "resize": deterministic byte-level downsample
+    * standing in for a real image resize / audio resample. Keeps
+    * every k-th byte so output size and content are exact functions
+    * of the input — the pipeline contract (metadata update + smaller
+    * payload, partition-local, no shuffle) is the real part. */
+  def resizeStub(media: Dataset[MediaRow], targetW: Int, targetH: Int,
+                 keepEvery: Int = 4)
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val out = m.bytes.grouped(keepEvery).map(_.head).toArray
+        m.copy(bytes = out, width = targetW, height = targetH)
+      }
+    }
+  }
+
+  /** ---- STUB ---- video frame sampling: split the payload into
+    * fixed-size "frames" and keep every `every`-th — the real version
+    * seeks keyframes; batch shape and output schema identical. */
+  def frameSampleStub(media: Dataset[MediaRow], frameBytes: Int,
+                      every: Int)
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        if (m.kind != "video") m
+        else {
+          val frames = m.bytes.grouped(frameBytes).toSeq
+          val kept = frames.zipWithIndex.collect {
+            case (f, i) if i % every == 0 => f
+          }
+          m.copy(bytes = kept.flatten.toArray)
+        }
+      }
+    }
+  }
+
   /** Metadata-only predicate pass (no byte access): the point of the
     * typed-metadata column — filters prune before decode. */
   def selectForDecode(media: DataFrame, kinds: Seq[String],

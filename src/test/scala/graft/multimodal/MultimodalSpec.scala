@@ -30,6 +30,29 @@ class MultimodalSpec extends SparkSpec {
     assert(ids == Set(0L, 3L))      // audio excluded; big video excluded
   }
 
+  test("resize stub: deterministic downsample + metadata update") {
+    import spark.implicits._
+    val media = Multimodal.fakeMediaFromDocs(docs).as[MediaRow]
+    val resized = Multimodal.resizeStub(media, 64, 64)(spark)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(resized(0L).width == 64 && resized(0L).height == 64)
+    assert(resized(0L).bytes.length ==
+      math.ceil("tiny image payload".length / 4.0).toInt)
+    // deterministic: byte 0 survives
+    assert(resized(0L).bytes(0) == 't'.toByte)
+  }
+
+  test("frame-sample stub: keeps every n-th frame of video payloads only") {
+    import spark.implicits._
+    val media = Multimodal.fakeMediaFromDocs(docs).as[MediaRow]
+    val sampled = Multimodal.frameSampleStub(media, frameBytes = 100,
+      every = 2)(spark).collect().map(m => m.media_id -> m).toMap
+    val origVideo = ("video " * 2000).getBytes("UTF-8").length
+    assert(sampled(2L).bytes.length < origVideo)
+    assert(sampled(0L).bytes.length ==     // images untouched
+      "tiny image payload".getBytes("UTF-8").length)
+  }
+
   test("extractFeatures: deterministic stub decode, batch shape, frame sampling") {
     import spark.implicits._
     val media = Multimodal.fakeMediaFromDocs(docs).as[MediaRow]
