@@ -611,8 +611,11 @@ object Catalog {
               FROM embeddings WHERE vec_id < 10)
         ORDER BY id_a, id_b""")),
 
-    // ── §7.5 ANN: IVF-partitioned variant (no SQL oracle; centroid
-    //    assignment exercised end-to-end, correctness via unit test) ──
+    // ── §7.5 ANN: IVF-partitioned variant. Centroids = vectors 0..7,
+    //    query = centroid 1. Fully oracled: the SQL replays cluster
+    //    assignment (argmax cosine, tie → max cid), probe-set
+    //    selection (top-nprobe centroids for the query) and the
+    //    within-probe top-k. ─────────────────────────────────────────
     Q("v02_ann_ivf",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
@@ -630,6 +633,31 @@ object Catalog {
             col("cluster"))
           .orderBy(col("sim").desc, col("vec_id").asc)
       },
-      None)
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        q AS (SELECT cv AS qv FROM c WHERE cid = 1),
+        cos AS (SELECT e.vec_id, e.v, c.cid,
+            list_dot_product(e.v, c.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(c.cv, c.cv))) AS sim
+          FROM e CROSS JOIN c),
+        assigned AS (SELECT vec_id, v, cid AS cluster FROM cos
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cid DESC) = 1),
+        probe AS (SELECT c.cid FROM c CROSS JOIN q
+          ORDER BY list_dot_product(c.cv, q.qv) /
+              (sqrt(list_dot_product(c.cv, c.cv)) *
+               sqrt(list_dot_product(q.qv, q.qv))) DESC, c.cid
+          LIMIT 3)
+        SELECT a.vec_id,
+          round(list_dot_product(a.v, q.qv) /
+            (sqrt(list_dot_product(a.v, a.v)) *
+             sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim,
+          CAST(a.cluster AS INTEGER) AS cluster
+        FROM assigned a CROSS JOIN q
+        WHERE a.cluster IN (SELECT cid FROM probe)
+        ORDER BY sim DESC, a.vec_id LIMIT 20"""))
   )
 }
