@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Force the (small) result, then release the heavy cached
+    * intermediates — without this, shingle/signature caches from each
+    * call would pin block-manager memory for the session's lifetime.
+    * The returned result stays cached (pair lists are tiny); callers
+    * may unpersist it when done. */
+  private[graft] def materializeAndRelease(
+      result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
+    val out = result.persist()
+    out.count()
+    intermediates.foreach(_.unpersist(blocking = false))
+    out
+  }
+
   /** Exact dedup on normalized content: keep the lowest-id row per
     * fingerprint. One hash-shuffle on a 128-bit key. */
   def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -80,12 +93,13 @@ object Dedup {
       .distinct()                          // same pair can share >1 band
     // Verification joins pull shingles back by id — two hash joins on
     // the (small) candidate set, not an array-weighted shuffle.
-    cand
+    val verified = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    materializeAndRelease(verified, Seq(sh, banded))
   }
 
   /** SimHash near-dup pairs: 64-bit signature, candidates = equal
@@ -112,11 +126,12 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = banded.select(col("band"), col("key"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "key"))
+    val verified = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(first(Text.hamming64(col("sig_a"), col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    materializeAndRelease(verified, Seq(sigd))
   }
 
   /** Exact Jaccard of every document against one anchor document —

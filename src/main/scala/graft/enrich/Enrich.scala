@@ -172,7 +172,9 @@ object Enrich {
   def communityRefresh(communities: DataFrame,
                        communitiesRpc: DataFrame): DataFrame = {
     val joined = communities.alias("c")
-      .join(communitiesRpc.alias("r"),
+      // rpc snapshots are one-row-per-community; guard against a
+      // duplicated snapshot multiplying the entity table
+      .join(communitiesRpc.dropDuplicates("name").alias("r"),
         col("c.username") === col("r.name"), "left")
     def pick(f: String) =
       when(col("c.needs_update") && col("r.name").isNotNull,
@@ -222,8 +224,11 @@ object Enrich {
     * off_chain_id set, needs_stream_id cleared. */
   def applyStreamIds(posts: DataFrame, streamIds: DataFrame): DataFrame =
     posts.alias("p")
-      .join(streamIds.select(col("author").as("sa"),
-        col("permlink").as("sp"), col("stream_id")),
+      // one grant per key: replayed/duplicate grants must not
+      // multiply posts rows through the left join
+      .join(streamIds.groupBy(col("author").as("sa"),
+          col("permlink").as("sp"))
+          .agg(max("stream_id").as("stream_id")),
         col("p.author") === col("sa") && col("p.permlink") === col("sp"),
         "left")
       .withColumn("off_chain_id",

@@ -83,12 +83,18 @@ object Vectors {
         Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    cand
+    val verified = cand
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // force result, release the vector/signature caches (they would
+    // otherwise pin block-manager memory for the session)
+    val out = verified.persist()
+    out.count()
+    Seq(base, sigd).foreach(_.unpersist(blocking = false))
+    out
   }
 
   /** Assign each vector to its nearest centroid (argmax cosine).

@@ -129,11 +129,14 @@ object PostsIngest {
     val video = meta.getField("video").getField("info")
     val hasVideo = video.getField("duration").isNotNull
     val srcMap = video.getField("sourceMap")
-    val videoUrl = filter(srcMap, e => e.getField("type") === "video")
-      .getItem(0).getField("url")
-    val thumbUrl = filter(srcMap,
-      e => e.getField("type") === "thumbnail")
-      .getItem(0).getField("url")
+    // try_element_at, not getItem(0): ANSI mode throws on an empty
+    // filter result (e.g. sourceMap without a video/thumbnail entry)
+    val videoUrl = try_element_at(
+      filter(srcMap, e => e.getField("type") === "video"), lit(1))
+      .getField("url")
+    val thumbUrl = try_element_at(
+      filter(srcMap, e => e.getField("type") === "thumbnail"), lit(1))
+      .getField("url")
 
     val withCols = folded
       .withColumn("tags",

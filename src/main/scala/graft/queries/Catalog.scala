@@ -651,13 +651,17 @@ object Catalog {
               (sqrt(list_dot_product(c.cv, c.cv)) *
                sqrt(list_dot_product(q.qv, q.qv))) DESC, c.cid
           LIMIT 3)
-        SELECT a.vec_id,
-          round(list_dot_product(a.v, q.qv) /
-            (sqrt(list_dot_product(a.v, a.v)) *
-             sqrt(list_dot_product(q.qv, q.qv))), 4) AS sim,
-          CAST(a.cluster AS INTEGER) AS cluster
-        FROM assigned a CROSS JOIN q
-        WHERE a.cluster IN (SELECT cid FROM probe)
-        ORDER BY sim DESC, a.vec_id LIMIT 20"""))
+        SELECT vec_id, round(sim_exact, 4) AS sim,
+          CAST(cluster AS INTEGER) AS cluster
+        FROM (
+          -- top-k selected on UNROUNDED sim, matching ivfTopK's limit
+          SELECT a.vec_id, a.cluster,
+            list_dot_product(a.v, q.qv) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(q.qv, q.qv))) AS sim_exact
+          FROM assigned a CROSS JOIN q
+          WHERE a.cluster IN (SELECT cid FROM probe)
+          ORDER BY sim_exact DESC, a.vec_id LIMIT 20)
+        ORDER BY sim DESC, vec_id"""))
   )
 }

@@ -26,6 +26,11 @@ object ArgsJson {
 
   def parse(json: String): FeedArgs = fromNode(mapper.readTree(json))
 
+  /** Field access treating explicit JSON null as absent — GraphQL
+    * clients routinely serialize unset optionals as null. */
+  private def opt(n: JsonNode, field: String): Option[JsonNode] =
+    Option(n.get(field)).filterNot(_.isNull)
+
   private def scalar(n: JsonNode): Any =
     if (n.isInt || n.isLong) n.asLong()
     else if (n.isNumber) n.asDouble()
@@ -33,42 +38,45 @@ object ArgsJson {
     else n.asText()
 
   private def where(n: JsonNode): Where = Where(
-    eq = Option(n.get("_eq")).map(scalar),
-    ne = Option(n.get("_ne")).map(scalar),
-    lt = Option(n.get("_lt")).map(scalar),
-    gt = Option(n.get("_gt")).map(scalar),
-    lte = Option(n.get("_lte")).map(scalar),
-    gte = Option(n.get("_gte")).map(scalar),
-    in = Option(n.get("_in"))
-      .map(a => a.elements().asScala.map(scalar).toSeq),
-    nin = Option(n.get("_nin"))
-      .map(a => a.elements().asScala.map(scalar).toSeq),
-    regex = Option(n.get("_regex")).map(_.asText()))
+    eq = opt(n, "_eq").map(scalar),
+    ne = opt(n, "_ne").map(scalar),
+    lt = opt(n, "_lt").map(scalar),
+    gt = opt(n, "_gt").map(scalar),
+    lte = opt(n, "_lte").map(scalar),
+    gte = opt(n, "_gte").map(scalar),
+    in = opt(n, "_in")
+      .map(a => a.elements().asScala.filterNot(_.isNull)
+        .map(scalar).toSeq),
+    nin = opt(n, "_nin")
+      .map(a => a.elements().asScala.filterNot(_.isNull)
+        .map(scalar).toSeq),
+    regex = opt(n, "_regex").map(_.asText()))
 
   private def fromNode(n: JsonNode): FeedArgs = {
-    def w(field: String) = Option(n.get(field)).map(where)
-    val spk = Option(n.get("spkvideo"))
-    val pag = Option(n.get("pagination"))
+    def w(field: String) = opt(n, field).map(where)
+    val spk = opt(n, "spkvideo")
+    val pag = opt(n, "pagination")
     FeedArgs(
       spkvideoFirstUpload = spk.exists(s =>
-        Option(s.get("firstUpload")).exists(_.asBoolean())),
+        opt(s, "firstUpload").exists(_.asBoolean())),
       spkvideoOnly = spk.exists(s =>
-        Option(s.get("only")).exists(_.asBoolean())),
+        opt(s, "only").exists(_.asBoolean())),
       spkvideoIsShort = spk.exists(s =>
-        Option(s.get("isShort")).exists(_.asBoolean())),
-      includeComments = Option(n.get("includeComments"))
+        opt(s, "isShort").exists(_.asBoolean())),
+      includeComments = opt(n, "includeComments")
         .exists(_.asBoolean()),
       byTag = w("byTag"), byCreator = w("byCreator"),
       byPermlink = w("byPermlink"), byCommunity = w("byCommunity"),
       byApp = w("byApp"), byType = w("byType"), byLang = w("byLang"),
-      or = Option(n.get("_or")).toSeq
-        .flatMap(a => a.elements().asScala.map(fromNode)),
-      includeCeramic = Option(n.get("includeCeramic"))
+      or = opt(n, "_or").toSeq
+        .flatMap(a => a.elements().asScala.filterNot(_.isNull)
+          .map(fromNode)),
+      includeCeramic = opt(n, "includeCeramic")
         .exists(_.asBoolean()),
-      byFollower = Option(n.get("byFollower")).map(_.asText()),
-      limit = pag.flatMap(p => Option(p.get("limit")).map(_.asInt()))
+      byFollower = opt(n, "byFollower").map(_.asText()),
+      limit = pag.flatMap(p => opt(p, "limit").map(_.asInt()))
         .getOrElse(100),
-      skip = pag.flatMap(p => Option(p.get("skip")).map(_.asInt()))
+      skip = pag.flatMap(p => opt(p, "skip").map(_.asInt()))
         .getOrElse(0))
   }
 }

@@ -83,13 +83,16 @@ object Feeds {
   def search(df: DataFrame, textCol: Column, terms: Seq[String],
              scoreName: String = "score"): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
+    // normalize exactly like InvertedIndex.search (lowercase +
+    // distinct) so the brute-force and index paths are one contract
+    val uniq = terms.map(_.toLowerCase).distinct
     // tokenize ONCE into a materialized column; the per-term filters
     // and tf sums all read it (vs re-splitting per term)
     val toks = col("__toks")
-    val tf: Column = terms.map { t =>
+    val tf: Column = uniq.map { t =>
       size(filter(toks, e => e === lit(t)))
     }.reduce(_ + _)
-    val hasAll: Column = terms.map { t =>
+    val hasAll: Column = uniq.map { t =>
       array_contains(toks, t)
     }.reduce(_ && _)
     df.withColumn("__toks", split(lower(textCol), "\\s+"))

@@ -47,17 +47,20 @@ object PostProjections {
       graft.domain.Schemas.commentMeta)
     val info = meta.getField("video").getField("info")
     val srcMap = info.getField("sourceMap")
-    val playEntry = filter(srcMap, e => e.getField("type") === "video")
-      .getItem(0)
+    val playEntry = try_element_at(
+      filter(srcMap, e => e.getField("type") === "video"), lit(1))
     val images = meta.getField("image")
+    // try_element_at: ANSI mode makes element_at THROW on an empty
+    // image array / header-less body; the reference's .pop() and
+    // split()[1] return undefined harmlessly — mirror that.
     when(info.getField("duration").isNotNull, struct(
       info.getField("duration").as("duration"),
-      coalesce(element_at(images, -1), lit(cdnDefaultThumb))
+      coalesce(try_element_at(images, lit(-1)), lit(cdnDefaultThumb))
         .as("thumbnail"),
       coalesce(playEntry.getField("url"),
         format_string("https://media.3speak.tv/%s/default.m3u8",
           col("permlink"))).as("play_url"),
-      coalesce(element_at(split(col("body"), "---\n\n"), 2),
+      coalesce(try_element_at(split(col("body"), "---\n\n"), lit(2)),
         col("body")).as("body")))
       .otherwise(lit(null).cast(
         "struct<duration:double,thumbnail:string,play_url:string," +

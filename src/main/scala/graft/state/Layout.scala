@@ -46,6 +46,12 @@ object Layout {
   def saltedJoin(skewed: DataFrame, build: DataFrame,
                  keys: Seq[String], buckets: Int,
                  joinType: String = "inner"): DataFrame = {
+    // join types preserving unmatched BUILD rows would emit them once
+    // per salt replica — only skewed-side-preserving types are sound
+    require(Set("inner", "left", "left_outer", "left_semi", "left_anti",
+      "cross").contains(joinType.toLowerCase),
+      s"saltedJoin: unsupported joinType '$joinType' (build side is " +
+        "replicated per salt bucket)")
     val salted = skewed.withColumn("__salt",
       pmod(spark_partition_id() + monotonically_increasing_id(),
         lit(buckets)).cast("int"))

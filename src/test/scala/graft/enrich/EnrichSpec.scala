@@ -165,8 +165,10 @@ class EnrichSpec extends SparkSpec {
   test("applyStreamIds: off_chain_id set, needs_stream_id cleared") {
     import spark.implicits._
     val posts = mkPosts()
-    val grants = Seq(("alice", "v1", "kjz99")).toDF(
-      "author", "permlink", "stream_id")
+    // duplicate (replayed) grant must NOT multiply the posts row
+    val grants = Seq(("alice", "v1", "kjz99"), ("alice", "v1", "kjz99"))
+      .toDF("author", "permlink", "stream_id")
+    assert(Enrich.applyStreamIds(posts, grants).count() == posts.count())
     val out = Enrich.applyStreamIds(posts, grants).collect()
       .map(r => r.getAs[String]("permlink") -> r).toMap
     assert(out("v1").getAs[String]("off_chain_id") == "kjz99")

@@ -33,6 +33,19 @@ class ArgsJsonSpec extends AnyFunSuite {
     assert(a.limit == 100 && a.skip == 0 && !a.includeComments)
   }
 
+  test("explicit JSON nulls are treated as absent, not literal 'null'") {
+    val a = ArgsJson.parse("""{
+      "byFollower": null,
+      "byTag": {"_eq": null, "_in": null},
+      "pagination": {"limit": null, "skip": null},
+      "spkvideo": null, "_or": null
+    }""")
+    assert(a.byFollower.isEmpty)
+    assert(a.byTag.exists(w => w.eq.isEmpty && w.in.isEmpty))
+    assert(a.limit == 100 && a.skip == 0)
+    assert(!a.spkvideoOnly && a.or.isEmpty)
+  }
+
   test("numeric scalars keep their types") {
     val a = ArgsJson.parse(
       """{"byLang": {"_gt": 3, "_lt": 4.5}}""")

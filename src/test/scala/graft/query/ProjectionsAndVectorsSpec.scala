@@ -38,6 +38,25 @@ class ProjectionsAndVectorsSpec extends SparkSpec {
     assert(v1.getAs[String]("__typename") == "HivePost")         // P6
   }
 
+  test("ANSI regression: video post with no header, empty images, no video sourceMap entry") {
+    val sparseVideoMeta =
+      """{"app":"3speak/0.3","image":[],""" +
+        """"video":{"info":{"duration":30.0,"sourceMap":[]}}}"""
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("comment", comment("zed", "z1",
+          "no header here at all", jsonMeta = sparseVideoMeta))))))
+    val p = PostProjections.project(PostsIngest.ingest(ops)(spark))
+      .filter(col("permlink") === "z1").collect().head
+    val sv = p.getAs[Row]("spkvideo")
+    assert(sv != null)
+    assert(sv.getAs[String]("thumbnail")
+      == "https://media.3speak.tv/default_thumbnail.png")  // empty images
+    assert(sv.getAs[String]("play_url")
+      == "https://media.3speak.tv/z1/default.m3u8")        // no video entry
+    assert(sv.getAs[String]("body") == "no header here at all")
+  }
+
   test("P7/P8: profile views and community roles unpack") {
     import spark.implicits._
     val profiles = Seq(("hive/alice", "alice", null: String, "about",

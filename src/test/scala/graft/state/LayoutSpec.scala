@@ -81,5 +81,10 @@ class LayoutSpec extends SparkSpec {
         r.getLong(2))).toSet
     assert(salted == plain)
     assert(salted == Set(("hot", "H", 1000L), ("cold", "C", 2L)))
+    // build-preserving join types are rejected (they would emit
+    // unmatched build rows once per salt replica)
+    intercept[IllegalArgumentException] {
+      Layout.saltedJoin(left, right, Seq("k"), 8, joinType = "right")
+    }
   }
 }
