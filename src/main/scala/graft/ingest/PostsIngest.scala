@@ -94,7 +94,10 @@ object PostsIngest {
           var body = head.body            // insert: verbatim
           var title = head.title
           var meta = head.json_metadata_raw
-          var status = if (head.deleted) "deleted" else "published"
+          // insert is always published; only EDITS carry the deleted
+          // flag (reference: hive-stream.ts:550-561 is the edit path,
+          // the insert path hardcodes status:'published' at :661)
+          var status = "published"
           var signed = head.authority_signed
           var benefs = head.beneficiaries
           ordered.tail.foreach { e =>     // edits: dmp-or-replace
@@ -116,27 +119,46 @@ object PostsIngest {
   }
 
   /** Relational decoration of folded posts into the full posts schema:
-    * type gate (X3), parent gate (J2 semi join), app_metadata/spkvideo
-    * (hive-stream.ts:607-649), ipfs links (X5), first_upload (J8
-    * window), origin/state control, discriminators. */
+    * type gate (X3: detectPostType with the reference's exact
+    * case-sensitive app names), parent gate (J2), app_metadata/
+    * spkvideo (hive-stream.ts:607-649: keyed off the `3speak/` app
+    * prefix or an authority-signed sibling — NOT off video presence),
+    * ipfs links (X5: host of every sourceMap url), first_upload (J8
+    * window — intended semantics; see divergence note), origin/state
+    * control, discriminators.
+    *
+    * Gate semantics (hive-stream.ts:515-528): a post is INDEXED only
+    * if allowed_by_type OR its parent is itself indexed — others are
+    * dropped, not stored. Reply chains resolve iteratively up to
+    * `chainDepth` levels per batch (the reference resolves them
+    * naturally by sequential processing).
+    *
+    * Documented divergence: the reference's first-upload lookup
+    * queries `video.first_upload` but writes
+    * `app_metadata.spkvideo.first_upload` (hive-stream.ts:624-631),
+    * so in practice it marks EVERY 3speak post first_upload=true; we
+    * implement the evident intent (true only for the author's first
+    * 3speak post, via a window). */
   def decorate(folded: DataFrame,
-               existingPosts: Option[DataFrame] = None): DataFrame = {
+               existingPosts: Option[DataFrame] = None,
+               chainDepth: Int = 3): DataFrame = {
     val meta = from_json(col("json_metadata_raw"),
       graft.domain.Schemas.commentMeta)
     val appFull = meta.getField("app")
     val appName = split(appFull, "/").getItem(0)               // X2
-    val allowedApps = Seq("3speak", "dbuzz")                    // X3 gate
+    // X3 detectPostType (block_processing/posts.ts:1-30): exact,
+    // case-sensitive app names; ALLOWED_APPS = ['3speak','dbuzz']
+    val postType = when(appName === "3speak", "3speak")
+      .when(appName === "dBuzz", "dbuzz")
+      .when(appName === "steemit", "steemit")
+      .otherwise("unknown")
     val video = meta.getField("video").getField("info")
-    val hasVideo = video.getField("duration").isNotNull
     val srcMap = video.getField("sourceMap")
-    // try_element_at, not getItem(0): ANSI mode throws on an empty
-    // filter result (e.g. sourceMap without a video/thumbnail entry)
-    val videoUrl = try_element_at(
-      filter(srcMap, e => e.getField("type") === "video"), lit(1))
-      .getField("url")
-    val thumbUrl = try_element_at(
-      filter(srcMap, e => e.getField("type") === "thumbnail"), lit(1))
-      .getField("url")
+    val hasVideoEntry = coalesce(
+      exists(srcMap, e => e.getField("type") === "video"), lit(false))
+    val hasThumbEntry = coalesce(
+      exists(srcMap, e => e.getField("type") === "thumbnail"),
+      lit(false))
 
     val withCols = folded
       .withColumn("tags",
@@ -145,46 +167,58 @@ object PostsIngest {
         when(col("parent_author") =!= "", array(lit("comment")))
           .otherwise(array().cast("array<string>")))
       .withColumn("app_name", appName)
-      .withColumn("allowed_by_type", appName.isin(allowedApps: _*))
-      .withColumn("has_video", coalesce(hasVideo, lit(false)))
+      .withColumn("allowed_by_type",
+        postType.isin("3speak", "dbuzz"))
+      .withColumn("is_3speak",
+        coalesce(appFull.startsWith("3speak/"), lit(false)))
+      // storage_type by sourceMap entry TYPE (video beats thumbnail,
+      // hive-stream.ts:633-646); only computed for 3speak posts
       .withColumn("storage_type",
-        when(coalesce(videoUrl.startsWith("ipfs://"), lit(false)),
-          "ipfs")
-          .when(coalesce(thumbUrl.startsWith("ipfs://"), lit(false)),
-            "thumbnail_ipfs")
+        when(hasVideoEntry, "ipfs")
+          .when(hasThumbEntry, "thumbnail_ipfs")
           .otherwise("legacy"))
+      // ipfs_links: host of EVERY sourceMap url (pulloutIpfsLinks,
+      // hive-stream.ts:14-30 — not restricted to ipfs:// scheme)
       .withColumn("ipfs_links",
         transform(
-          filter(coalesce(srcMap, array().cast(
+          coalesce(srcMap, array().cast(
             "array<struct<type:string,url:string,format:string>>")),
-            e => e.getField("url").startsWith("ipfs://")),
           e => struct(regexp_extract(e.getField("url"),
-            "^ipfs://([^/]+)", 1).as("cid"))))
+            "^[a-zA-Z]+://([^/]+)", 1).as("cid"))))
 
-    // J8: first spkvideo post per author (window, not per-row lookup).
+    // J8: first 3speak post per author (window, not per-row lookup).
     val withFirst = withCols.withColumn("first_upload",
-      col("has_video") &&
+      col("is_3speak") &&
         (row_number().over(
-          Window.partitionBy("author", "has_video")
+          Window.partitionBy("author", "is_3speak")
             .orderBy(col("block_height").asc, col("permlink").asc))
           === 1))
 
-    // J2: parent gate — reply's parent must exist among current batch
-    // tops or the existing posts table (hive-stream.ts:516-524).
-    val tops = withFirst.filter(col("parent_author") === "")
+    // J2 + indexing gate: allowed parents = existing posts ∪ posts
+    // kept by type, then propagate through reply chains.
+    val existingKeys = existingPosts.map(
+      _.select(col("author").as("pa"), col("permlink").as("pp")))
+    val typeKeys = withFirst.filter(col("allowed_by_type"))
       .select(col("author").as("pa"), col("permlink").as("pp"))
-    val parents = existingPosts match {
-      case Some(p) => tops.unionByName(
-        p.select(col("author").as("pa"), col("permlink").as("pp")))
-      case None => tops
+    var allowedParents = existingKeys
+      .fold(typeKeys)(e => typeKeys.unionByName(e)).distinct()
+    for (_ <- 1 to chainDepth) {
+      val viaParent = withFirst.alias("c")
+        .join(allowedParents.alias("par"),
+          col("c.parent_author") === col("par.pa") &&
+            col("c.parent_permlink") === col("par.pp"), "left_semi")
+        .select(col("author").as("pa"), col("permlink").as("pp"))
+      allowedParents = allowedParents.unionByName(viaParent).distinct()
     }
     val gated = withFirst.alias("c")
-      .join(parents.distinct().alias("par"),
+      .join(allowedParents.alias("par"),
         col("c.parent_author") === col("par.pa") &&
           col("c.parent_permlink") === col("par.pp"), "left")
-      .withColumn("allowed_by_parent",
-        col("c.parent_author") === "" || col("par.pa").isNotNull)
+      .withColumn("allowed_by_parent", col("par.pa").isNotNull)
       .drop("pa", "pp")
+      // the reference drops non-allowed posts entirely
+      // (hive-stream.ts:526-528)
+      .filter(col("allowed_by_type") || col("allowed_by_parent"))
 
     gated.select(
       col("parent_author"), col("parent_permlink"),
@@ -199,17 +233,26 @@ object PostsIngest {
         .as("hive_rewards"),
       struct(col("block_height"),
         lit(null).cast("string").as("version_id")).as("state_control"),
+      // reference writes only {allowed_by_parent, allowed_by_type}
+      // (hive-stream.ts:663-666); allowed_by_community stays unset
       struct(col("allowed_by_parent"), col("allowed_by_type"),
-        lit(true).as("allowed_by_community")).as("origin_control"),
+        lit(null).cast("boolean").as("allowed_by_community"))
+        .as("origin_control"),
       col("json_metadata_raw"),
+      // spkvideo exists iff the app is 3speak/* OR an authority-signed
+      // sibling op was present; types = keys of app_metadata
+      // (hive-stream.ts:617-651)
       struct(
-        when(col("has_video"), array(lit("spkvideo")))
+        when(col("is_3speak") || col("authority_signed"),
+          array(lit("spkvideo")))
           .otherwise(array().cast("array<string>")).as("types"),
         col("app_name").as("app"),
-        when(col("has_video"), struct(
+        when(col("is_3speak") || col("authority_signed"), struct(
           col("authority_signed"),
-          col("storage_type"),
-          col("first_upload"),
+          when(col("is_3speak"), col("storage_type"))
+            .otherwise(lit(null).cast("string")).as("storage_type"),
+          when(col("is_3speak"), col("first_upload"))
+            .otherwise(lit(null).cast("boolean")).as("first_upload"),
           lit(null).cast("int").as("height"),
           lit(null).cast("int").as("width"),
           lit(null).cast("boolean").as("is_short")))

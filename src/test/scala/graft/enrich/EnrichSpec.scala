@@ -73,9 +73,10 @@ class EnrichSpec extends SparkSpec {
     assert(sv.getAs[Int]("width") == 1080)
     assert(sv.getAs[Int]("height") == 1920)
     assert(sv.getAs[Boolean]("is_short"))   // 120.5s ≤ 180 and portrait
-    // non-video post untouched
-    assert(out("x1").getAs[Row]("app_metadata")
-      .getAs[Row]("spkvideo") == null)
+    // 3speak post with no playlist row: spkvideo exists (app-keyed)
+    // but dimensions stay unset
+    val sv2 = out("x1").getAs[Row]("app_metadata").getAs[Row]("spkvideo")
+    assert(sv2 != null && sv2.getAs[AnyRef]("height") == null)
   }
 
   test("channelScores: 3×comments + 0.1×votes; others zeroed (A6/S11)") {

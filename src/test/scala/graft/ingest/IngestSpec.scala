@@ -99,7 +99,8 @@ class IngestSpec extends SparkSpec {
     assert(links.map(_.getAs[String]("cid")) ==
       Seq("QmVid123", "QmThumb9"))                                // X5
     val oc = p.getAs[org.apache.spark.sql.Row]("origin_control")
-    assert(oc.getAs[Boolean]("allowed_by_parent"))
+    // top-level: parent lookup misses => false (hive-stream.ts:515-524)
+    assert(!oc.getAs[Boolean]("allowed_by_parent"))
     assert(oc.getAs[Boolean]("allowed_by_type"))                  // X3
   }
 
@@ -111,7 +112,12 @@ class IngestSpec extends SparkSpec {
         ("tx2", Seq(("comment", comment("bob", "re1", "reply!",
           parentAuthor = "alice", parentPermlink = "post1")))),
         ("tx3", Seq(("comment", comment("eve", "re2", "orphan",
-          parentAuthor = "nobody", parentPermlink = "nope"))))))
+          parentAuthor = "nobody", parentPermlink = "nope")))),
+        ("tx4", Seq(("comment", comment("mal", "m1", "spam",
+          jsonMeta = """{"app":"other/1.0"}""")))),
+        ("tx5", Seq(("comment", comment("ok", "k1", "chain reply",
+          parentAuthor = "alice", parentPermlink = "post1",
+          jsonMeta = """{"app":"other/1.0"}"""))))))
     val posts = PostsIngest.ingest(ops)(spark)
     val byKey = posts.collect().map(r =>
       r.getAs[String]("permlink") -> r).toMap
@@ -121,6 +127,12 @@ class IngestSpec extends SparkSpec {
     assert(!byKey("re2").getAs[org.apache.spark.sql.Row]("origin_control")
       .getAs[Boolean]("allowed_by_parent"))
     assert(byKey("post1").getAs[scala.collection.Seq[String]]("flags") == Seq())
+    // disallowed-app orphan is DROPPED (hive-stream.ts:526-528);
+    // disallowed-app REPLY to an indexed post is kept via its parent
+    assert(!byKey.contains("m1"))
+    assert(byKey.contains("k1"))
+    assert(byKey("k1").getAs[org.apache.spark.sql.Row]("origin_control")
+      .getAs[Boolean]("allowed_by_parent"))
   }
 
   test("edit via dmp patch applies; non-patch replaces (X6)") {

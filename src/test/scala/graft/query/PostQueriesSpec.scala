@@ -14,7 +14,7 @@ class PostQueriesSpec extends SparkSpec {
         ("t1", Seq(("comment", comment("alice", "v1", "spark video one",
           jsonMeta = videoMeta)))),
         ("t2", Seq(("comment", comment("bob", "b1", "hello world",
-          jsonMeta = """{"app":"dbuzz/1.0","tags":["chat"]}""")))),
+          jsonMeta = """{"app":"dBuzz/1.0","tags":["chat"]}""")))),
         ("t3", Seq(("custom_json",
           s"""{"id":"follow","required_posting_auths":["carol"],""" +
             s""""json":${js("""["follow",{"follower":"carol","following":"alice","what":["blog"]}]""")}}""")))),
@@ -25,7 +25,7 @@ class PostQueriesSpec extends SparkSpec {
           parentAuthor = "alice", parentPermlink = "v1"))))),
       block(102, "2024-05-04T12:00:04",
         ("t6", Seq(("comment", comment("eve", "e1", "late spark post",
-          jsonMeta = """{"app":"other/1.0","tags":["video"]}"""))))))
+          jsonMeta = """{"app":"3speak/1.1","tags":["video"]}"""))))))
     (PostsIngest.ingest(ops)(spark).cache(),
       GraphIngest.follows(ops).cache())
   }
@@ -46,11 +46,11 @@ class PostQueriesSpec extends SparkSpec {
         .select("permlink").collect().map(_.getString(0)).toSet
     assert(perms(FeedArgs(byCreator = Some(Where(eq = Some("alice")))))
       == Set("v1", "v2"))
-    assert(perms(FeedArgs(byApp = Some(Where(eq = Some("dbuzz")))))
+    assert(perms(FeedArgs(byApp = Some(Where(eq = Some("dBuzz")))))
       == Set("b1"))
     assert(perms(FeedArgs(byTag = Some(Where(eq = Some("video")))))
       == Set("v1", "v2", "e1"))
-    assert(perms(FeedArgs(spkvideoOnly = true)) == Set("v1", "v2"))
+    assert(perms(FeedArgs(spkvideoOnly = true)) == Set("v1", "v2", "e1"))
   }
 
   test("_or combinator (F11)") {
