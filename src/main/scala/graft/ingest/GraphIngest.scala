@@ -41,8 +41,14 @@ object GraphIngest {
         col("ts"), col("block_height"), col("op_index"), col("signer"))
       // follower must equal signer (hive-stream.ts:369-371)
       .filter(col("follower") === col("signer"))
-      .withColumn("unfollow", size(coalesce(col("what"),
-        array().cast("array<string>"))) === 0)
+      // a missing `what` crashes the reference op (what.length throws,
+      // caught, op skipped) — so it is neither follow nor unfollow
+      .filter(col("what").isNotNull)
+      .withColumn("unfollow", size(col("what")) === 0)
+      // _id: hive-<follower>-<following> (hive-stream.ts:376)
+      .withColumn("_id", concat_ws("-", lit("hive"), col("follower"),
+        col("following")))
+      .withColumn("followed_at", col("ts"))
 
     val spk = cj.filter(col("cid").isin("spk.follow", "spk.unfollow"))
       .select(
@@ -53,6 +59,11 @@ object GraphIngest {
         col("ts"), col("block_height"), col("op_index"),
         (col("cid") === "spk.unfollow").as("unfollow"))
       .filter(col("following").isNotNull)
+      // _id: hive/<account>/<did> (hive-stream.ts:334); the reference
+      // never writes followed_at on spk edges
+      .withColumn("_id", concat_ws("/", lit("hive"), col("follower"),
+        col("following")))
+      .withColumn("followed_at", lit(null).cast("timestamp"))
 
     val community = cj.filter(col("cid") === "community" &&
       get_json_object(col("json"), "$[0]")
@@ -60,29 +71,28 @@ object GraphIngest {
       .select(
         col("signer").as("follower"),
         get_json_object(col("json"), "$[1].community").as("following"),
+        // reference stores the string 'community'; normalized to a
+        // single-element array for the typed column
         array(lit("community")).as("what"),
         col("ts"), col("block_height"), col("op_index"),
         (get_json_object(col("json"), "$[0]") === "unsubscribe")
           .as("unfollow"))
       .filter(col("following").isNotNull)
+      .withColumn("_id", concat_ws("-", lit("hive"), col("follower"),
+        col("following")))
+      .withColumn("followed_at", col("ts"))
 
-    val events = classic
-      .select("follower", "following", "what", "ts", "block_height",
-        "op_index", "unfollow")
-      .unionByName(spk.select("follower", "following", "what", "ts",
-        "block_height", "op_index", "unfollow"))
-      .unionByName(community.select("follower", "following", "what",
-        "ts", "block_height", "op_index", "unfollow"))
+    val cols = Seq("_id", "follower", "following", "what",
+      "followed_at", "ts", "block_height", "op_index", "unfollow")
+    val events = classic.select(cols.map(col): _*)
+      .unionByName(spk.select(cols.map(col): _*))
+      .unionByName(community.select(cols.map(col): _*))
       .filter(col("follower").isNotNull)
 
     Merge.latestWins(events, Seq("follower", "following"),
         col("block_height"), Seq(col("op_index")))
       .filter(!col("unfollow"))
-      .select(
-        concat_ws("-", lit("hive"), col("follower"), col("following"))
-          .as("_id"),
-        col("follower"), col("following"), col("what"),
-        col("ts").as("followed_at"))
+      .select("_id", "follower", "following", "what", "followed_at")
   }
 
   private def postingProfile(field: String) =
@@ -120,9 +130,14 @@ object GraphIngest {
         lit(null).cast("double").as("score"))
   }
 
-  /** account_update2 → communities (`hive-` accounts,
-    * hive-stream.ts:456-472); flagged needs_update for the
-    * enrichment join (S4). */
+  /** Communities from the two write sites, merged per account:
+    *   - account_update2 on `hive-` accounts with a profile key sets
+    *     ONLY images + needs_update (hive-stream.ts:456-472 — title/
+    *     about arrive later via updateProps or the S4 refresh);
+    *   - custom_json id=community ["updateProps", {title, about}]
+    *     sets title/about + needs_update (hive-stream.ts:311-323),
+    *     keyed by the SIGNING account.
+    */
   def communities(ops: DataFrame): DataFrame = {
     val au = ops.filter(col("op_name") === "account_update2")
       .select(
@@ -132,22 +147,48 @@ object GraphIngest {
         col("ts"), col("block_height"), col("op_index"))
       .filter(col("account").isNotNull &&
         col("account").startsWith("hive-"))
-    Merge.latestWins(au, Seq("account"), col("block_height"),
-        Seq(col("op_index")))
+      // profile-less / malformed json is skipped for communities too
+      // (hive-stream.ts:453-455)
+      .filter(get_json_object(col("posting_json_metadata"), "$.profile")
+        .isNotNull)
+    val images = Merge.latestWins(au, Seq("account"),
+        col("block_height"), Seq(col("op_index")))
+      .select(col("account"), col("ts"),
+        struct(postingProfile("profile_image").as("avatar"),
+          postingProfile("cover_image").as("cover")).as("images"))
+
+    val props = ops.filter(col("op_name") === "custom_json" &&
+      get_json_object(col("payload"), "$.id") === "community")
+      .withColumn("json", get_json_object(col("payload"), "$.json"))
+      .filter(get_json_object(col("json"), "$[0]") === "updateProps")
       .select(
-        concat(lit("hive/"), col("account")).as("_id"),
-        col("account").as("username"),
-        postingProfile("name").as("title"),
-        postingProfile("about").as("about"),
+        get_json_object(col("payload"), "$.required_posting_auths[0]")
+          .as("account"),
+        get_json_object(col("json"), "$[1].title").as("title"),
+        get_json_object(col("json"), "$[1].about").as("about"),
+        col("ts"), col("block_height"), col("op_index"))
+      .filter(col("account").isNotNull)
+    val latestProps = Merge.latestWins(props, Seq("account"),
+        col("block_height"), Seq(col("op_index")))
+      .select(col("account").as("p_account"), col("title"),
+        col("about"), col("ts").as("p_ts"))
+
+    images.join(latestProps,
+        col("account") === col("p_account"), "full_outer")
+      .withColumn("acct", coalesce(col("account"), col("p_account")))
+      .select(
+        concat(lit("hive/"), col("acct")).as("_id"),
+        col("acct").as("username"),
+        col("title"),
+        col("about"),
         lit(null).cast("string").as("description"),
         lit(null).cast("string").as("flag_text"),
         lit(null).cast("string").as("lang"),
         lit(null).cast("boolean").as("is_nsfw"),
         lit(null).cast("int").as("subscribers"),
-        col("ts").as("created_at"),
+        coalesce(col("ts"), col("p_ts")).as("created_at"),
         lit(null).cast("array<array<string>>").as("roles"),
-        struct(postingProfile("profile_image").as("avatar"),
-          postingProfile("cover_image").as("cover")).as("images"),
+        col("images"),
         lit(true).as("needs_update"))
   }
 
@@ -156,6 +197,11 @@ object GraphIngest {
     * complete auth set — adds and revokes fall out of the replace
     * (relational `except` of old vs new, here latest-wins + explode).
     */
+  /** Accounts whose granted posting authority is tracked
+    * (reference src/config.ts delegated_posting_accounts). */
+  val delegatedPostingAccounts: Seq[String] =
+    Seq("threespeak", "threespeak.beta")
+
   def delegatedAuthority(ops: DataFrame): DataFrame = {
     val au = ops.filter(col("op_name") === "account_update")
       .select(
@@ -170,6 +216,10 @@ object GraphIngest {
         col("trx_id"),
         explode(from_json(col("auths_json"), graft.ddl("array<array<string>>")))
           .as("auth"))
+      // only configured delegate accounts are tracked
+      // (hive-stream.ts:425-427)
+      .filter(col("auth").getItem(0)
+        .isin(delegatedPostingAccounts: _*))
       .select(
         lit("posting").as("type"),
         col("account").as("from"),
@@ -179,8 +229,10 @@ object GraphIngest {
         col("block_height"))
   }
 
-  /** custom_json id=spk.bridge_id → needs_stream_id flags
-    * (hive-stream.ts:261-281). */
+  /** custom_json id=spk.bridge_id → dirty set: the reference only
+    * FLAGS needs_stream_id on the existing post (hive-stream.ts:
+    * 261-281); the id itself is created later by offchainIdRefresh
+    * (Enrich.applyStreamIds is that application step). */
   def streamIdRequests(ops: DataFrame): DataFrame =
     ops.filter(col("op_name") === "custom_json" &&
       get_json_object(col("payload"), "$.id") === "spk.bridge_id")

@@ -289,10 +289,21 @@ object PostsIngest {
   /** Apply the dirty set: set needs_stat_update on matching posts
     * (MERGE-shaped; batch = left join + boolean or). */
   def flagNeedsStatUpdate(posts: DataFrame, dirty: DataFrame): DataFrame =
+    flagColumn(posts, dirty, "needs_stat_update")
+
+  /** spk.bridge_id dirty set → needs_stream_id flags
+    * (hive-stream.ts:268-280). */
+  def flagNeedsStreamId(posts: DataFrame, requests: DataFrame): DataFrame =
+    flagColumn(posts, requests.select("author", "permlink"),
+      "needs_stream_id")
+
+  private def flagColumn(posts: DataFrame, dirty: DataFrame,
+                         flag: String): DataFrame =
     posts.alias("p")
-      .join(dirty.withColumn("__dirty", lit(true)).alias("d"),
+      .join(dirty.select("author", "permlink").distinct()
+        .withColumn("__dirty", lit(true)).alias("d"),
         Seq("author", "permlink"), "left")
-      .withColumn("needs_stat_update",
-        col("needs_stat_update") || coalesce(col("__dirty"), lit(false)))
+      .withColumn(flag,
+        col(flag) || coalesce(col("__dirty"), lit(false)))
       .drop("__dirty")
 }

@@ -49,11 +49,14 @@ class GraphSpec extends SparkSpec {
       js("""{"profile":{"name":"Alice V2","about":"new",""" +
         """"profile_image":"https://img/a.png"},"did":"did:key:abc"}""") + "}"
     val c1 = """{"account":"hive-199","posting_json_metadata":""" +
-      js("""{"profile":{"name":"My Community"}}""") + "}"
+      js("""{"profile":{"profile_image":"https://img/c.png"}}""") + "}"
+    val props = cj("community", "hive-199",
+      """["updateProps",{"title":"My Community","about":"a community"}]""")
     val ops = toOps(spark,
       block(100, "2024-05-01T12:00:00",
         ("t1", Seq(("account_update2", p1))),
-        ("t2", Seq(("account_update2", c1)))),
+        ("t2", Seq(("account_update2", c1))),
+        ("t4", Seq(("custom_json", props)))),
       block(101, "2024-05-01T12:00:03",
         ("t3", Seq(("account_update2", p2)))))
     val prof = GraphIngest.profiles(ops).collect()
@@ -66,7 +69,12 @@ class GraphSpec extends SparkSpec {
     val comm = GraphIngest.communities(ops).collect()
     assert(comm.length == 1)
     assert(comm.head.getAs[String]("username") == "hive-199")
+    // account_update2 sets only images (hive-stream.ts:456-472);
+    // title/about come from the updateProps custom_json
+    assert(comm.head.getAs[Row]("images").getAs[String]("avatar")
+      == "https://img/c.png")
     assert(comm.head.getAs[String]("title") == "My Community")
+    assert(comm.head.getAs[String]("about") == "a community")
     assert(comm.head.getAs[Boolean]("needs_update"))
   }
 
