@@ -63,7 +63,7 @@ object Enrich {
           col("c.total_payout_value"),
           col("c.curator_payout_value"),
           payout.as("payout"),
-          col("c.cashout_time").as("payout_at")))
+          col("c.last_payout").as("payout_at")))  // core.ts:133
           .otherwise(col("p.hive_rewards")))
       .withColumn("needs_stat_update",
         when(col("c.net_votes").isNotNull, lit(false))
@@ -142,25 +142,29 @@ object Enrich {
 
   /** process-meta notifications (X7, src/services/block_processing/
     * notifications.ts:5-56): extract @mentions from post bodies →
-    * notification rows; DID mentions typed separately; hive names
-    * lowercased. */
+    * notification rows; DID mentions typed 'did', hive names
+    * lowercased, mentioned_at = the post's updated_at, ref =
+    * hive/<author>/<permlink>. Mention token charset and the
+    * preceding-boundary rule follow twitter-text's published mention
+    * pattern (no dots in names; not preceded by word/@-adjacent
+    * chars). Dedup matches the whole-document dedup at insert
+    * (process-meta.ts:25-28). */
   def mentionNotifications(posts: DataFrame): DataFrame = {
-    val mentionRe = "@([a-zA-Z0-9._:-]+)"
+    val mentionRe = "(?:^|[^a-zA-Z0-9_!#$%&*@＠])[@＠]([a-zA-Z0-9_:-]{1,80})"
     posts
-      .select(col("author"), col("permlink"), col("created_at"),
+      .select(col("author"), col("permlink"), col("updated_at"),
         explode(array_distinct(
           regexp_extract_all(col("body"), lit(mentionRe), lit(1))))
           .as("mention"))
-      .filter(col("mention") =!= col("author"))
       .select(
         when(col("mention").startsWith("did:"), col("mention"))
           .otherwise(lower(col("mention"))).as("target"),
         col("author").as("from"),
-        when(col("mention").startsWith("did:"), lit("ceramic"))
+        when(col("mention").startsWith("did:"), lit("did"))
           .otherwise(lit("hive")).as("type"),
         lit("mention").as("notification_type"),
-        col("created_at").as("mentioned_at"),
-        concat_ws(":", lit("hive"), col("author"), col("permlink"))
+        col("updated_at").as("mentioned_at"),
+        concat_ws("/", lit("hive"), col("author"), col("permlink"))
           .as("ref"))
       .distinct()
   }

@@ -108,16 +108,18 @@ class EnrichSpec extends SparkSpec {
     val notifs = Enrich.mentionNotifications(
       posts.withColumn("body",
         when(col("permlink") === "x1",
-          lit("hey @Bob and @did:key:z6MkTest")).otherwise(col("body"))))
+          lit("hey @Bob and @did:key:z6MkTest but not email@host"))
+          .otherwise(col("body"))))
       .collect()
     val targets = notifs.map(r => (r.getAs[String]("target"),
       r.getAs[String]("from"), r.getAs[String]("type"))).toSet
     assert(targets.contains(("bob", "carol", "hive")))       // lowercased
-    assert(targets.contains(("did:key:z6MkTest", "carol", "ceramic")))
+    assert(targets.contains(("did:key:z6MkTest", "carol", "did")))
     assert(targets.contains(("bob", "alice", "hive")))
-    // self-mentions excluded, ref format correct
-    assert(!targets.exists(t => t._1 == t._2))
-    assert(notifs.head.getAs[String]("ref").startsWith("hive:"))
+    // email-style @ is not a mention (twitter-text boundary rule)
+    assert(!targets.exists(_._1 == "host"))
+    // ref format hive/<author>/<permlink> (notifications.ts:52)
+    assert(notifs.head.getAs[String]("ref").startsWith("hive/"))
   }
 
   test("communityRefresh: needs_update rows refreshed from rpc, flag cleared (S4)") {
