@@ -65,20 +65,32 @@ object PostQueries {
   }
 
   /** Apply F13 byFollower as a broadcast left-semi join against the
-    * follows edge list (resolvers/index.ts:126-146): keep posts whose
-    * author is followed by X. The follow set of one account is tiny ⇒
-    * broadcast, no shuffle of posts. */
+    * follow edge list (resolvers/index.ts:126-146): keep posts whose
+    * author is followed by X. A `did:`-prefixed follower reads the
+    * offchain `social_connections` table instead of `follows`
+    * (resolvers/index.ts:127-138). The follow set of one account is
+    * tiny ⇒ broadcast, no shuffle of posts. */
   def applyFollower(posts: DataFrame, follows: DataFrame,
-                    follower: String): DataFrame =
+                    follower: String,
+                    socialConnections: Option[DataFrame] = None)
+      : DataFrame = {
+    val edges =
+      if (follower.startsWith("did:"))
+        socialConnections.getOrElse(follows)
+      else follows
     posts.join(
-      broadcast(follows.filter(col("follower") === follower)
+      broadcast(edges.filter(col("follower") === follower)
         .select(col("following"))),
       posts("author") === col("following"), "left_semi")
+  }
 
   private def filtered(posts: DataFrame, follows: DataFrame,
-                       a: FeedArgs): DataFrame = {
+                       a: FeedArgs,
+                       socialConnections: Option[DataFrame] = None)
+      : DataFrame = {
     val base = posts.filter(feedPredicate(a))
-    a.byFollower.fold(base)(f => applyFollower(base, follows, f))
+    a.byFollower.fold(base)(f =>
+      applyFollower(base, follows, f, socialConnections))
   }
 
   /** Q8 socialFeed: newest-first page. */

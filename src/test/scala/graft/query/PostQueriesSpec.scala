@@ -68,6 +68,18 @@ class PostQueriesSpec extends SparkSpec {
     assert(out == Set("v1", "v2"))        // carol follows only alice
   }
 
+  test("byFollower did: prefix routes to social_connections") {
+    import spark.implicits._
+    val sc = Seq(("did:key:z6MkQ", "alice")).toDF("follower", "following")
+    val out = PostQueries.applyFollower(posts, follows,
+      "did:key:z6MkQ", Some(sc))
+      .select("permlink").collect().map(_.getString(0)).toSet
+    assert(out == Set("v1", "v2"))
+    // without social_connections, a did follower matches nothing
+    assert(PostQueries.applyFollower(posts, follows,
+      "did:key:z6MkQ").count() == 0)
+  }
+
   test("trendingFeed: 3-day window from newest match (Q10)") {
     // newest post e1 at 05-04; v1/v2/b1 at 05-01 are > 3 days older
     val out = PostQueries.trendingFeed(posts, follows, FeedArgs())
