@@ -85,6 +85,7 @@ object StreamIngest {
     * a readStream of the CDC feed. */
   def ceramicPosts(cdc: DataFrame): DataFrame = {
     val doc = col("fullDocument")
+    val raw = doc.getField("content").getField("json_metadata_raw")
     cdc
       .filter(col("ns.coll") === "graph.docs")
       .filter(col("operationType") =!= "delete")
@@ -92,23 +93,51 @@ object StreamIngest {
         size(map_keys(col("updateDescription.updatedFields"))) === 1 &&
         array_contains(map_keys(col("updateDescription.updatedFields")),
           "last_pinged")))
+      // only documents with content are indexed (services/index.ts:68)
+      .filter(doc.getField("content").isNotNull)
       .select(
-        coalesce(doc.getField("parent_headers").getField("author"),
-          lit("")).as("parent_author"),
-        coalesce(doc.getField("parent_headers").getField("permlink"),
-          lit("")).as("parent_permlink"),
+        doc.getField("parent_headers").getField("author")
+          .as("parent_author"),
+        doc.getField("parent_headers").getField("permlink")
+          .as("parent_permlink"),
         doc.getField("creator_id").as("author"),
-        coalesce(doc.getField("app_metadata").getField("permlink"),
-          doc.getField("id")).as("permlink"),
+        doc.getField("app_metadata").getField("permlink").as("permlink"),
         lit("published").as("status"),
         doc.getField("content").getField("title").as("title"),
         doc.getField("content").getField("body").as("body"),
-        doc.getField("content").getField("json_metadata_raw")
-          .as("json_metadata_raw"),
+        coalesce(from_json(get_json_object(raw, "$.tags"),
+          graft.ddl("array<string>")),
+          array().cast("array<string>")).as("tags"),
         doc.getField("created_at").as("created_at"),
         doc.getField("updated_at").as("updated_at"),
+        lit("unprocessed").as("metadata_status"),
+        lit(false).as("needs_stat_update"),
+        struct(lit(null).cast("long").as("block_height"),
+          doc.getField("version_id").as("version_id"))
+          .as("state_control"),
+        struct(lit(false).as("allowed_by_parent"),
+          lit(true).as("allowed_by_type"),
+          lit(false).as("allowed_by_community")).as("origin_control"),
+        raw.as("json_metadata_raw"),
+        struct(array().cast("array<string>").as("types"),
+          split(get_json_object(raw, "$.app"), "/").getItem(0)
+            .as("app"),
+          lit(null).cast(graft.domain.Schemas.spkvideo).as("spkvideo"))
+          .as("app_metadata"),
+        array().cast("array<struct<cid:string>>").as("ipfs_links"),
+        array().cast("array<struct<account:string,weight:int>>")
+          .as("beneficiaries"),
         doc.getField("id").as("off_chain_id"),
-        doc.getField("version_id").as("version_id"),
+        // comment flag iff parent_headers.permlink is truthy
+        // (services/index.ts:72-75)
+        when(length(coalesce(doc.getField("parent_headers")
+          .getField("permlink"), lit(""))) > 0,
+          array(lit("comment")))
+          .otherwise(array().cast("array<string>")).as("flags"),
+        // Divergence note: the reference's $set omits TYPE entirely,
+        // so its own F12 `TYPE != CERAMIC` filter never actually
+        // excludes ceramic rows (a latent bug); we set the evident
+        // intent so includeCeramic works as designed.
         lit("CERAMIC").as("TYPE"),
         lit("post_ceramic").as("__t"),
         lit("0.1").as("__v"))
