@@ -75,6 +75,16 @@ object Enrich {
       }.toSeq: _*)
   }
 
+  /** The dirty set updateHeightWeight fetches playlists for
+    * (core.ts:198-207): top-level 3speak posts without dimensions. */
+  def videoMetaCandidates(posts: DataFrame): DataFrame =
+    posts.filter(col("parent_author") === "" &&
+      get_json_object(col("json_metadata_raw"), "$.app")
+        .rlike("3speak") &&
+      col("app_metadata.spkvideo.height").isNull &&
+      col("app_metadata.spkvideo.width").isNull)
+      .select("author", "permlink")
+
   /** updateHeightWeight (core.ts:193-246): video posts without
     * dimensions ⋈ fetched playlists (S6) → width/height via the
     * RESOLUTION regex (X9) + is_short (X10: ≤180 s and portrait).
@@ -86,8 +96,10 @@ object Enrich {
       regexp_extract(col("body"), res, 2).cast("int").as("h"))
       .withColumn("w", coalesce(when(col("w") =!= 0, col("w")), lit(0)))
       .withColumn("h", coalesce(when(col("h") =!= 0, col("h")), lit(0)))
-    val duration = get_json_object(col("json_metadata_raw"),
-      "$.video.info.duration").cast("double")
+    // duration ?? 0.0 (core.ts:226) — a missing duration still gets
+    // an is_short verdict from the aspect ratio alone
+    val duration = coalesce(get_json_object(col("json_metadata_raw"),
+      "$.video.info.duration").cast("double"), lit(0.0))
     val sv = col("app_metadata.spkvideo")
     posts.join(pl, Seq("author", "permlink"), "left")
       .withColumn("app_metadata",
@@ -111,9 +123,9 @@ object Enrich {
     * votes); everyone else zeroed (S11 as a left join, not a scan-
     * and-update loop). */
   def channelScores(posts: DataFrame, profiles: DataFrame): DataFrame = {
-    val videos = posts.filter(
-      col("app_metadata.app") === "3speak" &&
-        !array_contains(col("flags"), "comment"))
+    // the reference scores over ALL app=3speak posts of the author —
+    // it does not exclude comment-flagged rows (core.ts:341-345)
+    val videos = posts.filter(col("app_metadata.app") === "3speak")
     val commentCounts = posts
       .filter(col("parent_author") =!= "")
       .groupBy(col("parent_author").as("ca"),
