@@ -84,20 +84,32 @@ object PostProjections {
       .withColumn("spkvideo", spkvideoProjection)
       .withColumn("__typename", typename)
 
+  /** JS `x || null`: empty string (falsy) collapses to null. */
+  private def orNull(c: Column): Column = when(c =!= "", c)
+
   /** P7 profile projection with null fallbacks
-    * (resolvers/profiles.ts:13-67). */
+    * (resolvers/profiles.ts:13-67): id = the `_id` key, name =
+    * displayName or null (no username fallback); `|| null` getters
+    * collapse empty strings to null. */
   def profileView(profiles: DataFrame): DataFrame =
     profiles.select(
-      col("username").as("id"),
-      coalesce(col("displayName"), col("username")).as("name"),
-      col("about"), col("location"), col("website"), col("did"),
+      col("_id").as("id"),
+      col("username"),
+      orNull(col("displayName")).as("name"),
+      orNull(col("about")).as("about"),
+      orNull(col("location")).as("location"),
+      orNull(col("website")).as("website"),
+      col("did"),
       struct(col("images.avatar").as("avatar"),
         col("images.cover").as("cover")).as("images"),
       col("extra.pinned_post").as("pinned_post"),
-      col("score"))
+      col("score"),
+      lit("HiveProfile").as("__typename"))
 
   /** P7 (Ceramic variant): about←description, website←url,
-    * avatar←image.original.src (resolvers/profiles.ts:117-150). */
+    * avatar←image.original.src, background←background.original.src —
+    * no falsy fallbacks on this class (resolvers/profiles.ts:108-150).
+    */
   def ceramicProfileView(ceramicProfiles: DataFrame): DataFrame =
     ceramicProfiles.select(
       col("did").as("id"),
@@ -107,7 +119,8 @@ object PostProjections {
       col("url").as("website"),
       col("did"),
       struct(col("image.original.src").as("avatar"),
-        col("background.original.src").as("cover")).as("images"))
+        col("background.original.src").as("background")).as("images"),
+      lit("CeramicProfile").as("__typename"))
 
   /** P8 community roles unpack: [[username, role, title]] → array of
     * structs (resolvers/index.ts:413-420). */

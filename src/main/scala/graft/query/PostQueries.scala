@@ -145,12 +145,14 @@ object PostQueries {
         col("parent_author").as("a_pa"),
         col("parent_permlink").as("a_pp"))
       .limit(1)
+    // NB: the reference does NOT exclude the anchor post itself —
+    // it matches its own tags and can appear in the sample
+    // (resolvers/index.ts:279-296)
     val related = filtered(posts, follows, a)
       .crossJoin(broadcast(anchor))
       .filter(
         arrays_overlap(col("tags"), col("a_tags")) ||
           (col("a_pa") === "" && col("parent_permlink") === col("a_pp")))
-      .filter(!(col("author") === author && col("permlink") === permlink))
       .drop("a_tags", "a_pa", "a_pp")
     related.orderBy(rand(seed)).limit(if (a.limit > 0) a.limit else 25)
   }

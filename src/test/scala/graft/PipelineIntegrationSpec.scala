@@ -78,9 +78,7 @@ class PipelineIntegrationSpec extends SparkSpec {
       == Seq("v1"))
     val hydrated = PostQueries.hydrateAuthors(feed,
       PostProjections.profileView(profiles1)
-        .withColumnRenamed("id", "username")
-        .withColumn("displayName", col("name"))
-        .withColumn("about", lit(null).cast("string")))
+        .withColumn("displayName", col("name")))
     assert(hydrated.head().getAs[Row]("author_profile") != null)
 
     // -- notifications from mentions (X7)

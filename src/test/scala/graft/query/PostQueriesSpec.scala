@@ -95,11 +95,13 @@ class PostQueriesSpec extends SparkSpec {
     assert(out.toSet == Set("v1", "v2"))  // e1 lacks 'video' token
   }
 
-  test("relatedFeed: tag overlap, anchor excluded, seeded (Q11)") {
+  test("relatedFeed: tag overlap, anchor included, seeded (Q11)") {
     val out = PostQueries.relatedFeed(posts, follows, FeedArgs(),
       "alice", "v1", seed = 7L)
       .select("permlink").collect().map(_.getString(0)).toSet
-    assert(out == Set("v2", "e1", "b1"))  // tag overlap or same community
+    // tag overlap or same community; the reference does not exclude
+    // the anchor post itself (resolvers/index.ts:279-296)
+    assert(out == Set("v1", "v2", "e1", "b1"))
   }
 
   test("socialPost point lookup (Q1) and children (Q3)") {

@@ -69,7 +69,10 @@ class ProjectionsAndVectorsSpec extends SparkSpec {
         struct(lit(null).cast("string").as("pinned_post")))
       .withColumn("score", lit(1.0))
     val view = PostProjections.profileView(profiles).collect().head
-    assert(view.getAs[String]("name") == "alice")  // fallback to username
+    assert(view.getAs[String]("id") == "hive/alice")  // id = _id
+    assert(view.getAs[String]("name") == null)  // no username fallback
+    assert(view.getAs[String]("username") == "alice")
+    assert(view.getAs[String]("__typename") == "HiveProfile")
     assert(view.getAs[Row]("images").getAs[String]("avatar") == "av.png")
 
     val comm = Seq(Tuple1("hive/hive-1")).toDF("_id")
