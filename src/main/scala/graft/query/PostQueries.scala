@@ -203,6 +203,36 @@ object PostQueries {
       sum(when(col("following") === id, 1).otherwise(0))
         .as("follower_count"))
 
+  /** Q12 follows(id) edge lists: the reference returns BOTH
+    * directions — `followings` (follower = id) and `followers`
+    * (following = id) — each edge with `followed_at.toISOString()`
+    * and lazily-hydrated follower/following profiles
+    * (resolvers/index.ts:322-351). One scan emits both lists (a
+    * self-follow edge lands in both, like the reference), and the
+    * per-edge N+1 profile lookups become two broadcast joins. */
+  def followEdges(follows: DataFrame, profiles: DataFrame,
+      id: String): DataFrame = {
+    val edges = follows
+      .filter(col("follower") === id || col("following") === id)
+      .withColumn("list", explode(filter(array(
+        when(col("follower") === id, lit("followings")),
+        when(col("following") === id, lit("followers"))),
+        x => x.isNotNull)))
+      .withColumn("followed_at",
+        date_format(col("followed_at"),
+          "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+    def prof(as: String) = broadcast(profiles.select(
+      col("username").as(s"_u_$as"),
+      struct(col("username"), col("displayName"), col("about"),
+        col("images")).as(as)))
+    edges
+      .join(prof("follower_profile"),
+        col("follower") === col("_u_follower_profile"), "left")
+      .join(prof("following_profile"),
+        col("following") === col("_u_following_profile"), "left")
+      .drop("_u_follower_profile", "_u_following_profile")
+  }
+
   /** Q13 leaderBoard: score>0 profiles ranked (window), plus
     * total_active_creators (A7). */
   def leaderBoard(profiles: DataFrame): DataFrame =

@@ -130,6 +130,30 @@ class PostQueriesSpec extends SparkSpec {
     assert(fc.getAs[Long]("follower_count") == 0)
   }
 
+  test("followEdges: both lists, ISO followed_at, hydrated (Q12)") {
+    import spark.implicits._
+    val profiles = Seq(("alice", "Alice"), ("carol", "Carol"))
+      .toDF("username", "displayName")
+      .withColumn("about", lit(null).cast("string"))
+      .withColumn("images", struct(
+        lit(null).cast("string").as("avatar"),
+        lit(null).cast("string").as("cover")))
+    val rows = PostQueries.followEdges(follows, profiles, "carol")
+      .collect()
+    assert(rows.map(_.getAs[String]("list")).toSeq == Seq("followings"))
+    val e = rows.head
+    assert(e.getAs[String]("followed_at")
+      == "2024-05-01T12:00:00.000Z")
+    assert(e.getAs[org.apache.spark.sql.Row]("follower_profile")
+      .getAs[String]("displayName") == "Carol")
+    assert(e.getAs[org.apache.spark.sql.Row]("following_profile")
+      .getAs[String]("displayName") == "Alice")
+    // the followed account's view: same edge lands in `followers`
+    val back = PostQueries.followEdges(follows, profiles, "alice")
+      .collect()
+    assert(back.map(_.getAs[String]("list")).toSeq == Seq("followers"))
+  }
+
   test("trendingTags 14-day window (A1)") {
     val tags = PostQueries.trendingTags(posts,
       to_timestamp(lit("2024-05-05 00:00:00")), k = 3)
