@@ -1,30 +1,40 @@
 package graft.ingest
 
 import graft.functions.Dmp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** One comment-op event after payload parsing + sibling-op join. */
+/** One comment-op event after payload parsing + sibling-op join.
+  * `allowed_by_type` is per-event (each op is gated on its OWN
+  * metadata); `allowed_by_parent` is filled by [[PostsIngest.gateEvents]].
+  */
 final case class CommentEv(
     author: String, permlink: String,
     parent_author: String, parent_permlink: String,
     block_height: Long, op_index: Int, ts: java.sql.Timestamp,
     title: String, body: String, json_metadata_raw: String,
     deleted: Boolean, authority_signed: Boolean,
-    beneficiaries: scala.collection.Seq[Beneficiary])
+    beneficiaries: scala.collection.Seq[Beneficiary],
+    allowed_by_type: Boolean, allowed_by_parent: Boolean)
 
 final case class Beneficiary(account: String, weight: Int)
 
-/** Folded per-(author,permlink) post state before relational
-  * decoration. */
+/** Folded per-post state before relational decoration.
+  * `json_metadata_raw` is the LAST write (what gets stored);
+  * `insert_metadata_raw` is the insert-time metadata, which alone
+  * feeds app_metadata / ipfs_links (the reference's edit `$set` never
+  * recomputes them, hive-stream.ts:563-577 vs :586-655). */
 final case class FoldedPost(
     author: String, permlink: String,
     parent_author: String, parent_permlink: String,
-    title: String, body: String, json_metadata_raw: String,
+    title: String, body: String,
+    json_metadata_raw: String, insert_metadata_raw: String,
     created_at: java.sql.Timestamp, updated_at: java.sql.Timestamp,
     block_height: Long, status: String, authority_signed: Boolean,
-    beneficiaries: scala.collection.Seq[Beneficiary], n_edits: Int)
+    beneficiaries: scala.collection.Seq[Beneficiary],
+    allowed_by_type: Boolean, allowed_by_parent: Boolean,
+    n_edits: Int)
 
 /** The comment pipeline (SURVEY.md §2/§3.2; reference
   * src/workers/hive-stream.ts:494-698).
@@ -49,6 +59,16 @@ object PostsIngest {
   private val payloadSchema =
     "struct<parent_author:string,parent_permlink:string,author:string," +
       "permlink:string,title:string,body:string,json_metadata:string>"
+
+  /** X3 detectPostType over a raw json_metadata column
+    * (block_processing/posts.ts:1-30): exact, case-sensitive app
+    * names; ALLOWED_APPS = ['3speak','dbuzz']. */
+  private def appAllowedByType(metaRaw: Column): Column = {
+    val appName = split(from_json(metaRaw,
+      graft.domain.Schemas.commentMeta).getField("app"), "/").getItem(0)
+    // '3speak' → '3speak', 'dBuzz' → 'dbuzz'; both pass the gate
+    coalesce(appName === "3speak" || appName === "dBuzz", lit(false))
+  }
 
   /** comment ops → parsed events incl. sibling-op facts (J10, joined
     * per transaction). */
@@ -76,46 +96,100 @@ object PostsIngest {
       .withColumn("deleted",
         coalesce(array_contains(meta.getField("flags"), "deleted") ||
           array_contains(meta.getField("tags"), "deleted"), lit(false)))
+      .withColumn("allowed_by_type",
+        appAllowedByType(col("json_metadata_raw")))
+      .withColumn("allowed_by_parent", lit(false))
+  }
+
+  /** Per-EVENT indexing gate (hive-stream.ts:515-528): every comment
+    * op — insert or edit alike — is dropped unless its OWN metadata
+    * passes the app-type gate or its parent is an indexed post. The
+    * indexed-key set is resolved iteratively through reply chains
+    * (the reference resolves them naturally by sequential block
+    * order; a chain deeper than `chainDepth` levels inside one batch
+    * needs a higher depth). Fills `allowed_by_parent` per event.
+    * Parent identity is `(author, permlink)` — the reference's parent
+    * lookup uses only those two fields (hive-stream.ts:517-520). */
+  def gateEvents(evs: DataFrame,
+                 existingPosts: Option[DataFrame] = None,
+                 chainDepth: Int = 3): DataFrame = {
+    val existingKeys = existingPosts.map(
+      _.select(col("author").as("pa"), col("permlink").as("pp"))
+        .distinct())
+    val typeKeys = evs.filter(col("allowed_by_type"))
+      .select(col("author").as("pa"), col("permlink").as("pp"))
+      .distinct()
+    var allowed = existingKeys
+      .fold(typeKeys)(e => typeKeys.unionByName(e)).distinct()
+    for (_ <- 1 to chainDepth) {
+      val viaParent = evs.alias("e")
+        .join(allowed.alias("a"),
+          col("e.parent_author") === col("a.pa") &&
+            col("e.parent_permlink") === col("a.pp"), "left_semi")
+        .select(col("author").as("pa"), col("permlink").as("pp"))
+      allowed = allowed.unionByName(viaParent).distinct()
+    }
+    evs.drop("allowed_by_parent").alias("e")
+      .join(allowed.withColumn("__pok", lit(true)).alias("a"),
+        col("e.parent_author") === col("a.pa") &&
+          col("e.parent_permlink") === col("a.pp"), "left")
+      .withColumn("allowed_by_parent",
+        coalesce(col("__pok"), lit(false)))
+      .drop("pa", "pp", "__pok")
+      .filter(col("allowed_by_type") || col("allowed_by_parent"))
   }
 
   /** The sequential per-post fold: insert body verbatim, edits via
-    * dmp-or-replace, delete flags, last-op-wins metadata
-    * (hive-stream.ts:530-561). */
+    * dmp-or-replace, delete flags, last-op-wins stored metadata
+    * (hive-stream.ts:530-577).
+    *
+    * Post identity is the full 4-tuple `(parent_author,
+    * parent_permlink, author, permlink)` — the reference's
+    * already-exists lookup matches on all four (hive-stream.ts:530-535),
+    * so an op reusing a permlink under a different parent is a new
+    * document, not an edit.
+    *
+    * Insert-path-only facts: `authority_signed`, `beneficiaries`, and
+    * the metadata feeding app_metadata/ipfs_links come from the FIRST
+    * surviving event only — the edit `$set` (hive-stream.ts:563-577)
+    * never recomputes them. */
   def foldPosts(evs: Dataset[CommentEv])
       (implicit spark: SparkSession): Dataset[FoldedPost] = {
     import spark.implicits._
-    evs.groupByKey(e => (e.author, e.permlink)).flatMapGroups {
-      (key: (String, String), it: Iterator[CommentEv]) =>
-        val (author, permlink) = key
-        val ordered = it.toArray.sortBy(e => (e.block_height, e.op_index))
-        if (ordered.isEmpty) Iterator.empty
-        else {
-          val head = ordered.head
-          var body = head.body            // insert: verbatim
-          var title = head.title
-          var meta = head.json_metadata_raw
-          // insert is always published; only EDITS carry the deleted
-          // flag (reference: hive-stream.ts:550-561 is the edit path,
-          // the insert path hardcodes status:'published' at :661)
-          var status = "published"
-          var signed = head.authority_signed
-          var benefs = head.beneficiaries
-          ordered.tail.foreach { e =>     // edits: dmp-or-replace
-            body = Dmp.applyOrReplace(e.body, body)
-            if (e.title != null) title = e.title
-            if (e.json_metadata_raw != null) meta = e.json_metadata_raw
-            status = if (e.deleted) "deleted" else "published"
-            signed = signed || e.authority_signed
-            if (e.beneficiaries != null && e.beneficiaries.nonEmpty)
-              benefs = e.beneficiaries
+    evs.groupByKey(e =>
+      (e.author, e.permlink, e.parent_author, e.parent_permlink))
+      .flatMapGroups {
+        (key: (String, String, String, String),
+         it: Iterator[CommentEv]) =>
+          val (author, permlink, pa, pp) = key
+          val ordered = it.toArray
+            .sortBy(e => (e.block_height, e.op_index))
+          if (ordered.isEmpty) Iterator.empty
+          else {
+            val head = ordered.head
+            var body = head.body            // insert: verbatim
+            var title = head.title
+            var lastMeta = head.json_metadata_raw
+            // insert is always published; only EDITS carry the
+            // deleted flag (hive-stream.ts:550-561 is the edit path,
+            // the insert path hardcodes status:'published' at :661)
+            var status = "published"
+            ordered.tail.foreach { e =>     // edits: dmp-or-replace
+              body = Dmp.applyOrReplace(e.body, body)
+              if (e.title != null) title = e.title
+              if (e.json_metadata_raw != null)
+                lastMeta = e.json_metadata_raw
+              status = if (e.deleted) "deleted" else "published"
+            }
+            val last = ordered.last
+            Iterator.single(FoldedPost(author, permlink, pa, pp,
+              title, body, lastMeta, head.json_metadata_raw,
+              head.ts, last.ts, last.block_height,
+              status, head.authority_signed, head.beneficiaries,
+              head.allowed_by_type, head.allowed_by_parent,
+              ordered.length - 1))
           }
-          val last = ordered.last
-          Iterator.single(FoldedPost(author, permlink,
-            head.parent_author, head.parent_permlink,
-            title, body, meta, head.ts, last.ts, last.block_height,
-            status, signed, benefs, ordered.length - 1))
-        }
-    }
+      }
   }
 
   /** Relational decoration of folded posts into the full posts schema:
@@ -127,11 +201,9 @@ object PostsIngest {
     * window — intended semantics; see divergence note), origin/state
     * control, discriminators.
     *
-    * Gate semantics (hive-stream.ts:515-528): a post is INDEXED only
-    * if allowed_by_type OR its parent is itself indexed — others are
-    * dropped, not stored. Reply chains resolve iteratively up to
-    * `chainDepth` levels per batch (the reference resolves them
-    * naturally by sequential processing).
+    * Input must be pre-gated via [[gateEvents]]; app_metadata /
+    * ipfs_links derive from `insert_metadata_raw` (insert-time),
+    * stored tags/json_metadata from the last write.
     *
     * Documented divergence: the reference's first-upload lookup
     * queries `video.first_upload` but writes
@@ -139,20 +211,16 @@ object PostsIngest {
     * so in practice it marks EVERY 3speak post first_upload=true; we
     * implement the evident intent (true only for the author's first
     * 3speak post, via a window). */
-  def decorate(folded: DataFrame,
-               existingPosts: Option[DataFrame] = None,
-               chainDepth: Int = 3): DataFrame = {
+  def decorate(folded: DataFrame): DataFrame = {
+    // stored fields (tags, json_metadata) track the LAST write; the
+    // app_metadata/ipfs_links inputs track the INSERT write only
     val meta = from_json(col("json_metadata_raw"),
       graft.domain.Schemas.commentMeta)
-    val appFull = meta.getField("app")
+    val insMeta = from_json(col("insert_metadata_raw"),
+      graft.domain.Schemas.commentMeta)
+    val appFull = insMeta.getField("app")
     val appName = split(appFull, "/").getItem(0)               // X2
-    // X3 detectPostType (block_processing/posts.ts:1-30): exact,
-    // case-sensitive app names; ALLOWED_APPS = ['3speak','dbuzz']
-    val postType = when(appName === "3speak", "3speak")
-      .when(appName === "dBuzz", "dbuzz")
-      .when(appName === "steemit", "steemit")
-      .otherwise("unknown")
-    val video = meta.getField("video").getField("info")
+    val video = insMeta.getField("video").getField("info")
     val srcMap = video.getField("sourceMap")
     val hasVideoEntry = coalesce(
       exists(srcMap, e => e.getField("type") === "video"), lit(false))
@@ -167,8 +235,6 @@ object PostsIngest {
         when(col("parent_author") =!= "", array(lit("comment")))
           .otherwise(array().cast("array<string>")))
       .withColumn("app_name", appName)
-      .withColumn("allowed_by_type",
-        postType.isin("3speak", "dbuzz"))
       .withColumn("is_3speak",
         coalesce(appFull.startsWith("3speak/"), lit(false)))
       // storage_type by sourceMap entry TYPE (video beats thumbnail,
@@ -194,33 +260,9 @@ object PostsIngest {
             .orderBy(col("block_height").asc, col("permlink").asc))
           === 1))
 
-    // J2 + indexing gate: allowed parents = existing posts ∪ posts
-    // kept by type, then propagate through reply chains.
-    val existingKeys = existingPosts.map(
-      _.select(col("author").as("pa"), col("permlink").as("pp")))
-    val typeKeys = withFirst.filter(col("allowed_by_type"))
-      .select(col("author").as("pa"), col("permlink").as("pp"))
-    var allowedParents = existingKeys
-      .fold(typeKeys)(e => typeKeys.unionByName(e)).distinct()
-    for (_ <- 1 to chainDepth) {
-      val viaParent = withFirst.alias("c")
-        .join(allowedParents.alias("par"),
-          col("c.parent_author") === col("par.pa") &&
-            col("c.parent_permlink") === col("par.pp"), "left_semi")
-        .select(col("author").as("pa"), col("permlink").as("pp"))
-      allowedParents = allowedParents.unionByName(viaParent).distinct()
-    }
-    val gated = withFirst.alias("c")
-      .join(allowedParents.alias("par"),
-        col("c.parent_author") === col("par.pa") &&
-          col("c.parent_permlink") === col("par.pp"), "left")
-      .withColumn("allowed_by_parent", col("par.pa").isNotNull)
-      .drop("pa", "pp")
-      // the reference drops non-allowed posts entirely
-      // (hive-stream.ts:526-528)
-      .filter(col("allowed_by_type") || col("allowed_by_parent"))
-
-    gated.select(
+    // Gating already happened per event in gateEvents; the folded
+    // allowed_by_* booleans are the insert event's origin facts.
+    withFirst.select(
       col("parent_author"), col("parent_permlink"),
       col("author"), col("permlink"), col("status"),
       col("title"), col("body"), col("tags"),
@@ -268,12 +310,13 @@ object PostsIngest {
       lit(null).cast("string").as("off_chain_id"))
   }
 
-  /** Full pipeline: ops → posts rows (batch replay). */
+  /** Full pipeline: ops → gate → fold → posts rows (batch replay). */
   def ingest(ops: DataFrame, existingPosts: Option[DataFrame] = None)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val evs = commentEvents(ops).as[CommentEv]
-    decorate(foldPosts(evs).toDF(), existingPosts)
+    val evs = gateEvents(commentEvents(ops), existingPosts)
+      .as[CommentEv]
+    decorate(foldPosts(evs).toDF())
   }
 
   /** Vote ops → dirty set (J9, hive-stream.ts:224-238): distinct

@@ -170,6 +170,56 @@ class IngestSpec extends SparkSpec {
     assert(posts.collect().head.getAs[String]("body") == "hello")
   }
 
+  test("edit failing the app gate is dropped; insert-time app_metadata sticks") {
+    // The reference gates EVERY comment op on its own metadata before
+    // the exists-check (hive-stream.ts:515-528), so an edit to a
+    // top-level post whose new metadata loses the allowed app is
+    // skipped entirely; and the edit $set never recomputes
+    // app_metadata/ipfs_links (hive-stream.ts:563-577).
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("tx1", Seq(("comment",
+          comment("alice", "p1", "v1 body", jsonMeta = videoMeta))))),
+      block(101, "2024-05-01T12:00:03",
+        // gate-failing edit: app not in ALLOWED_APPS → dropped
+        ("tx2", Seq(("comment", comment("alice", "p1", "hacked",
+          jsonMeta = """{"app":"other/1.0"}"""))))),
+      block(102, "2024-05-01T12:00:06",
+        // gate-passing edit: new tags stick, app_metadata does not
+        ("tx3", Seq(("comment", comment("alice", "p1", "new body",
+          jsonMeta = """{"app":"3speak/0.9","tags":["edited"]}"""))))))
+    val p = PostsIngest.ingest(ops)(spark).collect().head
+    assert(p.getAs[String]("body") == "new body")     // block 101 skipped
+    assert(p.getAs[org.apache.spark.sql.Row]("state_control")
+      .getAs[Long]("block_height") == 102)
+    // stored tags follow the last write...
+    assert(p.getAs[scala.collection.Seq[String]]("tags") == Seq("edited"))
+    // ...but storage_type/ipfs_links keep the insert-time sourceMap
+    assert(p.getAs[org.apache.spark.sql.Row]("app_metadata")
+      .getAs[org.apache.spark.sql.Row]("spkvideo")
+      .getAs[String]("storage_type") == "ipfs")
+    assert(p.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("ipfs_links")
+      .map(_.getAs[String]("cid")) == Seq("QmVid123", "QmThumb9"))
+  }
+
+  test("same permlink under a different parent is a new post, not an edit") {
+    // exists-check keys on all four fields (hive-stream.ts:530-535)
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("tx1", Seq(("comment", comment("alice", "top", "root"))))),
+      block(101, "2024-05-01T12:00:03",
+        ("tx2", Seq(("comment", comment("bob", "re", "reply A",
+          parentAuthor = "alice", parentPermlink = "top"))))),
+      block(102, "2024-05-01T12:00:06",
+        ("tx3", Seq(("comment", comment("bob", "re", "reply B",
+          jsonMeta = """{"app":"3speak/0.3"}"""))))))
+    val rows = PostsIngest.ingest(ops)(spark)
+      .filter(col("permlink") === "re").collect()
+    assert(rows.length == 2)      // two documents, no dmp chaining
+    assert(rows.map(_.getAs[String]("body")).toSet
+      == Set("reply A", "reply B"))
+  }
+
   test("out-of-order heights: stale op never wins (state_control guard)") {
     // N+1 written "before" N in the input — final state must be N+1's.
     val ops = toOps(spark,
