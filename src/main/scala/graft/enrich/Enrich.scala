@@ -19,9 +19,13 @@ object Enrich {
     * self-join comment counts (A2) → recomputed `stats` struct +
     * `hive_rewards`, dirty flag cleared.
     *
-    * A4 payout: pending if last_payout is epoch, else total+curator
-    * (core.ts:104). A3 vote tallies from active_votes signs
-    * (core.ts:117-126).
+    * Update applies only where the reference would write: TYPE='HIVE'
+    * rows whose `needs_stat_update` is true or missing (core.ts:77-98)
+    * and whose get_content RPC returned data — Ceramic posts and
+    * RPC misses keep their stored stats untouched. A4 payout: pending
+    * if last_payout is epoch, else total+curator (core.ts:104). A3
+    * vote tallies from active_votes signs (core.ts:117-126). The
+    * 6000-row/run batch cap is an operational knob, not a semantic.
     */
   def postStats(posts: DataFrame, contentRpc: DataFrame): DataFrame = {
     // A2: one aggregation replaces N countDocuments round-trips.
@@ -36,6 +40,10 @@ object Enrich {
       moneyToDouble(col("pending_payout_value")))
       .otherwise(moneyToDouble(col("total_payout_value")) +
         moneyToDouble(col("curator_payout_value")))
+    val dirty = col("p.needs_stat_update").isNull ||
+      col("p.needs_stat_update")
+    val applies = col("p.TYPE") === "HIVE" && dirty &&
+      col("c.net_votes").isNotNull
 
     posts.alias("p")
       .join(contentRpc.alias("c"), Seq("author", "permlink"), "left")
@@ -43,7 +51,7 @@ object Enrich {
         col("p.author") === col("ca") && col("p.permlink") === col("cp"),
         "left")
       .withColumn("stats",
-        when(col("c.net_votes").isNotNull || col("ca").isNotNull, struct(
+        when(applies, struct(
           coalesce(col("num_comments"), lit(0)).as("num_comments"),
           coalesce(col("c.net_votes"), lit(0)).as("num_votes"),
           coalesce(size(filter(av, v => v.getField("rshares") > 0)),
@@ -56,7 +64,7 @@ object Enrich {
               "percent:int,weight:double>>")).as("active_voters")))
           .otherwise(col("p.stats")))
       .withColumn("hive_rewards",
-        when(col("c.net_votes").isNotNull, struct(
+        when(applies, struct(
           col("c.max_accepted_payout"),
           col("c.max_cashout_time"),
           col("c.cashout_time"),
@@ -66,7 +74,7 @@ object Enrich {
           col("c.last_payout").as("payout_at")))  // core.ts:133
           .otherwise(col("p.hive_rewards")))
       .withColumn("needs_stat_update",
-        when(col("c.net_votes").isNotNull, lit(false))
+        when(applies, lit(false))
           .otherwise(col("p.needs_stat_update")))
       .select(posts.columns.map { n =>
         if (Seq("stats", "hive_rewards", "needs_stat_update")

@@ -268,7 +268,10 @@ object PostsIngest {
       col("title"), col("body"), col("tags"),
       col("created_at"), col("updated_at"),
       lit("unprocessed").as("metadata_status"),
-      lit(false).as("needs_stat_update"),
+      // the reference's insert writes NO needs_stat_update field and
+      // postStats treats missing as dirty ($exists:false, core.ts:78-87)
+      // — null models "missing"
+      lit(null).cast("boolean").as("needs_stat_update"),
       lit(false).as("needs_stream_id"),
       lit(null).cast(graft.domain.Schemas.stats).as("stats"),
       lit(null).cast(graft.domain.Schemas.hiveRewards)
