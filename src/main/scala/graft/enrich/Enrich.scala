@@ -111,7 +111,10 @@ object Enrich {
     val sv = col("app_metadata.spkvideo")
     posts.join(pl, Seq("author", "permlink"), "left")
       .withColumn("app_metadata",
-        when(col("w").isNotNull && sv.isNotNull, struct(
+        // Mongo's dotted $set creates spkvideo if absent
+        // (core.ts:232-241), so a null spkvideo doesn't skip the
+        // write — its other fields just stay null
+        when(col("w").isNotNull, struct(
           col("app_metadata.types").as("types"),
           col("app_metadata.app").as("app"),
           struct(
@@ -192,7 +195,9 @@ object Enrich {
   /** communityRefresh (S4, core.ts:248-283): communities flagged
     * needs_update ⋈ `communities_rpc` (bridge.get_community stand-in:
     * name, title, about, description, flag_text, lang, is_nsfw,
-    * subscribers, team) → refreshed metadata + roles, flag cleared. */
+    * subscribers, created_at, team) → refreshed metadata + roles,
+    * created_at reset from the RPC (core.ts:272), flag cleared. Only
+    * `hive-` community accounts are processed (core.ts:252-254). */
   def communityRefresh(communities: DataFrame,
                        communitiesRpc: DataFrame): DataFrame = {
     val joined = communities.alias("c")
@@ -200,9 +205,10 @@ object Enrich {
       // duplicated snapshot multiplying the entity table
       .join(communitiesRpc.dropDuplicates("name").alias("r"),
         col("c.username") === col("r.name"), "left")
+    val applies = col("c.needs_update") &&
+      col("c.username").startsWith("hive-") && col("r.name").isNotNull
     def pick(f: String) =
-      when(col("c.needs_update") && col("r.name").isNotNull,
-        col(s"r.$f")).otherwise(col(s"c.$f"))
+      when(applies, col(s"r.$f")).otherwise(col(s"c.$f"))
     joined.select(
       col("c._id").as("_id"), col("c.username").as("username"),
       pick("title").as("title"), pick("about").as("about"),
@@ -210,11 +216,11 @@ object Enrich {
       pick("flag_text").as("flag_text"), pick("lang").as("lang"),
       pick("is_nsfw").as("is_nsfw"),
       pick("subscribers").as("subscribers"),
-      col("c.created_at").as("created_at"),
-      when(col("c.needs_update") && col("r.name").isNotNull,
-        col("r.team")).otherwise(col("c.roles")).as("roles"),
+      when(applies, to_timestamp(col("r.created_at")))
+        .otherwise(col("c.created_at")).as("created_at"),
+      when(applies, col("r.team")).otherwise(col("c.roles")).as("roles"),
       col("c.images").as("images"),
-      when(col("r.name").isNotNull, lit(false))
+      when(applies, lit(false))
         .otherwise(col("c.needs_update")).as("needs_update"))
   }
 
@@ -245,8 +251,15 @@ object Enrich {
 
   /** offchainIdRefresh (core.ts:44-71): stream-id grants (from
     * spk.bridge_id ops or the Ceramic bridge) applied to posts —
-    * off_chain_id set, needs_stream_id cleared. */
-  def applyStreamIds(posts: DataFrame, streamIds: DataFrame): DataFrame =
+    * id set, needs_stream_id cleared. The reference selects only
+    * TYPE='HIVE' rows with no existing id, so a replayed grant never
+    * overwrites one already stored. (The reference writers store the
+    * field as `offchain_id` while its GraphQL layer reads
+    * `off_chain_id` — a split it never reconciles; we keep the single
+    * read-surface column `off_chain_id`.) */
+  def applyStreamIds(posts: DataFrame, streamIds: DataFrame): DataFrame = {
+    val applies = col("p.TYPE") === "HIVE" &&
+      col("p.off_chain_id").isNull && col("stream_id").isNotNull
     posts.alias("p")
       // one grant per key: replayed/duplicate grants must not
       // multiply posts rows through the left join
@@ -255,15 +268,18 @@ object Enrich {
           .agg(max("stream_id").as("stream_id")),
         col("p.author") === col("sa") && col("p.permlink") === col("sp"),
         "left")
+      .withColumn("__applies", applies)
       .withColumn("off_chain_id",
-        coalesce(col("stream_id"), col("p.off_chain_id")))
+        when(col("__applies"), col("stream_id"))
+          .otherwise(col("p.off_chain_id")))
       .withColumn("needs_stream_id",
-        when(col("stream_id").isNotNull, lit(false))
+        when(col("__applies"), lit(false))
           .otherwise(col("p.needs_stream_id")))
       .select(posts.columns.map {
         case n @ ("off_chain_id" | "needs_stream_id") => col(n).as(n)
         case n => col(s"p.$n")
       }.toSeq: _*)
+  }
 
   /** pullAllAccounts discovery (J7, core.ts:393-449): distinct authors
     * with no profile row — the left anti join replacing the findOne

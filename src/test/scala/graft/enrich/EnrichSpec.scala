@@ -143,10 +143,14 @@ class EnrichSpec extends SparkSpec {
         "flag_text", "lang", "is_nsfw", "subscribers")
       .withColumn("team", array(array(lit("alice"), lit("admin"),
         lit(""))))
+      .withColumn("created_at", lit("2020-01-02 03:04:05"))
     val out = Enrich.communityRefresh(communities, rpc).collect()
       .map(r => r.getAs[String]("username") -> r).toMap
     assert(out("hive-1").getAs[String]("title") == "Fresh Title")
     assert(out("hive-1").getAs[Int]("subscribers") == 42)
+    // created_at is reset from the RPC payload (core.ts:272)
+    assert(out("hive-1").getAs[java.sql.Timestamp]("created_at")
+      .toString.startsWith("2020-01-02"))
     assert(!out("hive-1").getAs[Boolean]("needs_update"))
     assert(out("hive-2").getAs[String]("title") == "keep")
     assert(!out("hive-2").getAs[Boolean]("needs_update"))
