@@ -36,12 +36,31 @@ final case class FeedArgs(
   */
 object PostQueries {
 
-  /** F1-F12 compiled to one predicate (no F13 — that's a join). */
+  /** F11: an `_or` branch carries ONLY its named field predicate
+    * (schema.ts:284-291, resolvers/index.ts:108-116) — the F1-F4/F12
+    * defaults stay top-level and are not folded into branches. */
+  private def orBranch(a: FeedArgs): Column =
+    Predicates.all(
+      a.byTag.flatMap(_.compileArray(col("tags"))),
+      a.byCreator.flatMap(_.compile(col("author"))),
+      a.byPermlink.flatMap(_.compile(col("permlink"))),
+      a.byCommunity.flatMap(_.compile(col("parent_permlink"))),
+      a.byApp.flatMap(_.compile(col("app_metadata.app"))),
+      a.byType.flatMap(_.compileArray(col("app_metadata.types"))))
+
+  /** F1-F12 compiled to one predicate (no F13 — that's a join).
+    *
+    * TransformFeedArgs builds a plain object, so later assignments to
+    * the same key silently replace earlier ones: `byFollower`
+    * overwrites `byCreator` (both write query["author"],
+    * resolvers/index.ts:88-90 vs :126-146), and `byType` overwrites
+    * `spkvideo.only` (both write query["app_metadata.types"],
+    * :65-67 vs :100-102). We reproduce that last-wins behavior. */
   def feedPredicate(a: FeedArgs): Column = {
     val base = Predicates.all(
       Option.when(a.spkvideoFirstUpload)(
         col("app_metadata.spkvideo.first_upload") === true),
-      Option.when(a.spkvideoOnly)(
+      Option.when(a.spkvideoOnly && a.byType.isEmpty)(
         array_contains(col("app_metadata.types"), "spkvideo")),
       Option.when(a.spkvideoIsShort)(
         col("app_metadata.spkvideo.is_short") === true),
@@ -49,7 +68,8 @@ object PostQueries {
       Option.when(!a.includeComments)(
         !coalesce(array_contains(col("flags"), "comment"), lit(false))),
       a.byTag.flatMap(_.compileArray(col("tags"))),
-      a.byCreator.flatMap(_.compile(col("author"))),
+      Option.when(a.byFollower.isEmpty)(a.byCreator)
+        .flatten.flatMap(_.compile(col("author"))),
       a.byPermlink.flatMap(_.compile(col("permlink"))),
       a.byCommunity.flatMap(_.compile(col("parent_permlink"))),
       a.byApp.flatMap(_.compile(col("app_metadata.app"))),
@@ -59,9 +79,9 @@ object PostQueries {
       // F12: TYPE != CERAMIC unless opted in (null-safe)
       Option.when(!a.includeCeramic)(
         coalesce(col("TYPE"), lit("")) =!= "CERAMIC"))
-    // F11: _or of sub-filters
+    // F11: _or of single-field branches, ANDed with the rest
     if (a.or.isEmpty) base
-    else base && a.or.map(feedPredicate).reduce(_ || _)
+    else base && a.or.map(orBranch).reduce(_ || _)
   }
 
   /** Apply F13 byFollower as a broadcast left-semi join against the

@@ -68,6 +68,17 @@ class PostQueriesSpec extends SparkSpec {
     assert(out == Set("v1", "v2"))        // carol follows only alice
   }
 
+  test("byFollower overwrites byCreator (last-wins query object)") {
+    // TransformFeedArgs assigns query["author"] twice; the
+    // byFollower $in replaces the byCreator predicate entirely
+    // (resolvers/index.ts:88-90 vs :126-146)
+    val out = PostQueries.socialFeed(posts, follows, FeedArgs(
+      byCreator = Some(Where(eq = Some("bob"))),
+      byFollower = Some("carol")))
+      .select("permlink").collect().map(_.getString(0)).toSet
+    assert(out == Set("v1", "v2"))   // carol follows alice, not bob
+  }
+
   test("byFollower did: prefix routes to social_connections") {
     import spark.implicits._
     val sc = Seq(("did:key:z6MkQ", "alice")).toDF("follower", "following")
