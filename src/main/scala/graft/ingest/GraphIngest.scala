@@ -65,6 +65,22 @@ object GraphIngest {
         col("following")))
       .withColumn("followed_at", lit(null).cast("timestamp"))
 
+    // spk.unfollow's findOneAndDelete filter includes `what`
+    // (hive-stream.ts:345-359): an unfollow whose what differs from
+    // the stored edge's what (the latest prior spk.follow) is a no-op
+    // and must not tombstone the edge.
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("follower", "following")
+      .orderBy(col("block_height"), col("op_index"))
+      .rowsBetween(Long.MinValue, -1)
+    val spkEffective = spk
+      .withColumn("prev_what",
+        last(when(!col("unfollow"), col("what")), ignoreNulls = true)
+          .over(wPrev))
+      .filter(!col("unfollow") ||
+        coalesce(col("prev_what") === col("what"), lit(false)))
+      .drop("prev_what")
+
     val community = cj.filter(col("cid") === "community" &&
       get_json_object(col("json"), "$[0]")
         .isin("subscribe", "unsubscribe"))
@@ -85,7 +101,7 @@ object GraphIngest {
     val cols = Seq("_id", "follower", "following", "what",
       "followed_at", "ts", "block_height", "op_index", "unfollow")
     val events = classic.select(cols.map(col): _*)
-      .unionByName(spk.select(cols.map(col): _*))
+      .unionByName(spkEffective.select(cols.map(col): _*))
       .unionByName(community.select(cols.map(col): _*))
       .filter(col("follower").isNotNull)
 

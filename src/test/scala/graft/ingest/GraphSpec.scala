@@ -29,6 +29,27 @@ class GraphSpec extends SparkSpec {
     assert(f.head.getAs[String]("_id") == "hive-alice-carol")
   }
 
+  test("spk.unfollow is a no-op unless its what matches the stored edge") {
+    // the delete filter includes what (hive-stream.ts:345-359)
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("custom_json", cj("spk.follow", "alice",
+          """{"did":"did:key:zA","what":["posts"]}""")))),
+        ("t2", Seq(("custom_json", cj("spk.follow", "bob",
+          """{"did":"did:key:zB","what":["posts"]}"""))))),
+      block(101, "2024-05-01T12:00:03",
+        // mismatched what: edge must survive
+        ("t3", Seq(("custom_json", cj("spk.unfollow", "alice",
+          """{"did":"did:key:zA","what":["other"]}""")))),
+        // matching what: edge removed
+        ("t4", Seq(("custom_json", cj("spk.unfollow", "bob",
+          """{"did":"did:key:zB","what":["posts"]}"""))))))
+    val edges = GraphIngest.follows(ops).collect()
+      .map(r => (r.getAs[String]("follower"),
+        r.getAs[String]("following"))).toSet
+    assert(edges == Set(("alice", "did:key:zA")))
+  }
+
   test("spk.follow DID edges + community subscribe edges") {
     val ops = toOps(spark,
       block(100, "2024-05-01T12:00:00",
