@@ -120,6 +120,9 @@ object Schemas {
     StructField("images", StructType(Seq(
       StructField("avatar", StringType),
       StructField("cover", StringType)))),
+    // written from profile.topcs (sic — reference reads a typo'd key,
+    // hive-stream.ts:466) so it is [] in practice
+    StructField("topics", ArrayType(StringType)),
     StructField("needs_update", BooleanType)))
 
   /** follows edge list (hive-stream.ts:287-301, 333-343). */

@@ -220,6 +220,7 @@ object Enrich {
         .otherwise(col("c.created_at")).as("created_at"),
       when(applies, col("r.team")).otherwise(col("c.roles")).as("roles"),
       col("c.images").as("images"),
+      col("c.topics").as("topics"),
       when(applies, lit(false))
         .otherwise(col("c.needs_update")).as("needs_update"))
   }

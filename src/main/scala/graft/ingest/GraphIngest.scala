@@ -171,7 +171,12 @@ object GraphIngest {
         col("block_height"), Seq(col("op_index")))
       .select(col("account"), col("ts"),
         struct(postingProfile("profile_image").as("avatar"),
-          postingProfile("cover_image").as("cover")).as("images"))
+          postingProfile("cover_image").as("cover")).as("images"),
+        // profile.topcs (sic) || [] — the reference reads a typo'd
+        // key (hive-stream.ts:466), so this is [] in practice
+        coalesce(from_json(postingProfile("topcs"),
+          graft.ddl("array<string>")), array().cast("array<string>"))
+          .as("topics"))
 
     val props = ops.filter(col("op_name") === "custom_json" &&
       get_json_object(col("payload"), "$.id") === "community")
@@ -205,19 +210,25 @@ object GraphIngest {
         coalesce(col("ts"), col("p_ts")).as("created_at"),
         lit(null).cast("array<array<string>>").as("roles"),
         col("images"),
+        col("topics"),
         lit(true).as("needs_update"))
   }
 
-  /** account_update → delegated posting authority (J11 reconcile,
-    * hive-stream.ts:399-447): the latest op per account defines the
-    * complete auth set — adds and revokes fall out of the replace
-    * (relational `except` of old vs new, here latest-wins + explode).
-    */
   /** Accounts whose granted posting authority is tracked
     * (reference src/config.ts delegated_posting_accounts). */
   val delegatedPostingAccounts: Seq[String] =
     Seq("threespeak", "threespeak.beta")
 
+  /** account_update → delegated posting authority
+    * (hive-stream.ts:399-447). Observable reference behavior is
+    * ADDS-ONLY: the revocation loop dereferences
+    * `updateOp.posting.account_auth` (a typo — the field is
+    * `account_auths`), so whenever it would run it throws and the
+    * per-op try/catch (hive-stream.ts:700-702) swallows the whole op;
+    * the J11 reconcile described in SURVEY.md §2.6 is dead code. We
+    * therefore accumulate every granted (from, to) edge ever seen,
+    * keeping the newest op's block/trx/date metadata per edge, and
+    * never drop edges on revocation. */
   def delegatedAuthority(ops: DataFrame): DataFrame = {
     val au = ops.filter(col("op_name") === "account_update")
       .select(
@@ -226,20 +237,22 @@ object GraphIngest {
           .as("auths_json"),
         col("ts"), col("block_height"), col("op_index"), col("trx_id"))
       .filter(col("account").isNotNull && col("auths_json").isNotNull)
-    Merge.latestWins(au, Seq("account"), col("block_height"),
-        Seq(col("op_index")))
+    val edges = au
       .select(col("account"), col("ts"), col("block_height"),
-        col("trx_id"),
-        explode(from_json(col("auths_json"), graft.ddl("array<array<string>>")))
-          .as("auth"))
+        col("op_index"), col("trx_id"),
+        explode(from_json(col("auths_json"),
+          graft.ddl("array<array<string>>"))).as("auth"))
       // only configured delegate accounts are tracked
       // (hive-stream.ts:425-427)
       .filter(col("auth").getItem(0)
         .isin(delegatedPostingAccounts: _*))
+      .withColumn("to", col("auth").getItem(0))
+    Merge.latestWins(edges, Seq("account", "to"),
+        col("block_height"), Seq(col("op_index")))
       .select(
         lit("posting").as("type"),
         col("account").as("from"),
-        col("auth").getItem(0).as("to"),
+        col("to"),
         col("ts").as("date"),
         col("trx_id"),
         col("block_height"))

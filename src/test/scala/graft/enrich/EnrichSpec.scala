@@ -138,6 +138,7 @@ class EnrichSpec extends SparkSpec {
       .withColumn("roles", lit(null).cast("array<array<string>>"))
       .withColumn("images", struct(lit(null).cast("string").as("avatar"),
         lit(null).cast("string").as("cover")))
+      .withColumn("topics", array().cast("array<string>"))
     val rpc = Seq(("hive-1", "Fresh Title", "about!", "desc", "", "en",
       false, 42)).toDF("name", "title", "about", "description",
         "flag_text", "lang", "is_nsfw", "subscribers")

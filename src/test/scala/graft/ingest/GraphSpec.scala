@@ -99,20 +99,24 @@ class GraphSpec extends SparkSpec {
     assert(comm.head.getAs[Boolean]("needs_update"))
   }
 
-  test("account_update → delegated authority; newer op replaces set (J11)") {
+  test("account_update → delegated authority accumulates; no revoke") {
     val a1 = """{"account":"alice","posting":{"account_auths":""" +
       """[["threespeak",1],["other",1]]}}"""
+    // later op without threespeak: the reference's revocation loop is
+    // dead code (account_auth typo, hive-stream.ts:407), so the
+    // granted edge survives with its original metadata
     val a2 = """{"account":"alice","posting":{"account_auths":""" +
-      """[["threespeak",1]]}}"""
+      """[["threespeak.beta",1]]}}"""
     val ops = toOps(spark,
       block(100, "2024-05-01T12:00:00",
         ("t1", Seq(("account_update", a1)))),
       block(101, "2024-05-01T12:00:03",
         ("t2", Seq(("account_update", a2)))))
     val auth = GraphIngest.delegatedAuthority(ops).collect()
-    assert(auth.map(_.getAs[String]("to")).toSeq == Seq("threespeak"))
-    assert(auth.head.getAs[String]("from") == "alice")
-    assert(auth.head.getAs[String]("type") == "posting")
+    assert(auth.map(_.getAs[String]("to")).toSet
+      == Set("threespeak", "threespeak.beta"))
+    assert(auth.forall(_.getAs[String]("from") == "alice"))
+    assert(auth.forall(_.getAs[String]("type") == "posting"))
   }
 
   test("spk.bridge_id → stream-id requests (needs_stream_id source)") {
