@@ -173,7 +173,12 @@ object Enrich {
     * chars). Dedup matches the whole-document dedup at insert
     * (process-meta.ts:25-28). */
   def mentionNotifications(posts: DataFrame): DataFrame = {
-    val mentionRe = "(?:^|[^a-zA-Z0-9_!#$%&*@＠])[@＠]([a-zA-Z0-9_:-]{1,80})"
+    // twitter-text mention pattern incl. the retweet-prefix
+    // alternative: "rt@name" / "RT:@name" count as mentions even
+    // though 't'/':' precede the @ (notifications.ts:5)
+    val mentionRe = "(?:^|[^a-zA-Z0-9_!#$%&*@＠]|" +
+      "(?:^|[^a-zA-Z0-9_+~.-])(?:rt|RT|rT|Rt):?)" +
+      "[@＠]([a-zA-Z0-9_:-]{1,80})"
     posts
       .select(col("author"), col("permlink"), col("updated_at"),
         explode(array_distinct(

@@ -118,6 +118,11 @@ class EnrichSpec extends SparkSpec {
     assert(targets.contains(("bob", "alice", "hive")))
     // email-style @ is not a mention (twitter-text boundary rule)
     assert(!targets.exists(_._1 == "host"))
+    // retweet prefix allows a mention despite the adjacent 't'
+    val rt = Enrich.mentionNotifications(
+      posts.withColumn("body", lit("rt@dave says hi")))
+      .collect().map(_.getAs[String]("target")).toSet
+    assert(rt == Set("dave"))
     // ref format hive/<author>/<permlink> (notifications.ts:52)
     assert(notifs.head.getAs[String]("ref").startsWith("hive/"))
   }
