@@ -73,15 +73,18 @@ object Feeds {
     df.filter(relatedPred).orderBy(rand(seed)).limit(k)
 
   /** searchFeed (resolvers/index.ts:193-223; Mongo $text index
-    * db.ts:61-63): v1 contract = conjunctive token match with a
-    * term-frequency score (documented divergence from Mongo's stemmed
-    * OR, SURVEY.md §7.4). Pure builtins ⇒ whole-stage codegen.
+    * db.ts:61-63): token match with a term-frequency score. Mongo's
+    * $text matches documents containing ANY search term
+    * (`requireAll = false`, the reference-parity mode; stemming is a
+    * documented divergence, SURVEY.md §7.4); `requireAll = true`
+    * gives the stricter conjunctive contract some catalog queries
+    * declare. Pure builtins ⇒ whole-stage codegen.
     *
-    * score = Σ_t (occurrences of t in text); rows must contain every
-    * term at least once.
+    * score = Σ_t (occurrences of t in text).
     */
   def search(df: DataFrame, textCol: Column, terms: Seq[String],
-             scoreName: String = "score"): DataFrame = {
+             scoreName: String = "score",
+             requireAll: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
     // normalize exactly like InvertedIndex.search (lowercase +
     // distinct) so the brute-force and index paths are one contract
@@ -92,11 +95,13 @@ object Feeds {
     val tf: Column = uniq.map { t =>
       size(filter(toks, e => e === lit(t)))
     }.reduce(_ + _)
-    val hasAll: Column = uniq.map { t =>
+    val combine: (Column, Column) => Column =
+      if (requireAll) _ && _ else _ || _
+    val matches: Column = uniq.map { t =>
       array_contains(toks, t)
-    }.reduce(_ && _)
+    }.reduce(combine)
     df.withColumn("__toks", split(lower(textCol), "\\s+"))
-      .filter(hasAll).withColumn(scoreName, tf.cast("long"))
+      .filter(matches).withColumn(scoreName, tf.cast("long"))
       .drop("__toks")
   }
 }

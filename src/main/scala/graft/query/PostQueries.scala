@@ -121,12 +121,16 @@ object PostQueries {
         col("permlink").asc),
       a.skip, a.limit)
 
-  /** Q9 searchFeed: token match + tf score, newest-first
-    * (documented divergence from Mongo $text, SURVEY.md §7.4). */
+  /** Q9 searchFeed: any-term token match + tf score, newest-first —
+    * Mongo $text matches documents containing ANY search term and the
+    * resolver sorts by created_at, not relevance
+    * (resolvers/index.ts:200-214; stemming is a documented
+    * divergence, SURVEY.md §7.4). */
   def searchFeed(posts: DataFrame, follows: DataFrame, a: FeedArgs,
                  term: String): DataFrame = {
     val terms = term.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    Feeds.search(filtered(posts, follows, a), col("body"), terms)
+    Feeds.search(filtered(posts, follows, a), col("body"), terms,
+        requireAll = false)
       .orderBy(col("created_at").desc, col("author").asc,
         col("permlink").asc)
       .offset(a.skip).limit(a.limit)

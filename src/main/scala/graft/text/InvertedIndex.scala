@@ -30,16 +30,19 @@ object InvertedIndex {
       .groupBy("term", "id")
       .agg(count(lit(1)).as("tf"))
 
-  /** Conjunctive search over the index: k term-partition lookups →
-    * per-doc term-coverage count + tf sum → top-k. */
-  def search(index: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+  /** Search over the index: k term-partition lookups → per-doc
+    * term-coverage count + tf sum → top-k. `requireAll = false` is
+    * the Mongo-$text-parity any-term mode (same contract switch as
+    * Feeds.search). */
+  def search(index: DataFrame, terms: Seq[String], k: Int,
+             requireAll: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
     val uniq = terms.map(_.toLowerCase).distinct
-    index
+    val idx = index
       .filter(col("term").isin(uniq: _*))   // partition-prunable
       .groupBy("id")
       .agg(count(lit(1)).as("nt"), sum("tf").as("score"))
-      .filter(col("nt") === uniq.size)      // AND semantics
+    (if (requireAll) idx.filter(col("nt") === uniq.size) else idx)
       .select(col("id"), col("score").cast("long").as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)

@@ -98,12 +98,13 @@ class PostQueriesSpec extends SparkSpec {
     assert(out == Seq("e1"))
   }
 
-  test("searchFeed: conjunctive token match (Q9)") {
+  test("searchFeed: any-term match like Mongo \\$text (Q9)") {
     val out = PostQueries.searchFeed(posts, follows,
       FeedArgs(includeComments = true), "spark video")
       .select("permlink", "score").collect()
       .map(r => r.getString(0)).toSeq
-    assert(out.toSet == Set("v1", "v2"))  // e1 lacks 'video' token
+    // e1 ("late spark post") matches on 'spark' alone — $text is OR
+    assert(out.toSet == Set("v1", "v2", "e1"))
   }
 
   test("relatedFeed: tag overlap, anchor included, seeded (Q11)") {
