@@ -11,8 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object PostProjections {
 
-  private val cdnDefaultThumb =
-    "https://media.3speak.tv/default_thumbnail.png"
 
   /** P1 refs: ["hive:<author>:<permlink>"] (posts.ts:37-40). */
   def refs: Column =
@@ -38,10 +36,14 @@ object PostProjections {
     when(col("parent_permlink").startsWith("hive-"),
       col("parent_permlink")).otherwise(lit(null).cast("string"))
 
-  /** P5 spkvideo projection (posts.ts:104-130): null unless a video;
-    * thumbnail = last image else CDN default; play_url = sourceMap
-    * entry with type='video' else CDN template; body stripped of the
-    * 3speak header (X15). */
+  /** P5 spkvideo projection (posts.ts:104-130): null unless
+    * json_metadata.video.info.duration is truthy (a 0 duration is
+    * falsy ⇒ null, like the reference's `!...duration` gate);
+    * thumbnail_url = last image (falsy ⇒ CDN default thumbnail);
+    * play_url = sourceMap entry with type='video' else the b-cdn
+    * template; height/width default 0, is_short defaults false; body
+    * stripped of the 3speak header (X15) — undefined (null) when the
+    * body has no `---\n\n` header, exactly like split()[1]. */
   def spkvideoProjection: Column = {
     val meta = from_json(col("json_metadata_raw"),
       graft.domain.Schemas.commentMeta)
@@ -50,21 +52,28 @@ object PostProjections {
     val playEntry = try_element_at(
       filter(srcMap, e => e.getField("type") === "video"), lit(1))
     val images = meta.getField("image")
+    val sv = col("app_metadata.spkvideo")
     // try_element_at: ANSI mode makes element_at THROW on an empty
     // image array / header-less body; the reference's .pop() and
     // split()[1] return undefined harmlessly — mirror that.
-    when(info.getField("duration").isNotNull, struct(
-      info.getField("duration").as("duration"),
-      coalesce(try_element_at(images, lit(-1)), lit(cdnDefaultThumb))
-        .as("thumbnail"),
-      coalesce(playEntry.getField("url"),
-        format_string("https://media.3speak.tv/%s/default.m3u8",
+    when(info.getField("duration").isNotNull &&
+      info.getField("duration") =!= 0.0, struct(
+      coalesce(nullif(try_element_at(images, lit(-1)), lit("")),
+        format_string(
+          "https://media.3speak.tv/%s/thumbnails/default.png",
+          col("permlink"))).as("thumbnail_url"),
+      coalesce(nullif(playEntry.getField("url"), lit("")),
+        format_string(
+          "https://threespeakvideo.b-cdn.net/%s/default.m3u8",
           col("permlink"))).as("play_url"),
-      coalesce(try_element_at(split(col("body"), "---\n\n"), lit(2)),
-        col("body")).as("body")))
+      info.getField("duration").as("duration"),
+      coalesce(sv.getField("height"), lit(0)).as("height"),
+      coalesce(sv.getField("width"), lit(0)).as("width"),
+      coalesce(sv.getField("is_short"), lit(false)).as("is_short"),
+      try_element_at(split(col("body"), "---\n\n"), lit(2)).as("body")))
       .otherwise(lit(null).cast(
-        "struct<duration:double,thumbnail:string,play_url:string," +
-          "body:string>"))
+        "struct<thumbnail_url:string,play_url:string,duration:double," +
+          "height:int,width:int,is_short:boolean,body:string>"))
   }
 
   /** P6 __typename dispatch (posts.ts:70-77). */

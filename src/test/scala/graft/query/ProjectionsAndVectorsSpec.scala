@@ -32,8 +32,10 @@ class ProjectionsAndVectorsSpec extends SparkSpec {
     assert(p("b1").getAs[String]("community_ref") == null)
     val sv = v1.getAs[Row]("spkvideo")                           // P5
     assert(sv.getAs[String]("play_url") == "ipfs://QmVid123/manifest.m3u8")
-    assert(sv.getAs[String]("thumbnail") == "https://img/2.png") // last
+    assert(sv.getAs[String]("thumbnail_url") == "https://img/2.png")
     assert(sv.getAs[String]("body") == "real video body")        // X15
+    assert(sv.getAs[Int]("height") == 0)     // ?? 0.0 defaults
+    assert(!sv.getAs[Boolean]("is_short"))   // ?? false default
     assert(p("b1").getAs[Row]("spkvideo") == null)
     assert(v1.getAs[String]("__typename") == "HivePost")         // P6
   }
@@ -50,11 +52,12 @@ class ProjectionsAndVectorsSpec extends SparkSpec {
       .filter(col("permlink") === "z1").collect().head
     val sv = p.getAs[Row]("spkvideo")
     assert(sv != null)
-    assert(sv.getAs[String]("thumbnail")
-      == "https://media.3speak.tv/default_thumbnail.png")  // empty images
+    assert(sv.getAs[String]("thumbnail_url")
+      == "https://media.3speak.tv/z1/thumbnails/default.png")
     assert(sv.getAs[String]("play_url")
-      == "https://media.3speak.tv/z1/default.m3u8")        // no video entry
-    assert(sv.getAs[String]("body") == "no header here at all")
+      == "https://threespeakvideo.b-cdn.net/z1/default.m3u8")
+    // split('---\n\n')[1] of a header-less body is undefined
+    assert(sv.getAs[String]("body") == null)
   }
 
   test("P7/P8: profile views and community roles unpack") {
