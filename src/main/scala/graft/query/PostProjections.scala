@@ -146,9 +146,14 @@ object PostProjections {
                 follows: DataFrame, id: String,
                 feedLimit: Int = 100)
       : (DataFrame, DataFrame, DataFrame) = {
-    val row = communities.filter(col("_id") === s"hive/$id")
+    val base = communities.filter(col("_id") === s"hive/$id")
       .withColumn("roles_unpacked", rolesUnpacked)
-      .limit(1)
+    // created_at?.toISOString() (resolvers/index.ts:424) — optional
+    // chaining: a document without the field serializes nothing
+    val row = (if (communities.columns.contains("created_at"))
+      base.withColumn("created_at_iso",
+        date_format(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+    else base).limit(1)
     val forced = FeedArgs(
       byCommunity = Some(Where(eq = Some(id))), limit = feedLimit)
     val trending = PostQueries.trendingFeed(posts, follows, forced)
