@@ -2,7 +2,6 @@ package graft.ingest
 
 import graft.functions.Dmp
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One comment-op event after payload parsing + sibling-op join.
@@ -205,12 +204,11 @@ object PostsIngest {
     * ipfs_links derive from `insert_metadata_raw` (insert-time),
     * stored tags/json_metadata from the last write.
     *
-    * Documented divergence: the reference's first-upload lookup
-    * queries `video.first_upload` but writes
+    * first_upload: the reference's dedup lookup queries
+    * `video.first_upload` but writers only ever set
     * `app_metadata.spkvideo.first_upload` (hive-stream.ts:624-631),
-    * so in practice it marks EVERY 3speak post first_upload=true; we
-    * implement the evident intent (true only for the author's first
-    * 3speak post, via a window). */
+    * so the guard never fires and EVERY 3speak post gets
+    * first_upload=true — we reproduce that observable behavior. */
   def decorate(folded: DataFrame): DataFrame = {
     // stored fields (tags, json_metadata) track the LAST write; the
     // app_metadata/ipfs_links inputs track the INSERT write only
@@ -252,13 +250,14 @@ object PostsIngest {
           e => struct(regexp_extract(e.getField("url"),
             "^[a-zA-Z]+://([^/]+)", 1).as("cid"))))
 
-    // J8: first 3speak post per author (window, not per-row lookup).
+    // J8 first_upload — observable reference behavior: the dedup
+    // lookup queries `video.first_upload`, a field no writer ever
+    // sets (hive-stream.ts:623-631), so the guard never fires and
+    // EVERY 3speak insert gets first_upload=true. The intended
+    // first-event-per-author semantics exist as the catalog's
+    // q12_first_event window operator.
     val withFirst = withCols.withColumn("first_upload",
-      col("is_3speak") &&
-        (row_number().over(
-          Window.partitionBy("author", "is_3speak")
-            .orderBy(col("block_height").asc, col("permlink").asc))
-          === 1))
+      col("is_3speak"))
 
     // Gating already happened per event in gateEvents; the folded
     // allowed_by_* booleans are the insert event's origin facts.

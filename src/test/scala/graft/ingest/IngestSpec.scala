@@ -257,7 +257,9 @@ class IngestSpec extends SparkSpec {
       .getAs[Boolean]("authority_signed"))
   }
 
-  test("first_upload true only for author's first video (J8)") {
+  test("first_upload true for every 3speak insert (J8, dead lookup)") {
+    // the reference's dedup guard queries video.first_upload — a
+    // field no writer sets — so it never fires (hive-stream.ts:623-631)
     val ops = toOps(spark,
       block(100, "2024-05-01T12:00:00",
         ("tx1", Seq(("comment",
@@ -271,7 +273,7 @@ class IngestSpec extends SparkSpec {
         r.getAs[org.apache.spark.sql.Row]("app_metadata")
           .getAs[org.apache.spark.sql.Row]("spkvideo")
           .getAs[Boolean]("first_upload")).toMap
-    assert(byKey("v1") && !byKey("v2"))
+    assert(byKey("v1") && byKey("v2"))
   }
 
   test("vote ops produce a dirty set applied to posts (J9)") {
