@@ -26,8 +26,13 @@ object Enrich {
     * if last_payout is epoch, else total+curator (core.ts:104). A3
     * vote tallies from active_votes signs (core.ts:117-126). The
     * 6000-row/run batch cap is an operational knob, not a semantic.
+    *
+    * If `contentRpc` carries a boolean `deleted` column (the
+    * "was deleted" RPC error, core.ts:141-153), those rows get
+    * status='deleted' and the flag cleared, with stats untouched.
     */
   def postStats(posts: DataFrame, contentRpc: DataFrame): DataFrame = {
+    val hasDeleted = contentRpc.columns.contains("deleted")
     // A2: one aggregation replaces N countDocuments round-trips.
     val commentCounts = posts
       .filter(col("parent_author") =!= "")
@@ -42,8 +47,12 @@ object Enrich {
         moneyToDouble(col("curator_payout_value")))
     val dirty = col("p.needs_stat_update").isNull ||
       col("p.needs_stat_update")
+    val rpcDeleted =
+      if (hasDeleted) coalesce(col("c.deleted"), lit(false))
+      else lit(false)
     val applies = col("p.TYPE") === "HIVE" && dirty &&
-      col("c.net_votes").isNotNull
+      col("c.net_votes").isNotNull && !rpcDeleted
+    val deleteApplies = col("p.TYPE") === "HIVE" && dirty && rpcDeleted
 
     posts.alias("p")
       .join(contentRpc.alias("c"), Seq("author", "permlink"), "left")
@@ -73,11 +82,15 @@ object Enrich {
           payout.as("payout"),
           col("c.last_payout").as("payout_at")))  // core.ts:133
           .otherwise(col("p.hive_rewards")))
+      // status before needs_stat_update: both conditions read the
+      // pre-update p.needs_stat_update dirty flag
+      .withColumn("status",
+        when(deleteApplies, lit("deleted")).otherwise(col("p.status")))
       .withColumn("needs_stat_update",
-        when(applies, lit(false))
+        when(applies || deleteApplies, lit(false))
           .otherwise(col("p.needs_stat_update")))
       .select(posts.columns.map { n =>
-        if (Seq("stats", "hive_rewards", "needs_stat_update")
+        if (Seq("stats", "hive_rewards", "needs_stat_update", "status")
           .contains(n)) col(n).as(n)
         else col(s"p.$n")
       }.toSeq: _*)

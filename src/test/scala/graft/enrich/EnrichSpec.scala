@@ -60,6 +60,29 @@ class EnrichSpec extends SparkSpec {
     assert(out("r1").getAs[Row]("stats") == null)
   }
 
+  test("postStats: 'was deleted' RPC marks status deleted, stats untouched") {
+    import spark.implicits._
+    val posts = mkPosts()
+    val rpc = Seq(("alice", "v1", true))
+      .toDF("author", "permlink", "deleted")
+      .withColumn("last_payout", lit(null).cast("string"))
+      .withColumn("pending_payout_value", lit(null).cast("string"))
+      .withColumn("total_payout_value", lit(null).cast("string"))
+      .withColumn("curator_payout_value", lit(null).cast("string"))
+      .withColumn("net_votes", lit(null).cast("int"))
+      .withColumn("active_votes", lit(null).cast(
+        "array<struct<voter:string,rshares:double,percent:int,weight:double>>"))
+      .withColumn("max_accepted_payout", lit(null).cast("string"))
+      .withColumn("max_cashout_time", lit(null).cast("string"))
+      .withColumn("cashout_time", lit(null).cast("string"))
+    val out = Enrich.postStats(posts, rpc).collect()
+      .map(r => r.getAs[String]("permlink") -> r).toMap
+    assert(out("v1").getAs[String]("status") == "deleted")
+    assert(!out("v1").getAs[Boolean]("needs_stat_update"))
+    assert(out("v1").getAs[Row]("stats") == null)   // core.ts:141-153
+    assert(out("x1").getAs[String]("status") == "published")
+  }
+
   test("videoMeta: RESOLUTION regex (X9) + is_short (X10)") {
     import spark.implicits._
     val posts = mkPosts()
