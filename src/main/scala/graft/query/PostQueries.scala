@@ -258,13 +258,19 @@ object PostQueries {
   }
 
   /** Q13 leaderBoard: score>0 profiles ranked (window), plus
-    * total_active_creators (A7). */
+    * total_active_creators (A7). Each item carries `author` (the
+    * username) and the full profile row as `author_profile`, like the
+    * reference's response shape (resolvers/index.ts:464-471). */
   def leaderBoard(profiles: DataFrame): DataFrame =
     profiles.filter(col("score") > 0)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("score").desc, col("username").asc))
         .cast("long"))
-      .select(col("rank"), col("username"), col("score"))
+      .select(col("rank"), col("username"),
+        col("username").as("author"),
+        struct(profiles.columns.map(col).toSeq: _*)
+          .as("author_profile"),
+        col("score"))
 
   /** A1 trendingTags over posts: 14-day window, unwind, count, top-k.
     */
