@@ -27,10 +27,14 @@ object Text {
     * inline expression — Catalyst does not CSE across higher-order-
     * function lambdas, so an inline tokenizer here would re-run once
     * per shingle position (O(T²) per row). See BENCH notes. */
-  def wordShingles(toks: Column, n: Int): Column = {
-    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(0)))
-    transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))
-  }
+  def wordShingles(toks: Column, n: Int): Column =
+    // Docs shorter than n tokens have no shingles. Without the guard,
+    // sequence(1, 0) DESCENDS ([1,0] — Spark sequence is inclusive both
+    // ways) and slice(toks, 0, n) throws INVALID_PARAMETER_VALUE.START.
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Ratio of characters matching a class (e.g. punctuation) —
     * building block for quality scores. */

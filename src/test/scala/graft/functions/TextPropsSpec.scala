@@ -27,6 +27,25 @@ class TextPropsSpec extends SparkSpec {
     assert(agree("c1", "c2") < 0.1)
   }
 
+  test("wordShingles on docs shorter than n yields empty, not an error") {
+    import spark.implicits._
+    // sequence(1, size-(n-1)) would DESCEND for short docs and slice(_,0,_)
+    // throws — the guard must return [] for them (DuckDB oracle parity).
+    val rows = Seq(("empty", ""), ("one", "hello"), ("two", "hello world"),
+      ("three", "a b c"), ("four", "a b c d"))
+      .toDF("id", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+      .withColumn("sh", Text.wordShingles(col("toks"), 3))
+      .collect()
+      .map(r => r.getAs[String]("id") ->
+        r.getAs[scala.collection.Seq[String]]("sh")).toMap
+    assert(rows("empty").isEmpty)
+    assert(rows("one").isEmpty)
+    assert(rows("two").isEmpty)
+    assert(rows("three") == Seq("a b c"))
+    assert(rows("four") == Seq("a b c", "b c d"))
+  }
+
   test("langId picks the marker-dense language; und for no hits") {
     import spark.implicits._
     val r = Seq(
