@@ -312,13 +312,97 @@ object PostsIngest {
       lit(null).cast("string").as("off_chain_id"))
   }
 
-  /** Full pipeline: ops → gate → fold → posts rows (batch replay). */
+  /** Synthetic head events from already-stored rows, one per stored
+    * post whose key appears in this batch — the seed that makes the
+    * per-key fold correct ACROSS micro-batches: an edit arriving in a
+    * later batch than its insert must dmp-apply against the STORED
+    * body, not be mistaken for an insert (hive-stream.ts:536-548).
+    *
+    * Ordering: `op_index = Int.MaxValue` puts the seed AFTER any real
+    * op at the same block height, reproducing the reference's strict
+    * monotonic guard (`stored.block_height < edit.block_height`,
+    * hive-stream.ts:538): a same-or-lower-height edit folds to the
+    * stored state unchanged. `ts = updated_at` so a fold that ends on
+    * the seed keeps the stored updated_at (created_at and the other
+    * edit-untouched fields are restored by [[restoreInsertFacts]]).
+    *
+    * Scale note: `left_semi` on the batch's keys means the seed scan
+    * is bounded by the micro-batch size, not the table size. */
+  def seedEvents(existing: DataFrame, batchEvs: DataFrame)
+      (implicit spark: SparkSession): Dataset[CommentEv] = {
+    import spark.implicits._
+    val keys = batchEvs.select(
+      "parent_author", "parent_permlink", "author", "permlink").distinct()
+    existing
+      .join(keys,
+        Seq("parent_author", "parent_permlink", "author", "permlink"),
+        "left_semi")
+      .select(
+        col("author"), col("permlink"),
+        col("parent_author"), col("parent_permlink"),
+        coalesce(col("state_control.block_height"), lit(0L))
+          .as("block_height"),
+        lit(Int.MaxValue).as("op_index"),
+        col("updated_at").as("ts"),
+        col("title"), col("body"), col("json_metadata_raw"),
+        (coalesce(col("status"), lit("published")) === "deleted")
+          .as("deleted"),
+        coalesce(col("app_metadata.spkvideo.authority_signed"),
+          lit(false)).as("authority_signed"),
+        coalesce(col("beneficiaries"),
+          array().cast("array<struct<account:string,weight:int>>"))
+          .as("beneficiaries"),
+        coalesce(col("origin_control.allowed_by_type"), lit(false))
+          .as("allowed_by_type"),
+        coalesce(col("origin_control.allowed_by_parent"), lit(false))
+          .as("allowed_by_parent"))
+      .as[CommentEv]
+  }
+
+  /** Restore the fields an edit `$set` never touches from the stored
+    * row, for keys that already existed (hive-stream.ts:563-577: the
+    * edit writes op fields + status/body/json_metadata/tags/
+    * updated_at/state_control/metadata_status ONLY — created_at,
+    * beneficiaries, app_metadata, ipfs_links, origin_control,
+    * needs_stat_update, stats, hive_rewards are untouched). The fold
+    * + [[decorate]] recompute them from whatever event landed first
+    * in this batch, which for a pre-existing key is wrong — overwrite
+    * with the stored values. */
+  def restoreInsertFacts(decorated: DataFrame,
+                         existing: DataFrame): DataFrame = {
+    val keyCols =
+      Seq("parent_author", "parent_permlink", "author", "permlink")
+    val keep = Seq("created_at", "beneficiaries", "app_metadata",
+      "ipfs_links", "origin_control", "needs_stat_update",
+      "needs_stream_id", "stats", "hive_rewards", "off_chain_id")
+      .filter(existing.columns.contains)
+    val ex = existing.select(
+      keyCols.map(col) ++ keep.map(c => col(c).as(s"__ex_$c")) :+
+        lit(true).as("__ex_hit"): _*)
+    val joined = decorated.join(ex, keyCols, "left")
+    keep.foldLeft(joined) { (df, c) =>
+      df.withColumn(c,
+        when(col("__ex_hit"), col(s"__ex_$c")).otherwise(col(c)))
+    }.drop("__ex_hit").drop(keep.map(c => s"__ex_$c"): _*)
+  }
+
+  /** Full pipeline: ops → gate → fold → posts rows (batch replay).
+    * With `existingPosts`, the fold is seeded per batch key
+    * ([[seedEvents]]) and edit-untouched fields are restored
+    * ([[restoreInsertFacts]]) — together these make micro-batch
+    * boundaries invisible: an insert+edit in one batch and the same
+    * split across two batches fold to identical rows. */
   def ingest(ops: DataFrame, existingPosts: Option[DataFrame] = None)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
     val evs = gateEvents(commentEvents(ops), existingPosts)
       .as[CommentEv]
-    decorate(foldPosts(evs).toDF())
+    val folded = existingPosts match {
+      case None => foldPosts(evs)
+      case Some(ex) => foldPosts(evs.unionByName(seedEvents(ex, evs.toDF())))
+    }
+    val dec = decorate(folded.toDF())
+    existingPosts.fold(dec)(ex => restoreInsertFacts(dec, ex))
   }
 
   /** Vote ops → dirty set (J9, hive-stream.ts:224-238): distinct

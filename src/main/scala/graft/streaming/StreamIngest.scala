@@ -47,9 +47,16 @@ object StreamIngest {
       catch { case _: Exception => None }
     val fresh = PostsIngest.ingest(ops, existing)
     val merged = existing match {
+      // Tie-break prefers the EXISTING row: the reference's monotonic
+      // guard is strict (`stored.block_height < edit.block_height`,
+      // hive-stream.ts:538), so a replayed batch that adds nothing new
+      // must leave the stored row (incl. metadata_status) untouched.
       case Some(ex) => Merge.latestWins(
-        ex.unionByName(fresh, allowMissingColumns = true),
-        Seq("author", "permlink"), col("state_control.block_height"))
+        ex.withColumn("__src", lit(1))
+          .unionByName(fresh.withColumn("__src", lit(0)),
+            allowMissingColumns = true),
+        Seq("author", "permlink"), col("state_control.block_height"),
+        ties = Seq(col("__src"))).drop("__src")
       case None => fresh
     }
     // rewrite (small entity table); Delta MERGE at scale

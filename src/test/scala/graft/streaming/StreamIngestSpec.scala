@@ -54,6 +54,70 @@ class StreamIngestSpec extends SparkSpec {
       .getAs[String]("body") == "v2 body")
   }
 
+  test("cross-batch edit: dmp applies to STORED body; insert facts kept") {
+    val dir = Files.createTempDirectory("graft-xbatch").toString
+    val postsDir = s"$dir/posts"
+    import spark.implicits._
+    def mergeBlock(json: String): Unit =
+      StreamIngest.mergeBlocksBatch(spark,
+        spark.read.schema(graft.domain.Schemas.block)
+          .json(Seq(json).toDS()),
+        postsDir)
+
+    val v1 = "The quick brown fox jumps over the lazy dog"
+    val v2 = "The quick red fox jumps over the lazy dog"
+    val patch = graft.functions.Dmp.patchToText(
+      graft.functions.Dmp.patchMake(v1, v2))
+
+    // batch 1: insert (3speak video meta → spkvideo + ipfs_links)
+    mergeBlock(block(100, "2024-05-01T12:00:00",
+      ("t1", Seq(("comment",
+        comment("alice", "p1", v1, jsonMeta = videoMeta))))))
+    // batch 2: the edit arrives ALONE — must patch the stored body,
+    // and must NOT recompute insert-time facts from the edit's meta
+    mergeBlock(block(101, "2024-05-01T12:00:03",
+      ("t2", Seq(("comment", comment("alice", "p1", patch,
+        jsonMeta = """{"app":"3speak/9.9","tags":["edited"]}"""))))))
+
+    val p = spark.read.parquet(postsDir).collect().head
+    assert(p.getAs[String]("body") == v2)           // patched, not verbatim
+    assert(p.getAs[String]("status") == "published")
+    assert(p.getAs[java.sql.Timestamp]("created_at").toString
+      .startsWith("2024-05-01 12:00:00"))           // insert-time, kept
+    assert(p.getAs[java.sql.Timestamp]("updated_at").toString
+      .startsWith("2024-05-01 12:00:03"))           // edit-time
+    assert(p.getAs[org.apache.spark.sql.Row]("state_control")
+      .getAs[Long]("block_height") == 101)
+    val app = p.getAs[org.apache.spark.sql.Row]("app_metadata")
+    // spkvideo/ipfs_links derive from the INSERT metadata only
+    // (edit $set never recomputes them, hive-stream.ts:563-577)
+    assert(app.getAs[org.apache.spark.sql.Row]("spkvideo")
+      .getAs[String]("storage_type") == "ipfs")
+    assert(p.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "ipfs_links").map(_.getAs[String]("cid")) == Seq("QmVid123", "QmThumb9"))
+    // stored metadata tracks the LAST write
+    assert(p.getAs[String]("json_metadata_raw").contains("edited"))
+
+    // batch 3: deleted-flag edit (non-patch body ⇒ replace)
+    mergeBlock(block(102, "2024-05-01T12:00:06",
+      ("t3", Seq(("comment", comment("alice", "p1", "gone",
+        jsonMeta = """{"app":"3speak/9.9","flags":["deleted"]}"""))))))
+    val p3 = spark.read.parquet(postsDir).collect().head
+    assert(p3.getAs[String]("status") == "deleted")
+    assert(p3.getAs[String]("body") == "gone")
+
+    // batch 4: stale replay of the ORIGINAL insert — strict monotonic
+    // guard: must not regress body/status/metadata
+    mergeBlock(block(100, "2024-05-01T12:00:00",
+      ("t1", Seq(("comment",
+        comment("alice", "p1", v1, jsonMeta = videoMeta))))))
+    val p4 = spark.read.parquet(postsDir).collect().head
+    assert(p4.getAs[String]("status") == "deleted")
+    assert(p4.getAs[String]("body") == "gone")
+    assert(p4.getAs[org.apache.spark.sql.Row]("state_control")
+      .getAs[Long]("block_height") == 102)
+  }
+
   test("ceramic CDC → posts schema → unified queryable table (S2)") {
     import spark.implicits._
     val cdcJson = Seq(
