@@ -16,16 +16,24 @@ object Bench {
     // JVM/codegen/scan warmup (untimed): without it the first queries
     // absorb one-time JIT + parquet-footer costs and the per-query
     // numbers measure the JVM, not the plans.
+    // Methodology: materialize EVERY output column via a noop-format
+    // write — under a bare count() Catalyst prunes unused columns, so
+    // projection-heavy queries would be under-measured (plan metadata,
+    // not work).
+    def materialize(fn: (SparkSession, String) => org.apache.spark.sql
+        .DataFrame): Unit =
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
     try {
       graft.Tables.names.foreach { t =>
         graft.Tables.load(spark, sfDir, t).count()
       }
-      SparkEntry.queries.get("q03_feed_page")
-        .foreach(f => f(spark, sfDir).count())
+      SparkEntry.queries.get("q03_feed_page").foreach(materialize)
     } catch { case _: Throwable => () }
+    finally CacheTracker.releaseAll()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try materialize(fn) catch { case _: Throwable => () }
+      finally CacheTracker.releaseAll()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -1,6 +1,7 @@
 package graft.dedup
 
-import graft.functions.Text
+import graft.CacheTracker
+import graft.functions.{SigExprs, Text}
 import graft.state.Merge
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -15,19 +16,6 @@ import org.apache.spark.sql.functions._
   * document text, so shuffle volume is O(rows × sig), not O(corpus).
   */
 object Dedup {
-
-  /** Force the (small) result, then release the heavy cached
-    * intermediates — without this, shingle/signature caches from each
-    * call would pin block-manager memory for the session's lifetime.
-    * The returned result stays cached (pair lists are tiny); callers
-    * may unpersist it when done. */
-  private[graft] def materializeAndRelease(
-      result: DataFrame, intermediates: Seq[DataFrame]): DataFrame = {
-    val out = result.persist()
-    out.count()
-    intermediates.foreach(_.unpersist(blocking = false))
-    out
-  }
 
   /** Exact dedup on normalized content: keep the lowest-id row per
     * fingerprint. One hash-shuffle on a 128-bit key. */
@@ -63,27 +51,26 @@ object Dedup {
     val rowsPerBand = k / bands
     // Materialize the shingle sets once: they feed the signature AND
     // both sides of the verification join. At 100 TB this is the
-    // persisted signature/shingle side table; here persist() plays
-    // that role (re-read 3×, computed 1×).
-    val sh = docs
+    // persisted signature/shingle side table; here a tracked lazy
+    // persist plays that role (re-read 3×, computed 1×; released by
+    // the harness via CacheTracker.releaseAll).
+    val sh = CacheTracker.persistTracked(docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"),
-        Text.wordShingles(col("toks"), shingleN).as("sh"))
-      .persist()
+        Text.wordShingles(col("toks"), shingleN).as("sh")))
     // Banding rows carry ONLY (id, band, key) — the candidate shuffle
     // moves 24 bytes/row, never the shingle arrays.
-    val banded = sh
+    val banded = CacheTracker.persistTracked(sh
       .withColumn("hashes", transform(col("sh"), s => xxhash64(s)))
-      // sig materialized as a column: lshBandKeys slices it 8×, and an
-      // inline sig expression would be recomputed per band
+      // native codegen signature (one loop, all k mins) — the composed
+      // k×array_min formulation cost k array passes per row
       .withColumn("sig",
-        Text.minhashSigFromHashes(col("hashes"), k, seed))
+        SigExprs.minhashSigFromHashes(col("hashes"), k, seed))
       .select(col("id"),
         explode(Text.lshBandKeys(col("sig"), bands, rowsPerBand))
           .as("bk"))
       .select(col("id"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
-      .persist()
+        col("bk.key").as("key")))
     val cand = banded.select(col("band"), col("key"),
         col("id").as("id_a"))
       .join(banded.select(col("band"), col("key"), col("id").as("id_b")),
@@ -99,7 +86,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-    materializeAndRelease(verified, Seq(sh, banded))
+    verified
   }
 
   /** SimHash near-dup pairs: 64-bit signature, candidates = equal
@@ -108,13 +95,13 @@ object Dedup {
     * any pair within Hamming 3 must share one of 4 bands). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigd = docs
+    val sigd = CacheTracker.persistTracked(docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .withColumn("hashes", transform(col("toks"), t => xxhash64(t)))
       .select(col("id"),
-        Text.simhash64Fast(col("hashes")).as("sig"))
-      .persist()    // signature table: computed once, read by both
-                    // self-join branches (materialized index at scale)
+        Text.simhash64Fast(col("hashes")).as("sig")))
+    // ^ signature table: computed once, read by both self-join
+    //   branches (the materialized index at scale)
     val banded = sigd.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -131,7 +118,7 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(first(Text.hamming64(col("sig_a"), col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    materializeAndRelease(verified, Seq(sigd))
+    verified
   }
 
   /** Exact Jaccard of every document against one anchor document —

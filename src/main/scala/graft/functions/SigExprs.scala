@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+
+/** MinHash signature as one native codegen loop.
+  *
+  * Input: array<long> of per-shingle hashes; output: array<long> of k
+  * salted minima — bit-for-bit the same signature as the composed
+  * [[Text.minhashSigFromHashes]] (spec-tested), which evaluates
+  * k separate `array_min(transform(hashes, xxhash64(_, salt)))` passes:
+  * k ArrayData traversals + k array allocations per row, and Catalyst
+  * cannot CSE the per-element inner hash across the salt branches.
+  * Here: ONE pass, the inner `XXH64(h, 42)` hoisted per element, k
+  * register-resident compares — the per-row cost that dominates a
+  * 100 TB signature scan.
+  *
+  * Bit-parity: Spark's `xxhash64(h, salt)` folds left over its args
+  * starting from seed 42, i.e. `hashLong(salt, hashLong(h, 42))` —
+  * reproduced exactly below. Empty input → all Long.MaxValue (the
+  * composed version's coalesce fallback).
+  */
+case class MinHashSig(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got ${other.sql}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  // same salt derivation as Text.minhashSigFromHashes — keeps the two
+  // formulations interchangeable
+  private lazy val salts: Array[Long] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(k)(rng.nextLong())
+  }
+
+  private val XxSeed = 42L  // functions.xxhash64's fixed seed
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val inner = XXH64.hashLong(arr.getLong(i), XxSeed)
+      var j = 0
+      while (j < k) {
+        val v = XXH64.hashLong(salts(j), inner)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val saltsRef = ctx.addReferenceObj("salts", salts, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mins = ctx.freshName("mins")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val inner = ctx.freshName("inner")
+      val v = ctx.freshName("v")
+      val xxh = classOf[XXH64].getName
+      s"""
+      long[] $mins = new long[$k];
+      java.util.Arrays.fill($mins, Long.MAX_VALUE);
+      for (int $i = 0; $i < $arr.numElements(); $i++) {
+        long $inner = $xxh.hashLong($arr.getLong($i), ${XxSeed}L);
+        for (int $j = 0; $j < $k; $j++) {
+          long $v = $xxh.hashLong($saltsRef[$j], $inner);
+          if ($v < $mins[$j]) $mins[$j] = $v;
+        }
+      }
+      ${ev.value} = org.apache.spark.sql.catalyst.expressions
+        .UnsafeArrayData.fromPrimitiveArray($mins);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig =
+    copy(child = c)
+}
+
+/** Random-hyperplane bit signature as one native codegen loop.
+  *
+  * Input: array<float> embedding; output: 64-bit signature with
+  * bit i = sign(v · plane_i) — bit-for-bit the composed
+  * [[Vectors.hyperplaneSig]] (spec-tested), which evaluates `bits`
+  * separate `aggregate(zip_with(...))` dot products: 64 traversals of
+  * the vector with per-element Double boxing. Here the plane matrix is
+  * a plan-carried double[][] and the row cost is one bits×dim loop
+  * nest over primitive floats.
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sig = 0L
+    var i = 0
+    while (i < planes.length) {
+      val p = planes(i)
+      val d = math.min(n, p.length)
+      var proj = 0.0
+      var j = 0
+      while (j < d) {
+        proj += arr.getFloat(j).toDouble * p(j)
+        j += 1
+      }
+      if (proj > 0) sig |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sig = ctx.freshName("sig")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val proj = ctx.freshName("proj")
+      s"""
+      long $sig = 0L;
+      for (int $i = 0; $i < $planesRef.length; $i++) {
+        double[] $p = $planesRef[$i];
+        int $d = java.lang.Math.min($arr.numElements(), $p.length);
+        double $proj = 0.0;
+        for (int $j = 0; $j < $d; $j++) {
+          $proj += ((double) $arr.getFloat($j)) * $p[$j];
+        }
+        if ($proj > 0) $sig |= (1L << $i);
+      }
+      ${ev.value} = $sig;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneSig =
+    copy(child = c)
+}
+
+object SigExprs {
+
+  /** Column API: MinHash signature over a pre-hashed array<long>. */
+  def minhashSigFromHashes(hashes: Column, k: Int,
+                           seed: Long = 42L): Column =
+    GraftBridge.column(
+      MinHashSig(GraftBridge.expression(hashes), k, seed))
+
+  /** Column API: hyperplane signature over an array<float> vector,
+    * planes derived exactly like [[Vectors.hyperplaneSig]]. */
+  def hyperplaneSig(vec: Column, dim: Int, bits: Int,
+                    seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes =
+      Array.fill(bits)(Array.fill(dim)(rng.nextGaussian()))
+    GraftBridge.column(HyperplaneSig(GraftBridge.expression(vec), planes))
+  }
+}

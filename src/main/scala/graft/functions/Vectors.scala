@@ -64,10 +64,13 @@ object Vectors {
   def cosinePairs(vectors: DataFrame, vecCol: String, idCol: String,
                   dim: Int, threshold: Double = 0.9,
                   bits: Int = 64, seed: Long = 42L): DataFrame = {
-    val base = vectors.select(col(idCol).as("id"),
-      col(vecCol).as("v")).persist()
-    val sigd = base.select(col("id"),
-      hyperplaneSig(col("v"), dim, bits, seed).as("sig")).persist()
+    val base = graft.CacheTracker.persistTracked(
+      vectors.select(col(idCol).as("id"), col(vecCol).as("v")))
+    // native codegen signature: one bits×dim primitive loop per row
+    // (the composed hyperplaneSig runs `bits` separate aggregate/
+    // zip_with traversals of the vector)
+    val sigd = graft.CacheTracker.persistTracked(base.select(col("id"),
+      SigExprs.hyperplaneSig(col("v"), dim, bits, seed).as("sig")))
     val nBands = bits / 16
     val banded = sigd.select(col("id"),
       explode(array((0 until nBands).map { b =>
@@ -89,12 +92,7 @@ object Vectors {
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-    // force result, release the vector/signature caches (they would
-    // otherwise pin block-manager memory for the session)
-    val out = verified.persist()
-    out.count()
-    Seq(base, sigd).foreach(_.unpersist(blocking = false))
-    out
+    verified
   }
 
   /** Assign each vector to its nearest centroid (argmax cosine).

@@ -30,13 +30,21 @@ object LshProbe {
     val hashed = sh.withColumn("hashes",
       transform(col("sh"), s => xxhash64(s)))
     time("hashes")(hashed.count())
-    val banded = hashed.select(col("id"),
+    val bandedSlow = hashed.select(col("id"),
       explode(Text.lshBandKeys(
         Text.minhashSigFromHashes(col("hashes"), 32, 42L), 8, 4))
         .as("bk"))
       .select(col("id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    time("banded, composed 32×array_min sig")(bandedSlow.count())
+    val banded = hashed.select(col("id"),
+      explode(Text.lshBandKeys(
+        graft.functions.SigExprs.minhashSigFromHashes(
+          col("hashes"), 32, 42L), 8, 4))
+        .as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
         col("bk.key").as("key")).persist()
-    time("banded (sig from hashes)")(banded.count())
+    time("banded, native MinHashSig")(banded.count())
 
     time("full minhashLshPairs")(
       println("pairs=" + graft.dedup.Dedup.minhashLshPairs(

@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SigExprsSpec extends SparkSpec {
+
+  test("native MinHashSig == composed minhashSigFromHashes, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(30))(s"tok${rnd.nextInt(40)}"))
+    } :+ (99L, Seq.empty[String])   // empty → all Long.MaxValue
+    val df = docs.toDF("id", "sh")
+      .withColumn("hashes", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("fast", SigExprs.minhashSigFromHashes(col("hashes"), 32))
+      .withColumn("slow", Text.minhashSigFromHashes(col("hashes"), 32))
+    val bad = df.filter(col("fast") =!= col("slow")).count()
+    assert(bad == 0)
+    val empty = df.filter(col("id") === 99L)
+      .select(col("fast")).head()
+      .getAs[scala.collection.Seq[Long]](0)
+    assert(empty.forall(_ == Long.MaxValue) && empty.length == 32)
+  }
+
+  test("native HyperplaneSig == composed hyperplaneSig, bit for bit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+      .withColumn("fast", SigExprs.hyperplaneSig(col("v"), 64, 64))
+      .withColumn("slow", Vectors.hyperplaneSig(col("v"), 64, 64))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
+  test("pinned m01 regression: sf0.01 minhash pairs unchanged") {
+    // the exact id-pair set the round-1 oracle-verified run produced;
+    // the native signature must reproduce it
+    val expected = Set((8, 245), (26, 455), (31, 383), (44, 446),
+      (45, 267), (45, 413), (58, 293), (61, 185), (70, 447), (72, 377),
+      (87, 134), (92, 450), (98, 290), (107, 387), (120, 332),
+      (152, 178), (166, 323), (267, 413), (285, 301), (295, 374),
+      (310, 389), (326, 457), (393, 420), (435, 486), (458, 462))
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = graft.dedup.Dedup.minhashLshPairs(docs, "text", "doc_id",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.2, seed = 42L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt)).toSet
+    graft.CacheTracker.releaseAll()
+    assert(got == expected)
+  }
+
+  test("pinned v03 regression: sf0.01 constructed dup pairs unchanged") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select("vec_id", "embedding")
+    val dups = emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val got = Vectors.cosinePairs(emb.unionByName(dups), "embedding",
+      "vec_id", dim = 64, threshold = 0.99)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheTracker.releaseAll()
+    assert(got == (0L until 10L).map(i => (i, i + 100000L)).toSet)
+  }
+}
