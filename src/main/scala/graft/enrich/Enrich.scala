@@ -55,7 +55,11 @@ object Enrich {
     val deleteApplies = col("p.TYPE") === "HIVE" && dirty && rpcDeleted
 
     posts.alias("p")
-      .join(contentRpc.alias("c"), Seq("author", "permlink"), "left")
+      // rpc snapshots are one-row-per-post; guard against a duplicated
+      // snapshot multiplying the posts table through the left join
+      // (same guard as communityRefresh / applyStreamIds)
+      .join(contentRpc.dropDuplicates("author", "permlink").alias("c"),
+        Seq("author", "permlink"), "left")
       .join(commentCounts,
         col("p.author") === col("ca") && col("p.permlink") === col("cp"),
         "left")
@@ -145,8 +149,18 @@ object Enrich {
   /** scoreChannels (A6, core.ts:285-383): per 3speak author,
     * score = 3×(first-level comments on their videos) + 0.1×(video
     * votes); everyone else zeroed (S11 as a left join, not a scan-
-    * and-update loop). */
+    * and-update loop).
+    *
+    * Observable reference bug, reproduced: the vote accumulator is
+    * `totalVotes + vid.stats?.num_votes || 0` (core.ts:355) — JS
+    * precedence makes the sum NaN when a video has no stats, and
+    * `|| 0` then RESETS the accumulator. So total_votes is the sum of
+    * num_votes over the videos AFTER the author's last stats-less
+    * video in cursor order (insertion ≈ created_at; permlink as the
+    * deterministic tie-break). The comments accumulator is unaffected
+    * (countDocuments always returns a number). */
   def channelScores(posts: DataFrame, profiles: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the reference scores over ALL app=3speak posts of the author —
     // it does not exclude comment-flagged rows (core.ts:341-345)
     val videos = posts.filter(col("app_metadata.app") === "3speak")
@@ -155,15 +169,23 @@ object Enrich {
       .groupBy(col("parent_author").as("ca"),
         col("parent_permlink").as("cp"))
       .agg(count(lit(1)).as("n_comments"))
+    val numVotes = col("v.stats.num_votes").cast("long")
+    val wOrd = Window.partitionBy(col("v.author"))
+      .orderBy(col("v.created_at"), col("v.permlink"))
+    val wAll = Window.partitionBy(col("v.author"))
     val perAuthor = videos.alias("v")
       .join(commentCounts,
         col("v.author") === col("ca") && col("v.permlink") === col("cp"),
         "left")
+      .withColumn("__idx", row_number().over(wOrd))
+      // last stats-less video resets the vote accumulator (see above)
+      .withColumn("__reset",
+        max(when(numVotes.isNull, col("__idx"))).over(wAll))
       .groupBy(col("v.author").as("author"))
       .agg(
         sum(coalesce(col("n_comments"), lit(0L))).as("total_comments"),
-        sum(coalesce(col("v.stats.num_votes").cast("long"), lit(0L)))
-          .as("total_votes"))
+        coalesce(sum(when(col("__idx") > coalesce(col("__reset"), lit(0)),
+          numVotes)), lit(0L)).as("total_votes"))
       .withColumn("new_score",
         col("total_comments") * 3 + col("total_votes") * 0.1)
     profiles.alias("pr")
@@ -246,13 +268,22 @@ object Enrich {
   /** pullAllAccounts apply (S5, core.ts:393-449): missing-profile
     * authors ⋈ `accounts_rpc` (database.getAccounts stand-in) →
     * profile rows. Rows with unparseable JSON or no `.profile` key
-    * are skipped, matching the reference's try/catch-continue. */
+    * are skipped, matching the reference's try/catch-continue.
+    *
+    * Metadata source: `posting_json_metadata || json_metadata`
+    * (core.ts:407) — an empty/missing posting metadata falls back to
+    * json_metadata, so accounts whose profile lives only there are
+    * still hydrated. The fallback column is optional (older
+    * snapshots may not carry it). */
   def profilesFromAccountsRpc(accountsRpc: DataFrame): DataFrame = {
-    def pf(f: String) = get_json_object(
-      col("posting_json_metadata"), s"$$.profile.$f")
+    val metaSrc =
+      if (accountsRpc.columns.contains("json_metadata"))
+        coalesce(nullif(col("posting_json_metadata"), lit("")),
+          col("json_metadata"))
+      else col("posting_json_metadata")
+    def pf(f: String) = get_json_object(metaSrc, s"$$.profile.$f")
     accountsRpc
-      .filter(get_json_object(col("posting_json_metadata"), "$.profile")
-        .isNotNull)
+      .filter(get_json_object(metaSrc, "$.profile").isNotNull)
       .select(
         concat(lit("hive/"), col("name")).as("_id"),
         col("name").as("username"),
@@ -261,7 +292,7 @@ object Enrich {
         pf("about").as("about"),
         pf("location").as("location"),
         pf("website").as("website"),
-        get_json_object(col("posting_json_metadata"), "$.did").as("did"),
+        get_json_object(metaSrc, "$.did").as("did"),
         struct(pf("profile_image").as("avatar"),
           pf("cover_image").as("cover")).as("images"),
         struct(pf("pinned").as("pinned_post")).as("extra"),

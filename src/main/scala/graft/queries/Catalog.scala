@@ -341,13 +341,18 @@ object Catalog {
             ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
         WHERE rk <= 3 ORDER BY o_orderstatus, rk""")),
 
-    // ── Q11 relatedFeed $sample: seeded uniform sample (no SQL
-    //    oracle: Spark's rand(seed) is engine-specific) ───────────────
+    // ── Q11 relatedFeed $sample: seeded deterministic sample — the
+    //    md5-over-(seed,id) draw is layout-independent AND portable,
+    //    so DuckDB replays the identical row set ────────────────────
     Q("q20_related_sample",
       (s, d) => Feeds.relatedSample(Tables.documents(s, d),
-        col("lang") === "en", k = 25, seed = 42L)
+        col("lang") === "en", k = 25, seed = 42L,
+        idCols = Seq(col("doc_id")))
         .select("doc_id", "lang", "source"),
-      None),
+      Some("""SELECT doc_id, lang, source FROM documents
+        WHERE lang = 'en'
+        ORDER BY md5(concat('42', '#', doc_id)), doc_id
+        LIMIT 25""")),
 
     // ── §7.5 exact dedup groups ──────────────────────────────────────
     Q("d01_dedup_exact",

@@ -74,8 +74,10 @@ object ArgsJson {
       includeCeramic = opt(n, "includeCeramic")
         .exists(_.asBoolean()),
       byFollower = opt(n, "byFollower").map(_.asText()),
+      // 0 = unset sentinel: each feed applies its own default
+      // (JS `pagination?.limit || N` treats an explicit 0 the same)
       limit = pag.flatMap(p => opt(p, "limit").map(_.asInt()))
-        .getOrElse(100),
+        .getOrElse(0),
       skip = pag.flatMap(p => opt(p, "skip").map(_.asInt()))
         .getOrElse(0))
   }

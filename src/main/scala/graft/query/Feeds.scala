@@ -65,12 +65,22 @@ object Feeds {
   /** relatedFeed (resolvers/index.ts:268-307): rows related to an
     * anchor (overlapping tags, or same parent for top-level anchors),
     * then a uniform random sample of size k. The reference uses Mongo
-    * `$sample`; we use seeded rand so tests can replicate
-    * (SURVEY.md §7.4).
+    * `$sample`; we take the k smallest values of a seeded per-row
+    * hash over `idCols`.
+    *
+    * Why a hash and not `rand(seed)`: seeded rand is per-PARTITION
+    * deterministic, so the "deterministic" sample would silently
+    * change with layout/parallelism. md5 over (seed, id) is layout-
+    * independent, engine-portable (identical in DuckDB, so the
+    * catalog query is oracle-verifiable), and still a uniform draw.
     */
   def relatedSample(df: DataFrame, relatedPred: Column, k: Int,
-                    seed: Long): DataFrame =
-    df.filter(relatedPred).orderBy(rand(seed)).limit(k)
+                    seed: Long, idCols: Seq[Column]): DataFrame = {
+    val key = md5(concat_ws("#", lit(seed.toString) +: idCols: _*))
+    df.filter(relatedPred)
+      .orderBy(key +: idCols.map(_.asc): _*)
+      .limit(k)
+  }
 
   /** searchFeed (resolvers/index.ts:193-223; Mongo $text index
     * db.ts:61-63): token match with a term-frequency score. Mongo's

@@ -23,7 +23,11 @@ final case class FeedArgs(
     or: Seq[FeedArgs] = Nil,                         // F11
     includeCeramic: Boolean = false,                 // F12
     byFollower: Option[String] = None,               // F13 (semi join)
-    limit: Int = 100, skip: Int = 0)
+    // 0 = "unset": each feed applies its own default via limitOr,
+    // matching JS `pagination?.limit || N` (0 is falsy there too)
+    limit: Int = 0, skip: Int = 0) {
+  def limitOr(default: Int): Int = if (limit > 0) limit else default
+}
 
 /** The read-path query surface over the posts/profiles/communities/
   * follows entity tables (SURVEY.md §2.3-§2.5, §3.1).
@@ -119,7 +123,7 @@ object PostQueries {
     Feeds.page(filtered(posts, follows, a), lit(true),
       Seq(col("created_at").desc, col("author").asc,
         col("permlink").asc),
-      a.skip, a.limit)
+      a.skip, a.limitOr(100))
 
   /** Q9 searchFeed: any-term token match + tf score, newest-first —
     * Mongo $text matches documents containing ANY search term and the
@@ -133,7 +137,7 @@ object PostQueries {
         requireAll = false)
       .orderBy(col("created_at").desc, col("author").asc,
         col("permlink").asc)
-      .offset(a.skip).limit(a.limit)
+      .offset(a.skip).limit(a.limitOr(100))
   }
 
   sealed trait TrendingBy
@@ -152,7 +156,7 @@ object PostQueries {
     Feeds.trending(filtered(posts, follows, a), lit(true),
       col("created_at"), expr("INTERVAL 3 DAYS"),
       Seq(metric.desc, col("author").asc, col("permlink").asc),
-      a.limit)
+      a.limitOr(100))
       .offset(a.skip)
   }
 
@@ -178,7 +182,12 @@ object PostQueries {
         arrays_overlap(col("tags"), col("a_tags")) ||
           (col("a_pa") === "" && col("parent_permlink") === col("a_pp")))
       .drop("a_tags", "a_pa", "a_pp")
-    related.orderBy(rand(seed)).limit(if (a.limit > 0) a.limit else 25)
+    // layout-independent seeded sample (see Feeds.relatedSample);
+    // default size 25 = the reference's `pagination?.limit || 25`
+    val key = md5(concat_ws("#", lit(seed.toString),
+      col("author"), col("permlink")))
+    related.orderBy(key, col("author"), col("permlink"))
+      .limit(a.limitOr(25))
   }
 
   /** Q1 socialPost: point lookup. */

@@ -83,6 +83,27 @@ class EnrichSpec extends SparkSpec {
     assert(out("x1").getAs[String]("status") == "published")
   }
 
+  test("postStats: duplicated RPC snapshot row does not multiply posts") {
+    import spark.implicits._
+    val posts = mkPosts()
+    val rpc = Seq(
+      ("alice", "v1", "2024-05-10T00:00:00", "0.000 HBD", "1.500 HBD",
+        "0.500 HBD", 3),
+      // the same key again — a replayed/duplicated snapshot
+      ("alice", "v1", "2024-05-10T00:00:00", "0.000 HBD", "1.500 HBD",
+        "0.500 HBD", 3))
+      .toDF("author", "permlink", "last_payout", "pending_payout_value",
+        "total_payout_value", "curator_payout_value", "net_votes")
+      .withColumn("active_votes", lit(null).cast(
+        "array<struct<voter:string,rshares:double,percent:int,weight:double>>"))
+      .withColumn("max_accepted_payout", lit(null).cast("string"))
+      .withColumn("max_cashout_time", lit(null).cast("string"))
+      .withColumn("cashout_time", lit(null).cast("string"))
+    val out = Enrich.postStats(posts, rpc)
+    assert(out.count() == posts.count())
+    assert(out.filter(col("permlink") === "v1").count() == 1)
+  }
+
   test("videoMeta: RESOLUTION regex (X9) + is_short (X10)") {
     import spark.implicits._
     val posts = mkPosts()
@@ -124,6 +145,38 @@ class EnrichSpec extends SparkSpec {
         r.getAs[Double]("score")).toMap
     assert(math.abs(out("alice") - (2 * 3 + 10 * 0.1)) < 1e-9)
     assert(out("zed") == 0.0)               // S11 zero-out
+  }
+
+  test("channelScores: stats-less video RESETS the vote accumulator (core.ts:355)") {
+    import spark.implicits._
+    // (totalVotes + undefined) || 0 — each stats-less video zeroes the
+    // running vote sum; only videos AFTER the author's last stats-less
+    // one (in insertion order) count
+    def post(author: String, permlink: String, ts: String,
+             votes: java.lang.Integer) =
+      (author, permlink, java.sql.Timestamp.valueOf(ts), votes)
+    val posts = Seq(
+      // alice: stats-less video arrives AFTER the voted one → reset to 0
+      post("alice", "a1", "2024-05-01 00:00:00", 10),
+      post("alice", "a2", "2024-05-02 00:00:00", null),
+      // bob: stats-less video FIRST, voted one after → 7 survives
+      post("bob", "b1", "2024-05-01 00:00:00", null),
+      post("bob", "b2", "2024-05-02 00:00:00", 7))
+      .toDF("author", "permlink", "created_at", "nv")
+      .withColumn("parent_author", lit(""))
+      .withColumn("parent_permlink", lit(""))
+      .withColumn("app_metadata",
+        struct(lit("3speak").as("app")))
+      .withColumn("stats",
+        when(col("nv").isNotNull, struct(col("nv").as("num_votes"))))
+      .drop("nv")
+    val profiles = Seq(("hive/alice", "alice", 0.0),
+      ("hive/bob", "bob", 0.0)).toDF("_id", "username", "score")
+    val out = Enrich.channelScores(posts, profiles).collect()
+      .map(r => r.getAs[String]("username") ->
+        r.getAs[Double]("score")).toMap
+    assert(out("alice") == 0.0)                 // 10 votes wiped by a2
+    assert(math.abs(out("bob") - 0.7) < 1e-9)   // 7 × 0.1 survives
   }
 
   test("mentionNotifications: @mentions, DID typing, lowercase (X7)") {
@@ -196,6 +249,27 @@ class EnrichSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getAs[String]("username") == "alice")
     assert(out.head.getAs[String]("displayName") == "Alice")
+  }
+
+  test("profilesFromAccountsRpc: empty posting meta falls back to json_metadata") {
+    import spark.implicits._
+    // posting_json_metadata || json_metadata (core.ts:407)
+    val rpc = Seq(
+      ("alice", "", """{"profile":{"name":"A"},"did":"did:key:z6MkA"}"""),
+      ("bob", null, """{"profile":{"name":"B"}}"""),
+      // posting wins when non-empty
+      ("carol", """{"profile":{"name":"Cp"}}""",
+        """{"profile":{"name":"Cj"}}"""),
+      // neither has a profile → skipped
+      ("dave", "", """{"x":1}"""))
+      .toDF("name", "posting_json_metadata", "json_metadata")
+    val out = Enrich.profilesFromAccountsRpc(rpc).collect()
+      .map(r => r.getAs[String]("username") ->
+        (r.getAs[String]("displayName"), r.getAs[String]("did"))).toMap
+    assert(out.keySet == Set("alice", "bob", "carol"))
+    assert(out("alice") == ("A", "did:key:z6MkA"))
+    assert(out("bob")._1 == "B")
+    assert(out("carol")._1 == "Cp")
   }
 
   test("applyStreamIds: off_chain_id set, needs_stream_id cleared") {

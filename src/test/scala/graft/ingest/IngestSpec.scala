@@ -135,6 +135,32 @@ class IngestSpec extends SparkSpec {
       .getAs[Boolean]("allowed_by_parent"))
   }
 
+  test("5-deep reply chain in ONE batch resolves to fixpoint (J2 gate)") {
+    // the reference indexes any depth because blocks are sequential;
+    // a fixed iteration count would drop the tail of a chain that
+    // arrives entirely within one batch
+    val other = """{"app":"other/1.0"}"""
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t0", Seq(("comment", comment("a0", "p0", "root")))),
+        ("t1", Seq(("comment", comment("a1", "p1", "d1",
+          parentAuthor = "a0", parentPermlink = "p0", jsonMeta = other)))),
+        ("t2", Seq(("comment", comment("a2", "p2", "d2",
+          parentAuthor = "a1", parentPermlink = "p1", jsonMeta = other)))),
+        ("t3", Seq(("comment", comment("a3", "p3", "d3",
+          parentAuthor = "a2", parentPermlink = "p2", jsonMeta = other)))),
+        ("t4", Seq(("comment", comment("a4", "p4", "d4",
+          parentAuthor = "a3", parentPermlink = "p3", jsonMeta = other)))),
+        ("t5", Seq(("comment", comment("a5", "p5", "d5",
+          parentAuthor = "a4", parentPermlink = "p4", jsonMeta = other)))),
+        // detached disallowed event must still be dropped
+        ("t6", Seq(("comment", comment("a6", "p6", "orphan",
+          parentAuthor = "zz", parentPermlink = "zz", jsonMeta = other))))))
+    val got = PostsIngest.ingest(ops)(spark)
+      .collect().map(_.getAs[String]("permlink")).toSet
+    assert(got == Set("p0", "p1", "p2", "p3", "p4", "p5"))
+  }
+
   test("edit via dmp patch applies; non-patch replaces (X6)") {
     val v1 = "The quick brown fox jumps over the lazy dog"
     val v2 = "The quick red fox jumps over the lazy dog"

@@ -30,7 +30,8 @@ class ArgsJsonSpec extends AnyFunSuite {
     }""")
     assert(a.or.size == 2)
     assert(a.or.head.byTag.get.eq.contains("x"))
-    assert(a.limit == 100 && a.skip == 0 && !a.includeComments)
+    assert(a.limit == 0 && a.limitOr(100) == 100 && a.skip == 0 &&
+      !a.includeComments)
   }
 
   test("explicit JSON nulls are treated as absent, not literal 'null'") {
@@ -42,7 +43,7 @@ class ArgsJsonSpec extends AnyFunSuite {
     }""")
     assert(a.byFollower.isEmpty)
     assert(a.byTag.exists(w => w.eq.isEmpty && w.in.isEmpty))
-    assert(a.limit == 100 && a.skip == 0)
+    assert(a.limit == 0 && a.limitOr(100) == 100 && a.skip == 0)
     assert(!a.spkvideoOnly && a.or.isEmpty)
   }
 

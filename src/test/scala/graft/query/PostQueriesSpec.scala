@@ -116,6 +116,19 @@ class PostQueriesSpec extends SparkSpec {
     assert(out == Set("v1", "v2", "e1", "b1"))
   }
 
+  test("relatedSample: deterministic and layout-independent") {
+    import graft.query.Feeds
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      Feeds.relatedSample(df, lit(true), 3, 42L,
+        Seq(col("author"), col("permlink")))
+        .select("author", "permlink").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    val a = sample(posts)
+    val b = sample(posts.repartition(7))   // rand(seed) would differ here
+    val c = sample(posts.coalesce(1))
+    assert(a == b && b == c && a.length == 3)
+  }
+
   test("socialPost point lookup (Q1) and children (Q3)") {
     assert(PostQueries.socialPost(posts, "alice", "v1").count() == 1)
     val kids = PostQueries.children(posts, "alice", "v1")
