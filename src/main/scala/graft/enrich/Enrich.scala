@@ -232,6 +232,25 @@ object Enrich {
       .distinct()
   }
 
+  /** Cross-batch notification dedup + sink population: candidate
+    * mention notifications from this batch minus the rows already in
+    * the notifications table. The reference runs `findOne(notify)`
+    * per candidate and inserts only on miss (process-meta.ts:25-28) —
+    * a whole-document match, which is ONE left anti join here (no
+    * N round-trips). The worker selects posts with
+    * `metadata_status='unprocessed'` (process-meta.ts:15-17); note it
+    * observably never flips that flag afterwards, so re-runs re-derive
+    * the same candidates — exactly why the anti join must exist.
+    * Replaying overlapping batches therefore yields no duplicates:
+    * union the result into `stored` after each batch.
+    * (All notification fields are non-null, so join-key null
+    * semantics don't matter for the whole-row match.) */
+  def newNotifications(posts: DataFrame, stored: DataFrame): DataFrame = {
+    val batch = mentionNotifications(
+      posts.filter(col("metadata_status") === "unprocessed"))
+    batch.join(stored, batch.columns.toSeq, "left_anti")
+  }
+
   /** communityRefresh (S4, core.ts:248-283): communities flagged
     * needs_update ⋈ `communities_rpc` (bridge.get_community stand-in:
     * name, title, about, description, flag_text, lang, is_nsfw,

@@ -550,6 +550,26 @@ object Catalog {
         .orderBy("event_type"),
       None),
 
+    // ── Q6 syncState: the stats singleton computed relationally from
+    //    the ingest log (blocks/s, lag, ETA — hive-stream.ts:96-127,
+    //    served via resolvers/index.ts:352-362) ──────────────────────
+    Q("q23_sync_state",
+      (s, d) => graft.streaming.SyncMetrics.syncStateFromLog(
+        Tables.events(s, d), col("event_id"), col("ts"),
+        headAhead = 1000L, lastLag = 1200L),
+      Some("""SELECT 'stats' AS key,
+          CAST(max(event_id) AS BIGINT) AS block_height_current,
+          CAST(count(*) AS DOUBLE) /
+            date_diff('second', CAST(min(ts) AS TIMESTAMP),
+              CAST(max(ts) AS TIMESTAMP)) AS blocks_per_sec,
+          CAST(1000 AS BIGINT) AS block_lag,
+          CAST(round(1000 / (CAST(count(*) AS DOUBLE) /
+            date_diff('second', CAST(min(ts) AS TIMESTAMP),
+              CAST(max(ts) AS TIMESTAMP))), 0) AS BIGINT)
+            AS sync_eta_seconds,
+          CAST(-200 AS BIGINT) AS block_lag_diff
+        FROM events""")),
+
     // ── §7.5 multimodal: metadata-only pass over binary media ───────
     Q("mm01_media_meta",
       (s, d) => graft.multimodal.Multimodal

@@ -36,37 +36,62 @@ object StreamIngest {
       .json(inDir)
 
   /** One micro-batch of blocks merged into the posts table at
-    * `postsDir` (parquet latest-wins; MERGE INTO on Delta). Shared by
-    * the streaming sink and batch `Trigger.AvailableNow` catch-up. */
+    * `postsDir`. Shared by the streaming sink and batch
+    * `Trigger.AvailableNow` catch-up.
+    *
+    * Scale design — the merge is PARTITION-SCOPED, not a table
+    * rewrite: the table lives month-partitioned
+    * (`created_month=yyyy-MM`, Layout.monthBucket), the batch's rows
+    * determine the affected months (edits keep their stored
+    * created_at via the seeded fold, so a post never migrates
+    * months), only those months' stored rows join the latest-wins
+    * union, and the write uses dynamic partition overwrite — write
+    * amplification per micro-batch is O(touched months), not
+    * O(table). The read side still key-scans the table for gate
+    * seeds (semi-joined down to batch keys); on Delta this whole
+    * method is `MERGE INTO` with the same month-partition pruning.
+    */
   def mergeBlocksBatch(spark: SparkSession, blocks: DataFrame,
                        postsDir: String): Unit = {
     implicit val s: SparkSession = spark
+    val monthCol = graft.state.Layout.monthBucket(col("created_at"))
     val ops = OpExtract.ops(blocks)
     val existing =
       try Some(spark.read.parquet(postsDir))
       catch { case _: Exception => None }
-    val fresh = PostsIngest.ingest(ops, existing)
+    // persisted: the month-discovery collect and the merge union both
+    // read it — without the cache the whole ingest (gate fixpoint +
+    // fold) would run twice
+    val fresh = PostsIngest
+      .ingest(ops, existing.map(_.drop("created_month")))
+      .withColumn("created_month", monthCol)
+      .persist()
     val merged = existing match {
       // Tie-break prefers the EXISTING row: the reference's monotonic
       // guard is strict (`stored.block_height < edit.block_height`,
       // hive-stream.ts:538), so a replayed batch that adds nothing new
       // must leave the stored row (incl. metadata_status) untouched.
-      case Some(ex) => Merge.latestWins(
-        ex.withColumn("__src", lit(1))
-          .unionByName(fresh.withColumn("__src", lit(0)),
-            allowMissingColumns = true),
-        Seq("author", "permlink"), col("state_control.block_height"),
-        ties = Seq(col("__src"))).drop("__src")
+      case Some(ex) =>
+        val months = fresh.select("created_month").distinct()
+          .collect().map(_.getString(0))
+        Merge.latestWins(
+          ex.filter(col("created_month").isin(months.toSeq: _*))
+            .withColumn("__src", lit(1))
+            .unionByName(fresh.withColumn("__src", lit(0)),
+              allowMissingColumns = true),
+          Seq("author", "permlink"), col("state_control.block_height"),
+          ties = Seq(col("__src"))).drop("__src")
       case None => fresh
     }
-    // rewrite (small entity table); Delta MERGE at scale
-    val tmp = postsDir + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(postsDir)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    try merged
+      .repartition(col("created_month"))
+      .sortWithinPartitions("author", "permlink")
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("created_month")
+      .parquet(postsDir)
+    finally fresh.unpersist(blocking = false)
   }
 
   /** The streaming query: block files → per-micro-batch ingest+merge,

@@ -203,6 +203,26 @@ class EnrichSpec extends SparkSpec {
     assert(notifs.head.getAs[String]("ref").startsWith("hive/"))
   }
 
+  test("newNotifications: overlapping batch replay inserts no duplicates") {
+    val posts = mkPosts()   // metadata_status = 'unprocessed' for all
+    val empty = Enrich.mentionNotifications(posts).limit(0)
+    // batch 1: all posts → everything is new
+    val n1 = Enrich.newNotifications(posts, empty)
+    val stored1 = n1
+    assert(n1.count() > 0)
+    // batch 2 REPLAYS the same posts (plus nothing new) against the
+    // now-populated store → zero new rows (process-meta.ts:25-28)
+    val n2 = Enrich.newNotifications(posts, stored1)
+    assert(n2.count() == 0)
+    // a genuinely new mention still lands
+    val posts3 = posts.withColumn("body",
+      when(col("permlink") === "x1", lit("hello @newperson"))
+        .otherwise(col("body")))
+    val n3 = Enrich.newNotifications(posts3, stored1)
+      .collect().map(_.getAs[String]("target")).toSet
+    assert(n3 == Set("newperson"))
+  }
+
   test("communityRefresh: needs_update rows refreshed from rpc, flag cleared (S4)") {
     import spark.implicits._
     val communities = Seq(

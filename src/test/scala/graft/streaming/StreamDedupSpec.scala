@@ -57,6 +57,15 @@ class StreamDedupSpec extends SparkSpec {
       assert(s.rowsIngested == 2)
       assert(metrics.etaSeconds(0) == 0.0)
       assert(metrics.etaSeconds(1000) > 0)
+      // Q6: the snapshot materializes as a queryable stats-singleton
+      // row (resolvers/index.ts:352-362 shape)
+      val row = metrics.stateRow(spark, headHeight = 1500L,
+        currentHeight = 1000L, lastLag = 600L).collect().head
+      assert(row.getAs[String]("key") == "stats")
+      assert(row.getAs[Long]("block_height_current") == 1000L)
+      assert(row.getAs[Long]("block_lag") == 500L)
+      assert(row.getAs[Long]("block_lag_diff") == -100L)
+      assert(row.getAs[Long]("sync_eta_seconds") > 0L)
     } finally spark.streams.removeListener(metrics)
   }
 

@@ -118,6 +118,44 @@ class StreamIngestSpec extends SparkSpec {
       .getAs[Long]("block_height") == 102)
   }
 
+  test("merge is partition-scoped: untouched months' files stay on disk") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-partmerge").toString
+    val postsDir = s"$dir/posts"
+    def mergeBlock(json: String): Unit =
+      StreamIngest.mergeBlocksBatch(spark,
+        spark.read.schema(graft.domain.Schemas.block)
+          .json(Seq(json).toDS()),
+        postsDir)
+    def partFiles(month: String): Map[String, Long] = {
+      val d = new java.io.File(s"$postsDir/created_month=$month")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+
+    // two posts in different months
+    mergeBlock(block(100, "2024-04-15T00:00:00",
+      ("t1", Seq(("comment", comment("april", "pa", "april body"))))))
+    mergeBlock(block(200, "2024-05-15T00:00:00",
+      ("t2", Seq(("comment", comment("may", "pm", "may body"))))))
+    val aprilBefore = partFiles("2024-04")
+    assert(aprilBefore.nonEmpty && partFiles("2024-05").nonEmpty)
+
+    // a batch editing only the MAY post must not rewrite April's files
+    mergeBlock(block(201, "2024-05-15T00:01:00",
+      ("t3", Seq(("comment", comment("may", "pm", "may body v2"))))))
+    assert(partFiles("2024-04") == aprilBefore)   // byte-level untouched
+    val table = spark.read.parquet(postsDir)
+    assert(table.count() == 2)
+    val byKey = table.collect()
+      .map(r => r.getAs[String]("permlink") -> r).toMap
+    assert(byKey("pm").getAs[String]("body") == "may body v2")
+    // the edited post keeps its insert-month partition (created_at
+    // restored from the stored row — no month migration)
+    assert(byKey("pm").getAs[String]("created_month") == "2024-05")
+    assert(byKey("pa").getAs[String]("body") == "april body")
+  }
+
   test("ceramic CDC → posts schema → unified queryable table (S2)") {
     import spark.implicits._
     val cdcJson = Seq(
