@@ -37,6 +37,24 @@ object Layout {
   def readPosts(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Time-window read with EXPLICIT month-partition pruning: Catalyst
+    * does not infer `created_month ∈ [...]` from a `created_at`
+    * range, so the window query must carry both predicates — the
+    * month list goes into PartitionFilters (source-level pruning, the
+    * point of the layout), the timestamp range into PushedFilters.
+    * A q04-style 3-day window therefore reads ≤ 2 month partitions
+    * regardless of table size. */
+  def monthWindow(posts: DataFrame, from: java.sql.Timestamp,
+                  to: java.sql.Timestamp): DataFrame = {
+    require(!to.before(from), "monthWindow: to < from")
+    val f = java.time.YearMonth.from(from.toLocalDateTime)
+    val t = java.time.YearMonth.from(to.toLocalDateTime)
+    val months = Iterator.iterate(f)(_.plusMonths(1))
+      .takeWhile(!_.isAfter(t)).map(_.toString).toSeq
+    posts.filter(col("created_month").isin(months: _*) &&
+      col("created_at") >= lit(from) && col("created_at") <= lit(to))
+  }
+
   /** Skew-aware join (SURVEY §4.2 "AQE skew handling" + manual path):
     * salt the skewed (left) side into `buckets` sub-keys and explode
     * the build (right) side once per bucket, so one hot key spreads

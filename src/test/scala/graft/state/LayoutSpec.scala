@@ -66,6 +66,51 @@ class LayoutSpec extends SparkSpec {
       .getAs[Long]("vec_id") == 0L)
   }
 
+  test("3-day monthWindow over 6 months prunes to ≤2 partitions (metric-proven)") {
+    import spark.implicits._
+    // synthetic posts spread over 6 months (the testdata events span
+    // one month, so spread them to make pruning observable)
+    val posts = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("user_id"), col("ts").as("ts0"))
+      .withColumn("created_at",
+        add_months(col("ts0"), pmod(col("event_id"), lit(6)).cast("int"))
+          .cast("timestamp"))
+      .withColumn("author", concat(lit("u"), col("user_id")))
+      .withColumn("permlink", concat(lit("p"), col("event_id")))
+      .drop("ts0")
+    val dir = Files.createTempDirectory("graft-layout-w").toString
+    Layout.writePosts(posts, dir)
+    val table = Layout.readPosts(spark, dir)
+
+    // q04-style anchor: newest row, window = 3 days back
+    val anchor = table.agg(max("created_at")).head().getTimestamp(0)
+    val from = java.sql.Timestamp.from(
+      anchor.toInstant.minus(java.time.Duration.ofDays(3)))
+    val pruned = Layout.monthWindow(table, from, anchor)
+
+    // correctness: pruning loses no rows vs the unpruned window
+    val expected = table
+      .filter(col("created_at") >= lit(from) &&
+        col("created_at") <= lit(anchor)).count()
+    assert(expected > 0)
+
+    // source-level: the scan's runtime metric proves ≤ 2 of the 6
+    // month partitions were actually read. NB: metrics live on THIS
+    // QueryExecution — execute it directly (count() builds its own).
+    assert(pruned.collect().length == expected)
+    val finalPlan = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val partsRead = scan.metrics("numPartitions").value
+    assert(partsRead >= 1 && partsRead <= 2, s"read $partsRead partitions")
+    assert(table.select("created_month").distinct().count() == 6)
+  }
+
   test("saltedJoin spreads a hot key and matches the plain join result") {
     import spark.implicits._
     val skewed = (1 to 1000).map(i => ("hot", i)) ++
