@@ -23,11 +23,19 @@ object Bench {
     def materialize(fn: (SparkSession, String) => org.apache.spark.sql
         .DataFrame): Unit =
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+    // Warm the FULL catalog once untimed: the first execution of each
+    // plan pays one-time JIT + whole-stage-codegen compilation that
+    // would otherwise be booked against whichever query runs first
+    // (map order put q10 there). Timed numbers below are steady-state
+    // plan cost — the number that scales.
     try {
       graft.Tables.names.foreach { t =>
         graft.Tables.load(spark, sfDir, t).count()
       }
-      SparkEntry.queries.get("q03_feed_page").foreach(materialize)
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try materialize(fn) catch { case _: Throwable => () }
+        finally CacheTracker.releaseAll()
+      }
     } catch { case _: Throwable => () }
     finally CacheTracker.releaseAll()
     val results = SparkEntry.queries.map { case (name, fn) =>

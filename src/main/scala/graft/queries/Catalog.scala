@@ -175,12 +175,13 @@ object Catalog {
         .join(broadcast(Tables.customer(s, d)),
           col("o_custkey") === col("c_custkey"), "left")
         .select(col("o_orderkey"), col("o_totalprice"), col("c_name"),
-          coalesce(col("c_mktsegment"), lit("?")).as("segment"))
-        .orderBy("o_orderkey"),
+          coalesce(col("c_mktsegment"), lit("?")).as("segment")),
+      // no ORDER BY: the hydration join has no ordering semantics and
+      // the driver compare is order-insensitive — a global sort here
+      // is a pure range-shuffle tax on the table-sized output
       Some("""SELECT o_orderkey, o_totalprice, c_name,
           COALESCE(c_mktsegment, '?') AS segment
-        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
-        ORDER BY o_orderkey""")),
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey""")),
 
     // ── A2/J4 num_comments: set-based child count joined back ────────
     Q("q10_children_count",
@@ -191,14 +192,13 @@ object Catalog {
           .join(counts, col("o_orderkey") === col("l_orderkey"), "left")
           .select(col("o_orderkey"),
             coalesce(col("n_items"), lit(0L)).as("n_items"))
-          .orderBy("o_orderkey")
+        // no ORDER BY (see q09) — the count join is the operator
       },
       Some("""SELECT o_orderkey,
           CAST(COALESCE(n_items, 0) AS BIGINT) AS n_items
         FROM orders LEFT JOIN
           (SELECT l_orderkey, count(*) AS n_items FROM lineitem
-           GROUP BY l_orderkey) ON o_orderkey = l_orderkey
-        ORDER BY o_orderkey""")),
+           GROUP BY l_orderkey) ON o_orderkey = l_orderkey""")),
 
     // ── Q13 leaderBoard: global rank window ──────────────────────────
     Q("q11_leaderboard",
@@ -314,8 +314,8 @@ object Catalog {
           format_string("%.2f HBD", col("value")).as("money"))
         .withColumn("parsed",
           element_at(split(col("money"), " "), 1).cast("double"))
-        .withColumn("k_mod", pmod(col("k"), lit(7)))
-        .orderBy("event_id"),
+        .withColumn("k_mod", pmod(col("k"), lit(7))),
+      // no ORDER BY (see q09) — scalar functions are the operator
       Some("""SELECT event_id,
           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
@@ -323,7 +323,7 @@ object Catalog {
           CAST(split_part(printf('%.2f HBD', value), ' ', 1) AS DOUBLE)
             AS parsed,
           CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS k_mod
-        FROM events ORDER BY event_id""")),
+        FROM events""")),
 
     // ── top-k per group (window + filter) ────────────────────────────
     Q("q19_group_topk",
