@@ -54,12 +54,21 @@ object Enrich {
       col("c.net_votes").isNotNull && !rpcDeleted
     val deleteApplies = col("p.TYPE") === "HIVE" && dirty && rpcDeleted
 
+    // rpc snapshots are one-row-per-post; guard against a duplicated
+    // snapshot multiplying the posts table through the left join.
+    // The survivor is picked DETERMINISTICALLY (smallest whole-row
+    // hash) — dropDuplicates keeps a partition-order-dependent row,
+    // which would make enrichment output vary run to run when the
+    // duplicates differ in content.
+    val rpcOnePerKey = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("author", "permlink")
+        .orderBy(md5(to_json(struct(contentRpc.columns.map(col): _*))))
+      contentRpc.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    }
     posts.alias("p")
-      // rpc snapshots are one-row-per-post; guard against a duplicated
-      // snapshot multiplying the posts table through the left join
-      // (same guard as communityRefresh / applyStreamIds)
-      .join(contentRpc.dropDuplicates("author", "permlink").alias("c"),
-        Seq("author", "permlink"), "left")
+      .join(rpcOnePerKey.alias("c"), Seq("author", "permlink"), "left")
       .join(commentCounts,
         col("p.author") === col("ca") && col("p.permlink") === col("cp"),
         "left")

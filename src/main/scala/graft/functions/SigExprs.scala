@@ -116,22 +116,27 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hyperplane_sig"
 
+  // Parity note: the composed formulation's zip_with pads the SHORTER
+  // side with nulls on any length mismatch, null-poisoning every
+  // projection → sig 0. Reproduce that: a ragged vector gets sig 0,
+  // never a partial dot product.
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     var sig = 0L
-    var i = 0
-    while (i < planes.length) {
-      val p = planes(i)
-      val d = math.min(n, p.length)
-      var proj = 0.0
-      var j = 0
-      while (j < d) {
-        proj += arr.getFloat(j).toDouble * p(j)
-        j += 1
+    if (planes.nonEmpty && n == planes(0).length) {
+      var i = 0
+      while (i < planes.length) {
+        val p = planes(i)
+        var proj = 0.0
+        var j = 0
+        while (j < n) {
+          proj += arr.getFloat(j).toDouble * p(j)
+          j += 1
+        }
+        if (proj > 0) sig |= (1L << i)
+        i += 1
       }
-      if (proj > 0) sig |= (1L << i)
-      i += 1
     }
     java.lang.Long.valueOf(sig)
   }
@@ -144,18 +149,19 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val p = ctx.freshName("p")
-      val d = ctx.freshName("d")
       val proj = ctx.freshName("proj")
       s"""
       long $sig = 0L;
-      for (int $i = 0; $i < $planesRef.length; $i++) {
-        double[] $p = $planesRef[$i];
-        int $d = java.lang.Math.min($arr.numElements(), $p.length);
-        double $proj = 0.0;
-        for (int $j = 0; $j < $d; $j++) {
-          $proj += ((double) $arr.getFloat($j)) * $p[$j];
+      if ($planesRef.length > 0 &&
+          $arr.numElements() == $planesRef[0].length) {
+        for (int $i = 0; $i < $planesRef.length; $i++) {
+          double[] $p = $planesRef[$i];
+          double $proj = 0.0;
+          for (int $j = 0; $j < $arr.numElements(); $j++) {
+            $proj += ((double) $arr.getFloat($j)) * $p[$j];
+          }
+          if ($proj > 0) $sig |= (1L << $i);
         }
-        if ($proj > 0) $sig |= (1L << $i);
       }
       ${ev.value} = $sig;
       """

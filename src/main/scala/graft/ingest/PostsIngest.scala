@@ -117,8 +117,13 @@ object PostsIngest {
     * O(batch) rows even against a 100 TB posts table, and real
     * batches converge in 1-2 iterations (depth > 1 only when a chain
     * arrives entirely within one batch). */
-  def gateEvents(evs: DataFrame,
+  def gateEvents(evsRaw: DataFrame,
                  existingPosts: Option[DataFrame] = None): DataFrame = {
+    // cache the parsed events: parentRefs, typeKeys, each fixpoint
+    // iteration's semi-join AND the final gate all read them — without
+    // this the JSON/regex extraction re-runs once per consumer
+    // (released with the batch's other caches via CacheTracker)
+    val evs = graft.CacheTracker.persistTracked(evsRaw)
     // all (parent_author, parent_permlink) this batch references —
     // the only keys whose membership in "indexed" matters
     val parentRefs = evs

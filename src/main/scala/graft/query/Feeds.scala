@@ -34,13 +34,16 @@ object Feeds {
     */
   def trending(df: DataFrame, pred: Column, timeCol: Column,
                windowExpr: Column, metric: Seq[Column],
-               limit: Int): DataFrame = {
+               limit: Int, skip: Int = 0): DataFrame = {
     val filtered = df.filter(pred)
     val anchor = filtered.agg(max(timeCol).as("latest"))
     filtered
       .join(anchor)           // 1-row cross join → broadcast, no shuffle
       .filter(timeCol > col("latest") - windowExpr)
       .orderBy(metric: _*)
+      // Mongo applies sort → skip → limit regardless of option order,
+      // so page 2 is ranks skip+1..skip+limit — offset BEFORE limit
+      .offset(skip)
       .limit(limit)
       .drop("latest")
   }

@@ -156,8 +156,7 @@ object PostQueries {
     Feeds.trending(filtered(posts, follows, a), lit(true),
       col("created_at"), expr("INTERVAL 3 DAYS"),
       Seq(metric.desc, col("author").asc, col("permlink").asc),
-      a.limitOr(100))
-      .offset(a.skip)
+      a.limitOr(100), a.skip)
   }
 
   /** Q11 relatedFeed: posts sharing tags with the anchor (or same
@@ -182,12 +181,10 @@ object PostQueries {
         arrays_overlap(col("tags"), col("a_tags")) ||
           (col("a_pa") === "" && col("parent_permlink") === col("a_pp")))
       .drop("a_tags", "a_pa", "a_pp")
-    // layout-independent seeded sample (see Feeds.relatedSample);
-    // default size 25 = the reference's `pagination?.limit || 25`
-    val key = md5(concat_ws("#", lit(seed.toString),
-      col("author"), col("permlink")))
-    related.orderBy(key, col("author"), col("permlink"))
-      .limit(a.limitOr(25))
+    // layout-independent seeded sample; default size 25 = the
+    // reference's `pagination?.limit || 25`
+    Feeds.relatedSample(related, lit(true), a.limitOr(25), seed,
+      Seq(col("author"), col("permlink")))
   }
 
   /** Q1 socialPost: point lookup. */

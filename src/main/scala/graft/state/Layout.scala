@@ -47,8 +47,14 @@ object Layout {
   def monthWindow(posts: DataFrame, from: java.sql.Timestamp,
                   to: java.sql.Timestamp): DataFrame = {
     require(!to.before(from), "monthWindow: to < from")
-    val f = java.time.YearMonth.from(from.toLocalDateTime)
-    val t = java.time.YearMonth.from(to.toLocalDateTime)
+    // derive months in UTC — created_month was written under the
+    // engine's session timezone (UTC, Tables.conf); using the JVM
+    // default zone here would prune the WRONG partitions on a
+    // non-UTC driver and silently drop rows
+    def ym(ts: java.sql.Timestamp) = java.time.YearMonth.from(
+      ts.toInstant.atZone(java.time.ZoneOffset.UTC))
+    val f = ym(from)
+    val t = ym(to)
     val months = Iterator.iterate(f)(_.plusMonths(1))
       .takeWhile(!_.isAfter(t)).map(_.toString).toSeq
     posts.filter(col("created_month").isin(months: _*) &&

@@ -91,7 +91,13 @@ object StreamIngest {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("created_month")
       .parquet(postsDir)
-    finally fresh.unpersist(blocking = false)
+    finally {
+      fresh.unpersist(blocking = false)
+      // the ingest pipeline registers per-batch caches (gate fixpoint
+      // sets, parsed events) — release them HERE or a long-running
+      // stream pins one cached table per micro-batch forever
+      graft.CacheTracker.releaseAll()
+    }
   }
 
   /** The streaming query: block files → per-micro-batch ingest+merge,

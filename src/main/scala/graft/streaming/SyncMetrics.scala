@@ -89,9 +89,12 @@ object SyncMetrics {
           col("rows_ingested").cast("double") / col("span_s"))
           .otherwise(lit(0.0)).as("blocks_per_sec"),
         lit(headAhead).as("block_lag"),
-        round(lit(headAhead) /
-          (col("rows_ingested").cast("double") /
-            when(col("span_s") > 0, col("span_s")).otherwise(lit(1L))), 0)
-          .cast("long").as("sync_eta_seconds"),
+        // eta only when a rate exists — a zero-span log must report
+        // (rate=0, eta=0) consistently (stateRow does the same)
+        when(col("span_s") > 0,
+          round(lit(headAhead) /
+            (col("rows_ingested").cast("double") / col("span_s")), 0)
+            .cast("long"))
+          .otherwise(lit(0L)).as("sync_eta_seconds"),
         lit(headAhead - lastLag).as("block_lag_diff"))
 }

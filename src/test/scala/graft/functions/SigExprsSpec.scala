@@ -33,6 +33,18 @@ class SigExprsSpec extends SparkSpec {
       .withColumn("fast", SigExprs.hyperplaneSig(col("v"), 64, 64))
       .withColumn("slow", Vectors.hyperplaneSig(col("v"), 64, 64))
     assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+    // ragged vectors: composed null-poisons every projection → sig 0;
+    // native must agree, not compute a partial dot product
+    val ragged = Seq((1L, Seq.fill(10)(0.5f)), (2L, Seq.fill(80)(0.5f)))
+      .toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+      .withColumn("fast", SigExprs.hyperplaneSig(col("v"), 64, 64))
+      .withColumn("slow", Vectors.hyperplaneSig(col("v"), 64, 64))
+      .collect()
+    ragged.foreach { r =>
+      assert(r.getAs[Long]("fast") == 0L)
+      assert(r.getAs[Long]("fast") == r.getAs[Long]("slow"))
+    }
   }
 
   test("pinned m01 regression: sf0.01 minhash pairs unchanged") {

@@ -98,6 +98,18 @@ class PostQueriesSpec extends SparkSpec {
     assert(out == Seq("e1"))
   }
 
+  test("trending pagination: sort → skip → limit (Mongo order), not limit-then-skip") {
+    import spark.implicits._
+    // 10 rows with distinct metric values; page 2 of size 3 must be
+    // ranks 4-6 WITH 3 rows, not limit-3-then-drop-3 (empty)
+    val df = (1 to 10).map(i => (s"p$i", 11 - i)).toDF("id", "m")
+      .withColumn("t", lit("2024-05-01").cast("timestamp"))
+    val page2 = graft.query.Feeds.trending(df, lit(true), col("t"),
+      expr("INTERVAL 3 DAYS"), Seq(col("m").desc), limit = 3, skip = 3)
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(page2 == Seq("p4", "p5", "p6"))
+  }
+
   test("searchFeed: any-term match like Mongo \\$text (Q9)") {
     val out = PostQueries.searchFeed(posts, follows,
       FeedArgs(includeComments = true), "spark video")
