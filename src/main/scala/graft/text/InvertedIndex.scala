@@ -1,7 +1,7 @@
 package graft.text
 
 import graft.functions.Text
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch-built inverted index — the scale path for text search
@@ -29,6 +29,33 @@ object InvertedIndex {
       .select(col("id"), explode(col("toks")).as("term"))
       .groupBy("term", "id")
       .agg(count(lit(1)).as("tf"))
+
+  /** Persist the posting table BUCKETED by term — the real scale
+    * layout the build-side scaladoc promises. Bucket pruning turns a
+    * term-equality/IN search into a scan of only the matching
+    * buckets' files (`SelectedBucketsCount: k of n` in the plan), and
+    * `sortBy(term, id)` clusters each term's postings inside its
+    * bucket for row-group skipping. `path` makes it an external
+    * table, so the data lives where the caller says, not in the
+    * session warehouse.
+    *
+    * NB for readers: set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`
+    * on the search session — the planner otherwise drops the
+    * bucketed layout because a term lookup avoids no shuffle, which
+    * also forfeits bucket PRUNING, the actual benefit here
+    * (`SelectedBucketsCount` disappears from the scan). */
+  def writeBucketed(index: DataFrame, table: String, path: String,
+                    buckets: Int = 64): Unit =
+    index.write.mode("overwrite")
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, "term")
+      .sortBy("term", "id")
+      .saveAsTable(table)
+
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 
   /** Search over the index: k term-partition lookups → per-doc
     * term-coverage count + tf sum → top-k. `requireAll = false` is

@@ -86,4 +86,49 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(notifs.collect().map(_.getAs[String]("target")).toSeq
       == Seq("alice"))
   }
+
+  test("streamed partitioned table serves the same query surface") {
+    import spark.implicits._
+    // the SAME lifecycle, but entities materialized through the
+    // partition-scoped streaming merge across two micro-batches, the
+    // entity table re-read from disk, and queries served from it —
+    // batch boundaries and physical layout must be invisible
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-e2e-stream").toString
+    val postsDir = s"$dir/posts"
+    def mergeBlock(json: String): Unit =
+      graft.streaming.StreamIngest.mergeBlocksBatch(spark,
+        spark.read.schema(graft.domain.Schemas.block)
+          .json(Seq(json).toDS()),
+        postsDir)
+    val b1 = block(100, "2024-05-01T12:00:00",
+      ("t1", Seq(("comment",
+        comment("alice", "v1", "a spark video", jsonMeta = videoMeta)))))
+    val b2 = block(101, "2024-06-01T12:00:03",
+      ("t4", Seq(("comment", comment("bob", "r1", "nice @alice",
+        parentAuthor = "alice", parentPermlink = "v1")))))
+    mergeBlock(b1)
+    mergeBlock(b2)
+
+    val table = spark.read.parquet(postsDir)
+    // two month partitions, reply indexed via the cross-batch gate
+    assert(table.select("created_month").distinct().count() == 2)
+    assert(table.count() == 2)
+
+    // feeds over the streamed table — identical to the batch path
+    val follows = graft.ingest.GraphIngest.follows(
+      toOps(spark, b1, b2))
+    val feed = PostQueries.socialFeed(table, follows, FeedArgs())
+    assert(feed.collect().map(_.getAs[String]("permlink")).toSeq
+      == Seq("v1"))                       // comment excluded (F4)
+    val kids = PostQueries.children(table, "alice", "v1")
+    assert(kids.collect().map(_.getAs[String]("permlink")).toSeq
+      == Seq("r1"))
+    // month pruning applies to the streamed layout directly
+    val may = graft.state.Layout.monthWindow(table,
+      java.sql.Timestamp.valueOf("2024-05-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-05-31 00:00:00"))
+    assert(may.collect().map(_.getAs[String]("permlink")).toSeq
+      == Seq("v1"))
+  }
 }

@@ -34,6 +34,36 @@ class InvertedIndexSpec extends SparkSpec {
     assert(sparkPostings == Set((1L, 2L), (3L, 1L), (4L, 1L)))
   }
 
+  test("bucketed posting table: search prunes buckets, same results") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bucketed").toString + "/idx"
+    val idx = InvertedIndex.build(docs, "text", "doc_id")
+    InvertedIndex.writeBucketed(idx, "graft_test_idx", dir, buckets = 8)
+    // without this the planner drops the bucketed layout (a term
+    // lookup avoids no shuffle) and with it the bucket pruning —
+    // see writeBucketed scaladoc
+    spark.conf.set(
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val bucketed = InvertedIndex.readBucketed(spark, "graft_test_idx")
+      val out = InvertedIndex.search(bucketed, Seq("spark", "join"), 10)
+      assert(out.collect().map(r =>
+        (r.getAs[Long]("id"), r.getAs[Long]("score"))).toSeq
+        == Seq((1L, 3L), (4L, 2L)))
+      // bucket pruning is visible in the scan: only the buckets of
+      // the query terms are selected, not all 8
+      val scan = out.queryExecution.executedPlan.toString
+      val m = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(scan)
+      assert(m.isDefined, s"no bucket pruning in plan:\n$scan")
+      assert(m.get.group(1).toInt <= 2)
+    } finally {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_test_idx")
+    }
+  }
+
   test("single term and absent term") {
     val idx = InvertedIndex.build(docs, "text", "doc_id")
     assert(InvertedIndex.search(idx, Seq("only"), 10).count() == 1)
