@@ -126,11 +126,13 @@ object Dedup {
     * broadcast; single codegen'd pass, no shuffle). */
   def jaccardToAnchor(docs: DataFrame, textCol: String, idCol: String,
                       anchorShingles: Seq[String], shingleN: Int,
-                      simName: String = "jaccard"): DataFrame = {
-    val anchor = array(anchorShingles.map(lit): _*)
+                      simName: String = "jaccard"): DataFrame =
     docs.withColumn("__toks", Text.tokens(col(textCol)))
       .withColumn("__sh", Text.wordShingles(col("__toks"), shingleN))
-      .withColumn(simName, Text.jaccard(col("__sh"), anchor))
+      // native single-pass jaccard vs the plan-carried anchor set
+      // (the composed array_distinct/intersect/union form costs three
+      // array allocations per row; parity spec-tested)
+      .withColumn(simName,
+        SigExprs.jaccardToAnchor(col("__sh"), anchorShingles))
       .drop("__toks", "__sh")
-  }
 }

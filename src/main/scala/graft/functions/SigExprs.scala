@@ -172,7 +172,113 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
     copy(child = c)
 }
 
+/** Exact set overlap of an array<string> column against a FIXED
+  * anchor set, as one native pass: struct(n_inter, n_union) over the
+  * DISTINCT elements of each side.
+  *
+  * Matches `array_intersect`/`array_union` sizes of the distinct
+  * arrays exactly, but where the composed formulation allocates
+  * distinct+intersect+union arrays per row (and array_intersect
+  * rebuilds the anchor-side hash set per row), the anchor set here is
+  * prebuilt once and carried with the plan, and each row is ONE
+  * traversal: union = |distinct(a)| + |anchor| − hits. Null elements
+  * are ignored (shingle arrays never contain them). Returning counts
+  * (not the ratio) keeps oracle comparisons in exact integers.
+  */
+case class AnchorOverlap(child: Expression,
+                         anchor: Array[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got ${other.sql}")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_inter",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_union",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+  override def prettyName: String = "graft_anchor_overlap"
+
+  // distinct anchor as UTF8String hash set, built once per plan
+  @transient private lazy val anchorSet
+      : java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[
+      org.apache.spark.unsafe.types.UTF8String]()
+    anchor.foreach(a => s.add(
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val seen = new java.util.HashSet[
+      org.apache.spark.unsafe.types.UTF8String]()
+    var hits = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        if (seen.add(s) && anchorSet.contains(s)) hits += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hits, seen.size + anchorSet.size - hits))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val anchorRef =
+      ctx.addReferenceObj("anchorSet", anchorSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val seen = ctx.freshName("seen")
+      val hits = ctx.freshName("hits")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+      java.util.HashSet $seen = new java.util.HashSet();
+      int $hits = 0;
+      for (int $i = 0; $i < $arr.numElements(); $i++) {
+        if (!$arr.isNullAt($i)) {
+          org.apache.spark.unsafe.types.UTF8String $s =
+            $arr.getUTF8String($i);
+          if ($seen.add($s) && $anchorRef.contains($s)) $hits++;
+        }
+      }
+      ${ev.value} =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[]{$hits, $seen.size() + $anchorRef.size() - $hits});
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : AnchorOverlap = copy(child = c)
+}
+
 object SigExprs {
+
+  /** Column API: single-pass (n_inter, n_union) vs a fixed anchor. */
+  def anchorOverlap(arr: Column, anchor: Seq[String]): Column =
+    GraftBridge.column(
+      AnchorOverlap(GraftBridge.expression(arr), anchor.toArray))
+
+  /** Exact Jaccard vs a fixed anchor set, derived from
+    * [[anchorOverlap]] (0.0 on empty union — Text.jaccard parity). */
+  def jaccardToAnchor(arr: Column, anchor: Seq[String]): Column = {
+    val o = anchorOverlap(arr, anchor)
+    org.apache.spark.sql.functions.when(
+      o.getField("n_union") === 0,
+      org.apache.spark.sql.functions.lit(0.0))
+      .otherwise(o.getField("n_inter").cast("double") /
+        o.getField("n_union"))
+  }
 
   /** Column API: MinHash signature over a pre-hashed array<long>. */
   def minhashSigFromHashes(hashes: Column, k: Int,

@@ -73,9 +73,16 @@ object Text {
 
   /** Heuristic document quality in [0,1]: rewards normal-length docs,
     * penalizes punctuation/digit-heavy text, rewards stopword presence
-    * (prose-likeness). Mirrors C4/Gopher-style rule scoring. */
-  def qualityScore(text: Column): Column = {
-    val toks = Text.tokens(text)
+    * (prose-likeness). Mirrors C4/Gopher-style rule scoring.
+    *
+    * PERF: prefer [[qualityScoreFromToks]] with a MATERIALIZED token
+    * column — this convenience overload inlines the tokenizer, which
+    * Catalyst re-evaluates at each HOF use site (no CSE across
+    * lambdas). */
+  def qualityScore(text: Column): Column =
+    qualityScoreFromToks(text, Text.tokens(text))
+
+  def qualityScoreFromToks(text: Column, toks: Column): Column = {
     val lenScore = least(size(toks).cast("double") / 20.0, lit(1.0))
     val punct = charClassRatio(text, "\\p{Punct}")
     val digits = charClassRatio(text, "0-9")

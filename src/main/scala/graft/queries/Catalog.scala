@@ -384,15 +384,20 @@ object Catalog {
     // ── §7.5 language ID (n-gram/function-word heuristic) ────────────
     Q("d03_lang_id",
       (s, d) => {
-        val toks = Text.tokens(col("text"))
+        // toks MATERIALIZED once: langId + the 4 hit counters all
+        // read it as a column reference — inlined, the tokenizer
+        // would re-run at every HOF use site (no CSE across lambdas)
+        val toks = col("__toks")
         def hits(lang: String) = size(filter(toks,
           t => array_contains(
             array(Text.langMarkers(lang).map(lit): _*), t))).cast("long")
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          Text.langId(toks).getField("lang").as("pred_lang"),
-          hits("en").as("hits_en"), hits("es").as("hits_es"),
-          hits("de").as("hits_de"), hits("fr").as("hits_fr"))
+        Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            Text.langId(toks).getField("lang").as("pred_lang"),
+            hits("en").as("hits_en"), hits("es").as("hits_es"),
+            hits("de").as("hits_de"), hits("fr").as("hits_fr"))
           .orderBy("doc_id")
       },
       Some {
@@ -418,7 +423,9 @@ object Catalog {
     // ── §7.5 quality score ───────────────────────────────────────────
     Q("d04_quality",
       (s, d) => Tables.documents(s, d)
-        .select(col("doc_id"), Text.qualityScore(col("text")).as("q"))
+        .withColumn("__toks", Text.tokens(col("text")))
+        .select(col("doc_id"),
+          Text.qualityScoreFromToks(col("text"), col("__toks")).as("q"))
         .orderBy("doc_id"),
       Some {
         // Mirrors Text.qualityScore term-for-term, same association
@@ -449,16 +456,22 @@ object Catalog {
       (s, d) => {
         val docs = Tables.documents(s, d)
           .withColumn("__toks", Text.tokens(col("text")))
-          .withColumn("sh",
-            array_distinct(Text.wordShingles(col("__toks"), 3)))
-        val anchor = docs.filter(col("doc_id") === 0)
-          .select(col("sh").as("a_sh"))
-        docs.crossJoin(broadcast(anchor))
+          .withColumn("sh", Text.wordShingles(col("__toks"), 3))
+        // anchor = one document's shingle set, collected once (like
+        // v02's centroids: bounded by a single doc, by design) and
+        // carried with the plan as a prebuilt hash set — the previous
+        // broadcast-crossJoin form made array_intersect rebuild the
+        // anchor set per ROW
+        val anchorSh = docs.filter(col("doc_id") === 0)
+          .select(array_distinct(col("sh"))).head()
+          .getAs[scala.collection.Seq[String]](0)
+        docs
           .select(col("doc_id"),
-            size(array_intersect(col("sh"), col("a_sh"))).cast("long")
-              .as("n_inter"),
-            size(array_union(col("sh"), col("a_sh"))).cast("long")
-              .as("n_union"))
+            graft.functions.SigExprs.anchorOverlap(col("sh"), anchorSh.toSeq)
+              .as("o"))
+          .select(col("doc_id"),
+            col("o.n_inter").cast("long").as("n_inter"),
+            col("o.n_union").cast("long").as("n_union"))
           .orderBy("doc_id")
       },
       Some {

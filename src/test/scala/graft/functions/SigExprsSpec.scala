@@ -47,6 +47,28 @@ class SigExprsSpec extends SparkSpec {
     }
   }
 
+  test("native AnchorOverlap == composed distinct/intersect/union") {
+    import spark.implicits._
+    val anchor = Seq("a b c", "b c d", "c d e", "dup")
+    val rnd = new scala.util.Random(3)
+    val pool = Seq("a b c", "b c d", "c d e", "x y z", "q w e", "dup")
+    val rows = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(10))(pool(rnd.nextInt(pool.size))))
+    ) :+ (99L, Seq.empty[String])
+    val anchorLit = array(anchor.distinct.map(lit): _*)
+    val df = rows.toDF("id", "sh")
+      .withColumn("o", SigExprs.anchorOverlap(col("sh"), anchor))
+      .withColumn("c_inter",
+        size(array_intersect(array_distinct(col("sh")), anchorLit)))
+      .withColumn("c_union",
+        size(array_union(array_distinct(col("sh")), anchorLit)))
+      .withColumn("jac", SigExprs.jaccardToAnchor(col("sh"), anchor))
+      .withColumn("c_jac", Text.jaccard(col("sh"), anchorLit))
+    assert(df.filter(col("o.n_inter") =!= col("c_inter") ||
+      col("o.n_union") =!= col("c_union") ||
+      abs(col("jac") - col("c_jac")) > 1e-12).count() == 0)
+  }
+
   test("pinned m01 regression: sf0.01 minhash pairs unchanged") {
     // the exact id-pair set the round-1 oracle-verified run produced;
     // the native signature must reproduce it
