@@ -129,10 +129,14 @@ object Dedup {
                       simName: String = "jaccard"): DataFrame =
     docs.withColumn("__toks", Text.tokens(col(textCol)))
       .withColumn("__sh", Text.wordShingles(col("__toks"), shingleN))
-      // native single-pass jaccard vs the plan-carried anchor set
-      // (the composed array_distinct/intersect/union form costs three
-      // array allocations per row; parity spec-tested)
+      // native single-pass overlap vs the plan-carried anchor set,
+      // MATERIALIZED as a column before deriving the ratio — a
+      // CaseWhen referencing the struct three times would re-run the
+      // traversal per reference (CSE doesn't reach into branches)
+      .withColumn("__o", SigExprs.anchorOverlap(col("__sh"), anchorShingles))
       .withColumn(simName,
-        SigExprs.jaccardToAnchor(col("__sh"), anchorShingles))
-      .drop("__toks", "__sh")
+        when(col("__o.n_union") === 0, lit(0.0))
+          .otherwise(col("__o.n_inter").cast("double") /
+            col("__o.n_union")))
+      .drop("__toks", "__sh", "__o")
 }

@@ -94,9 +94,13 @@ object Text {
 
   /** Content fingerprint over whitespace-normalized lowercase text —
     * exact-dup key that survives formatting noise. md5 keeps the
-    * oracle (DuckDB) bit-identical. */
+    * oracle (DuckDB) bit-identical. Prefer [[fingerprintFromToks]]
+    * when a materialized token column already exists. */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", tokens(text)))
+    fingerprintFromToks(tokens(text))
+
+  def fingerprintFromToks(toks: Column): Column =
+    md5(concat_ws(" ", toks))
 
   /** 64-bit SimHash over the token multiset, xxhash64 per token.
     * bit_i(sig) = majority over tokens of bit_i(xxhash64(token)).

@@ -367,12 +367,16 @@ object Catalog {
     // ── §7.5 token stats / fingerprint ───────────────────────────────
     Q("d02_token_stats",
       (s, d) => {
-        val toks = Text.tokens(col("text"))
-        Tables.documents(s, d).select(
-          col("doc_id"),
-          Text.tokenCount(col("text")).as("n_tokens"),
-          size(array_distinct(toks)).cast("long").as("n_uniq"),
-          Text.fingerprint(col("text")).as("fp"))
+        // toks materialized once — count, distinct-count and the md5
+        // fingerprint would otherwise each re-run the tokenizer
+        val toks = col("__toks")
+        Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(array_distinct(toks)).cast("long").as("n_uniq"),
+            Text.fingerprintFromToks(toks).as("fp"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
@@ -462,13 +466,19 @@ object Catalog {
         // carried with the plan as a prebuilt hash set — the previous
         // broadcast-crossJoin form made array_intersect rebuild the
         // anchor set per ROW
-        val anchorSh = docs.filter(col("doc_id") === 0)
-          .select(array_distinct(col("sh"))).head()
-          .getAs[scala.collection.Seq[String]](0)
-        docs
+        val anchorRow = docs.filter(col("doc_id") === 0)
+          .select(array_distinct(col("sh"))).take(1)
+        val base = docs
           .select(col("doc_id"),
-            graft.functions.SigExprs.anchorOverlap(col("sh"), anchorSh.toSeq)
+            anchorRow.headOption.fold(
+              // anchor doc absent ⇒ empty result, matching the old
+              // crossJoin-with-empty form AND the SQL oracle's
+              // CROSS JOIN against an empty subquery
+              lit(null).cast("struct<n_inter:int,n_union:int>"))(r =>
+              graft.functions.SigExprs.anchorOverlap(col("sh"),
+                r.getAs[scala.collection.Seq[String]](0).toSeq))
               .as("o"))
+        (if (anchorRow.isEmpty) base.limit(0) else base)
           .select(col("doc_id"),
             col("o.n_inter").cast("long").as("n_inter"),
             col("o.n_union").cast("long").as("n_union"))

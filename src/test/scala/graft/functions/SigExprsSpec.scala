@@ -49,7 +49,9 @@ class SigExprsSpec extends SparkSpec {
 
   test("native AnchorOverlap == composed distinct/intersect/union") {
     import spark.implicits._
-    val anchor = Seq("a b c", "b c d", "c d e", "dup")
+    // "dup" appears TWICE: the anchor-side dedup (hash-set collapse,
+    // union over the distinct anchor) must actually be exercised
+    val anchor = Seq("a b c", "b c d", "c d e", "dup", "dup")
     val rnd = new scala.util.Random(3)
     val pool = Seq("a b c", "b c d", "c d e", "x y z", "q w e", "dup")
     val rows = (0 until 40).map(i =>
