@@ -262,7 +262,137 @@ case class AnchorOverlap(child: Expression,
       : AnchorOverlap = copy(child = c)
 }
 
+/** IVF centroid assignment — argmax-cosine over a plan-carried
+  * centroid matrix, one native pass.
+  *
+  * Matches [[Vectors.ivfAssign]]'s composed
+  * `greatest(struct(cosine, cid)…)` exactly for well-formed input:
+  * per centroid, cosine = dot/(‖v‖·‖c‖) with the same left-to-right
+  * double accumulation (and 0.0 when either norm is 0), ties broken
+  * toward the LARGER cid (greatest over (sim, cid) structs is
+  * lexicographic). The composed form re-traverses the vector
+  * 3×nCentroids times per row (dot + norm per centroid via separate
+  * aggregate/zip_with); here ‖v‖ is computed once and each centroid
+  * costs one fused dot loop, with centroid norms precomputed at plan
+  * build. Ragged vectors (length ≠ dim) score 0.0 against every
+  * centroid (documented; embeddings are fixed-dim).
+  */
+case class CentroidArgmax(child: Expression,
+                          cents: Array[Array[Double]],
+                          cids: Array[Int])
+    extends UnaryExpression {
+  require(cents.length == cids.length && cents.nonEmpty,
+    "centroids and ids must align and be non-empty")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float>, got ${other.sql}")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_centroid_argmax"
+
+  @transient private lazy val cNorms: Array[Double] =
+    cents.map { c =>
+      var s = 0.0; var j = 0
+      while (j < c.length) { s += c(j) * c(j); j += 1 }
+      math.sqrt(s)
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var vv = 0.0
+    var j = 0
+    while (j < n) {
+      val x = arr.getFloat(j).toDouble; vv += x * x; j += 1
+    }
+    val nv = math.sqrt(vv)
+    var bestSim = Double.NegativeInfinity
+    var bestCid = Int.MinValue
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      val sim =
+        if (n != c.length) 0.0
+        else {
+          var dot = 0.0; var k = 0
+          while (k < n) { dot += arr.getFloat(k).toDouble * c(k); k += 1 }
+          val d = nv * cNorms(i)
+          if (d == 0) 0.0 else dot / d
+        }
+      if (sim > bestSim || (sim == bestSim && cids(i) > bestCid)) {
+        bestSim = sim; bestCid = cids(i)
+      }
+      i += 1
+    }
+    java.lang.Integer.valueOf(bestCid)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("cnorms", cNorms, "double[]")
+    val cidsRef = ctx.addReferenceObj("cids", cids, "int[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val vv = ctx.freshName("vv")
+      val nv = ctx.freshName("nv")
+      val best = ctx.freshName("best")
+      val bestCid = ctx.freshName("bestCid")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x")
+      val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d")
+      val sim = ctx.freshName("sim")
+      s"""
+      int $n = $arr.numElements();
+      double $vv = 0.0;
+      for (int $j = 0; $j < $n; $j++) {
+        double $x = (double) $arr.getFloat($j); $vv += $x * $x;
+      }
+      double $nv = java.lang.Math.sqrt($vv);
+      double $best = Double.NEGATIVE_INFINITY;
+      int $bestCid = Integer.MIN_VALUE;
+      for (int $i = 0; $i < $centsRef.length; $i++) {
+        double[] $c = $centsRef[$i];
+        double $sim;
+        if ($n != $c.length) { $sim = 0.0; }
+        else {
+          double $dot = 0.0;
+          for (int $k = 0; $k < $n; $k++) {
+            $dot += ((double) $arr.getFloat($k)) * $c[$k];
+          }
+          double $d = $nv * $normsRef[$i];
+          $sim = ($d == 0) ? 0.0 : $dot / $d;
+        }
+        if ($sim > $best || ($sim == $best && $cidsRef[$i] > $bestCid)) {
+          $best = $sim; $bestCid = $cidsRef[$i];
+        }
+      }
+      ${ev.value} = $bestCid;
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression)
+      : CentroidArgmax = copy(child = c)
+}
+
 object SigExprs {
+
+  /** Column API: nearest-centroid id by cosine (IVF assignment). */
+  def centroidArgmax(vec: Column,
+                     centroids: Seq[(Int, Seq[Float])]): Column =
+    GraftBridge.column(CentroidArgmax(
+      GraftBridge.expression(vec),
+      centroids.map(_._2.map(_.toDouble).toArray).toArray,
+      centroids.map(_._1).toArray))
 
   /** Column API: single-pass (n_inter, n_union) vs a fixed anchor. */
   def anchorOverlap(arr: Column, anchor: Seq[String]): Column =

@@ -102,7 +102,18 @@ object Vectors {
     * read only `nprobe` partitions (partition pruning = the IVF index).
     */
   def ivfAssign(vectors: DataFrame, vecCol: String,
-                centroids: Seq[(Int, Seq[Float])]): DataFrame = {
+                centroids: Seq[(Int, Seq[Float])]): DataFrame =
+    // native argmax-cosine: one ‖v‖ pass + one fused dot loop per
+    // centroid (the composed greatest(struct(cosine…)) form
+    // re-traversed the vector 3×nlist times per row); parity
+    // spec-tested incl. zero-vector and duplicate-centroid ties
+    vectors.withColumn("cluster",
+      SigExprs.centroidArgmax(col(vecCol), centroids))
+
+  /** The composed formulation, kept as the parity reference. */
+  private[graft] def ivfAssignComposed(
+      vectors: DataFrame, vecCol: String,
+      centroids: Seq[(Int, Seq[Float])]): DataFrame = {
     val scored = centroids.map { case (cid, c) =>
       struct(cosine(col(vecCol), array(c.map(lit): _*)).as("sim"),
         lit(cid).as("cid"))

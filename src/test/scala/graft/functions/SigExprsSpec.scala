@@ -71,6 +71,31 @@ class SigExprsSpec extends SparkSpec {
       abs(col("jac") - col("c_jac")) > 1e-12).count() == 0)
   }
 
+  test("native CentroidArgmax == composed greatest(struct(cosine, cid))") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val cents = (0 until 8).map(i =>
+      (i, Seq.fill(16)(rnd.nextFloat() * 2 - 1))) :+
+      (99, Seq.fill(16)(0.0f))          // zero centroid (norm 0)
+    // duplicate centroid under two cids — tie must pick the larger
+    val centsWithDup = cents :+ (100, cents.head._2)
+    val vecs = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2 - 1))) :+
+      (98L, Seq.fill(16)(0.0f))         // zero vector: all sims 0
+    val df = vecs.toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+    val fast = Vectors.ivfAssign(df, "v", centsWithDup)
+      .select("id", "cluster")
+    val slow = Vectors.ivfAssignComposed(df, "v", centsWithDup)
+      .select(col("id"), col("cluster").as("cluster_c"))
+    val joined = fast.join(slow, "id")
+    assert(joined.filter(col("cluster") =!= col("cluster_c")).count() == 0)
+    // tie on the duplicated centroid resolves to the larger cid
+    val dupWinner = fast.join(
+      slow.filter(col("cluster_c") === 100).select("id"), "id")
+    assert(dupWinner.filter(col("cluster") =!= 100).count() == 0)
+  }
+
   test("pinned m01 regression: sf0.01 minhash pairs unchanged") {
     // the exact id-pair set the round-1 oracle-verified run produced;
     // the native signature must reproduce it
