@@ -96,6 +96,41 @@ class SigExprsSpec extends SparkSpec {
     assert(dupWinner.filter(col("cluster") =!= 100).count() == 0)
   }
 
+  test("interpreted (no-codegen) eval matches codegen for all native exprs") {
+    import spark.implicits._
+    // the nullSafeEval path runs when codegen falls back (very wide
+    // plans, nested depth limits) — a divergence from doGenCode would
+    // silently change results there, so pin eval == codegen
+    val rnd = new scala.util.Random(13)
+    val df = (0 until 30).map { i =>
+      (i.toLong,
+        Seq.fill(rnd.nextInt(20))(rnd.nextLong()),
+        Seq.fill(64)(rnd.nextFloat() * 2 - 1),
+        Seq.fill(rnd.nextInt(8))(s"s${rnd.nextInt(6)}"))
+    }.toDF("id", "hashes", "vec", "sh")
+      .withColumn("vec", col("vec").cast("array<float>"))
+    val cents = (0 until 4).map(i =>
+      (i, Seq.fill(64)(rnd.nextFloat() * 2 - 1)))
+    def all(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("id"),
+      SigExprs.minhashSigFromHashes(col("hashes"), 16).as("mh"),
+      SigExprs.hyperplaneSig(col("vec"), 64, 32).as("hp"),
+      SigExprs.anchorOverlap(col("sh"), Seq("s0", "s1", "s2")).as("ov"),
+      SigExprs.centroidArgmax(col("vec"), cents).as("cid"),
+      SimHashExpr.simhash64FromHashes(col("hashes")).as("simh"))
+      .collect().map(_.toString).sorted.toSeq
+    val withCodegen = all(df)
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = all(df)
+      assert(interpreted == withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    }
+  }
+
   test("pinned m01 regression: sf0.01 minhash pairs unchanged") {
     // the exact id-pair set the round-1 oracle-verified run produced;
     // the native signature must reproduce it
