@@ -145,6 +145,19 @@ object Text {
     aggregate(toks, lit(seed),
       (acc, t) => xxhash64(acc, xxhash64(t)))
 
+  /** Portable order-sensitive fingerprint: md5 chain SEEDED WITH THE
+    * FIRST TOKEN (exactly DuckDB's `list_reduce` semantics, so the
+    * catalog row is oracle-verifiable; empty input → null, single
+    * token → the raw token). The xxhash64 [[rollingFingerprint]] is
+    * the cheap engine-specific scale-path variant (spec-tested).
+    * Pass a MATERIALIZED, already-truncated token column — the
+    * argument is referenced three times. */
+  def rollingFingerprintPortable(tk: Column): Column =
+    when(size(tk) === 0, lit(null).cast("string"))
+      .otherwise(aggregate(slice(tk, lit(2), size(tk)),
+        element_at(tk, 1),
+        (acc, t) => md5(concat(acc, t))))
+
   /** SimHash via the native codegen expression ([[SimHashExpr]]) over
     * pre-hashed tokens — same bits as [[simhash64]], one generated
     * loop per row instead of 64 composed ops per token. */

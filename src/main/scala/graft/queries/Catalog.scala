@@ -553,15 +553,25 @@ object Catalog {
         FROM documents ORDER BY doc_id"""
       }),
 
-    // ── §7.5 order-sensitive rolling-hash fingerprint (no SQL
-    //    oracle: xxhash64 chain is Spark-specific) ───────────────────
+    // ── §7.5 order-sensitive rolling fingerprint: md5 chain over the
+    //    first 64 tokens, seeded with token 1 — exactly DuckDB
+    //    list_reduce semantics, so the row IS oracle-verifiable. The
+    //    xxhash64 Text.rollingFingerprint stays the engine-specific
+    //    scale-path variant (spec-tested; no portable oracle). ───────
     Q("d07_rolling_fp",
       (s, d) => Tables.documents(s, d)
         .withColumn("__toks", Text.tokens(col("text")))
+        .withColumn("__tk", slice(col("__toks"), 1, 64))
         .select(col("doc_id"),
-          Text.rollingFingerprint(col("__toks")).as("fp"))
+          Text.rollingFingerprintPortable(col("__tk")).as("fp"))
         .orderBy("doc_id"),
-      None),
+      Some(s"""SELECT doc_id,
+          CASE WHEN len(tk) = 0 THEN NULL
+               ELSE list_reduce(tk, (acc, x) -> md5(concat(acc, x)))
+          END AS fp
+        FROM (SELECT doc_id, list_slice($sqlToks, 1, 64) AS tk
+              FROM documents)
+        ORDER BY doc_id""")),
 
     // ── A5/Q13-at-scale: HLL approximate distinct (no SQL oracle:
     //    sketch implementations differ across engines) ───────────────

@@ -90,6 +90,26 @@ class TextPropsSpec extends SparkSpec {
     assert(rows("x")._2 != rows("y")._2)   // md5 of joined also ordered
   }
 
+  test("portable rolling fingerprint: seed/empty/single-token semantics") {
+    import spark.implicits._
+    // must match DuckDB list_reduce exactly: empty → null, single
+    // token → the RAW token, else md5-chain seeded with token 1
+    val rows = Seq(("e", ""), ("one", "solo"), ("two", "a b"),
+      ("three", "a b c"))
+      .toDF("id", "text")
+      .withColumn("tk", Text.tokens(col("text")))
+      .withColumn("fp", Text.rollingFingerprintPortable(col("tk")))
+      .collect().map(r => r.getAs[String]("id") ->
+        r.getAs[String]("fp")).toMap
+    assert(rows("e") == null)
+    assert(rows("one") == "solo")
+    val md5ab = java.security.MessageDigest.getInstance("MD5")
+      .digest("ab".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows("two") == md5ab)
+    assert(rows("three") != rows("two"))   // order/content sensitive
+  }
+
   test("bpeish token count: contractions and punct split like GPT-2 pretokenizer") {
     import spark.implicits._
     val n = Seq(Tuple1("it's a well-known fact, isn't it?"))
