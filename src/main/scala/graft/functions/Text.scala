@@ -145,6 +145,25 @@ object Text {
     aggregate(toks, lit(seed),
       (acc, t) => xxhash64(acc, xxhash64(t)))
 
+  /** X8 / base-meta (reference services/block_processing/base-meta.ts:
+    * twitter-text extractHashtags/extractUrls — NB the reference's
+    * only call site computes and then discards the result, a dead
+    * path; these are the training-pipeline versions of the same ops).
+    * Patterns are RE2-safe (no lookbehind) so the SAME string runs in
+    * DuckDB for the oracle; simplified vs the full twitter-text spec
+    * (documented divergence: no punycode/TLD validation). */
+  val hashtagPattern: String =
+    "(?:^|[^\\p{L}\\p{N}&/])#([\\p{L}\\p{N}_]*\\p{L}[\\p{L}\\p{N}_]*)"
+
+  val urlPattern: String = "https?://[^\\s<>\"')\\]]+"
+
+  def extractHashtags(text: Column): Column =
+    transform(regexp_extract_all(text, lit(hashtagPattern), lit(1)),
+      t => lower(t))
+
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
   /** Portable order-sensitive fingerprint: md5 chain SEEDED WITH THE
     * FIRST TOKEN (exactly DuckDB's `list_reduce` semantics, so the
     * catalog row is oracle-verifiable; empty input → null, single

@@ -573,6 +573,36 @@ object Catalog {
               FROM documents)
         ORDER BY doc_id""")),
 
+    // ── X8/base-meta: hashtag + URL extraction from body text (the
+    //    reference computes-and-discards this, base-meta.ts — here
+    //    it's the corpus-filtering text op, oracle-verified by
+    //    running the IDENTICAL RE2-safe regex in DuckDB) ─────────────
+    Q("d08_base_meta",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("__tags", Text.extractHashtags(col("text")))
+        .withColumn("__urls", Text.extractUrls(col("text")))
+        .select(col("doc_id"),
+          size(col("__tags")).cast("long").as("n_tags"),
+          size(col("__urls")).cast("long").as("n_urls"),
+          concat_ws(",", col("__tags")).as("tags_csv"),
+          // try_: ANSI element_at throws on an empty array
+          try_element_at(col("__urls"), lit(1)).as("first_url"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+          CAST(len(regexp_extract_all(text,
+            '${Text.hashtagPattern.replace("'", "''")}', 1)) AS BIGINT)
+            AS n_tags,
+          CAST(len(regexp_extract_all(text,
+            '${Text.urlPattern.replace("'", "''")}', 0)) AS BIGINT)
+            AS n_urls,
+          COALESCE(array_to_string(list_transform(
+            regexp_extract_all(text,
+              '${Text.hashtagPattern.replace("'", "''")}', 1),
+            t -> lower(t)), ','), '') AS tags_csv,
+          regexp_extract_all(text,
+            '${Text.urlPattern.replace("'", "''")}', 0)[1] AS first_url
+        FROM documents ORDER BY doc_id""")),
+
     // ── A5/Q13-at-scale: HLL approximate distinct (no SQL oracle:
     //    sketch implementations differ across engines) ───────────────
     Q("q22_approx_distinct",

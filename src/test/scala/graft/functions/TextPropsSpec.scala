@@ -90,6 +90,21 @@ class TextPropsSpec extends SparkSpec {
     assert(rows("x")._2 != rows("y")._2)   // md5 of joined also ordered
   }
 
+  test("hashtag/url extraction (X8 base-meta shape)") {
+    import spark.implicits._
+    val r = Seq(Tuple1(
+      "Check #Spark and #data_2024 but not x#inline or #123; " +
+        "see https://example.com/a?b=1 and http://h.io. end"))
+      .toDF("text")
+      .select(Text.extractHashtags(col("text")).as("tags"),
+        Text.extractUrls(col("text")).as("urls"))
+      .head()
+    assert(r.getAs[scala.collection.Seq[String]]("tags")
+      == Seq("spark", "data_2024"))   // needs a letter; boundary rule
+    assert(r.getAs[scala.collection.Seq[String]]("urls")
+      == Seq("https://example.com/a?b=1", "http://h.io."))
+  }
+
   test("portable rolling fingerprint: seed/empty/single-token semantics") {
     import spark.implicits._
     // must match DuckDB list_reduce exactly: empty → null, single
