@@ -148,6 +148,22 @@ class SigExprsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pinned m02 regression: sf0.01 simhash pairs unchanged") {
+    val expected = Set((8, 245, 2), (45, 413, 3), (58, 293, 0),
+      (61, 185, 0), (70, 447, 1), (76, 102, 2), (98, 290, 2),
+      (107, 387, 1), (120, 332, 3), (166, 323, 3), (251, 473, 3),
+      (267, 413, 2), (285, 301, 0), (326, 457, 2), (393, 420, 0),
+      (435, 486, 3), (458, 462, 2))
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    val got = graft.dedup.Dedup.simhashPairs(docs, "text", "doc_id",
+      maxHamming = 3)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getAs[Int]("hamming"))).toSet
+    graft.CacheTracker.releaseAll()
+    assert(got == expected)
+  }
+
   test("pinned v03 regression: sf0.01 constructed dup pairs unchanged") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select("vec_id", "embedding")
