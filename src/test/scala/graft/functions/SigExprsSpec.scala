@@ -164,6 +164,18 @@ class SigExprsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("pinned q22 regression: HLL approx-distinct deterministic at sf0.01") {
+    // Spark's HLL++ is deterministic for a fixed input/rsd — pin the
+    // sf0.01 values so the engine-specific sketch (no DuckDB oracle)
+    // still has a change detector
+    val got = graft.SparkEntry.queries("q22_approx_distinct")(
+      spark, "/root/testdata/sf0.01").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("click", 151L, 150L), ("error", 151L, 150L),
+      ("purchase", 151L, 150L), ("signup", 151L, 150L),
+      ("view", 151L, 150L)))
+  }
+
   test("pinned v03 regression: sf0.01 constructed dup pairs unchanged") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
       .select("vec_id", "embedding")
