@@ -122,8 +122,13 @@ object PostsIngest {
     // cache the parsed events: parentRefs, typeKeys, each fixpoint
     // iteration's semi-join AND the final gate all read them — without
     // this the JSON/regex extraction re-runs once per consumer
-    // (released with the batch's other caches via CacheTracker)
-    val evs = graft.CacheTracker.persistTracked(evsRaw)
+    // (released with the batch's other caches via CacheTracker);
+    // callers that already persisted (the streaming merge caches the
+    // events for its bucket discovery) pass through untouched
+    val evs =
+      if (evsRaw.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        graft.CacheTracker.persistTracked(evsRaw)
+      else evsRaw
     // all (parent_author, parent_permlink) this batch references —
     // the only keys whose membership in "indexed" matters
     val parentRefs = evs
@@ -424,9 +429,17 @@ object PostsIngest {
     * boundaries invisible: an insert+edit in one batch and the same
     * split across two batches fold to identical rows. */
   def ingest(ops: DataFrame, existingPosts: Option[DataFrame] = None)
+      (implicit spark: SparkSession): DataFrame =
+    ingestEvents(commentEvents(ops), existingPosts)
+
+  /** [[ingest]] from already-parsed comment events — the streaming
+    * merge parses once, derives the batch's key buckets for its
+    * pruned existing-table read, then ingests the same events. */
+  def ingestEvents(events: DataFrame,
+                   existingPosts: Option[DataFrame] = None)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val evs = gateEvents(commentEvents(ops), existingPosts)
+    val evs = gateEvents(events, existingPosts)
       .as[CommentEv]
     val folded = existingPosts match {
       case None => foldPosts(evs)

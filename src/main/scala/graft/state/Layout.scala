@@ -21,6 +21,23 @@ object Layout {
   def monthBucket(ts: Column): Column =
     date_format(ts, "yyyy-MM")
 
+  /** Key-hash sub-partition for the streaming-merge layout
+    * (`created_month=…/key_bucket=…`): a deterministic hash bucket of
+    * the post key, so a point/seed lookup with known keys prunes to
+    * the buckets those keys hash into — the (author, permlink)
+    * analogue of bucketBy, expressed as a partition column because
+    * (a) partition pruning works on ANY literal predicate over it
+    * (bucketBy pruning is single-column-only), (b) it composes with
+    * dynamic partition overwrite on a plain parquet path (no
+    * metastore), and (c) it ALSO scopes the write: a micro-batch
+    * rewrites only the (month, bucket) pairs it touches.
+    *
+    * Sizing at 100 TB: choose n so table_size/n ≈ a few GB (e.g.
+    * n=4096) — a micro-batch touching K keys then reads ≤ K buckets
+    * ≈ K·(table/n), independent of how the other buckets grow. */
+  def keyBucket(author: Column, permlink: Column, n: Int): Column =
+    pmod(xxhash64(author, permlink), lit(n.toLong)).cast("int")
+
   /** Write an entity table with the feed-serving layout. */
   def writePosts(posts: DataFrame, dir: String): Unit =
     posts

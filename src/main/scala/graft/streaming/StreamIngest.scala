@@ -39,32 +39,50 @@ object StreamIngest {
     * `postsDir`. Shared by the streaming sink and batch
     * `Trigger.AvailableNow` catch-up.
     *
-    * Scale design — the merge is PARTITION-SCOPED, not a table
-    * rewrite: the table lives month-partitioned
-    * (`created_month=yyyy-MM`, Layout.monthBucket), the batch's rows
-    * determine the affected months (edits keep their stored
-    * created_at via the seeded fold, so a post never migrates
-    * months), only those months' stored rows join the latest-wins
-    * union, and the write uses dynamic partition overwrite — write
-    * amplification per micro-batch is O(touched months), not
-    * O(table). The read side still key-scans the table for gate
-    * seeds (semi-joined down to batch keys); on Delta this whole
-    * method is `MERGE INTO` with the same month-partition pruning.
-    */
+    * Scale design — BOTH sides of the merge are partition-scoped:
+    *
+    *   - layout: `created_month=yyyy-MM / key_bucket=H(author,
+    *     permlink) mod n` (Layout.monthBucket / Layout.keyBucket).
+    *     Edits keep their stored created_at via the seeded fold, so a
+    *     post never migrates partitions.
+    *   - read side: the gate-seed / fold-seed / restore lookups no
+    *     longer scan the table — [[prunedExisting]] computes the hash
+    *     buckets of the batch's keys (and referenced parents) and the
+    *     scan partition-prunes to those buckets: O(batch keys ·
+    *     table/n) per trigger, independent of table growth
+    *     (metric-proven in StreamIngestSpec).
+    *   - write side: only the exact (month, bucket) pairs present in
+    *     the batch's output rows join the latest-wins union and are
+    *     replaced by dynamic partition overwrite — write
+    *     amplification is O(touched pairs), n× finer than the
+    *     month-only layout.
+    *
+    * On Delta this whole method is `MERGE INTO`; the bucket column
+    * plays the role of its file-skipping stats. */
   def mergeBlocksBatch(spark: SparkSession, blocks: DataFrame,
-                       postsDir: String): Unit = {
+                       postsDir: String,
+                       keyBuckets: Int = 64): Unit = {
     implicit val s: SparkSession = spark
     val monthCol = graft.state.Layout.monthBucket(col("created_at"))
     val ops = OpExtract.ops(blocks)
     val existing =
       try Some(spark.read.parquet(postsDir))
       catch { case _: Exception => None }
-    // persisted: the month-discovery collect and the merge union both
+    // parse once: bucket discovery, the gate fixpoint and the fold
+    // all read the same events (released via CacheTracker below)
+    val evs = graft.CacheTracker.persistTracked(
+      PostsIngest.commentEvents(ops))
+    // persisted: the pair-discovery collect and the merge union both
     // read it — without the cache the whole ingest (gate fixpoint +
     // fold) would run twice
     val fresh = PostsIngest
-      .ingest(ops, existing.map(_.drop("created_month")))
+      .ingestEvents(evs, existing.map(ex =>
+        prunedExisting(ex, evs, keyBuckets)
+          .drop("created_month", "key_bucket")))
       .withColumn("created_month", monthCol)
+      .withColumn("key_bucket",
+        graft.state.Layout.keyBucket(col("author"), col("permlink"),
+          keyBuckets))
       .persist()
     val merged = existing match {
       // Tie-break prefers the EXISTING row: the reference's monotonic
@@ -72,10 +90,16 @@ object StreamIngest {
       // hive-stream.ts:538), so a replayed batch that adds nothing new
       // must leave the stored row (incl. metadata_status) untouched.
       case Some(ex) =>
-        val months = fresh.select("created_month").distinct()
-          .collect().map(_.getString(0))
+        // exact (month, bucket) pairs — bounded by the batch's keys
+        val pairs = fresh.select("created_month", "key_bucket")
+          .distinct().collect()
+          .map(r => (r.getString(0), r.getInt(1)))
+        val pairPred = pairs.groupBy(_._1).map { case (m, bs) =>
+          col("created_month") === m &&
+            col("key_bucket").isin(bs.map(_._2).toSeq: _*)
+        }.reduceOption(_ || _).getOrElse(lit(false))
         Merge.latestWins(
-          ex.filter(col("created_month").isin(months.toSeq: _*))
+          ex.filter(pairPred)
             .withColumn("__src", lit(1))
             .unionByName(fresh.withColumn("__src", lit(0)),
               allowMissingColumns = true),
@@ -84,12 +108,12 @@ object StreamIngest {
       case None => fresh
     }
     try merged
-      .repartition(col("created_month"))
+      .repartition(col("created_month"), col("key_bucket"))
       .sortWithinPartitions("author", "permlink")
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("created_month")
+      .partitionBy("created_month", "key_bucket")
       .parquet(postsDir)
     finally {
       fresh.unpersist(blocking = false)
@@ -99,6 +123,27 @@ object StreamIngest {
       graft.CacheTracker.releaseAll()
     }
   }
+
+  /** The existing-table view the seed lookups read: partition-pruned
+    * to the key buckets this batch can possibly match — the batch's
+    * own (author, permlink) keys (fold seeds / restore joins) plus
+    * its referenced parents (gate seeds). The bucket list is ≤
+    * min(keys, n) ints, so the discovery collect is driver-trivial;
+    * tables written before the bucketed layout pass through unpruned
+    * (month-only fallback). */
+  def prunedExisting(existing: DataFrame, evs: DataFrame,
+                     keyBuckets: Int): DataFrame =
+    if (!existing.columns.contains("key_bucket")) existing
+    else {
+      val bucketOf = graft.state.Layout.keyBucket(
+        col("author"), col("permlink"), keyBuckets)
+      val buckets = evs.select(col("author"), col("permlink"))
+        .unionByName(evs.select(col("parent_author").as("author"),
+          col("parent_permlink").as("permlink")))
+        .select(bucketOf.as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      existing.filter(col("key_bucket").isin(buckets: _*))
+    }
 
   /** The streaming query: block files → per-micro-batch ingest+merge,
     * exactly-once via checkpoint. */

@@ -128,9 +128,14 @@ class StreamIngestSpec extends SparkSpec {
           .json(Seq(json).toDS()),
         postsDir)
     def partFiles(month: String): Map[String, Long] = {
-      val d = new java.io.File(s"$postsDir/created_month=$month")
-      d.listFiles().filter(_.getName.endsWith(".parquet"))
-        .map(f => f.getName -> f.lastModified()).toMap
+      // walk the month dir recursively — files live under
+      // key_bucket=N sub-partitions
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$postsDir/created_month=$month"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getParentFile.getName + "/" + f.getName ->
+          f.lastModified()).toMap
     }
 
     // two posts in different months
@@ -154,6 +159,59 @@ class StreamIngestSpec extends SparkSpec {
     // restored from the stored row — no month migration)
     assert(byKey("pm").getAs[String]("created_month") == "2024-05")
     assert(byKey("pa").getAs[String]("body") == "april body")
+  }
+
+  test("seed lookup partition-prunes to the batch's key buckets (metric-proven)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bucketprune").toString
+    val postsDir = s"$dir/posts"
+    def mergeBlock(json: String): Unit =
+      StreamIngest.mergeBlocksBatch(spark,
+        spark.read.schema(graft.domain.Schemas.block)
+          .json(Seq(json).toDS()),
+        postsDir)
+
+    // seed the table with 20 authors spread across key buckets
+    val inserts = (1 to 20).map(i =>
+      (s"t$i", Seq(("comment", comment(s"author$i", s"p$i", s"body $i")))))
+    mergeBlock(block(100, "2024-05-01T12:00:00", inserts: _*))
+    val existing = spark.read.parquet(postsDir)
+    val totalParts = existing.select("created_month", "key_bucket")
+      .distinct().count()
+    assert(totalParts >= 8, s"want spread-out buckets, got $totalParts")
+
+    // a batch touching ONE key: the seed lookup's existing-table view
+    // must scan only that key's bucket, not the table
+    val editOps = graft.ingest.OpExtract.ops(
+      spark.read.schema(graft.domain.Schemas.block)
+        .json(Seq(block(101, "2024-05-01T12:00:05",
+          ("tx", Seq(("comment",
+            comment("author7", "p7", "edited body")))))).toDS()))
+    val evs = graft.ingest.PostsIngest.commentEvents(editOps)
+    val pruned = StreamIngest.prunedExisting(existing, evs, 64)
+    assert(pruned.collect().map(_.getAs[String]("author")).toSet
+      == Set("author7"))
+    val finalPlan = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val partsRead = scan.metrics("numPartitions").value
+    // author7 + its (empty-parent) bucket — far below the table's
+    // partition count, and independent of table size
+    assert(partsRead <= 2 && partsRead < totalParts,
+      s"seed scan read $partsRead of $totalParts partitions")
+
+    // end-to-end: the pruned merge still produces the right row
+    mergeBlock(block(101, "2024-05-01T12:00:05",
+      ("tx", Seq(("comment", comment("author7", "p7", "edited body"))))))
+    val after = spark.read.parquet(postsDir)
+    assert(after.count() == 20)
+    assert(after.filter(col("author") === "author7").head()
+      .getAs[String]("body") == "edited body")
   }
 
   test("ceramic CDC → posts schema → unified queryable table (S2)") {
