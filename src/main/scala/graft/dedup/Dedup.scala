@@ -80,11 +80,23 @@ object Dedup {
       .distinct()                          // same pair can share >1 band
     // Verification joins pull shingles back by id — two hash joins on
     // the (small) candidate set, not an array-weighted shuffle.
+    // n_inter/n_union ride along as exact integers: the oracle check
+    // compares THEM (float division is engine-rounding-sensitive; the
+    // set sizes are not — the d05 lesson).
     val verified = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        Text.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .withColumn("__da", array_distinct(col("sh_a")))
+      .withColumn("__db", array_distinct(col("sh_b")))
+      .withColumn("n_inter",
+        size(array_intersect(col("__da"), col("__db"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("__da")) + size(col("__db")) - col("n_inter"))
+          .cast("long"))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"),
+        when(col("n_union") === 0, lit(0.0))
+          .otherwise(col("n_inter").cast("double") / col("n_union"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
     verified
   }
@@ -92,12 +104,19 @@ object Dedup {
   /** SimHash near-dup pairs: 64-bit signature, candidates = equal
     * 16-bit sub-bands (any of 4), verified by Hamming distance ≤
     * `maxHamming` (standard Charikar/Manku block-permuted scheme —
-    * any pair within Hamming 3 must share one of 4 bands). */
+    * any pair within Hamming 3 must share one of 4 bands, so recall
+    * is GUARANTEED by pigeonhole, not probabilistic).
+    *
+    * `tokenHash` picks the per-token hash feeding the signature:
+    * xxhash64 (default — cheapest, engine-specific) or
+    * [[Text.portableTokenHash]] (md5-derived, reproducible in any
+    * engine — the oracle-verified catalog configuration). */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   tokenHash: Column => Column = xxhash64(_)): DataFrame = {
     val sigd = CacheTracker.persistTracked(docs
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
-      .withColumn("hashes", transform(col("toks"), t => xxhash64(t)))
+      .withColumn("hashes", transform(col("toks"), t => tokenHash(t)))
       .select(col("id"),
         Text.simhash64Fast(col("hashes")).as("sig")))
     // ^ signature table: computed once, read by both self-join

@@ -177,6 +177,16 @@ object Text {
         element_at(tk, 1),
         (acc, t) => md5(concat(acc, t))))
 
+  /** Engine-portable 60-bit token hash: the first 15 hex digits of
+    * md5, parsed base-16. Reproducible in DuckDB as
+    * `('0x' || substr(md5(t), 1, 15))::BIGINT`, which is what lets
+    * the portable-simhash catalog row (m02) verify against a SQL
+    * oracle; xxhash64 stays the cheap scale-path hash. 60 bits so the
+    * value fits a signed long without sign games; simhash bits 60-63
+    * are then constant 0 on every doc (hamming unaffected). */
+  def portableTokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /** SimHash via the native codegen expression ([[SimHashExpr]]) over
     * pre-hashed tokens — same bits as [[simhash64]], one generated
     * loop per row instead of 64 composed ops per token. */

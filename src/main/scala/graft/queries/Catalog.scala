@@ -499,22 +499,72 @@ object Catalog {
         ORDER BY doc_id"""
       }),
 
-    // ── §7.5 MinHash-LSH near-dup pairs (no SQL oracle: xxhash64
-    //    signatures are Spark-specific) ───────────────────────────────
+    // ── §7.5 MinHash-LSH near-dup pairs — GROUND-TRUTH oracle: the
+    //    emitted set is always ⊆ {pairs with exact Jaccard ≥ t}
+    //    (candidates are exact-verified), and at the gate SF the LSH
+    //    parameters recover every truth pair, so the row hash-matches
+    //    DuckDB's all-pairs exact enumeration: equality here proves
+    //    containment AND recall = 1 on this corpus. Output columns
+    //    are the exact set sizes (n_inter, n_union), not the float
+    //    ratio — integer compare, no rounding-parity risk. The
+    //    threshold i/u ≥ 0.2 is the integer predicate i*5 ≥ u in the
+    //    oracle (identical to the double compare off the boundary,
+    //    exact on it). ──────────────────────────────────────────────
     Q("m01_minhash_pairs",
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d),
         "text", "doc_id", shingleN = 3, k = 32, bands = 8,
         threshold = 0.2, seed = 42L)
-        .withColumn("jaccard", round(col("jaccard"), 4))
+        .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
         .orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+        shing AS (SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(len(t) - 2, 0) + 1),
+            i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+          FROM toks),
+        sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+        inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+          FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT ia AS id_a, ib AS id_b, CAST(i AS BIGINT) AS n_inter,
+          CAST(na.n + nb.n - i AS BIGINT) AS n_union
+        FROM inter
+        JOIN sizes na ON na.doc_id = ia
+        JOIN sizes nb ON nb.doc_id = ib
+        WHERE i * 5 >= na.n + nb.n - i
+        ORDER BY 1, 2""")),
 
-    // ── §7.5 SimHash near-dup pairs (no SQL oracle) ──────────────────
+    // ── §7.5 SimHash near-dup pairs — oracle-verified via the
+    //    PORTABLE md5-derived token hash (Text.portableTokenHash):
+    //    the 4×16-bit banding finds every Hamming≤3 pair by
+    //    pigeonhole (recall guaranteed, not probabilistic), so with a
+    //    hash both engines can compute, output == exact truth. The
+    //    xxhash64 signature stays the scale path (spec + pinned
+    //    regression). ───────────────────────────────────────────────
     Q("m02_simhash_pairs",
       (s, d) => Dedup.simhashPairs(Tables.documents(s, d),
-        "text", "doc_id", maxHamming = 3)
+        "text", "doc_id", maxHamming = 3,
+        tokenHash = Text.portableTokenHash)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b"),
-      None),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS tok
+          FROM documents),
+        h AS (SELECT doc_id,
+            ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        bits AS (SELECT doc_id, r.b AS b,
+            sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          FROM h, range(60) r(b) GROUP BY 1, 2),
+        sig0 AS (SELECT doc_id,
+            CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b)
+              ELSE 0 END) AS BIGINT) AS sig
+          FROM bits GROUP BY 1),
+        sig AS (SELECT d.doc_id, coalesce(s0.sig, 0) AS sig
+          FROM documents d LEFT JOIN sig0 s0 USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        ORDER BY 1, 2""")),
 
     // ── §7.5 ANN: exact cosine top-k vs anchor vector ────────────────
     Q("v01_ann_cosine",
@@ -603,15 +653,26 @@ object Catalog {
             '${Text.urlPattern.replace("'", "''")}', 0)[1] AS first_url
         FROM documents ORDER BY doc_id""")),
 
-    // ── A5/Q13-at-scale: HLL approximate distinct (no SQL oracle:
-    //    sketch implementations differ across engines) ───────────────
+    // ── A5/Q13-at-scale: HLL approximate distinct. The sketch VALUE
+    //    is engine-specific (no cross-engine oracle — kept as a
+    //    pinned regression in SigExprsSpec), but its published error
+    //    bound is not: the row asserts |approx−exact| ≤ 3·rsd·exact
+    //    (rsd = 0.05, Spark's default) as a boolean the oracle
+    //    predicts `true`, and hash-verifies exact_users. ────────────
     Q("q22_approx_distinct",
       (s, d) => Tables.events(s, d)
         .groupBy("event_type")
         .agg(approx_count_distinct("user_id").as("approx_users"),
           countDistinct("user_id").as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            .cast("double") <= col("exact_users") * 0.15)
+            .as("approx_within_3rsd"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type,
+          CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+          true AS approx_within_3rsd
+        FROM events GROUP BY 1 ORDER BY 1""")),
 
     // ── Q6 syncState: the stats singleton computed relationally from
     //    the ingest log (blocks/s, lag, ETA — hive-stream.ts:96-127,

@@ -166,14 +166,25 @@ class SigExprsSpec extends SparkSpec {
 
   test("pinned q22 regression: HLL approx-distinct deterministic at sf0.01") {
     // Spark's HLL++ is deterministic for a fixed input/rsd — pin the
-    // sf0.01 values so the engine-specific sketch (no DuckDB oracle)
-    // still has a change detector
-    val got = graft.SparkEntry.queries("q22_approx_distinct")(
-      spark, "/root/testdata/sf0.01").collect()
+    // sf0.01 sketch values (the catalog row now exposes only the
+    // oracle-checkable error-bound boolean; the raw sketch value keeps
+    // its change detector here)
+    val got = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"),
+        countDistinct("user_id").as("exact_users"))
+      .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == Set(("click", 151L, 150L), ("error", 151L, 150L),
       ("purchase", 151L, 150L), ("signup", 151L, 150L),
       ("view", 151L, 150L)))
+    // and the catalog row's bound holds with the exact column verified
+    val row = graft.SparkEntry.queries("q22_approx_distinct")(
+      spark, "/root/testdata/sf0.01").collect()
+    assert(row.forall(_.getAs[Boolean]("approx_within_3rsd")))
+    assert(row.map(r => (r.getString(0), r.getAs[Long]("exact_users")))
+      .toSet == Set(("click", 150L), ("error", 150L), ("purchase", 150L),
+        ("signup", 150L), ("view", 150L)))
   }
 
   test("pinned v03 regression: sf0.01 constructed dup pairs unchanged") {
