@@ -200,13 +200,13 @@ object Catalog {
           (SELECT l_orderkey, count(*) AS n_items FROM lineitem
            GROUP BY l_orderkey) ON o_orderkey = l_orderkey""")),
 
-    // ── Q13 leaderBoard: global rank window ──────────────────────────
+    // ── Q13 leaderBoard: global rank — distributed (range sort +
+    //    partition offsets, Rank.globalRowNumber), identical output
+    //    to the single-partition window the reference implies ───────
     Q("q11_leaderboard",
-      (s, d) => Tables.customer(s, d)
-        .filter(col("c_acctbal") > 0)
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc))
-          .cast("long"))
+      (s, d) => graft.query.Rank.globalRowNumber(
+        Tables.customer(s, d).filter(col("c_acctbal") > 0),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc))
         .select("rank", "c_custkey", "c_name", "c_acctbal")
         .orderBy("rank"),
       Some("""SELECT CAST(row_number() OVER

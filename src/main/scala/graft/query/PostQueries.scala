@@ -263,15 +263,16 @@ object PostQueries {
       .drop("_u_follower_profile", "_u_following_profile")
   }
 
-  /** Q13 leaderBoard: score>0 profiles ranked (window), plus
+  /** Q13 leaderBoard: score>0 profiles ranked, plus
     * total_active_creators (A7). Each item carries `author` (the
     * username) and the full profile row as `author_profile`, like the
-    * reference's response shape (resolvers/index.ts:464-471). */
+    * reference's response shape (resolvers/index.ts:464-471).
+    * Ranking via [[Rank.globalRowNumber]] — the reference's rank is
+    * equally global, but a single-partition window is not how you
+    * compute it over 100 TB (identical output, distributed sort). */
   def leaderBoard(profiles: DataFrame): DataFrame =
-    profiles.filter(col("score") > 0)
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("username").asc))
-        .cast("long"))
+    Rank.globalRowNumber(profiles.filter(col("score") > 0),
+      Seq(col("score").desc, col("username").asc))
       .select(col("rank"), col("username"),
         col("username").as("author"),
         struct(profiles.columns.map(col).toSeq: _*)
