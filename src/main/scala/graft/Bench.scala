@@ -38,16 +38,28 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     finally CacheTracker.releaseAll()
+    // A failing query is RECORDED (err field) and fails the run —
+    // never silently booked as ~0 s
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try materialize(fn) catch { case _: Throwable => () }
-      finally CacheTracker.releaseAll()
-      name -> (System.nanoTime() - t0) / 1e9
+      val err =
+        try { materialize(fn); None }
+        catch { case e: Throwable =>
+          Some(e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).replaceAll("[\"\\n\\r]", " ")
+              .take(120))
+        }
+        finally CacheTracker.releaseAll()
+      name -> ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.map { case (k, (_, e)) =>
+      s"\"" + k + "\":" + e.map("\"" + _ + "\"").getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }
 }

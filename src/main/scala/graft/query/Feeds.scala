@@ -113,7 +113,9 @@ object Feeds {
     val matches: Column = uniq.map { t =>
       array_contains(toks, t)
     }.reduce(combine)
-    df.withColumn("__toks", split(lower(textCol), "\\s+"))
+    // the SHARED tokenizer (Text.tokens): brute-force, inverted-index
+    // and oracle tokenizations are literally one expression
+    df.withColumn("__toks", graft.functions.Text.tokens(textCol))
       .filter(matches).withColumn(scoreName, tf.cast("long"))
       .drop("__toks")
   }

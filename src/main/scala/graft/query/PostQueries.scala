@@ -166,21 +166,33 @@ object PostQueries {
   def relatedFeed(posts: DataFrame, follows: DataFrame, a: FeedArgs,
                   author: String, permlink: String,
                   seed: Long = 42L): DataFrame = {
-    val anchor = posts
+    // Eager 1-row anchor lookup: the reference throws `Post not
+    // found` on a missing anchor (resolvers/index.ts:276-278) — fail
+    // fast the same way rather than silently returning an empty feed.
+    // The collect is a bounded point lookup (the same cost the
+    // crossJoin(broadcast) paid); its values then enter the plan as
+    // LITERALS, so the tag-overlap filter is pure codegen with no
+    // join at all.
+    val anchorRow = posts
       .filter(col("author") === author && col("permlink") === permlink)
-      .select(col("tags").as("a_tags"),
-        col("parent_author").as("a_pa"),
-        col("parent_permlink").as("a_pp"))
-      .limit(1)
+      .select(col("tags"), col("parent_author"), col("parent_permlink"))
+      .limit(1).collect()
+    if (anchorRow.isEmpty)
+      throw new NoSuchElementException("Post not found")
+    val r = anchorRow.head
+    val aTags = r.getAs[scala.collection.Seq[String]]("tags")
+    val aTagsLit =
+      if (aTags.isEmpty) array().cast("array<string>")
+      else array(aTags.map(lit).toSeq: _*)
     // NB: the reference does NOT exclude the anchor post itself —
     // it matches its own tags and can appear in the sample
     // (resolvers/index.ts:279-296)
     val related = filtered(posts, follows, a)
-      .crossJoin(broadcast(anchor))
       .filter(
-        arrays_overlap(col("tags"), col("a_tags")) ||
-          (col("a_pa") === "" && col("parent_permlink") === col("a_pp")))
-      .drop("a_tags", "a_pa", "a_pp")
+        arrays_overlap(col("tags"), aTagsLit) ||
+          (lit(r.getAs[String]("parent_author") == "") &&
+            col("parent_permlink") ===
+              lit(r.getAs[String]("parent_permlink"))))
     // layout-independent seeded sample; default size 25 = the
     // reference's `pagination?.limit || 25`
     Feeds.relatedSample(related, lit(true), a.limitOr(25), seed,

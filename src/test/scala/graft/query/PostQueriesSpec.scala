@@ -128,6 +128,15 @@ class PostQueriesSpec extends SparkSpec {
     assert(out == Set("v1", "v2", "e1", "b1"))
   }
 
+  test("relatedFeed: missing anchor throws like the reference") {
+    // resolvers/index.ts:276-278 — `Post not found`, not an empty feed
+    val e = intercept[NoSuchElementException] {
+      PostQueries.relatedFeed(posts, follows, FeedArgs(),
+        "nobody", "missing")
+    }
+    assert(e.getMessage == "Post not found")
+  }
+
   test("relatedSample: deterministic and layout-independent") {
     import graft.query.Feeds
     def sample(df: org.apache.spark.sql.DataFrame) =
