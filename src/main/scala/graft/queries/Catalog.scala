@@ -736,6 +736,29 @@ object Catalog {
                ELSE 1 END AS BIGINT) AS frames_sampled
         FROM documents ORDER BY media_id""")),
 
+    // ── §7.5 multimodal: REAL image decode roundtrip. The media rows
+    //    carry genuine PNGs (encoded executor-side with the real PNG
+    //    writer, dims a formula of the id); the query decodes the
+    //    BYTES with javax.imageio and emits the extracted dimensions.
+    //    The oracle predicts them from the id formula — equality
+    //    proves the encode→decode roundtrip extracted true pixel
+    //    metadata, not an echoed column. ─────────────────────────────
+    Q("mm03_image_decode",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticPngMedia(
+          Tables.documents(s, d).select("doc_id"))(s)
+        graft.multimodal.Multimodal.decodeImages(media)(s)
+          .toDF()
+          .select(col("media_id"), col("decoded"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, true AS decoded,
+          CAST(16 + doc_id % 32 AS BIGINT) AS width,
+          CAST(8 + doc_id % 16 AS BIGINT) AS height
+        FROM documents ORDER BY media_id""")),
+
     // ── §7.5 embedding-cosine near-dup pairs: random-hyperplane LSH
     //    → banded candidates → exact-cosine verify. Duplicates are
     //    constructed from the table (ids +100000) so recall is exact

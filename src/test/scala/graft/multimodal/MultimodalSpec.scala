@@ -71,4 +71,45 @@ class MultimodalSpec extends SparkSpec {
     assert(again(0L).sha_prefix == feats(0L).sha_prefix)
     assert(again(0L).embedding.toSeq == feats(0L).embedding.toSeq)
   }
+
+  test("real PNG roundtrip: decodeImages extracts true dimensions") {
+    import spark.implicits._
+    val ids = (0L to 40L).toDF("doc_id")
+    val media = Multimodal.syntheticPngMedia(ids)(spark)
+    // the payload is a genuine PNG, not the formula echoed back
+    val one = media.filter(col("media_id") === 5L).head()
+    assert(one.bytes.take(4).toSeq ==
+      Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+    val metas = Multimodal.decodeImages(media)(spark).collect()
+      .map(m => m.media_id -> m).toMap
+    (0L to 40L).foreach { id =>
+      val m = metas(id)
+      assert(m.decoded)
+      assert(m.width == 16 + (id % 32).toInt, s"id=$id")
+      assert(m.height == 8 + (id % 16).toInt, s"id=$id")
+      assert(m.mean_luma > 0.0 && m.mean_luma < 1.0)
+    }
+  }
+
+  test("undecodable image payload falls back: decoded=false / stub features") {
+    import spark.implicits._
+    val junk = Seq(MediaRow(1L, "image", "not a png".getBytes("UTF-8"),
+      "image/png", 0, 0, 0L)).toDS()
+    val meta = Multimodal.decodeImages(junk)(spark).head()
+    assert(!meta.decoded && meta.width == 0 && meta.height == 0)
+    // extractFeatures still yields deterministic stub features
+    val f = Multimodal.extractFeatures(junk)(spark).head()
+    assert(f.embedding.length == 8)
+  }
+
+  test("extractFeatures image branch uses real pixels for real images") {
+    import spark.implicits._
+    val ids = Seq(7L).toDF("doc_id")
+    val media = Multimodal.syntheticPngMedia(ids)(spark)
+    val f = Multimodal.extractFeatures(media)(spark).head()
+    val img = Multimodal.decodeImage(
+      media.head().bytes).get
+    assert(f.embedding.toSeq == Multimodal.stripLuma(img).toSeq)
+    assert(f.frames_sampled == 1)
+  }
 }
