@@ -65,9 +65,16 @@ object StreamIngest {
     implicit val s: SparkSession = spark
     val monthCol = graft.state.Layout.monthBucket(col("created_at"))
     val ops = OpExtract.ops(blocks)
+    // explicit FS existence check — Spark 4 resolves reads lazily, so
+    // a try/catch around read.parquet may not fire until deep inside
+    // the ingest plan (entry-point-dependent); the FS probe is
+    // deterministic
+    val tablePath = new org.apache.hadoop.fs.Path(postsDir)
+    val fs = tablePath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val existing =
-      try Some(spark.read.parquet(postsDir))
-      catch { case _: Exception => None }
+      if (fs.exists(tablePath)) Some(spark.read.parquet(postsDir))
+      else None
     // parse once: bucket discovery, the gate fixpoint and the fold
     // all read the same events (released via CacheTracker below)
     val evs = graft.CacheTracker.persistTracked(

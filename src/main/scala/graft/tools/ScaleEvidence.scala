@@ -1,0 +1,213 @@
+package graft.tools
+
+import graft.dedup.Dedup
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only: one order-of-magnitude-up evidence run (VERDICT r2 #9).
+  *
+  * Builds a ~sf1 corpus (10× sf0.1: ~500k documents / ~1.5M events)
+  * by replicating with TOKEN-SALTED text — every token gets a
+  * replica prefix, so cross-replica pairs share zero shingles and
+  * the near-dup structure scales exactly 10× instead of exploding
+  * quadratically — then runs the headline dedup / search / feed /
+  * rank pipelines plus the BUCKETED streaming merge, recording
+  * wall-clock and real shuffle bytes per stage (SparkListener stage
+  * metrics). Output is pasted into BENCH_NOTES.md.
+  */
+object ScaleEvidence {
+
+  private val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+  private val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+
+  private class MetricsListener extends SparkListener {
+    override def onStageCompleted(
+        sc: SparkListenerStageCompleted): Unit = {
+      val tm = sc.stageInfo.taskMetrics
+      if (tm != null) {
+        shuffleWrite.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
+      }
+    }
+  }
+
+  private def timed(label: String)(f: => Long): Unit = {
+    val w0 = shuffleWrite.get(); val r0 = shuffleRead.get()
+    val t0 = System.nanoTime()
+    val n = f
+    val secs = (System.nanoTime() - t0) / 1e9
+    val wMb = (shuffleWrite.get() - w0) / 1e6
+    val rMb = (shuffleRead.get() - r0) / 1e6
+    println(f"$label%-42s ${secs}%7.2f s  $n%,12d rows  " +
+      f"shuffle w=$wMb%8.1f MB r=$rMb%8.1f MB")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val work = "/tmp/graft-scale"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.warehouse.dir", s"$work/wh")
+      .config("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    implicit val s: SparkSession = spark
+    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new MetricsListener)
+    val d = "/root/testdata/sf0.1"
+    val reps = 10
+
+    // ── corpus: 10× documents, token-salted per replica ─────────────
+    val docs0 = graft.Tables.documents(spark, d)
+    val docs = (0 until reps).map { i =>
+      docs0.select(
+        (col("doc_id") + i * 10000000L).as("doc_id"),
+        regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1").as("text"))
+    }.reduce(_ unionByName _)
+    println(s"== corpus build (10x sf0.1, token-salted) ==")
+    timed("write documents parquet") {
+      docs.write.mode("overwrite").parquet(s"$work/documents")
+      spark.read.parquet(s"$work/documents").count()
+    }
+    val corpus = spark.read.parquet(s"$work/documents")
+
+    println("== dedup / similarity ==")
+    timed("d01 exact dedup") {
+      Dedup.exact(corpus, "text", "doc_id").count()
+    }
+    timed("m01 minhash LSH pairs (verify incl.)") {
+      val n = Dedup.minhashLshPairs(corpus, "text", "doc_id",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.2,
+        seed = 42L).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed("m02 simhash pairs (portable hash)") {
+      val n = Dedup.simhashPairs(corpus, "text", "doc_id",
+        maxHamming = 3,
+        tokenHash = graft.functions.Text.portableTokenHash).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+
+    println("== search ==")
+    val idxTable = "scale_postings"
+    timed("inverted index build + bucketed write") {
+      val idx = graft.text.InvertedIndex.build(corpus, "text", "doc_id")
+      graft.text.InvertedIndex.writeBucketed(idx, idxTable,
+        s"$work/postings")
+      spark.table(idxTable).count()
+    }
+    // query terms drawn from the corpus itself: top-2 most frequent
+    // within ONE replica (cross-replica terms never co-occur — the
+    // salting that keeps near-dup structure linear)
+    val terms = spark.table(idxTable)
+      .filter(col("term").startsWith("r0_"))
+      .groupBy("term")
+      .agg(sum("tf").as("n")).orderBy(col("n").desc).limit(2)
+      .collect().map(_.getString(0)).toSeq
+    println(s"   query terms: ${terms.mkString(", ")}")
+    timed("indexed search (2 terms, top-20)") {
+      graft.text.InvertedIndex.search(spark.table(idxTable),
+        terms, k = 20).count()
+    }
+    timed("brute-force search (2 terms, top-20)") {
+      graft.query.Feeds.search(corpus, col("text"),
+        terms, requireAll = true)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .count()
+    }
+
+    println("== feed / rank shapes (10x events & customers) ==")
+    val ev = {
+      val e1 = graft.Tables.events(spark, d)
+      (0 until reps).map(i => e1
+        .withColumn("event_id", col("event_id") + i * 100000000L)
+        .withColumn("user_id", col("user_id") + i * 100000000L))
+        .reduce(_ unionByName _)
+    }
+    timed("feed page (filter + top-100)") {
+      ev.filter(col("event_type") === "view")
+        .orderBy(col("ts").desc, col("event_id").desc).limit(100)
+        .count()
+    }
+    timed("distributed leaderboard rank (q11 shape)") {
+      val cust = (0 until reps).map(i =>
+        graft.Tables.customer(spark, d)
+          .withColumn("c_custkey", col("c_custkey") + i * 100000000L))
+        .reduce(_ unionByName _)
+      val n = graft.query.Rank.globalRowNumber(
+        cust.filter(col("c_acctbal") > 0),
+        Seq(col("c_acctbal").desc, col("c_custkey").asc)).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+
+    // ── bucketed streaming merge at 500k stored posts ───────────────
+    println("== streaming merge (bucketed seed lookup) ==")
+    val nPosts = 500000L
+    def blocksFor(idStart: Long, count: Long, heightOff: Long,
+                  body: Column, stride: Long = 1L): DataFrame =
+      spark.range(count)
+        .select((col("id") * stride + idStart).as("id")).select(
+        lpad(lower(hex(col("id") + 1 + heightOff)), 8, "0")
+          .as("block_id"),
+        concat(lit("2024-0"), (col("id") % 6 + 1).cast("string"),
+          lit("-01T12:00:00")).as("timestamp"),
+        array(struct(
+          concat(lit("tx"), col("id")).as("transaction_id"),
+          array(struct(lit("comment").as("name"),
+            to_json(struct(
+              lit("").as("parent_author"),
+              lit("").as("parent_permlink"),
+              concat(lit("user"), pmod(col("id"), lit(50000L)))
+                .as("author"),
+              concat(lit("post"), col("id")).as("permlink"),
+              lit("t").as("title"),
+              body.as("body"),
+              lit("""{"app":"3speak/1.0"}""").as("json_metadata")))
+            .as("payload"))).as("operations"))).as("transactions"))
+    val postsDir = s"$work/posts"
+    timed(s"catch-up merge: $nPosts inserts") {
+      graft.streaming.StreamIngest.mergeBlocksBatch(spark,
+        blocksFor(0, nPosts, 0, lit("original body text")), postsDir)
+      spark.read.parquet(postsDir).count()
+    }
+    // realistic 2-second micro-batch: ~20 comment ops. Bucket pruning
+    // scales as |batch keys| / n buckets — a batch with more distinct
+    // keys than buckets degenerates to a full scan (that is the
+    // honest bound; at 100 TB you size n ≫ trigger keys, e.g. 4096).
+    timed("micro-batch merge: 20 edits vs 500k stored") {
+      graft.streaming.StreamIngest.mergeBlocksBatch(spark,
+        blocksFor(600, 20, nPosts, lit("edited body text"), stride = 6),
+        postsDir)
+      spark.read.parquet(postsDir)
+        .filter(col("body") === "edited body text").count()
+    }
+    // seed-lookup pruning proof at scale: partitions read vs total
+    val existing = spark.read.parquet(postsDir)
+    val evs = graft.ingest.PostsIngest.commentEvents(
+      graft.ingest.OpExtract.ops(
+        blocksFor(600, 20, nPosts * 2, lit("x"), stride = 6)))
+    val prunedDf = graft.streaming.StreamIngest.prunedExisting(
+      existing, evs, 64)
+    prunedDf.collect()
+    val finalPlan = prunedDf.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = finalPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val total = existing.select("created_month", "key_bucket")
+      .distinct().count()
+    println(s"seed-lookup scan: " +
+      s"${scan.metrics("numPartitions").value} of $total " +
+      s"(month, bucket) partitions read")
+    graft.CacheTracker.releaseAll()
+    spark.stop()
+  }
+}
