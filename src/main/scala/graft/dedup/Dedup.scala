@@ -140,6 +140,50 @@ object Dedup {
     verified
   }
 
+  /** Near-dup CLUSTERS from verified pair output: connected
+    * components by iterative min-label propagation ("HashMin" CC —
+    * each round every node adopts the smallest label among itself and
+    * its neighbors; fixpoint in O(component diameter) rounds).
+    * Returns (id, cluster) with cluster = the component's minimum id,
+    * i.e. the canonical survivor — `filter(id === cluster)` keeps one
+    * doc per near-dup cluster.
+    *
+    * Scale shape: every iteration is one equi-shuffle of the EDGE
+    * set (near-dup pairs only — a tiny fraction of the corpus), never
+    * the documents; near-dup components are shallow (dup clusters are
+    * cliques-ish), so 2-3 rounds converge. Driver coordinates the
+    * fixpoint exactly like gateEvents — iteration counts are
+    * data-bounded, not table-bounded. */
+  def neardupClusters(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b"): DataFrame = {
+    val edges = CacheTracker.persistTracked(
+      pairs.select(col(idA).as("src"), col(idB).as("dst"))
+        .unionByName(pairs.select(col(idB).as("src"),
+          col(idA).as("dst")))
+        .distinct())
+    var labels = CacheTracker.persistTracked(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("cluster", col("id")))
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"),
+          col("cluster").as("ncl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("ncl").as("nmin"))
+      val next = CacheTracker.persistTracked(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+              .as("cluster")))
+      converged = next.join(labels.withColumnRenamed("cluster", "old"),
+        Seq("id"))
+        .filter(col("cluster") < col("old")).isEmpty
+      labels = next
+    }
+    labels
+  }
+
   /** Exact Jaccard of every document against one anchor document —
     * the O(n) similarity scan (anchor shingle set is a plan literal →
     * broadcast; single codegen'd pass, no shuffle). */

@@ -36,6 +36,25 @@ object Catalog {
   private val sqlToks =
     "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
 
+  // Ground-truth near-dup pairs (exact 3-shingle Jaccard >= 0.2 via a
+  // shingle self-join; integer threshold i*5 >= u). Shared by the m01
+  // oracle and d09's cluster oracle.
+  private val sqlTruthPairs =
+    s"""toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+      shing AS (SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(t) - 2, 0) + 1),
+          i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
+        FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
+      inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+        FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      truth AS (SELECT ia, ib, i, na.n + nb.n - i AS u
+        FROM inter
+        JOIN sizes na ON na.doc_id = ia
+        JOIN sizes nb ON nb.doc_id = ib
+        WHERE i * 5 >= na.n + nb.n - i)"""
+
   val all: Seq[Q] = Seq(
 
     // ── §2.2 predicate algebra ────────────────────────────────────────
@@ -516,22 +535,31 @@ object Catalog {
         threshold = 0.2, seed = 42L)
         .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
         .orderBy("id_a", "id_b"),
-      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
-        shing AS (SELECT doc_id, unnest(list_distinct(list_transform(
-            range(1, greatest(len(t) - 2, 0) + 1),
-            i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
-          FROM toks),
-        sizes AS (SELECT doc_id, count(*) AS n FROM shing GROUP BY 1),
-        inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-          FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
-          GROUP BY 1, 2)
+      Some(s"""WITH $sqlTruthPairs
         SELECT ia AS id_a, ib AS id_b, CAST(i AS BIGINT) AS n_inter,
-          CAST(na.n + nb.n - i AS BIGINT) AS n_union
-        FROM inter
-        JOIN sizes na ON na.doc_id = ia
-        JOIN sizes nb ON nb.doc_id = ib
-        WHERE i * 5 >= na.n + nb.n - i
-        ORDER BY 1, 2""")),
+          CAST(u AS BIGINT) AS n_union
+        FROM truth ORDER BY 1, 2""")),
+
+    // ── §7.5 near-dup CLUSTERS: connected components over the
+    //    verified pair set (min-label propagation; oracle = recursive
+    //    CTE transitive closure over the same truth pairs). cluster =
+    //    component min id — `doc_id = cluster_id` is the survivor. ──
+    Q("d09_neardup_clusters",
+      (s, d) => Dedup.neardupClusters(
+        Dedup.minhashLshPairs(Tables.documents(s, d),
+          "text", "doc_id", shingleN = 3, k = 32, bands = 8,
+          threshold = 0.2, seed = 42L))
+        .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $sqlTruthPairs,
+        edges AS (SELECT ia AS src, ib AS dst FROM truth
+          UNION SELECT ib, ia FROM truth),
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst)
+        SELECT id AS doc_id, min(lbl) AS cluster_id
+        FROM walk GROUP BY 1 ORDER BY 1""")),
 
     // ── §7.5 SimHash near-dup pairs — oracle-verified via the
     //    PORTABLE md5-derived token hash (Text.portableTokenHash):

@@ -1,0 +1,40 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupClusterSpec extends SparkSpec {
+
+  test("neardupClusters: components get min-id labels, survivor filter") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 — needs >1 propagation round),
+    // pair 10-11, isolated pair 20-21 via a shared middle 20-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
+    val got = Dedup.neardupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.CacheTracker.releaseAll()
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // one survivor per cluster = the min id
+    assert(got.filter { case (id, cl) => id == cl }.keySet ==
+      Set(1L, 10L, 20L))
+  }
+
+  test("neardupClusters over real minhash pairs at sf0.001") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      shingleN = 3, k = 32, bands = 8, threshold = 0.2, seed = 42L)
+    val clusters = Dedup.neardupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    graft.CacheTracker.releaseAll()
+    // every clustered id appears in some pair; labels are component
+    // minima (a label is always <= its member ids)
+    assert(clusters.nonEmpty)
+    assert(clusters.forall { case (id, cl) => cl <= id })
+    // labels are themselves members of their own cluster
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1))
+    assert(byCluster.forall { case (cl, members) =>
+      members.contains(cl) })
+  }
+}
