@@ -130,11 +130,22 @@ object PostsIngest {
         graft.CacheTracker.persistTracked(evsRaw)
       else evsRaw
     // all (parent_author, parent_permlink) this batch references —
-    // the only keys whose membership in "indexed" matters
+    // the only keys whose membership in "indexed" matters. The empty
+    // ("", "") ref of top-level posts can never match a post key
+    // (authors are non-empty), so it is excluded up front.
     val parentRefs = evs
+      .filter(col("parent_author") =!= "")
       .select(col("parent_author").as("pa"),
         col("parent_permlink").as("pp"))
       .distinct()
+    // Fast path — a batch with ZERO real parent refs (all top-level
+    // posts, the common streaming micro-batch) needs no existing-key
+    // lookup and no fixpoint: nothing can gate through a parent. This
+    // skips the per-batch stored-table seed scan and 2+ count jobs.
+    if (parentRefs.isEmpty) {
+      return evs.withColumn("allowed_by_parent", lit(false))
+        .filter(col("allowed_by_type"))
+    }
     val existingKeys = existingPosts.map(
       _.select(col("author").as("pa"), col("permlink").as("pp"))
         .join(parentRefs, Seq("pa", "pp"), "left_semi"))

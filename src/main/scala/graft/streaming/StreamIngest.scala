@@ -63,6 +63,23 @@ object StreamIngest {
                        postsDir: String,
                        keyBuckets: Int = 64): Unit = {
     implicit val s: SparkSession = spark
+    // AQE materializes every shuffle stage as its own job to re-plan —
+    // the right trade for big queries, pure fixed overhead for a
+    // micro-batch whose shuffles are a few thousand rows (profiled:
+    // ~50 of the merge's ~75 driver jobs were AQE stage jobs). Turn it
+    // off for the span of this batch; restore the caller's setting
+    // after (foreachBatch runs batches sequentially, so the toggle
+    // cannot race a concurrent query).
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try mergeBlocksBatchImpl(spark, blocks, postsDir, keyBuckets)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def mergeBlocksBatchImpl(spark: SparkSession,
+                                   blocks: DataFrame, postsDir: String,
+                                   keyBuckets: Int): Unit = {
+    implicit val s: SparkSession = spark
     val monthCol = graft.state.Layout.monthBucket(col("created_at"))
     val ops = OpExtract.ops(blocks)
     // explicit FS existence check — Spark 4 resolves reads lazily, so
@@ -79,23 +96,29 @@ object StreamIngest {
     // all read the same events (released via CacheTracker below)
     val evs = graft.CacheTracker.persistTracked(
       PostsIngest.commentEvents(ops))
+    // the bucket-pruned stored view is read FOUR times per batch
+    // (gate seeds, fold seeds, restore joins, merge union) — cache it
+    // so the partition listing + scan happen once
+    val pruned = existing.map(ex => graft.CacheTracker.persistTracked(
+      prunedExisting(ex, evs, keyBuckets)))
     // persisted: the pair-discovery collect and the merge union both
     // read it — without the cache the whole ingest (gate fixpoint +
     // fold) would run twice
     val fresh = PostsIngest
-      .ingestEvents(evs, existing.map(ex =>
-        prunedExisting(ex, evs, keyBuckets)
-          .drop("created_month", "key_bucket")))
+      .ingestEvents(evs, pruned.map(
+        _.drop("created_month", "key_bucket")))
       .withColumn("created_month", monthCol)
       .withColumn("key_bucket",
         graft.state.Layout.keyBucket(col("author"), col("permlink"),
           keyBuckets))
       .persist()
-    val merged = existing match {
+    val merged = pruned match {
       // Tie-break prefers the EXISTING row: the reference's monotonic
       // guard is strict (`stored.block_height < edit.block_height`,
       // hive-stream.ts:538), so a replayed batch that adds nothing new
       // must leave the stored row (incl. metadata_status) untouched.
+      // (fresh's keys ⊆ batch keys, so its (month, bucket) pairs are
+      // all inside the cached bucket-pruned view.)
       case Some(ex) =>
         // exact (month, bucket) pairs — bounded by the batch's keys
         val pairs = fresh.select("created_month", "key_bucket")
