@@ -39,6 +39,38 @@ object Vectors {
       .limit(k)
   }
 
+  /** Batch ANN: exact top-k per QUERY over a query-set table — the
+    * many-queries analog of [[topKCosine]]. Two-phase distributed
+    * top-k: queries broadcast; scores are projected down to slim
+    * (q_id, id, sim) rows BEFORE any shuffle; phase 1 takes the
+    * per-(query, input-partition) top-k (the shuffle key (q_id, pid)
+    * is well-spread by construction — no per-query hot partition),
+    * phase 2 ranks the |Q|·partitions·k survivors per query. Brute
+    * force is the right baseline for small |Q|; large query sets
+    * route through IVF ([[ivfTopK]]) instead. */
+  def batchTopKCosine(vectors: DataFrame, vecCol: String,
+                      queries: DataFrame, queryVecCol: String,
+                      queryIdCol: String, k: Int,
+                      idCol: String = "vec_id",
+                      simName: String = "sim"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.select(col(queryIdCol).as("q_id"),
+      col(queryVecCol).as("__qv")))
+    val scored = vectors.crossJoin(q)
+      .select(col("q_id"), col(idCol),
+        cosine(col(vecCol), col("__qv")).as(simName),
+        spark_partition_id().as("__pid"))
+    val w1 = Window.partitionBy(col("q_id"), col("__pid"))
+      .orderBy(col(simName).desc, col(idCol).asc)
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col(simName).desc, col(idCol).asc)
+    scored.withColumn("__r", row_number().over(w1))
+      .filter(col("__r") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col(idCol), col(simName))
+  }
+
   /** Random-hyperplane (signed random projection) bit signature: bit
     * i = sign(v · r_i) for `bits` seeded hyperplanes. Hamming distance
     * between signatures estimates angular distance — the LSH family

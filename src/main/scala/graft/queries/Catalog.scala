@@ -55,6 +55,53 @@ object Catalog {
         JOIN sizes nb ON nb.doc_id = ib
         WHERE i * 5 >= na.n + nb.n - i)"""
 
+  // Language-ID oracle fragments shared by d03/d10: per-language
+  // marker hit counts + the argmax CASE (tie-break = lexicographically
+  // LARGEST lang — matches Spark's greatest() over (score, lang)
+  // structs).
+  private def sqlLangHits = {
+    val m = Text.langMarkers
+    def h(lang: String, ws: Seq[String]) =
+      s"CAST(len(list_filter($sqlToks, x -> list_contains(" +
+        ws.map(w => s"'$w'").mkString("[", ",", "]") +
+        s", x))) AS BIGINT) AS hits_$lang"
+    s"${h("en", m("en"))}, ${h("es", m("es"))}, " +
+      s"${h("de", m("de"))}, ${h("fr", m("fr"))}"
+  }
+
+  private val sqlLangCase =
+    """CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0
+         THEN 'und'
+         WHEN hits_fr >= hits_es AND hits_fr >= hits_en
+          AND hits_fr >= hits_de THEN 'fr'
+         WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
+         WHEN hits_en >= hits_de THEN 'en'
+         ELSE 'de' END"""
+
+  // Quality formula shared by d04/d10 — mirrors Text.qualityScore
+  // term-for-term, same association order; Java \p{Punct} == RE2
+  // [[:punct:]] (ASCII set).
+  private val sqlQuality = {
+    val stop = Text.langMarkers.values.flatten.toSeq
+      .map(w => s"'$w'").mkString("[", ",", "]")
+    s"""round(
+        least(len($sqlToks) / CAST(20 AS DOUBLE), CAST(1.0 AS DOUBLE))
+          * CAST(0.4 AS DOUBLE)
+      + (CAST(1.0 AS DOUBLE)
+          - length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+            / CAST(greatest(length(text), 1) AS DOUBLE))
+          * CAST(0.2 AS DOUBLE)
+      + (CAST(1.0 AS DOUBLE)
+          - length(regexp_replace(text, '[^0-9]', '', 'g'))
+            / CAST(greatest(length(text), 1) AS DOUBLE))
+          * CAST(0.2 AS DOUBLE)
+      + least(len(list_filter($sqlToks,
+            x -> list_contains($stop, x)))
+            / CAST(greatest(len($sqlToks), 1) AS DOUBLE)
+            * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+          * CAST(0.2 AS DOUBLE), 4)"""
+  }
+
   val all: Seq[Q] = Seq(
 
     // ── §2.2 predicate algebra ────────────────────────────────────────
@@ -424,22 +471,9 @@ object Catalog {
           .orderBy("doc_id")
       },
       Some {
-        def h(lang: String, ws: Seq[String]) =
-          s"CAST(len(list_filter($sqlToks, x -> list_contains(" +
-            ws.map(w => s"'$w'").mkString("[", ",", "]") +
-            s", x))) AS BIGINT) AS hits_$lang"
-        val m = Text.langMarkers
-        s"""SELECT doc_id,
-          CASE WHEN greatest(hits_en, hits_es, hits_de, hits_fr) = 0
-               THEN 'und'
-               WHEN hits_fr >= hits_es AND hits_fr >= hits_en
-                AND hits_fr >= hits_de THEN 'fr'
-               WHEN hits_es >= hits_en AND hits_es >= hits_de THEN 'es'
-               WHEN hits_en >= hits_de THEN 'en'
-               ELSE 'de' END AS pred_lang,
+        s"""SELECT doc_id, $sqlLangCase AS pred_lang,
           hits_en, hits_es, hits_de, hits_fr
-        FROM (SELECT doc_id, ${h("en", m("en"))}, ${h("es", m("es"))},
-              ${h("de", m("de"))}, ${h("fr", m("fr"))} FROM documents)
+        FROM (SELECT doc_id, $sqlLangHits FROM documents)
         ORDER BY doc_id"""
       }),
 
@@ -450,29 +484,8 @@ object Catalog {
         .select(col("doc_id"),
           Text.qualityScoreFromToks(col("text"), col("__toks")).as("q"))
         .orderBy("doc_id"),
-      Some {
-        // Mirrors Text.qualityScore term-for-term, same association
-        // order; Java \p{Punct} == RE2 [[:punct:]] (ASCII set).
-        val stop = Text.langMarkers.values.flatten.toSeq
-          .map(w => s"'$w'").mkString("[", ",", "]")
-        s"""SELECT doc_id, round(
-            least(len($sqlToks) / CAST(20 AS DOUBLE), CAST(1.0 AS DOUBLE))
-              * CAST(0.4 AS DOUBLE)
-          + (CAST(1.0 AS DOUBLE)
-              - length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
-                / CAST(greatest(length(text), 1) AS DOUBLE))
-              * CAST(0.2 AS DOUBLE)
-          + (CAST(1.0 AS DOUBLE)
-              - length(regexp_replace(text, '[^0-9]', '', 'g'))
-                / CAST(greatest(length(text), 1) AS DOUBLE))
-              * CAST(0.2 AS DOUBLE)
-          + least(len(list_filter($sqlToks,
-                x -> list_contains($stop, x)))
-                / CAST(greatest(len($sqlToks), 1) AS DOUBLE)
-                * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-              * CAST(0.2 AS DOUBLE), 4) AS q
-        FROM documents ORDER BY doc_id"""
-      }),
+      Some(s"""SELECT doc_id, $sqlQuality AS q
+        FROM documents ORDER BY doc_id""")),
 
     // ── §7.5 n-gram Jaccard similarity vs anchor doc ─────────────────
     Q("d05_jaccard_anchor",
@@ -560,6 +573,33 @@ object Catalog {
           SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst)
         SELECT id AS doc_id, min(lbl) AS cluster_id
         FROM walk GROUP BY 1 ORDER BY 1""")),
+
+    // ── §7.5 composed corpus filter (the C4/Gopher-style keep
+    //    decision a training pipeline actually applies): language =
+    //    en AND token budget in range; emits the quality score. One
+    //    scan, one tokenize, everything codegen — composition of
+    //    d02/d03/d04 proving the pieces pipeline without re-runs. ───
+    Q("d10_corpus_filter",
+      (s, d) => {
+        val toks = col("__toks")
+        Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .withColumn("n_tokens", size(toks).cast("long"))
+          .withColumn("pred_lang", Text.langId(toks).getField("lang"))
+          .withColumn("q",
+            Text.qualityScoreFromToks(col("text"), toks))
+          .filter(col("pred_lang") === "en" &&
+            col("n_tokens").between(20, 10000))
+          .select("doc_id", "n_tokens", "q")
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_tokens, q
+        FROM (SELECT doc_id,
+            CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+            $sqlLangHits, $sqlQuality AS q
+          FROM documents)
+        WHERE $sqlLangCase = 'en' AND n_tokens BETWEEN 20 AND 10000
+        ORDER BY doc_id""")),
 
     // ── §7.5 SimHash near-dup pairs — oracle-verified via the
     //    PORTABLE md5-derived token hash (Text.portableTokenHash):
@@ -810,6 +850,38 @@ object Catalog {
         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
               FROM embeddings WHERE vec_id < 10)
         ORDER BY id_a, id_b""")),
+
+    // ── §7.5 batch ANN: exact top-k per QUERY (5 queries × top-3) —
+    //    the many-queries retrieval shape, two-phase distributed
+    //    top-k (per-(query, partition) prefilter → per-query rank) so
+    //    no query ever concentrates the corpus on one partition. ────
+    Q("v04_batch_ann",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+        Vectors.batchTopKCosine(emb, "embedding", queries, "qv",
+          "qid", k = 3)
+          .select(col("q_id"), col("rank"), col("vec_id"),
+            round(col("sim"), 4).as("sim"))
+          .orderBy("q_id", "rank")
+      },
+      Some("""WITH base AS (SELECT vec_id,
+            CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        q AS (SELECT vec_id AS q_id, e AS qe FROM base
+              WHERE vec_id < 5),
+        scored AS (SELECT q.q_id AS q_id, b.vec_id AS vec_id,
+            list_dot_product(b.e, q.qe) /
+              (sqrt(list_dot_product(b.e, b.e)) *
+               sqrt(list_dot_product(q.qe, q.qe))) AS sim
+          FROM base b CROSS JOIN q),
+        ranked AS (SELECT q_id, vec_id, sim,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY sim DESC, vec_id) AS rank
+          FROM scored)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+          round(sim, 4) AS sim
+        FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""")),
 
     // ── §7.5 ANN: IVF-partitioned variant. Centroids = vectors 0..7,
     //    query = centroid 1. Fully oracled: the SQL replays cluster

@@ -122,4 +122,29 @@ class ProjectionsAndVectorsSpec extends SparkSpec {
       == Seq("v1"))
     assert(trending.count() == 1)
   }
+
+  test("batchTopKCosine == per-query topKCosine; no single-partition window") {
+    import graft.functions.Vectors
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val batch = Vectors.batchTopKCosine(emb, "embedding", queries,
+      "qv", "qid", k = 4)
+    val got = batch.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // parity: each query's ranked ids == the single-query operator's
+    (0L until 3L).foreach { qid =>
+      val qv = emb.filter(col("vec_id") === qid)
+        .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val single = Vectors.topKCosine(emb, "embedding", qv, k = 4)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(got(qid) == single, s"qid=$qid")
+      assert(got(qid).head == qid)          // self is rank 1
+    }
+    // both windows are partitioned — no global single-partition sort
+    assert(!batch.queryExecution.executedPlan.toString
+      .contains("No Partition Defined"))
+  }
 }
