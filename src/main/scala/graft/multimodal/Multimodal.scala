@@ -19,17 +19,24 @@ final case class ImageMeta(
     media_id: Long, decoded: Boolean, width: Int, height: Int,
     mean_luma: Double)
 
+/** Per-audio decoded metadata ([[Multimodal.decodeAudios]]). */
+final case class AudioMeta(
+    media_id: Long, decoded: Boolean, sample_rate: Int,
+    n_frames: Long, duration_ms: Long)
+
 /** Multimodal-column operators for the training-data pipeline.
   *
   * The Spark-side plumbing is real — schemas, partitioning, batch
   * shape (mapPartitions = the JVM analog of mapInPandas batches).
-  * The IMAGE path decodes for real via `javax.imageio` (ships with
-  * the JDK): [[decodeImages]] and the image branch of
-  * [[extractFeatures]] read true pixel data, with the deterministic
-  * stub as the fallback for undecodable payloads. Audio/video remain
-  * STUBS (no codec libraries in this container) — swap them for a
-  * real codec (JNI/ffmpeg) without touching the pipeline: everything
-  * else is codec-agnostic.
+  * The IMAGE path decodes for real via `javax.imageio` and the AUDIO
+  * path via `javax.sound.sampled` (both ship with the JDK):
+  * [[decodeImages]]/[[decodeAudios]] and the corresponding branches
+  * of [[extractFeatures]] read true pixel/sample data, with the
+  * deterministic stub as the fallback for undecodable payloads.
+  * VIDEO remains a STUB (the JDK has no video codec; no codec
+  * libraries in this container) — swap it for a real codec
+  * (JNI/ffmpeg) without touching the pipeline: everything else is
+  * codec-agnostic.
   *
   * Scale notes: media bytes never shuffle — features are extracted in
   * the scan stage (mapPartitions over the storage partitioning) and
@@ -110,9 +117,115 @@ object Multimodal {
           if (m.kind == "image")
             decodeImage(m.bytes).map(img => (1, stripLuma(img)))
               .getOrElse(decodeStub(m.bytes, m.kind, frameEvery))
+          else if (m.kind == "audio")
+            decodeAudioPcm(m.bytes)
+              .map(pcm => (1, segmentAmplitude(pcm)))
+              .getOrElse(decodeStub(m.bytes, m.kind, frameEvery))
           else decodeStub(m.bytes, m.kind, frameEvery)
         MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, hex,
           frames, emb)
+      }
+    }
+  }
+
+  /** REAL audio decode: `javax.sound.sampled` (JDK built-in).
+    * Returns format + frame count; None for payloads no reader
+    * accepts. */
+  private[multimodal] def decodeAudio(
+      bytes: Array[Byte]): Option[(javax.sound.sampled.AudioFormat, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try Some((in.getFormat, in.getFrameLength))
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Decoded PCM bytes of an audio payload (None if unreadable). */
+  private[multimodal] def decodeAudioPcm(
+      bytes: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try Some(in.readAllBytes())
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  /** 8-dim feature from real samples: mean |amplitude| of 8 time
+    * segments, 16-bit little-endian mono PCM, normalized to [0,1]. */
+  private[multimodal] def segmentAmplitude(
+      pcm: Array[Byte]): Array[Float] = {
+    val n = pcm.length / 2
+    val sums = new Array[Double](8)
+    val counts = new Array[Long](8)
+    var i = 0
+    while (i < n) {
+      val v = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff)).toShort
+      val s = if (n == 0) 0 else i * 8 / n
+      sums(s) += math.abs(v / 32768.0)
+      counts(s) += 1
+      i += 1
+    }
+    Array.tabulate(8)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  /** Audio metadata extraction over the binary column: real decode
+    * (sample rate, frame count, duration), `decoded = false` for
+    * payloads the reader rejects. Partition-local; bytes never
+    * shuffle. */
+  def decodeAudios(media: Dataset[MediaRow])
+      (implicit spark: SparkSession): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeAudio(m.bytes) match {
+          case Some((fmt, frames)) =>
+            val rate = fmt.getSampleRate.toInt
+            AudioMeta(m.media_id, decoded = true, rate, frames,
+              frames * 1000L / rate)
+          case None =>
+            AudioMeta(m.media_id, decoded = false, 0, 0L, 0L)
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic WAV: 16-bit mono PCM at 8 kHz, frame
+    * count a formula of the id (duration_ms = 100 + id mod 400), a
+    * sine fill — written through the real WAV encoder so decoding is
+    * a true codec roundtrip. */
+  private[multimodal] def syntheticWav(id: Long): Array[Byte] = {
+    val rate = 8000
+    val frames = 8 * (100 + (id % 400).toInt)   // = 8000 * ms / 1000
+    val pcm = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = (math.sin(2 * math.Pi * (220 + id % 220) * i / rate) *
+        16000).toInt.toShort
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1,
+      true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Fixture/bench source: real WAV media rows generated executor-
+    * side from an id column. */
+  def syntheticWavMedia(ids: DataFrame, idCol: String = "doc_id")
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val bytes = syntheticWav(id)
+        MediaRow(id, "audio", bytes, "audio/wav", 0, 0,
+          100L + (id % 400))
       }
     }
   }

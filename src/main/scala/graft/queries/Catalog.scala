@@ -827,6 +827,27 @@ object Catalog {
           CAST(8 + doc_id % 16 AS BIGINT) AS height
         FROM documents ORDER BY media_id""")),
 
+    // ── §7.5 multimodal: REAL audio decode roundtrip (WAV via
+    //    javax.sound.sampled, JDK built-in) — same proof shape as
+    //    mm03: genuine 8 kHz 16-bit WAVs with formula durations,
+    //    decoded back; the oracle predicts rate/frames/duration. ────
+    Q("mm04_audio_decode",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticWavMedia(
+          Tables.documents(s, d).select("doc_id"))(s)
+        graft.multimodal.Multimodal.decodeAudios(media)(s)
+          .toDF()
+          .select(col("media_id"), col("decoded"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("n_frames"), col("duration_ms"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, true AS decoded,
+          CAST(8000 AS BIGINT) AS sample_rate,
+          CAST(8 * (100 + doc_id % 400) AS BIGINT) AS n_frames,
+          CAST(100 + doc_id % 400 AS BIGINT) AS duration_ms
+        FROM documents ORDER BY media_id""")),
+
     // ── §7.5 embedding-cosine near-dup pairs: random-hyperplane LSH
     //    → banded candidates → exact-cosine verify. Duplicates are
     //    constructed from the table (ids +100000) so recall is exact

@@ -102,6 +102,35 @@ class MultimodalSpec extends SparkSpec {
     assert(f.embedding.length == 8)
   }
 
+  test("real WAV roundtrip: decodeAudios extracts true format + duration") {
+    import spark.implicits._
+    val ids = (0L to 30L).toDF("doc_id")
+    val media = Multimodal.syntheticWavMedia(ids)(spark)
+    // genuine RIFF/WAVE container, not an echoed formula
+    val one = media.filter(col("media_id") === 3L).head()
+    assert(new String(one.bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(one.bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val metas = Multimodal.decodeAudios(media)(spark).collect()
+      .map(m => m.media_id -> m).toMap
+    (0L to 30L).foreach { id =>
+      val m = metas(id)
+      assert(m.decoded && m.sample_rate == 8000, s"id=$id")
+      assert(m.n_frames == 8 * (100 + (id % 400)), s"id=$id")
+      assert(m.duration_ms == 100 + (id % 400), s"id=$id")
+    }
+    // junk audio payload → decoded=false, stub features still flow
+    val junk = Seq(MediaRow(1L, "audio", "not a wav".getBytes("UTF-8"),
+      "audio/wav", 0, 0, 0L)).toDS()
+    assert(!Multimodal.decodeAudios(junk)(spark).head().decoded)
+    // real WAV through extractFeatures → real segment amplitudes
+    val f = Multimodal.extractFeatures(
+      media.filter(col("media_id") === 3L))(spark).head()
+    val pcm = Multimodal.decodeAudioPcm(one.bytes).get
+    assert(f.embedding.toSeq == Multimodal.segmentAmplitude(pcm).toSeq)
+    // a 220+3 Hz sine has nonzero mean amplitude in every segment
+    assert(f.embedding.forall(v => v > 0.1f && v < 1f))
+  }
+
   test("extractFeatures image branch uses real pixels for real images") {
     import spark.implicits._
     val ids = Seq(7L).toDF("doc_id")
