@@ -141,25 +141,57 @@ object Dedup {
   }
 
   /** Near-dup CLUSTERS from verified pair output: connected
-    * components by iterative min-label propagation ("HashMin" CC —
-    * each round every node adopts the smallest label among itself and
-    * its neighbors; fixpoint in O(component diameter) rounds).
-    * Returns (id, cluster) with cluster = the component's minimum id,
-    * i.e. the canonical survivor — `filter(id === cluster)` keeps one
-    * doc per near-dup cluster.
+    * components. Returns (id, cluster) with cluster = the component's
+    * minimum id, i.e. the canonical survivor — `filter(id ===
+    * cluster)` keeps one doc per near-dup cluster.
     *
-    * Scale shape: every iteration is one equi-shuffle of the EDGE
-    * set (near-dup pairs only — a tiny fraction of the corpus), never
-    * the documents; near-dup components are shallow (dup clusters are
-    * cliques-ish), so 2-3 rounds converge. Driver coordinates the
-    * fixpoint exactly like gateEvents — iteration counts are
-    * data-bounded, not table-bounded. */
+    * Two paths, same output: up to `driverLimit` pairs, union-find on
+    * the driver (the pair set is the DEDUP OUTPUT — a tiny fraction
+    * of the corpus — and a 16 MB in-memory pass beats per-iteration
+    * shuffle-stage overhead by an order of magnitude); past it, a
+    * distributed min-label propagation with pointer jumping (each
+    * iteration shuffles only the edge set, never documents; path
+    * halving converges long chains in O(log diameter) rounds). */
   def neardupClusters(pairs: DataFrame, idA: String = "id_a",
-                      idB: String = "id_b"): DataFrame = {
+                      idB: String = "id_b",
+                      driverLimit: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    val slim = CacheTracker.persistTracked(
+      pairs.select(col(idA).cast("long").as("a"),
+        col(idB).cast("long").as("b")))
+    // The pair set is a tiny fraction of the corpus (it IS the dedup
+    // output), so up to `driverLimit` pairs (16 MB at the default)
+    // union-find on the driver wins outright: the distributed loop
+    // pays ~6 shuffle stages PER ITERATION, pure fixed overhead for a
+    // graph this small. Past the limit, fall through to the
+    // distributed min-label loop below — same output.
+    if (slim.count() <= driverLimit) {
+      val es = slim.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // root = transitive min because unions always point the larger
+      // root at the smaller one
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "cluster")
+    }
     val edges = CacheTracker.persistTracked(
-      pairs.select(col(idA).as("src"), col(idB).as("dst"))
-        .unionByName(pairs.select(col(idB).as("src"),
-          col(idA).as("dst")))
+      slim.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(slim.select(col("b").as("src"),
+          col("a").as("dst")))
         .distinct())
     var labels = CacheTracker.persistTracked(
       edges.select(col("src").as("id")).distinct()
@@ -171,15 +203,26 @@ object Dedup {
           col("cluster").as("ncl")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("ncl").as("nmin"))
-      val next = CacheTracker.persistTracked(
-        labels.join(neighborMin, Seq("id"), "left")
-          .select(col("id"),
-            least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-              .as("cluster")))
-      converged = next.join(labels.withColumnRenamed("cluster", "old"),
-        Seq("id"))
-        .filter(col("cluster") < col("old")).isEmpty
-      labels = next
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .as("cl1"),
+          (coalesce(col("nmin"), col("cluster")) < col("cluster"))
+            .as("chg1"))
+      // pointer jumping (path halving): also adopt the label OF the
+      // label — diameter halves per round, so long chains converge in
+      // O(log d) iterations instead of O(d)
+      val next = CacheTracker.persistTracked(stepped
+        .join(stepped.select(col("id").as("cl1"),
+          col("cl1").as("cl2")), Seq("cl1"), "left")
+        .select(col("id"),
+          least(col("cl1"), coalesce(col("cl2"), col("cl1")))
+            .as("cluster"),
+          (col("chg1") ||
+            coalesce(col("cl2"), col("cl1")) < col("cl1")).as("__chg")))
+      // convergence check rides the cached iteration — no extra join
+      converged = next.filter(col("__chg")).isEmpty
+      labels = next.select("id", "cluster")
     }
     labels
   }

@@ -8,17 +8,22 @@ class DedupClusterSpec extends SparkSpec {
   test("neardupClusters: components get min-id labels, survivor filter") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3 — needs >1 propagation round),
-    // pair 10-11, isolated pair 20-21 via a shared middle 20-22
+    // pair 10-11, star 20-21/20-22
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
       (20L, 21L), (20L, 22L)).toDF("id_a", "id_b")
-    val got = Dedup.neardupClusters(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    graft.CacheTracker.releaseAll()
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
-    // one survivor per cluster = the min id
-    assert(got.filter { case (id, cl) => id == cl }.keySet ==
-      Set(1L, 10L, 20L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L)
+    // driver union-find path (default) and the distributed
+    // min-label/pointer-jumping path (forced via driverLimit = 0)
+    // must produce identical clusters
+    for (limit <- Seq(1L << 20, 0L)) {
+      val got = Dedup.neardupClusters(pairs, driverLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      graft.CacheTracker.releaseAll()
+      assert(got == expected, s"driverLimit=$limit")
+      assert(got.filter { case (id, cl) => id == cl }.keySet ==
+        Set(1L, 10L, 20L))
+    }
   }
 
   test("neardupClusters over real minhash pairs at sf0.001") {
