@@ -161,6 +161,29 @@ class StreamIngestSpec extends SparkSpec {
     assert(byKey("pa").getAs[String]("body") == "april body")
   }
 
+  test("fully-gated-out batch is a no-op merge: stored table untouched") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-noop").toString
+    val postsDir = s"$dir/posts"
+    def mergeBlock(json: String): Unit =
+      StreamIngest.mergeBlocksBatch(spark,
+        spark.read.schema(graft.domain.Schemas.block)
+          .json(Seq(json).toDS()),
+        postsDir)
+    mergeBlock(block(100, "2024-05-01T12:00:00",
+      ("t1", Seq(("comment", comment("alice", "p1", "kept body"))))))
+    val before = spark.read.parquet(postsDir).collect()
+      .map(_.getAs[String]("body")).toSeq
+    // top-level post from a non-allowed app: the type gate drops it,
+    // fresh is EMPTY — the write must not clobber the table
+    mergeBlock(block(101, "2024-05-01T12:00:05",
+      ("t2", Seq(("comment", comment("eve", "spam", "dropped",
+        jsonMeta = """{"app":"otherapp/1.0"}"""))))))
+    val after = spark.read.parquet(postsDir)
+    assert(after.count() == 1)
+    assert(after.collect().map(_.getAs[String]("body")).toSeq == before)
+  }
+
   test("seed lookup partition-prunes to the batch's key buckets (metric-proven)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-bucketprune").toString
