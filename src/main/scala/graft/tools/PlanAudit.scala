@@ -19,7 +19,8 @@ object PlanAudit {
     val d = "/root/testdata/sf0.01"
     for (name <- Seq("q01_where_algebra", "q03_feed_page",
       "q07_semi_join", "q09_left_join", "q10_children_count",
-      "v01_ann_cosine")) {
+      "v01_ann_cosine", "q11_leaderboard", "d10_corpus_filter",
+      "v04_batch_ann", "d09_neardup_clusters")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(
