@@ -46,8 +46,8 @@ object Bench {
         try { materialize(fn); None }
         catch { case e: Throwable =>
           Some(e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage).replaceAll("[\"\\n\\r]", " ")
-              .take(120))
+            String.valueOf(e.getMessage)
+              .replaceAll("""["\\\n\r]""", " ").take(120))
         }
         finally CacheTracker.releaseAll()
       name -> ((System.nanoTime() - t0) / 1e9, err)

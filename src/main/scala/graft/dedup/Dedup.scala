@@ -193,9 +193,10 @@ object Dedup {
         .unionByName(slim.select(col("b").as("src"),
           col("a").as("dst")))
         .distinct())
-    var labels = CacheTracker.persistTracked(
+    var cached = CacheTracker.persistTracked(
       edges.select(col("src").as("id")).distinct()
         .withColumn("cluster", col("id")))
+    var labels = cached
     var converged = false
     while (!converged) {
       val neighborMin = edges
@@ -203,12 +204,15 @@ object Dedup {
           col("cluster").as("ncl")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("ncl").as("nmin"))
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .as("cl1"),
-          (coalesce(col("nmin"), col("cluster")) < col("cluster"))
-            .as("chg1"))
+      // cached: the self-join below reads it twice — without the cache
+      // the neighborMin shuffle runs twice per iteration
+      val stepped = CacheTracker.persistTracked(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+              .as("cl1"),
+            (coalesce(col("nmin"), col("cluster")) < col("cluster"))
+              .as("chg1")))
       // pointer jumping (path halving): also adopt the label OF the
       // label — diameter halves per round, so long chains converge in
       // O(log d) iterations instead of O(d)
@@ -222,6 +226,12 @@ object Dedup {
             coalesce(col("cl2"), col("cl1")) < col("cl1")).as("__chg")))
       // convergence check rides the cached iteration — no extra join
       converged = next.filter(col("__chg")).isEmpty
+      // release the superseded iteration NOW (same pattern as the
+      // gateEvents fixpoint): otherwise O(log diameter) full label
+      // tables stay pinned until the caller's releaseAll
+      stepped.unpersist(blocking = false)
+      cached.unpersist(blocking = false)
+      cached = next
       labels = next.select("id", "cluster")
     }
     labels

@@ -30,9 +30,11 @@ object GraftExtensions {
   private def intLit(e: Expression, fn: String, arg: String): Int =
     e match {
       case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
+      // bigint literals are fine iff they fit — silently wrapping
+      // 4294967297 to 1 would hand back a wrong-width signature
+      case Literal(v: Long, LongType) if v.isValidInt => v.toInt
       case _ => throw new IllegalArgumentException(
-        s"$fn: $arg must be an integer literal, got ${e.sql}")
+        s"$fn: $arg must be an int-range integer literal, got ${e.sql}")
     }
 
   private def longLit(e: Expression, fn: String, arg: String): Long =

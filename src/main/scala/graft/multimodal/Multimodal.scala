@@ -140,14 +140,40 @@ object Multimodal {
       finally in.close()
     } catch { case _: Exception => None }
 
-  /** Decoded PCM bytes of an audio payload (None if unreadable). */
+  /** Decoded PCM bytes of an audio payload, NORMALIZED to the 16-bit
+    * signed little-endian mono frame layout [[segmentAmplitude]]
+    * expects. AudioSystem also accepts AIFF (big-endian), AU (u-law)
+    * and stereo streams — reading those raw would silently produce
+    * byte-swapped/misaligned samples, so anything not already in the
+    * target layout goes through the JDK's format-conversion stream;
+    * None if unreadable or unconvertible (caller falls back). */
   private[multimodal] def decodeAudioPcm(
       bytes: Array[Byte]): Option[Array[Byte]] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      try Some(in.readAllBytes())
-      finally in.close()
+      try {
+        val src = in.getFormat
+        val isTarget =
+          src.getEncoding ==
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+            src.getSampleSizeInBits == 16 && src.getChannels == 1 &&
+            !src.isBigEndian
+        if (isTarget) Some(in.readAllBytes())
+        else {
+          val rate =
+            if (src.getSampleRate > 0) src.getSampleRate else 8000f
+          val target = new javax.sound.sampled.AudioFormat(
+            rate, 16, 1, true, false)
+          if (!javax.sound.sampled.AudioSystem
+                .isConversionSupported(target, src)) None
+          else {
+            val conv = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(target, in)
+            try Some(conv.readAllBytes()) finally conv.close()
+          }
+        }
+      } finally in.close()
     } catch { case _: Exception => None }
 
   /** 8-dim feature from real samples: mean |amplitude| of 8 time
@@ -179,11 +205,16 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         decodeAudio(m.bytes) match {
-          case Some((fmt, frames)) =>
+          // rate can be NOT_SPECIFIED (-1) and frame length -1 for
+          // unknown-length streams: deriving a duration from those
+          // gives negatives or divide-by-zero, so treat them as
+          // undecodable metadata rather than crashing the task
+          case Some((fmt, frames))
+              if fmt.getSampleRate > 0 && frames >= 0 =>
             val rate = fmt.getSampleRate.toInt
             AudioMeta(m.media_id, decoded = true, rate, frames,
               frames * 1000L / rate)
-          case None =>
+          case _ =>
             AudioMeta(m.media_id, decoded = false, 0, 0L, 0L)
         }
       }

@@ -180,7 +180,11 @@ object PostQueries {
     if (anchorRow.isEmpty)
       throw new NoSuchElementException("Post not found")
     val r = anchorRow.head
-    val aTags = r.getAs[scala.collection.Seq[String]]("tags")
+    // null-safe: a posts table not built by PostsIngest (ceramic CDC,
+    // hand-made fixtures) can carry tags = null; treat as no tags like
+    // the old arrays_overlap-against-null formulation did
+    val aTags = Option(r.getAs[scala.collection.Seq[String]]("tags"))
+      .getOrElse(scala.collection.Seq.empty[String])
     val aTagsLit =
       if (aTags.isEmpty) array().cast("array<string>")
       else array(aTags.map(lit).toSeq: _*)

@@ -58,7 +58,14 @@ object StreamIngest {
     *     month-only layout.
     *
     * On Delta this whole method is `MERGE INTO`; the bucket column
-    * plays the role of its file-skipping stats. */
+    * plays the role of its file-skipping stats.
+    *
+    * `keyBuckets` applies only when CREATING the table: an existing
+    * table's recorded modulus (the `_graft_layout.json` marker) wins,
+    * because pruning or writing with a different n than the stored
+    * rows were hashed with would silently split keys across buckets.
+    * Tables written before the bucketed layout (no `key_bucket`
+    * column) merge month-scoped in their own layout. */
   def mergeBlocksBatch(spark: SparkSession, blocks: DataFrame,
                        postsDir: String,
                        keyBuckets: Int = 64): Unit = {
@@ -92,6 +99,22 @@ object StreamIngest {
     val existing =
       if (fs.exists(tablePath)) Some(spark.read.parquet(postsDir))
       else None
+    // A table written before the bucketed layout (month-only
+    // partitions, no key_bucket column) CANNOT be merged bucketed:
+    // the bucket predicate would not resolve, and a (month, bucket)
+    // dynamic overwrite would leave the old month-level files in
+    // place next to the new bucket dirs (duplicate keys). Merge such
+    // tables month-scoped in their own layout; migrating to buckets
+    // is an explicit offline rewrite.
+    val legacyLayout =
+      existing.exists(e => !e.columns.contains("key_bucket"))
+    // the modulus is a property of the TABLE, not the call: pruning
+    // or writing with a different n than the stored rows were hashed
+    // with silently splits keys across buckets. First bucketed write
+    // records n in a marker file; later merges use the stored value.
+    val n = if (legacyLayout) 1
+      else existing.flatMap(_ => storedKeyBuckets(fs, tablePath))
+        .getOrElse(keyBuckets)
     // parse once: bucket discovery, the gate fixpoint and the fold
     // all read the same events (released via CacheTracker below)
     val evs = graft.CacheTracker.persistTracked(
@@ -100,34 +123,47 @@ object StreamIngest {
     // (gate seeds, fold seeds, restore joins, merge union) — cache it
     // so the partition listing + scan happen once
     val pruned = existing.map(ex => graft.CacheTracker.persistTracked(
-      prunedExisting(ex, evs, keyBuckets)))
+      prunedExisting(ex, evs, n)))
     // persisted: the pair-discovery collect and the merge union both
     // read it — without the cache the whole ingest (gate fixpoint +
     // fold) would run twice
-    val fresh = PostsIngest
+    val partCols =
+      if (legacyLayout) Seq("created_month")
+      else Seq("created_month", "key_bucket")
+    val fresh0 = PostsIngest
       .ingestEvents(evs, pruned.map(
         _.drop("created_month", "key_bucket")))
       .withColumn("created_month", monthCol)
-      .withColumn("key_bucket",
-        graft.state.Layout.keyBucket(col("author"), col("permlink"),
-          keyBuckets))
-      .persist()
+    val fresh =
+      (if (legacyLayout) fresh0
+       else fresh0.withColumn("key_bucket",
+         graft.state.Layout.keyBucket(col("author"), col("permlink"),
+           n)))
+        .persist()
     val merged = pruned match {
       // Tie-break prefers the EXISTING row: the reference's monotonic
       // guard is strict (`stored.block_height < edit.block_height`,
       // hive-stream.ts:538), so a replayed batch that adds nothing new
       // must leave the stored row (incl. metadata_status) untouched.
-      // (fresh's keys ⊆ batch keys, so its (month, bucket) pairs are
-      // all inside the cached bucket-pruned view.)
+      // (fresh's keys ⊆ batch keys, so its partition pairs are all
+      // inside the cached pruned view.)
       case Some(ex) =>
-        // exact (month, bucket) pairs — bounded by the batch's keys
-        val pairs = fresh.select("created_month", "key_bucket")
-          .distinct().collect()
-          .map(r => (r.getString(0), r.getInt(1)))
-        val pairPred = pairs.groupBy(_._1).map { case (m, bs) =>
-          col("created_month") === m &&
-            col("key_bucket").isin(bs.map(_._2).toSeq: _*)
-        }.reduceOption(_ || _).getOrElse(lit(false))
+        // exact partitions touched — bounded by the batch's keys
+        val pairPred =
+          if (legacyLayout) {
+            val months = fresh.select("created_month").distinct()
+              .collect().map(_.getString(0)).toSeq
+            if (months.isEmpty) lit(false)
+            else col("created_month").isin(months: _*)
+          } else {
+            val pairs = fresh.select("created_month", "key_bucket")
+              .distinct().collect()
+              .map(r => (r.getString(0), r.getInt(1)))
+            pairs.groupBy(_._1).map { case (m, bs) =>
+              col("created_month") === m &&
+                col("key_bucket").isin(bs.map(_._2).toSeq: _*)
+            }.reduceOption(_ || _).getOrElse(lit(false))
+          }
         Merge.latestWins(
           ex.filter(pairPred)
             .withColumn("__src", lit(1))
@@ -137,21 +173,54 @@ object StreamIngest {
           ties = Seq(col("__src"))).drop("__src")
       case None => fresh
     }
-    try merged
-      .repartition(col("created_month"), col("key_bucket"))
-      .sortWithinPartitions("author", "permlink")
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("created_month", "key_bucket")
-      .parquet(postsDir)
-    finally {
+    try {
+      merged
+        .repartition(partCols.map(col): _*)
+        .sortWithinPartitions("author", "permlink")
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCols: _*)
+        .parquet(postsDir)
+      if (!legacyLayout) writeLayoutMarker(fs, tablePath, n)
+    } finally {
       fresh.unpersist(blocking = false)
       // the ingest pipeline registers per-batch caches (gate fixpoint
       // sets, parsed events) — release them HERE or a long-running
       // stream pins one cached table per micro-batch forever
       graft.CacheTracker.releaseAll()
     }
+  }
+
+  private val LayoutMarkerFile = "_graft_layout.json"
+
+  /** Bucket modulus the table at `table` was written with, recorded
+    * by [[writeLayoutMarker]]. Underscore-prefixed, so parquet
+    * partition discovery ignores it. */
+  private[streaming] def storedKeyBuckets(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(table, LayoutMarkerFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        "\"key_buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+          .map(_.group(1).toInt)
+      } finally in.close()
+    }
+  }
+
+  private[streaming] def writeLayoutMarker(
+      fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, n: Int): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(table, LayoutMarkerFile), true)
+    try out.write(s"""{"key_buckets": $n}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** The existing-table view the seed lookups read: partition-pruned
@@ -167,9 +236,13 @@ object StreamIngest {
     else {
       val bucketOf = graft.state.Layout.keyBucket(
         col("author"), col("permlink"), keyBuckets)
+      // top-level posts carry the empty ("","") parent ref — its hash
+      // bucket can never match a stored key (gateEvents filters the
+      // same case), so keep it out of the pruned scan
       val buckets = evs.select(col("author"), col("permlink"))
-        .unionByName(evs.select(col("parent_author").as("author"),
-          col("parent_permlink").as("permlink")))
+        .unionByName(evs.filter(col("parent_author") =!= "")
+          .select(col("parent_author").as("author"),
+            col("parent_permlink").as("permlink")))
         .select(bucketOf.as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       existing.filter(col("key_bucket").isin(buckets: _*))

@@ -14,7 +14,7 @@ object ClusterProbe {
     val pairs = graft.dedup.Dedup.minhashLshPairs(docs, "text", "doc_id",
       shingleN = 3, k = 32, bands = 8, threshold = 0.2, seed = 42L)
       .select("id_a", "id_b").persist()
-    println(s"pairs=${pairs.count()} in ${(System.nanoTime()-t0)/1e9}%.2f".replace("%.2f",""))
+    println(f"pairs=${pairs.count()} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     t0 = System.nanoTime()
     // iteration count of plain min-propagation, driver-side (tiny data)
     val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))

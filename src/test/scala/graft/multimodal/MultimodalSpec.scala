@@ -131,6 +131,42 @@ class MultimodalSpec extends SparkSpec {
     assert(f.embedding.forall(v => v > 0.1f && v < 1f))
   }
 
+  test("decodeAudioPcm normalizes big-endian AIFF: features match WAV") {
+    val id = 5L
+    val wav = Multimodal.syntheticWav(id)
+    // the SAME samples, big-endian, through the real AIFF encoder —
+    // reading the raw decoded bytes without format conversion would
+    // byte-swap every amplitude
+    val rate = 8000
+    val frames = 8 * (100 + (id % 400).toInt)
+    val pcmBe = new Array[Byte](frames * 2)
+    var i = 0
+    while (i < frames) {
+      val v = (math.sin(2 * math.Pi * (220 + id % 220) * i / rate) *
+        16000).toInt.toShort
+      pcmBe(2 * i) = ((v >> 8) & 0xff).toByte
+      pcmBe(2 * i + 1) = (v & 0xff).toByte
+      i += 1
+    }
+    val fmtBe = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, 16, 1, true, true)
+    val st = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcmBe), fmtBe, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(st,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val aiff = bos.toByteArray
+    val fWav = Multimodal.segmentAmplitude(
+      Multimodal.decodeAudioPcm(wav).get)
+    val fAiff = Multimodal.segmentAmplitude(
+      Multimodal.decodeAudioPcm(aiff).get)
+    // BE→LE 16-bit conversion is a pure byte swap — lossless
+    assert(fWav.toSeq == fAiff.toSeq)
+    // metadata decode sees the true source format
+    val (fmt, nf) = Multimodal.decodeAudio(aiff).get
+    assert(fmt.isBigEndian && nf == frames)
+  }
+
   test("extractFeatures image branch uses real pixels for real images") {
     import spark.implicits._
     val ids = Seq(7L).toDF("doc_id")

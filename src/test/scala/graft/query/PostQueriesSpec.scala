@@ -137,6 +137,20 @@ class PostQueriesSpec extends SparkSpec {
     assert(e.getMessage == "Post not found")
   }
 
+  test("relatedFeed: null-tags anchor treated as no tags (no NPE)") {
+    // posts tables not built by PostsIngest (ceramic CDC, fixtures)
+    // can carry tags = null — the anchor lookup must not NPE
+    val nulled = posts.withColumn("tags",
+      when(col("permlink") === "b1", lit(null).cast("array<string>"))
+        .otherwise(col("tags")))
+    val out = PostQueries.relatedFeed(nulled, follows, FeedArgs(),
+      "bob", "b1", seed = 7L)
+      .select("permlink").collect().map(_.getString(0)).toSet
+    // no tags to overlap; b1 is top-level, so only the same-community
+    // branch matches (all top-level posts share the empty parent)
+    assert(out == Set("v1", "v2", "b1", "e1"))
+  }
+
   test("relatedSample: deterministic and layout-independent") {
     import graft.query.Feeds
     def sample(df: org.apache.spark.sql.DataFrame) =

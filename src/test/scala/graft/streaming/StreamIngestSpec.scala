@@ -237,6 +237,66 @@ class StreamIngestSpec extends SparkSpec {
       .getAs[String]("body") == "edited body")
   }
 
+  test("legacy month-only table: merge stays in-layout, no bucket refs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-legacy").toString
+    val postsDir = s"$dir/posts"
+    // a table written by the pre-bucket layout (month-only partitions,
+    // no key_bucket column)
+    val ops = toOps(spark, block(100, "2024-05-01T12:00:00",
+      ("t1", Seq(("comment", comment("alice", "p1", "v1 body")))),
+      ("t2", Seq(("comment", comment("bob", "p2", "other"))))))
+    graft.state.Layout.writePosts(
+      graft.ingest.PostsIngest.ingest(ops)(spark), postsDir)
+    assert(!spark.read.parquet(postsDir).columns.contains("key_bucket"))
+    // merging into it must not reference the missing bucket column and
+    // must not write bucket sub-dirs next to the month-level files
+    // (mixed layouts = duplicate keys on read)
+    StreamIngest.mergeBlocksBatch(spark,
+      spark.read.schema(graft.domain.Schemas.block)
+        .json(Seq(block(101, "2024-05-01T12:00:03",
+          ("t3", Seq(("comment",
+            comment("alice", "p1", "v2 body")))))).toDS()),
+      postsDir)
+    val after = spark.read.parquet(postsDir)
+    assert(after.count() == 2)
+    assert(after.filter(col("permlink") === "p1").head()
+      .getAs[String]("body") == "v2 body")
+    assert(!after.columns.contains("key_bucket"))
+    val monthDir = new java.io.File(s"$postsDir/created_month=2024-05")
+    assert(monthDir.listFiles()
+      .forall(f => !f.getName.startsWith("key_bucket=")))
+  }
+
+  test("bucket modulus is pinned by the layout marker across merges") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-modulus").toString
+    val postsDir = s"$dir/posts"
+    def mergeBlock(json: String, n: Int): Unit =
+      StreamIngest.mergeBlocksBatch(spark,
+        spark.read.schema(graft.domain.Schemas.block)
+          .json(Seq(json).toDS()),
+        postsDir, keyBuckets = n)
+    val inserts = (1 to 10).map(i =>
+      (s"t$i", Seq(("comment", comment(s"a$i", s"p$i", s"b$i")))))
+    mergeBlock(block(100, "2024-05-01T12:00:00", inserts: _*), 8)
+    // a later deployment passes a DIFFERENT modulus — the recorded one
+    // must win, or the edit is pruned/written under the wrong bucket
+    // and the key silently splits into two rows
+    mergeBlock(block(101, "2024-05-01T12:00:05",
+      ("tx", Seq(("comment", comment("a3", "p3", "edited"))))), 128)
+    val after = spark.read.parquet(postsDir)
+    assert(after.count() == 10)
+    assert(after.filter(col("author") === "a3").count() == 1)
+    assert(after.filter(col("author") === "a3").head()
+      .getAs[String]("body") == "edited")
+    assert(after.select("key_bucket").distinct().collect()
+      .map(_.getInt(0)).forall(_ < 8))
+    val p = new org.apache.hadoop.fs.Path(postsDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(StreamIngest.storedKeyBuckets(fs, p).contains(8))
+  }
+
   test("ceramic CDC → posts schema → unified queryable table (S2)") {
     import spark.implicits._
     val cdcJson = Seq(
