@@ -164,6 +164,34 @@ object Text {
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(urlPattern), lit(0))
 
+  /** Overlapping token windows — chunking for context-bounded
+    * training. Chunks start every `stride` tokens; the tail chunks
+    * may be shorter than `win`; an empty token list yields no chunks
+    * (the guard also keeps sequence() from descending). Pass a
+    * MATERIALIZED token column (referenced twice). */
+  def tokenChunks(toks: Column, win: Int, stride: Int): Column = {
+    require(win >= 1 && stride >= 1, "tokenChunks: win/stride >= 1")
+    when(size(toks) >= 1,
+      transform(sequence(lit(1), size(toks), lit(stride)),
+        st => slice(toks, st, lit(win))))
+      .otherwise(array().cast("array<array<string>>"))
+  }
+
+  /** PII patterns — RE2-safe (char classes + bounded repeats, no
+    * lookaround) so the SAME strings run in the DuckDB oracle.
+    * Deliberately simple: the point is the scrubbing pipeline shape;
+    * swap patterns per corpus policy. */
+  val emailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  val phonePattern: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails then phones (order matters and is mirrored in the
+    * oracle SQL). */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
   /** Portable order-sensitive fingerprint: md5 chain SEEDED WITH THE
     * FIRST TOKEN (exactly DuckDB's `list_reduce` semantics, so the
     * catalog row is oracle-verifiable; empty input → null, single

@@ -955,6 +955,114 @@ object Catalog {
           FROM assigned a CROSS JOIN q
           WHERE a.cluster IN (SELECT cid FROM probe)
           ORDER BY sim_exact DESC, a.vec_id LIMIT 20)
-        ORDER BY sim DESC, vec_id"""))
+        ORDER BY sim DESC, vec_id""")),
+
+    // ── §7.5 document chunking: overlapping token windows (64-token
+    //    chunks, stride 48) — the training-data shape that feeds
+    //    context-bounded models. Pure codegen: tokenize once,
+    //    posexplode the window starts; no shuffle, chunk count scales
+    //    with tokens not documents. Tail chunks may be shorter than
+    //    the window (starts run to the last token). ──────────────────
+    Q("d11_chunking",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          // empty docs chunk to an empty array → posexplode drops them
+          .select(col("doc_id"),
+            posexplode(Text.tokenChunks(col("__toks"), 64, 48)))
+          .select(col("doc_id"),
+            col("pos").cast("long").as("chunk_idx"),
+            size(col("col")).cast("long").as("n_tokens"),
+            md5(concat_ws(" ", col("col"))).as("chunk_fp"))
+        // no ORDER BY: compare is order-insensitive; the plan stays a
+        // shuffle-free scan → generate → project
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          starts AS (SELECT doc_id, t,
+            unnest(range(1, len(t) + 1, 48)) AS st
+            FROM toks WHERE len(t) >= 1)
+        SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_idx,
+          CAST(len(list_slice(t, st, st + 63)) AS BIGINT) AS n_tokens,
+          md5(array_to_string(list_slice(t, st, st + 63), ' '))
+            AS chunk_fp
+        FROM starts ORDER BY doc_id, chunk_idx""")),
+
+    // ── §7.5 stratified sampling: deterministic K-per-language draw
+    //    (training-mix construction). Order inside each stratum is a
+    //    portable md5 draw (layout-independent, same in DuckDB); the
+    //    rank<=K filter compiles to WindowGroupLimit, so each
+    //    partition keeps only its local top-K BEFORE the per-language
+    //    shuffle — scale-safe even when a stratum is most of the
+    //    corpus. ──────────────────────────────────────────────────────
+    Q("d12_stratified_sample",
+      (s, d) => {
+        val k = 5
+        val toks = col("__toks")
+        val base = Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .select(col("doc_id"),
+            Text.langId(toks).getField("lang").as("lang"))
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(concat(lit("strat#"),
+            col("doc_id").cast("string"))), col("doc_id"))
+        base.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= k)
+          .select(col("lang"), col("rk"), col("doc_id"))
+          .orderBy("lang", "rk")
+      },
+      Some(s"""WITH langs AS (
+          SELECT doc_id, $sqlLangCase AS lang
+          FROM (SELECT doc_id, $sqlLangHits FROM documents)),
+        ranked AS (SELECT doc_id, lang,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY md5(concat('strat#', CAST(doc_id AS VARCHAR))),
+              doc_id) AS rk
+          FROM langs)
+        SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+        FROM ranked WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // ── §7.5 PII redaction: scrub emails/phones before training.
+    //    RE2-safe patterns (char classes + bounded repeats — no
+    //    lookaround), so Java regex and DuckDB RE2 agree exactly.
+    //    Synthetic PII is appended from doc_id so the redaction is
+    //    provably ACTIVE on every row (both engines derive the same
+    //    augmented text); output is the redacted fingerprint + match
+    //    counts. Pure codegen scalar pipeline, no shuffle. ───────────
+    Q("d13_pii_redact",
+      (s, d) => {
+        Tables.documents(s, d)
+          .withColumn("__aug", concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555-123-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"),
+              4, "0")))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("__aug"),
+              lit(Text.emailPattern), lit(0)))
+              .cast("long").as("n_emails"),
+            size(regexp_extract_all(col("__aug"),
+              lit(Text.phonePattern), lit(0)))
+              .cast("long").as("n_phones"),
+            md5(Text.redactPii(col("__aug"))).as("redacted_fp"))
+        // no ORDER BY: order-insensitive compare; zero-shuffle plan
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+            text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or call 555-123-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS s
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(s,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
+            AS BIGINT) AS n_emails,
+          CAST(len(regexp_extract_all(s,
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}', 0)) AS BIGINT) AS n_phones,
+          md5(regexp_replace(regexp_replace(s,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+            '[EMAIL]', 'g'),
+            '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'))
+            AS redacted_fp
+        FROM aug ORDER BY doc_id"""))
   )
 }

@@ -20,7 +20,8 @@ object PlanAudit {
     for (name <- Seq("q01_where_algebra", "q03_feed_page",
       "q07_semi_join", "q09_left_join", "q10_children_count",
       "v01_ann_cosine", "q11_leaderboard", "d10_corpus_filter",
-      "v04_batch_ann", "d09_neardup_clusters")) {
+      "v04_batch_ann", "d09_neardup_clusters",
+      "d11_chunking", "d12_stratified_sample", "d13_pii_redact")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(

@@ -134,6 +134,52 @@ class TextPropsSpec extends SparkSpec {
     assert(n == 12L)
   }
 
+  test("tokenChunks: overlap, short tail, single-chunk and empty docs") {
+    import spark.implicits._
+    val out = Seq(
+      ("seven", (1 to 7).map(i => s"t$i").mkString(" ")),  // 3 chunks
+      ("two", "a b"),                                      // 1 chunk
+      ("empty", "   "))                                    // 0 chunks
+      .toDF("id", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("id"), posexplode(
+        Text.tokenChunks(col("toks"), win = 4, stride = 3)))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        r.getAs[scala.collection.Seq[String]]("col")))
+    val seven = out.filter(_._1 == "seven").sortBy(_._2)
+    // starts 1, 4, 7: full window, full window, short tail
+    assert(seven.toSeq.map(_._3.toSeq) == Seq(
+      Seq("t1", "t2", "t3", "t4"),
+      Seq("t4", "t5", "t6", "t7"),      // overlap of 1 with previous
+      Seq("t7")))
+    assert(out.filter(_._1 == "two").toSeq.map(_._3.toSeq)
+      == Seq(Seq("a", "b")))
+    assert(!out.exists(_._1 == "empty"))   // no rows, no crash
+  }
+
+  test("redactPii: emails then phones; counts via the same patterns") {
+    import spark.implicits._
+    val out = Seq(
+      "mail bob.smith+x@sub.example.org now",
+      "call 555-123-4567 or 555-000-1111",
+      "both a@b.io 111-222-3333",
+      "clean text")
+      .toDF("text")
+      .select(
+        Text.redactPii(col("text")).as("red"),
+        size(regexp_extract_all(col("text"),
+          lit(Text.emailPattern), lit(0))).as("ne"),
+        size(regexp_extract_all(col("text"),
+          lit(Text.phonePattern), lit(0))).as("np"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+    assert(out(0) == ("mail [EMAIL] now", 1, 0))
+    assert(out(1) == ("call [PHONE] or [PHONE]", 0, 2))
+    assert(out(2) == ("both [EMAIL] [PHONE]", 1, 1))
+    assert(out(3) == ("clean text", 0, 0))
+  }
+
   test("hamming64 and jaccard basics") {
     import spark.implicits._
     val df = Seq((0L, 0L), (0L, 1L), (0L, 7L), (-1L, 0L))
