@@ -192,6 +192,21 @@ object Text {
     regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
       phonePattern, "[PHONE]")
 
+  /** Count of the most frequent token — the Gopher-style repetition
+    * signal's numerator — WITHOUT an explode+groupBy shuffle: sort
+    * the array and fold a max-run-length, all inside codegen. Empty
+    * input → 0. O(T log T) per row. */
+  def topTokenCount(toks: Column): Column =
+    aggregate(sort_array(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Portable order-sensitive fingerprint: md5 chain SEEDED WITH THE
     * FIRST TOKEN (exactly DuckDB's `list_reduce` semantics, so the
     * catalog row is oracle-verifiable; empty input → null, single

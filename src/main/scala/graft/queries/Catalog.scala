@@ -1063,6 +1063,126 @@ object Catalog {
             '[EMAIL]', 'g'),
             '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'))
             AS redacted_fp
-        FROM aug ORDER BY doc_id"""))
+        FROM aug ORDER BY doc_id""")),
+
+    // ── §7.5 benchmark decontamination: flag training docs sharing a
+    //    word 3-shingle with a held-out set (docs 0-4 stand in for a
+    //    benchmark suite). Holdout shingles are benchmark-bounded, so
+    //    they ride the plan as the native AnchorOverlap set (the d05
+    //    shape): one codegen probe per doc, NO shingle explode, NO
+    //    join, no shuffle beyond the tiny holdout collect. Past
+    //    plan-literal size (a holdout of millions of shingles), flip
+    //    to a broadcast semi-join or a bloom filter — the corpus-side
+    //    scan stays identical. ───────────────────────────────────────
+    Q("d14_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .withColumn("__sh", Text.wordShingles(col("__toks"), 3))
+        // bounded by the holdout corpus, like v02's centroid collect
+        val hold = docs.filter(col("doc_id") < 5)
+          .select(explode(col("__sh")).as("sh")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        // every train doc reported (zeros included) — a filter on
+        // n_inter would be pushed below the projection and evaluate
+        // the overlap TWICE (no CSE into pushed predicates)
+        docs.filter(col("doc_id") >= 5)
+          .select(col("doc_id"),
+            graft.functions.SigExprs.anchorOverlap(col("__sh"), hold)
+              .getField("n_inter").cast("long").as("n_contam"))
+          .withColumn("contaminated", col("n_contam") > 0)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          shing AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(t) - 2, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+              AS s
+            FROM toks),
+          hold AS (SELECT DISTINCT s FROM shing WHERE doc_id < 5),
+          hits AS (SELECT sh.doc_id, count(*) AS n
+            FROM shing sh JOIN hold h ON sh.s = h.s
+            WHERE sh.doc_id >= 5 GROUP BY 1)
+        SELECT t.doc_id, CAST(coalesce(hits.n, 0) AS BIGINT)
+            AS n_contam,
+          coalesce(hits.n, 0) > 0 AS contaminated
+        FROM toks t LEFT JOIN hits ON t.doc_id = hits.doc_id
+        WHERE t.doc_id >= 5 ORDER BY 1""")),
+
+    // ── §7.5 within-doc repetition signals (Gopher-style quality
+    //    rules): duplicate-2gram count and the top-token count. All
+    //    integers (no float rounding risk); the top-token count folds
+    //    a max-run-length over the SORTED token array in codegen —
+    //    no explode, no shuffle, the whole row is one scan pass. ─────
+    Q("d15_repetition",
+      (s, d) => {
+        val toks = col("__toks")
+        Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .withColumn("__g2", Text.wordShingles(toks, 2))
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_tokens"),
+            size(col("__g2")).cast("long").as("n_2grams"),
+            (size(col("__g2")) - size(array_distinct(col("__g2"))))
+              .cast("long").as("n_dup_2grams"),
+            Text.topTokenCount(toks).cast("long").as("top_tok_count"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          tg AS (SELECT doc_id, t, list_transform(
+              range(1, greatest(len(t) - 1, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 1), ' ')) AS g
+            FROM toks),
+          topw AS (SELECT doc_id, max(c) AS topc
+            FROM (SELECT doc_id, w, count(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS w FROM toks)
+              GROUP BY 1, 2)
+            GROUP BY 1)
+        SELECT tg.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+          CAST(len(g) AS BIGINT) AS n_2grams,
+          CAST(len(g) - len(list_distinct(g)) AS BIGINT)
+            AS n_dup_2grams,
+          CAST(coalesce(topc, 0) AS BIGINT) AS top_tok_count
+        FROM tg LEFT JOIN topw ON tg.doc_id = topw.doc_id
+        ORDER BY tg.doc_id""")),
+
+    // ── §7.5 vocabulary / TF-IDF top term per doc: corpus document
+    //    frequency (distinct-doc count per token) broadcast back to
+    //    the per-doc term frequencies; the per-doc winner is an
+    //    argmax by (tf desc, df asc, term asc) computed as a
+    //    partial-aggregatable min(struct) — no window, no skew
+    //    concentration. At open-vocab scale, swap the broadcast for a
+    //    sort-merge join or pre-filter df to a top-V vocab. ──────────
+    Q("d16_top_tfidf_term",
+      (s, d) => {
+        val tok = Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .select(col("doc_id"), explode(col("__toks")).as("w"))
+        val tf = tok.groupBy("doc_id", "w")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tok.select("doc_id", "w").distinct()
+          .groupBy("w").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), Seq("w"))
+          .groupBy("doc_id")
+          .agg(min(struct((-col("tf")).as("ntf"), col("df"),
+            col("w"))).as("m"))
+          .select(col("doc_id"), col("m.w").as("top_term"),
+            (-col("m.ntf")).cast("long").as("tf"),
+            col("m.df").cast("long").as("df"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+          tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+            GROUP BY 1, 2),
+          df AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok
+            GROUP BY 1),
+          ranked AS (SELECT tf.doc_id, tf.w, tf.tf, df.df,
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rk
+          FROM tf JOIN df ON tf.w = df.w)
+        SELECT doc_id, w AS top_term, CAST(tf AS BIGINT) AS tf,
+          CAST(df AS BIGINT) AS df
+        FROM ranked WHERE rk = 1 ORDER BY doc_id"""))
   )
 }

@@ -180,6 +180,20 @@ class TextPropsSpec extends SparkSpec {
     assert(out(3) == ("clean text", 0, 0))
   }
 
+  test("topTokenCount: max run over sorted tokens == explode-groupBy max") {
+    import spark.implicits._
+    val out = Seq(
+      ("rep", "a b a c a b"),      // a:3
+      ("uniq", "x y z"),           // 1
+      ("one", "solo"),             // 1
+      ("empty", " "))              // 0
+      .toDF("id", "text")
+      .withColumn("toks", Text.tokens(col("text")))
+      .select(col("id"), Text.topTokenCount(col("toks")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("rep" -> 3, "uniq" -> 1, "one" -> 1, "empty" -> 0))
+  }
+
   test("hamming64 and jaccard basics") {
     import spark.implicits._
     val df = Seq((0L, 0L), (0L, 1L), (0L, 7L), (-1L, 0L))
