@@ -1155,13 +1155,17 @@ object Catalog {
     //    sort-merge join or pre-filter df to a top-V vocab. ──────────
     Q("d16_top_tfidf_term",
       (s, d) => {
-        val tok = Tables.documents(s, d)
-          .withColumn("__toks", Text.tokens(col("text")))
-          .select(col("doc_id"), explode(col("__toks")).as("w"))
-        val tf = tok.groupBy("doc_id", "w")
-          .agg(count(lit(1)).as("tf"))
-        val dfreq = tok.select("doc_id", "w").distinct()
-          .groupBy("w").agg(count(lit(1)).as("df"))
+        // ONE scan+explode: tf is cached, and df derives from it —
+        // tf's (doc_id, w) rows are exactly the distinct pairs a
+        // separate distinct-then-count branch would rebuild from a
+        // second corpus pass
+        val tf = graft.CacheTracker.persistTracked(
+          Tables.documents(s, d)
+            .withColumn("__toks", Text.tokens(col("text")))
+            .select(col("doc_id"), explode(col("__toks")).as("w"))
+            .groupBy("doc_id", "w")
+            .agg(count(lit(1)).as("tf")))
+        val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
         tf.join(broadcast(dfreq), Seq("w"))
           .groupBy("doc_id")
           .agg(min(struct((-col("tf")).as("ntf"), col("df"),

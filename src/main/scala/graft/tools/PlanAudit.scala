@@ -21,7 +21,8 @@ object PlanAudit {
       "q07_semi_join", "q09_left_join", "q10_children_count",
       "v01_ann_cosine", "q11_leaderboard", "d10_corpus_filter",
       "v04_batch_ann", "d09_neardup_clusters",
-      "d11_chunking", "d12_stratified_sample", "d13_pii_redact")) {
+      "d11_chunking", "d12_stratified_sample", "d13_pii_redact",
+      "d14_decontaminate", "d15_repetition", "d16_top_tfidf_term")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(
