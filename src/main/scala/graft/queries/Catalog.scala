@@ -1187,6 +1187,102 @@ object Catalog {
           FROM tf JOIN df ON tf.w = df.w)
         SELECT doc_id, w AS top_term, CAST(tf AS BIGINT) AS tf,
           CAST(df AS BIGINT) AS df
-        FROM ranked WHERE rk = 1 ORDER BY doc_id"""))
+        FROM ranked WHERE rk = 1 ORDER BY doc_id""")),
+
+    // ── §2.7-at-scale: gap-based sessionization (30-min inactivity
+    //    boundary) — lag + conditional running sum inside ONE
+    //    user-partitioned window (no self-join), then the per-session
+    //    rollup. Timestamps compared in microseconds (unix_micros —
+    //    parquet NANOS truncates identically in the oracle's CAST)
+    //    and emitted as formatted strings, never raw. ────────────────
+    Q("d17_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("__prev", lag(col("ts"), 1).over(w))
+          .withColumn("__brk",
+            (col("__prev").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("__prev"))
+                > 1800000000L).cast("int"))
+          .withColumn("session_idx",
+            sum("__brk").over(w.rowsBetween(
+              Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_idx"))
+          .agg(count(lit(1)).as("n_events"),
+            date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("started"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("ended"))
+      },
+      Some("""WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+            user_id FROM events),
+          m AS (SELECT e.*, CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id
+              ORDER BY ts, event_id)),
+          s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+            FROM m)
+        SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
+          CAST(count(*) AS BIGINT) AS n_events,
+          strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS started,
+          strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ended
+        FROM s GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── §2.5-at-scale: EXACT percentiles per group (p50/p90/p99 of
+    //    value) — Spark's sort-based `percentile` agg vs DuckDB
+    //    quantile_cont, both linear interpolation. (approx_percentile
+    //    is the sketch variant; q22 already pins the
+    //    sketch-vs-exact pattern for HLL.) ───────────────────────────
+    Q("d18_percentiles",
+      (s, d) => Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))")
+          .as("__p"))
+        .select(col("event_type"),
+          round(element_at(col("__p"), 1), 4).as("p50"),
+          round(element_at(col("__p"), 2), 4).as("p90"),
+          round(element_at(col("__p"), 3), 4).as("p99"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+          round(quantile_cont(value, 0.5), 4) AS p50,
+          round(quantile_cont(value, 0.9), 4) AS p90,
+          round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ── §2.6-at-scale: as-of join, the Spark-first way — for each
+    //    purchase, the user's most recent STRICTLY-PRIOR view. One
+    //    window over the tagged union (last_value ignoreNulls,
+    //    rows-frame ending 1 PRECEDING): a single user shuffle, no
+    //    range-join row blowup, ties broken by event_id on both
+    //    engines. ─────────────────────────────────────────────────────
+    Q("d19_asof_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.events(s, d)
+          .filter(col("event_type").isin("view", "purchase"))
+          .withColumn("last_view_id",
+            last(when(col("event_type") === "view", col("event_id")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("last_view_id"))
+      },
+      Some("""WITH t AS (SELECT event_id, user_id, event_type,
+            CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type IN ('view', 'purchase')),
+        w AS (SELECT *, last_value(CASE WHEN event_type = 'view'
+              THEN event_id END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            AS last_view_id
+          FROM t)
+        SELECT event_id, user_id, last_view_id FROM w
+        WHERE event_type = 'purchase' ORDER BY event_id"""))
   )
 }
