@@ -194,18 +194,32 @@ object Text {
 
   /** Count of the most frequent token — the Gopher-style repetition
     * signal's numerator — WITHOUT an explode+groupBy shuffle: sort
-    * the array and fold a max-run-length, all inside codegen. Empty
-    * input → 0. O(T log T) per row. */
-  def topTokenCount(toks: Column): Column =
-    aggregate(sort_array(toks),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, t) => {
-        val run = when(t === acc.getField("prev"),
-          acc.getField("run") + 1).otherwise(lit(1))
-        struct(t.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
+    * the array and take 1 + the longest run of adjacent-equal flags,
+    * all inside codegen. Empty input → 0. O(T log T) per row.
+    *
+    * The adjacent-equality flags are materialized ONCE (zip_with
+    * against the shifted array): a direct (prev, run, best) fold
+    * would reference its string-compare CaseWhen twice per step and
+    * Catalyst does not CSE inside HOF lambdas — the flag array keeps
+    * the fold int-only (one string compare per token). */
+  def topTokenCount(toks: Column): Column = {
+    val sorted = sort_array(toks)
+    // zip_with pads the shorter (shifted) side with null: the last
+    // element's flag compares against null → 0, which is correct
+    val eq = zip_with(sorted,
+      slice(sorted, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => when(a === b, lit(1)).otherwise(lit(0)))
+    when(size(toks) === 0, lit(0)).otherwise(
+      aggregate(eq,
+        struct(lit(0).as("run"), lit(0).as("best")),
+        (acc, x) => {
+          val r = when(x === 1, acc.getField("run") + 1)
+            .otherwise(lit(0))
+          struct(r.as("run"),
+            greatest(acc.getField("best"), r).as("best"))
+        },
+        acc => acc.getField("best") + 1))
+  }
 
   /** Portable order-sensitive fingerprint: md5 chain SEEDED WITH THE
     * FIRST TOKEN (exactly DuckDB's `list_reduce` semantics, so the

@@ -22,7 +22,8 @@ object PlanAudit {
       "v01_ann_cosine", "q11_leaderboard", "d10_corpus_filter",
       "v04_batch_ann", "d09_neardup_clusters",
       "d11_chunking", "d12_stratified_sample", "d13_pii_redact",
-      "d14_decontaminate", "d15_repetition", "d16_top_tfidf_term")) {
+      "d14_decontaminate", "d15_repetition", "d16_top_tfidf_term",
+      "d17_sessionize", "d18_percentiles", "d19_asof_join")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(
