@@ -6,6 +6,58 @@ import java.nio.file.Files
 
 class WindowedCountsSpec extends SparkSpec {
 
+  test("streaming session windows: cross-batch merge, gap close, watermark emit") {
+    val dir = Files.createTempDirectory("graft-session").toString
+    val inDir = s"$dir/in"
+    new java.io.File(inDir).mkdirs()
+    val in = spark.readStream
+      .schema("ts timestamp, user string, value double")
+      .json(inDir)
+    def run(): Unit = {
+      val q = WindowedCounts.sessions(in, "ts", "user",
+        gap = "1 minute", lateness = "10 minutes")
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ck")
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", s"$dir/out")
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: one open session for alice
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b1.json"),
+      """{"ts":"2024-01-01T00:00:10","user":"alice","value":1.0}
+        |{"ts":"2024-01-01T00:00:40","user":"alice","value":2.0}"""
+        .stripMargin)
+    run()
+    // batch 2: extends alice's OPEN session across the micro-batch
+    // boundary (state-store session merge); bob starts his own
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b2.json"),
+      """{"ts":"2024-01-01T00:01:30","user":"alice","value":3.0}
+        |{"ts":"2024-01-01T00:03:00","user":"bob","value":5.0}"""
+        .stripMargin)
+    run()
+    // batch 3: watermark advancer — finalizes both sessions
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b3.json"),
+      """{"ts":"2024-01-01T12:00:00","user":"carol","value":0.1}""")
+    run()
+
+    val rows = spark.read.parquet(s"$dir/out").collect()
+      .map(r => r.getAs[String]("user") ->
+        ((r.getAs[java.sql.Timestamp]("session_start").toString,
+          r.getAs[java.sql.Timestamp]("session_end").toString,
+          r.getAs[Long]("n_events"), r.getAs[Double]("total"))))
+      .toMap
+    // alice: 3 events spanning two micro-batches, ONE merged session;
+    // end = last event (00:01:30) + 1 min gap
+    assert(rows("alice")._3 == 3 && rows("alice")._4 == 6.0)
+    assert(rows("alice")._1.startsWith("2024-01-01 00:00:10"))
+    assert(rows("alice")._2.startsWith("2024-01-01 00:02:30"))
+    assert(rows("bob")._3 == 1)
+    // carol's session is still open — watermark hasn't passed it
+    assert(!rows.contains("carol"))
+  }
+
   test("streaming tumbling window with watermark: finalized windows emit, late rows drop") {
     val dir = Files.createTempDirectory("graft-window").toString
     val inDir = s"$dir/in"
