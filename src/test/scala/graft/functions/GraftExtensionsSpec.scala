@@ -37,5 +37,9 @@ class GraftExtensionsSpec extends SparkSpec {
       "SELECT graft_minhash_sig(array(7L), 4, 99) AS s")
       .head().getAs[scala.collection.Seq[Long]]("s").length == 4)
     intercept[Exception] { spark.sql("SELECT graft_simhash64()") }
+    // a bigint k that overflows Int must be REJECTED, not wrapped
+    // (4294967297.toInt == 1 would yield a 1-wide signature)
+    intercept[Exception] { spark.sql(
+      "SELECT graft_minhash_sig(array(7L), 4294967297)") }
   }
 }
