@@ -145,6 +145,60 @@ object ScaleEvidence {
       graft.CacheTracker.releaseAll(); n
     }
 
+    println("== training-data ops (10x) ==")
+    timed("d14 decontaminate (plan-literal probe)") {
+      val hold = corpus.filter(col("doc_id") < 5)
+        .withColumn("__toks", graft.functions.Text.tokens(col("text")))
+        .select(explode(graft.functions.Text.wordShingles(
+          col("__toks"), 3)).as("sh")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      corpus.filter(col("doc_id") >= 5)
+        .withColumn("__toks", graft.functions.Text.tokens(col("text")))
+        .withColumn("__sh", graft.functions.Text.wordShingles(
+          col("__toks"), 3))
+        .select(col("doc_id"), graft.functions.SigExprs
+          .anchorOverlap(col("__sh"), hold)
+          .getField("n_inter").as("n"))
+        .filter(col("n") > 0).count()
+    }
+    timed("d15 repetition signals (scan-only)") {
+      corpus.withColumn("__toks",
+        graft.functions.Text.tokens(col("text")))
+        .withColumn("__g2", graft.functions.Text.wordShingles(
+          col("__toks"), 2))
+        .select(col("doc_id"),
+          (size(col("__g2")) - size(array_distinct(col("__g2"))))
+            .as("dup2"),
+          graft.functions.Text.topTokenCount(col("__toks")).as("tt"))
+        .count()
+    }
+    timed("d16 tf-idf top term (df from cached tf)") {
+      val tf = graft.CacheTracker.persistTracked(
+        corpus.withColumn("__toks",
+          graft.functions.Text.tokens(col("text")))
+          .select(col("doc_id"), explode(col("__toks")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("tf")))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = tf.join(broadcast(dfreq), Seq("w"))
+        .groupBy("doc_id")
+        .agg(min(struct((-col("tf")).as("ntf"), col("df"), col("w")))
+          .as("m")).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed("d17 sessionize (1M events, one user shuffle)") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("__prev", lag(col("ts"), 1).over(w))
+        .withColumn("__brk", (col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev"))
+            > 1800000000L).cast("int"))
+        .withColumn("sid", sum("__brk").over(w.rowsBetween(
+          Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n")).count()
+    }
+
     // ── bucketed streaming merge at 500k stored posts ───────────────
     println("== streaming merge (bucketed seed lookup) ==")
     val nPosts = 500000L
