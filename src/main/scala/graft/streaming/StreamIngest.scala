@@ -207,8 +207,14 @@ object StreamIngest {
       try {
         val s = new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
-        "\"key_buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
+        val n = "\"key_buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
           .map(_.group(1).toInt)
+        // a PRESENT but unreadable marker must refuse the merge:
+        // falling back to the caller's modulus could prune the wrong
+        // buckets and silently split keys
+        if (n.isEmpty) throw new IllegalStateException(
+          s"corrupt layout marker at $p: $s")
+        n
       } finally in.close()
     }
   }

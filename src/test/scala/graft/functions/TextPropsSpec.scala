@@ -180,6 +180,38 @@ class TextPropsSpec extends SparkSpec {
     assert(out(3) == ("clean text", 0, 0))
   }
 
+  test("tokenChunks invariants over random docs (slice equality, coverage)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 20).map { i =>
+      val n = rnd.nextInt(31)   // 0..30 tokens
+      (i.toLong, Seq.fill(n)(s"w${rnd.nextInt(6)}").mkString(" "))
+    }
+    for ((w, s) <- Seq((4, 3), (5, 5), (8, 2), (1, 1))) {
+      val out = docs.toDF("id", "text")
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(col("id"), col("toks"),
+          Text.tokenChunks(col("toks"), w, s).as("chunks"))
+        .collect()
+      for (r <- out) {
+        val toks = r.getAs[scala.collection.Seq[String]]("toks").toSeq
+        val chunks = r.getAs[scala.collection.Seq[
+          scala.collection.Seq[String]]]("chunks").map(_.toSeq).toSeq
+        val t = toks.length
+        // chunk count and exact slice equality at every start
+        assert(chunks.length ==
+          (if (t == 0) 0 else (t + s - 1) / s))
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          assert(c == toks.slice(i * s, i * s + w))
+        }
+        // stride <= win here, so every token index is covered
+        assert(chunks.flatten.length >= t || s > w)
+        // no overlap (win == stride) reconstructs the doc exactly
+        if (w == s) assert(chunks.flatten == toks)
+      }
+    }
+  }
+
   test("topTokenCount: max run over sorted tokens == explode-groupBy max") {
     import spark.implicits._
     val out = Seq(

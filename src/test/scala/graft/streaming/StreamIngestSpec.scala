@@ -295,6 +295,15 @@ class StreamIngestSpec extends SparkSpec {
     val p = new org.apache.hadoop.fs.Path(postsDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(StreamIngest.storedKeyBuckets(fs, p).contains(8))
+
+    // a corrupt marker must REFUSE the merge, not fall back to the
+    // caller's modulus (which could prune the wrong buckets)
+    val marker = new org.apache.hadoop.fs.Path(p, "_graft_layout.json")
+    val out = fs.create(marker, true)
+    out.write("not json".getBytes("UTF-8")); out.close()
+    intercept[IllegalStateException] {
+      StreamIngest.storedKeyBuckets(fs, p)
+    }
   }
 
   test("ceramic CDC → posts schema → unified queryable table (S2)") {
