@@ -237,6 +237,44 @@ object Dedup {
     labels
   }
 
+  /** Corpus-wide duplicated n-gram statistics — the signal behind
+    * span-level training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for each document,
+    * how many of its distinct word n-grams occur in ≥ `minDocs`
+    * documents corpus-wide. High `n_dup/n_sh` docs are boilerplate /
+    * template candidates that doc-level near-dup (m01/m02) misses
+    * because the surrounding text differs.
+    *
+    * Scale shape: explode per-doc DISTINCT shingles → ONE hash-agg on
+    * the shingle (map-side partial combine) → join the per-shingle doc
+    * count back on the same key → re-agg by doc. The exploded pair
+    * table is computed once (tracked persist) and both shuffles hash
+    * the same key, so the exchange is reusable. Shuffle rows are
+    * (shingle, doc_id); at 100 TB hash the shingle to 64 bits first
+    * (collision-tolerant statistics) — kept as exact strings here so
+    * the DuckDB oracle matches string-for-string. */
+  def dupNgramStats(docs: DataFrame, textCol: String, idCol: String,
+                    shingleN: Int = 3, minDocs: Int = 2): DataFrame = {
+    val pairs = CacheTracker.persistTracked(docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("t"))
+      .select(col("id"), explode(array_distinct(
+        Text.wordShingles(col("t"), shingleN))).as("s")))
+    val counts = pairs.groupBy("s")
+      .agg(count(lit(1)).as("docs_with"))
+    val perDoc = pairs.join(counts, "s")
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_sh"),
+        sum(when(col("docs_with") >= minDocs, 1L).otherwise(0L))
+          .cast("long").as("n_dup"))
+    // docs with no shingles (< n tokens) never explode a row — restore
+    // them with zero counts so the output covers the corpus
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+  }
+
   /** Exact Jaccard of every document against one anchor document —
     * the O(n) similarity scan (anchor shingle set is a plan literal →
     * broadcast; single codegen'd pass, no shuffle). */

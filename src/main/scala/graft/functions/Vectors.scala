@@ -127,6 +127,66 @@ object Vectors {
     verified
   }
 
+  /** Per-vector max-abs — the scalar-quantization scale denominator.
+    * Materialize this as its OWN column before calling
+    * [[quantizeInt8]]: the quantizer's lambda references it per
+    * element, and an inlined max-abs would re-run the array scan once
+    * per element (no CSE into HOF lambdas). */
+  def maxAbs(v: Column): Column =
+    array_max(transform(v, x => abs(x.cast("double"))))
+
+  /** Symmetric scalar int8 quantization: q_i = floor(x_i · 127/max|x|
+    * + 0.5), stored as `array<tinyint>` — 4× smaller than float32,
+    * the standard memory/shuffle-side compression for ANN at scale.
+    * All-zero vectors quantize to zeros (no divide-by-zero). Chosen
+    * over round() because floor(x+0.5) is bit-identical across
+    * engines (the DuckDB oracle runs the same formula). */
+  def quantizeInt8(v: Column, maxAbsCol: Column): Column =
+    when(maxAbsCol === 0,
+      transform(v, _ => lit(0).cast("tinyint")))
+      .otherwise(transform(v, x =>
+        floor(x.cast("double") * (lit(127.0) / maxAbsCol) + lit(0.5))
+          .cast("tinyint")))
+
+  /** Integer dot product of two quantized vectors, accumulated in
+    * long (exact — no float rounding, engine-portable). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Quantized ANN with exact rerank: phase 1 scores every row by the
+    * integer dot product against the quantized query (cheap: int8
+    * reads, no float math) and keeps the top `candidates`; phase 2
+    * reranks only those by exact float cosine and returns top `k`.
+    *
+    * Scale: the int8 table is 4× smaller than the float32 one, phase 1
+    * is scan + TakeOrderedAndProject (no shuffle), and the float
+    * vectors are touched for `candidates` rows only — at 100 TB the
+    * quantized copy is the hot compact index and the full-precision
+    * table is random-access by id. `candidates` ≥ 4k absorbs
+    * quantization rank noise near the cut. */
+  def quantizedTopK(emb: DataFrame, vecCol: String, anchorPred: Column,
+                    k: Int, candidates: Int,
+                    idCol: String = "vec_id",
+                    simName: String = "sim"): DataFrame = {
+    val q = emb
+      .withColumn("__ma", maxAbs(col(vecCol)))
+      .withColumn("__q", quantizeInt8(col(vecCol), col("__ma")))
+    val anchor = q.filter(anchorPred)
+      .select(col("__q").as("a_q"), col(vecCol).as("a_v"))
+    val cand = q.crossJoin(broadcast(anchor))
+      .select(col(idCol), col(vecCol), col("a_v"),
+        qdot(col("__q"), col("a_q")).as("qdot"))
+      .orderBy(col("qdot").desc, col(idCol).asc)
+      .limit(candidates)
+    cand
+      .select(col(idCol), col("qdot"),
+        round(cosine(col(vecCol), col("a_v")), 4).as(simName))
+      .orderBy(col(simName).desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Assign each vector to its nearest centroid (argmax cosine).
     * `centroids` are plan literals (small, like IVF nlist ≤ 64k);
     * at scale the assignment is one codegen'd scan. Returns the input

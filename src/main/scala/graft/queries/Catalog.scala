@@ -1283,6 +1283,83 @@ object Catalog {
             AS last_view_id
           FROM t)
         SELECT event_id, user_id, last_view_id FROM w
-        WHERE event_type = 'purchase' ORDER BY event_id"""))
+        WHERE event_type = 'purchase' ORDER BY event_id""")),
+
+    // ── §7.5 corpus-wide duplicated n-grams (Lee et al. span-level
+    //    dedup signal): per doc, distinct 3-shingles + how many occur
+    //    in ≥2 docs corpus-wide. One shingle hash-agg + same-key join
+    //    back; integer outputs, string-exact oracle. ─────────────────
+    Q("d20_dup_ngrams",
+      (s, d) => Dedup.dupNgramStats(Tables.documents(s, d),
+        "text", "doc_id", shingleN = 3, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_sh"), col("n_dup"))
+        .orderBy("doc_id"),
+      Some(s"""WITH sh AS (SELECT doc_id, unnest(list_distinct(
+            list_transform(
+              range(1, greatest(len($sqlToks) - 2, 0) + 1),
+              i -> array_to_string(list_slice($sqlToks, i, i + 2), ' '))))
+            AS s
+          FROM documents),
+        cnt AS (SELECT s, count(*) AS c FROM sh GROUP BY 1),
+        per AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+            CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup
+          FROM sh JOIN cnt USING (s) GROUP BY 1)
+        SELECT d.doc_id,
+          coalesce(n_sh, CAST(0 AS BIGINT)) AS n_sh,
+          coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup
+        FROM documents d LEFT JOIN per USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ── §7.5 quantized ANN: int8 scalar quantization (floor(x·127/
+    //    max|x| + 0.5), bit-identical in both engines) → integer-dot
+    //    candidate top-80 → exact-cosine rerank top-20. qdot is exact
+    //    integer; sim mirrors v01's rounded form. ────────────────────
+    Q("v05_quantized_rerank",
+      (s, d) => Vectors.quantizedTopK(Tables.embeddings(s, d),
+        "embedding", col("vec_id") === 0, k = 20, candidates = 80),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+        m AS (SELECT vec_id, v,
+            list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+        q AS (SELECT vec_id, v,
+            CASE WHEN ma = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(v,
+                x -> CAST(floor(x * (127.0 / ma) + 0.5) AS BIGINT))
+            END AS qv
+          FROM m),
+        a AS (SELECT qv AS aq, v AS av FROM q WHERE vec_id = 0),
+        cand AS (SELECT vec_id, v, av,
+            CAST(list_dot_product(CAST(qv AS DOUBLE[]),
+              CAST(aq AS DOUBLE[])) AS BIGINT) AS qdot
+          FROM q CROSS JOIN a
+          ORDER BY qdot DESC, vec_id LIMIT 80)
+        SELECT vec_id, qdot,
+          round(list_dot_product(v, av) /
+            (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(av, av))),
+            4) AS sim
+        FROM cand ORDER BY sim DESC, vec_id LIMIT 20""")),
+
+    // ── §2.6-at-scale: skew-salted join — each user_id's events are
+    //    spread over 8 shuffle partitions (salt = hash of the unique
+    //    event_id), customer dim replicated ×8; the aggregate proves
+    //    the salted join ≡ the plain join (the oracle IS the plain
+    //    join). floor(value·100) keeps the sum exact-integer. ────────
+    Q("q24_skew_salted_join",
+      (s, d) => graft.query.SkewJoin.saltedEquiJoin(
+        Tables.events(s, d), Tables.customer(s, d),
+        col("user_id"), col("c_custkey"), col("event_id"), salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(floor(col("value") * 100).cast("long")).cast("long")
+            .as("cents"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment,
+          CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+            AS cents
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

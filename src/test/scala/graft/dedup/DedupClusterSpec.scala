@@ -26,6 +26,23 @@ class DedupClusterSpec extends SparkSpec {
     }
   }
 
+  test("dupNgramStats: corpus-duplicated shingle counts per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),     // {"a b c","b c d"} — both shared
+      (2L, "a b c x"),     // {"a b c","b c x"} — one shared
+      (3L, "z z"),         // < 3 tokens ⇒ no shingles
+      (4L, "b c d e f")    // {"b c d","c d e","d e f"} — one shared
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramStats(docs, "text", "doc_id",
+      shingleN = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    graft.CacheTracker.releaseAll()
+    assert(got == Set((1L, 2L, 2L), (2L, 2L, 1L), (3L, 0L, 0L),
+      (4L, 3L, 1L)))
+  }
+
   test("neardupClusters over real minhash pairs at sf0.001") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",

@@ -147,4 +147,46 @@ class ProjectionsAndVectorsSpec extends SparkSpec {
     assert(!batch.queryExecution.executedPlan.toString
       .contains("No Partition Defined"))
   }
+
+  test("quantizeInt8: scale formula, zero vector, exact integer qdot") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0f, -2.0f, 0.5f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f)),            // all-zero: no div-by-0
+      (2L, Seq(-4.0f, 4.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("__ma", Vectors.maxAbs(col("embedding")))
+      .withColumn("q", Vectors.quantizeInt8(col("embedding"), col("__ma")))
+    val got = rows.orderBy("vec_id").collect()
+      .map(_.getAs[scala.collection.Seq[Byte]]("q").toSeq)
+    // doc 0: scale 127/2 ⇒ floor(63.5+.5)=64, floor(-127+.5)=-127,
+    //        floor(31.75+.5)=32
+    assert(got(0) == Seq[Byte](64, -127, 32))
+    assert(got(1) == Seq[Byte](0, 0, 0))
+    assert(got(2) == Seq[Byte](-127, 127, 64))
+    val qd = rows.filter(col("vec_id") === 0)
+      .crossJoin(rows.filter(col("vec_id") === 2)
+        .select(col("q").as("q2")))
+      .select(Vectors.qdot(col("q"), col("q2")).cast("long"))
+      .head().getLong(0)
+    assert(qd == 64L * -127 + -127L * 127 + 32L * 64) // exact long math
+  }
+
+  test("quantizedTopK: rerank matches exact top-k at sf0.001") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val reranked = Vectors.quantizedTopK(emb, "embedding",
+      col("vec_id") === 0, k = 10, candidates = 40)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val anchor = emb.filter(col("vec_id") === 0)
+      .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val exact = emb
+      .withColumn("sim",
+        round(Vectors.cosine(col("embedding"),
+          array(anchor.map(lit): _*)), 4))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+      .limit(10).collect().map(_.getAs[Long]("vec_id")).toSeq
+    // 4× candidate headroom absorbs int8 rank noise on this corpus —
+    // pinned: identical result set AND order
+    assert(reranked == exact)
+  }
 }
