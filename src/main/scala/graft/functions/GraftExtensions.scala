@@ -12,6 +12,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   *   - `graft_minhash_sig(hashes, k[, seed])` → array<bigint>
   *   - `graft_simhash64(hashes)`              → bigint
+  *   - `graft_normalize(str[, form])`         → string (NFC default)
   *
   * Registered either at session build time
   * (`.withExtensions(new GraftExtensions)` or
@@ -45,8 +46,28 @@ object GraftExtensions {
         s"$fn: $arg must be an integer literal, got ${e.sql}")
     }
 
+  private def strLit(e: Expression, fn: String, arg: String): String =
+    e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _: org.apache.spark.sql.types.StringType) =>
+        v.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $arg must be a string literal, got ${e.sql}")
+    }
+
   val all: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[NormalizeText].getName,
+        "graft_normalize"),
+      (args: Seq[Expression]) => args match {
+        case Seq(s) => NormalizeText(s, java.text.Normalizer.Form.NFC)
+        case Seq(s, f) => NormalizeText(s,
+          java.text.Normalizer.Form.valueOf(
+            strLit(f, "graft_normalize", "form")
+              .toUpperCase(java.util.Locale.ROOT)))
+        case _ => throw new IllegalArgumentException(
+          "graft_normalize(str[, 'NFC'|'NFD'|'NFKC'|'NFKD'])")
+      }),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName,
         "graft_minhash_sig"),

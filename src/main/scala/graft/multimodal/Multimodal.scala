@@ -46,6 +46,14 @@ final case class AudioMeta(
   */
 object Multimodal {
 
+  // ImageIO's default stream cache spools every (de)coded stream
+  // through a temp FILE (FileCacheImageInputStream) — pure overhead
+  // for in-memory byte[] payloads, and an FS-metadata hotspot when a
+  // partition batch decodes tens of thousands of images (profiled:
+  // mm03 spent most of its time in temp-file churn). One JVM-wide
+  // switch flips both read and write paths to memory-backed streams.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** ---- STUB ---- deterministic fake "decode" of one media blob.
     * Real implementation: image decode + resize / audio resample /
     * video frame sampling. The fake derives stable pseudo-features

@@ -1360,6 +1360,34 @@ object Catalog {
           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
             AS cents
         FROM events JOIN customer ON user_id = c_custkey
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ── §7.5 unicode normalization (native NormalizeText expression —
+    //    Spark has no builtin; a UDF would break codegen). The corpus
+    //    is ASCII (the expression's fast path), so the row appends a
+    //    combining-sequence suffix ("cafe" + U+0301: é as TWO
+    //    codepoints) to make NFC observable: char count drops by 1 and
+    //    the md5 changes. Oracle = DuckDB nfc_normalize over the same
+    //    construction. ───────────────────────────────────────────────
+    Q("d21_nfc_normalize",
+      (s, d) => {
+        // " cafe" + COMBINING ACUTE (U+0301) — the decomposed form,
+        // written as an escape so source-editor NFC can't corrupt it
+        val aug = concat(col("text"), lit(" cafe\u0301"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            length(aug).cast("long").as("n_raw"),
+            length(graft.functions.NormalizeText.normalizeText(aug))
+              .cast("long").as("n_nfc"),
+            md5(graft.functions.NormalizeText.normalizeText(aug))
+              .as("fp"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CAST(length(text || ' cafe' || chr(769)) AS BIGINT) AS n_raw,
+          CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
+            AS BIGINT) AS n_nfc,
+          md5(nfc_normalize(text || ' cafe' || chr(769))) AS fp
+        FROM documents ORDER BY doc_id"""))
   )
 }
