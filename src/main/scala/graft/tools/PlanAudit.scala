@@ -23,7 +23,9 @@ object PlanAudit {
       "v04_batch_ann", "d09_neardup_clusters",
       "d11_chunking", "d12_stratified_sample", "d13_pii_redact",
       "d14_decontaminate", "d15_repetition", "d16_top_tfidf_term",
-      "d17_sessionize", "d18_percentiles", "d19_asof_join")) {
+      "d17_sessionize", "d18_percentiles", "d19_asof_join",
+      "d20_dup_ngrams", "d21_nfc_normalize", "v05_quantized_rerank",
+      "q24_skew_salted_join")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(

@@ -199,6 +199,33 @@ object ScaleEvidence {
         .agg(count(lit(1)).as("n")).count()
     }
 
+    timed("d20 duplicated-ngram stats") {
+      // filter on the computed column: a bare count() would let the
+      // optimizer eliminate the cardinality-preserving left join and
+      // measure nothing but the doc_id scan
+      val n = Dedup.dupNgramStats(corpus, "text", "doc_id")
+        .filter(col("n_dup") > 0).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed("v05 quantized ANN rerank (10x vectors)") {
+      val emb0 = graft.Tables.embeddings(spark, d)
+      val emb = (0 until reps).map(i => emb0
+        .withColumn("vec_id", col("vec_id") + i * 100000000L))
+        .reduce(_ unionByName _)
+      graft.functions.Vectors.quantizedTopK(emb, "embedding",
+        col("vec_id") === 0, k = 20, candidates = 80).count()
+    }
+    timed("q24 skew-salted join + agg (10x facts & dim)") {
+      val cust = (0 until reps).map(i =>
+        graft.Tables.customer(spark, d)
+          .withColumn("c_custkey", col("c_custkey") + i * 100000000L))
+        .reduce(_ unionByName _)
+      graft.query.SkewJoin.saltedEquiJoin(ev, cust,
+        col("user_id"), col("c_custkey"), col("event_id"), salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n")).count()
+    }
+
     // ── bucketed streaming merge at 500k stored posts ───────────────
     println("== streaming merge (bucketed seed lookup) ==")
     val nPosts = 500000L
