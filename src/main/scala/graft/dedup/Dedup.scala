@@ -275,6 +275,41 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
   }
 
+  /** Benchmark decontamination, bloom-prefiltered — the scale path
+    * past [[graft.functions.BloomOverlapCount]]'s plan-literal limit
+    * note: phase 1 probes each doc's shingles against a bloom BITSET
+    * of the holdout inside the scan (no explode/join/shuffle; 10
+    * bits/item regardless of string length); phase 2 computes the
+    * exact overlap ONLY where the bloom reported a possible hit
+    * (CaseWhen branches evaluate lazily per row). No false negatives
+    * ⇒ `bloom == 0` rows are exactly-zero by construction, and false
+    * positives cost only a phase-2 evaluation — the OUTPUT is
+    * bit-identical to the all-exact path (d22's oracle is d14's).
+    *
+    * At 100 TB, phase 2's plan-literal exact set becomes a broadcast
+    * semi-join of bloom-positive (doc, shingle) pairs against the
+    * holdout table — phase 1 is unchanged and is what keeps that join
+    * input a sliver of the corpus. */
+  def decontaminateBloom(docs: DataFrame, textCol: String,
+                         idCol: String, holdout: Seq[String],
+                         shingleN: Int = 3, bitsPerItem: Int = 10,
+                         numHash: Int = 5): DataFrame = {
+    val uniq = holdout.distinct
+    val bits = graft.functions.BloomOverlapCount.build(
+      uniq, bitsPerItem, numHash)
+    docs
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .withColumn("__sh", Text.wordShingles(col("__toks"), shingleN))
+      .withColumn("__bloom", graft.functions.BloomOverlapCount
+        .bloomOverlap(col("__sh"), bits, numHash))
+      .select(col(idCol),
+        when(col("__bloom") === 0, lit(0))
+          .otherwise(SigExprs.anchorOverlap(col("__sh"), uniq)
+            .getField("n_inter"))
+          .cast("long").as("n_contam"))
+      .withColumn("contaminated", col("n_contam") > 0)
+  }
+
   /** Exact Jaccard of every document against one anchor document —
     * the O(n) similarity scan (anchor shingle set is a plan literal →
     * broadcast; single codegen'd pass, no shuffle). */

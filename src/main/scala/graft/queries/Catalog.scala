@@ -1109,6 +1109,41 @@ object Catalog {
         FROM toks t LEFT JOIN hits ON t.doc_id = hits.doc_id
         WHERE t.doc_id >= 5 ORDER BY 1""")),
 
+    // ── §7.5 decontamination, BLOOM-prefiltered (the d14 scale path
+    //    past plan-literal size): bloom bitset probe in the scan →
+    //    exact overlap only on bloom-positive rows. No false
+    //    negatives ⇒ output == the all-exact path, so the ORACLE IS
+    //    d14's — hash equality here proves the probabilistic
+    //    prefilter changes nothing but cost. ─────────────────────────
+    Q("d22_decontaminate_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .withColumn("__sh", Text.wordShingles(col("__toks"), 3))
+        val hold = docs.filter(col("doc_id") < 5)
+          .select(explode(col("__sh")).as("sh")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        Dedup.decontaminateBloom(
+          Tables.documents(s, d).filter(col("doc_id") >= 5),
+          "text", "doc_id", hold, shingleN = 3)
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          shing AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(t) - 2, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+              AS s
+            FROM toks),
+          hold AS (SELECT DISTINCT s FROM shing WHERE doc_id < 5),
+          hits AS (SELECT sh.doc_id, count(*) AS n
+            FROM shing sh JOIN hold h ON sh.s = h.s
+            WHERE sh.doc_id >= 5 GROUP BY 1)
+        SELECT t.doc_id, CAST(coalesce(hits.n, 0) AS BIGINT)
+            AS n_contam,
+          coalesce(hits.n, 0) > 0 AS contaminated
+        FROM toks t LEFT JOIN hits ON t.doc_id = hits.doc_id
+        WHERE t.doc_id >= 5 ORDER BY 1""")),
+
     // ── §7.5 within-doc repetition signals (Gopher-style quality
     //    rules): duplicate-2gram count and the top-token count. All
     //    integers (no float rounding risk); the top-token count folds
