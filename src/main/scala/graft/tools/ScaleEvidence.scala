@@ -161,6 +161,16 @@ object ScaleEvidence {
           .getField("n_inter").as("n"))
         .filter(col("n") > 0).count()
     }
+    timed("d22 decontaminate (bloom prefilter + exact verify)") {
+      val hold = corpus.filter(col("doc_id") < 5)
+        .withColumn("__toks", graft.functions.Text.tokens(col("text")))
+        .select(explode(graft.functions.Text.wordShingles(
+          col("__toks"), 3)).as("sh")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      Dedup.decontaminateBloom(corpus.filter(col("doc_id") >= 5),
+        "text", "doc_id", hold)
+        .filter(col("contaminated")).count()
+    }
     timed("d15 repetition signals (scan-only)") {
       corpus.withColumn("__toks",
         graft.functions.Text.tokens(col("text")))
