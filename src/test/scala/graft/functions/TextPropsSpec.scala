@@ -237,4 +237,52 @@ class TextPropsSpec extends SparkSpec {
       .select(Text.jaccard(col("x"), col("y"))).head().getDouble(0)
     assert(math.abs(j - 0.5) < 1e-12)
   }
+
+  test("dupNgramStats invariants over random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 12).map(i => s"w$i")
+    val docs = (0 until 40).map { i =>
+      (i.toLong,
+        Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = graft.dedup.Dedup
+      .dupNgramStats(docs, "text", "doc_id", shingleN = 3, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.CacheTracker.releaseAll()
+    assert(got.length == 40)                       // every doc reported
+    assert(got.forall { case (_, nSh, nDup) =>
+      nDup >= 0 && nDup <= nSh })                  // dup ⊆ distinct
+    // with minDocs = 1 every shingle is trivially "duplicated"
+    val all1 = graft.dedup.Dedup
+      .dupNgramStats(docs, "text", "doc_id", shingleN = 3, minDocs = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    graft.CacheTracker.releaseAll()
+    assert(all1.forall { case (nSh, nDup) => nDup == nSh })
+  }
+
+  test("quantizeInt8 invariants over random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(16)((rnd.nextFloat() * 2 - 1) *
+        math.pow(10, rnd.nextInt(5) - 2).toFloat))
+    }.toDF("id", "v")
+      .withColumn("ma", Vectors.maxAbs(col("v")))
+      .withColumn("q", Vectors.quantizeInt8(col("v"), col("ma")))
+      .select(col("v"), col("q")).collect()
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]](0)
+      val q = r.getAs[scala.collection.Seq[Byte]](1)
+      assert(q.length == v.length)
+      assert(q.forall(b => b >= -127 && b <= 127))  // int8 range, no wrap
+      // sign preserved wherever the magnitude survives rounding
+      v.zip(q).foreach { case (x, b) =>
+        if (b != 0) assert(math.signum(x.toDouble) == math.signum(b.toDouble)) }
+      // the max-|x| element quantizes to ±127 exactly
+      val iMax = v.indices.maxBy(i => math.abs(v(i).toDouble))
+      assert(math.abs(q(iMax).toInt) == 127)
+    }
+  }
 }
