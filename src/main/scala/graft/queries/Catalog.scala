@@ -1382,7 +1382,7 @@ object Catalog {
     //    the salted join ≡ the plain join (the oracle IS the plain
     //    join). floor(value·100) keeps the sum exact-integer. ────────
     Q("q24_skew_salted_join",
-      (s, d) => graft.query.SkewJoin.saltedEquiJoin(
+      (s, d) => graft.state.Layout.saltedEquiJoin(
         Tables.events(s, d), Tables.customer(s, d),
         col("user_id"), col("c_custkey"), col("event_id"), salts = 8)
         .groupBy("c_mktsegment")

@@ -100,4 +100,27 @@ object Layout {
       explode(array((0 until buckets).map(lit): _*)))
     salted.join(exploded, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** [[saltedJoin]] variant for differently-named key columns and a
+    * DETERMINISTIC salt: `pmod(xxhash64(saltSource), salts)` over a
+    * caller-provided unique column, so replays/retries route each
+    * fact row identically regardless of partition layout (the
+    * [[saltedJoin]] salt is layout-dependent — harmless for routing,
+    * but an oracle-compared query wants layout independence
+    * end-to-end; catalog q24 proves output ≡ the plain inner join).
+    * The dimension side is exploded ×`salts` — sized for dimension
+    * tables; for fact-fact skew, salt only the known hot keys and
+    * union with an unsalted join of the rest. */
+  def saltedEquiJoin(facts: DataFrame, dim: DataFrame,
+                     factKey: Column, dimKey: Column,
+                     saltSource: Column, salts: Int): DataFrame = {
+    require(salts >= 1, "salts >= 1")
+    val salted = facts.withColumn("__fsalt",
+      pmod(xxhash64(saltSource), lit(salts.toLong)).cast("int"))
+    val dimX = dim.withColumn("__dsalt",
+      explode(array((0 until salts).map(lit): _*)))
+    salted
+      .join(dimX, factKey === dimKey && col("__fsalt") === col("__dsalt"))
+      .drop("__fsalt", "__dsalt")
+  }
 }

@@ -230,7 +230,7 @@ object ScaleEvidence {
         graft.Tables.customer(spark, d)
           .withColumn("c_custkey", col("c_custkey") + i * 100000000L))
         .reduce(_ unionByName _)
-      graft.query.SkewJoin.saltedEquiJoin(ev, cust,
+      graft.state.Layout.saltedEquiJoin(ev, cust,
         col("user_id"), col("c_custkey"), col("event_id"), salts = 8)
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n")).count()

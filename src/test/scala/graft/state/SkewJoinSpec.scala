@@ -1,4 +1,4 @@
-package graft.query
+package graft.state
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
@@ -13,7 +13,7 @@ class SkewJoinSpec extends SparkSpec {
       .toDF("event_id", "k")
     val dim = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "unused"))
       .toDF("dk", "name")
-    val salted = SkewJoin.saltedEquiJoin(facts, dim,
+    val salted = Layout.saltedEquiJoin(facts, dim,
       col("k"), col("dk"), col("event_id"), salts = 8)
     val plain = facts.join(dim, col("k") === col("dk"))
     def canon(df: org.apache.spark.sql.DataFrame) =
@@ -34,7 +34,7 @@ class SkewJoinSpec extends SparkSpec {
     val facts = (1 to 50).map(i => (i.toLong, i.toLong % 5))
       .toDF("event_id", "k")
     val dim = (0L to 4L).map(k => (k, s"n$k")).toDF("dk", "name")
-    def run() = SkewJoin.saltedEquiJoin(facts.repartition(7), dim,
+    def run() = Layout.saltedEquiJoin(facts.repartition(7), dim,
       col("k"), col("dk"), col("event_id"), salts = 4)
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(run() == run())
