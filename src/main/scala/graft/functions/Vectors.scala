@@ -213,6 +213,55 @@ object Vectors {
     vectors.withColumn("cluster", greatest(scored: _*).getField("cid"))
   }
 
+  /** Train IVF centroids in-engine: Lloyd's k-means with the native
+    * [[ivfAssign]] assignment (one codegen scan per iteration) and a
+    * posexplode-per-dimension mean update (compact (cluster, dim)
+    * partial sums with map-side combine — the shuffle moves
+    * k·dim doubles per partition, never vectors). Completes the IVF
+    * story: [[ivfAssign]]/[[ivfTopK]] consume exactly this output.
+    *
+    * Init is a deterministic, layout-independent sample (k smallest
+    * md5(seed, id) — the relatedFeed draw). The loop is
+    * driver-coordinated like the gate fixpoint: `iters` is small and
+    * each step is one distributed pass; only k·dim floats ever reach
+    * the driver. Empty clusters keep their previous centroid.
+    *
+    * NOT oracle-gated: distributed float-mean association order makes
+    * the low bits engine- and partitioning-dependent (the documented
+    * reason d18-style rounding tricks don't apply to an ITERATED
+    * computation — rounding between iterations would change the
+    * trajectory). Convergence and separation are spec-asserted
+    * instead; v02 remains the oracle-gated consumer of fixed
+    * centroids. */
+  def kmeansFit(vectors: DataFrame, vecCol: String, idCol: String,
+                k: Int, iters: Int = 5,
+                seed: Long = 42L): Seq[(Int, Seq[Float])] = {
+    require(k >= 1 && iters >= 1, "kmeansFit: k, iters >= 1")
+    var cents: Seq[(Int, Seq[Float])] = vectors
+      .select(col(idCol).cast("string").as("__id"), col(vecCol).as("v"))
+      .orderBy(md5(concat_ws("#", lit(seed.toString), col("__id"))),
+        col("__id"))
+      .limit(k).collect().zipWithIndex
+      .map { case (r, i) =>
+        (i, r.getAs[scala.collection.Seq[Float]]("v").toSeq) }
+      .toSeq
+    for (_ <- 0 until iters) {
+      val means = ivfAssign(vectors, vecCol, cents)
+        .select(col("cluster"),
+          posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy("cluster", "__d")
+        .agg(avg(col("__x").cast("double")).as("__m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat)
+            .toSeq }
+      cents = cents.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
   /** IVF probe: search only the `nprobe` clusters whose centroids are
     * closest to the query, then exact top-k within them. With the
     * table partitioned by `cluster`, the filter prunes partitions at

@@ -148,6 +148,28 @@ class ProjectionsAndVectorsSpec extends SparkSpec {
       .contains("No Partition Defined"))
   }
 
+  test("kmeansFit recovers separated clusters; output feeds ivfAssign") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def pt(axis: Int) = Seq.tabulate(8)(d =>
+      ((if (d == axis) 5.0 else 0.0) + rnd.nextGaussian() * 0.05).toFloat)
+    val rows = (0 until 90).map { i =>
+      (i.toLong, pt(i / 30))            // 3 true clusters on axes 0/1/2
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val cents = Vectors.kmeansFit(df, "embedding", "vec_id",
+      k = 3, iters = 5)
+    assert(cents.size == 3)
+    val got = Vectors.ivfAssign(df, "embedding", cents)
+      .select("vec_id", "cluster").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // every true cluster maps to ONE label and the labels are distinct
+    val byTrue = got.groupBy(_._1 / 30).view
+      .mapValues(_.map(_._2).distinct).toMap
+    assert(byTrue.values.forall(_.size == 1), s"split cluster: $byTrue")
+    assert(byTrue.values.flatten.toSet.size == 3, s"merged: $byTrue")
+  }
+
   test("quantizeInt8: scale formula, zero vector, exact integer qdot") {
     import spark.implicits._
     val rows = Seq(
