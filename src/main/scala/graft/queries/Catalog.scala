@@ -1022,6 +1022,36 @@ object Catalog {
         SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
         FROM ranked WHERE rk <= 5 ORDER BY lang, rk""")),
 
+    // ── §7.5 quality-WEIGHTED sampling (FineWeb-style retention):
+    //    keep a doc with probability ≈ its quality score, via the
+    //    portable 60-bit md5 draw — deterministic, layout-independent,
+    //    identical in DuckDB (keep ⇔ draw < q·2^60; long→double
+    //    rounding is IEEE-identical in both engines, and the exact
+    //    boundary has measure ~2^-60). Complements d12's K-per-stratum
+    //    draw: this one thins by per-row WEIGHT, no window, no
+    //    shuffle — pure codegen filter at any scale. ─────────────────
+    Q("d23_quality_sample",
+      (s, d) => {
+        val toks = col("__toks")
+        Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .withColumn("q",
+            Text.qualityScoreFromToks(col("text"), toks))
+          .withColumn("__draw", Text.portableTokenHash(
+            concat(lit("qs#"), col("doc_id").cast("string"))))
+          .filter(col("__draw").cast("double") <
+            col("q") * lit(math.pow(2, 60)))
+          .select(col("doc_id"), col("q"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, q FROM (
+          SELECT doc_id, $sqlQuality AS q,
+            ('0x' || substr(md5('qs#' || CAST(doc_id AS VARCHAR)), 1, 15))
+              ::BIGINT AS draw
+          FROM documents)
+        WHERE CAST(draw AS DOUBLE) < q * 1152921504606846976.0
+        ORDER BY doc_id""")),
+
     // ── §7.5 PII redaction: scrub emails/phones before training.
     //    RE2-safe patterns (char classes + bounded repeats — no
     //    lookaround), so Java regex and DuckDB RE2 agree exactly.
