@@ -1052,6 +1052,60 @@ object Catalog {
         WHERE CAST(draw AS DOUBLE) < q * 1152921504606846976.0
         ORDER BY doc_id""")),
 
+    // ── §7.5 vocabulary induction: top-50 tokens by document
+    //    frequency (tokenizer vocab / stopword discovery). One explode
+    //    → distinct per doc → hash-agg with map-side combine → top-k
+    //    via TakeOrderedAndProject; all-integer outputs, full tie
+    //    chain (df, tf, token). ──────────────────────────────────────
+    Q("d24_vocab_topk",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), explode(Text.tokens(col("text")))
+            .as("tok"))
+        toks.groupBy("tok")
+          .agg(countDistinct(col("doc_id")).as("df"),
+            count(lit(1)).as("tf"))
+          .select(col("tok"), col("df").cast("long").as("df"),
+            col("tf").cast("long").as("tf"))
+          .orderBy(col("df").desc, col("tf").desc, col("tok").asc)
+          .limit(50)
+      },
+      Some(s"""SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+          CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+        GROUP BY tok ORDER BY df DESC, tf DESC, tok LIMIT 50""")),
+
+    // ── §7.5 BPE-pair statistics: the first merge-candidate table of
+    //    BPE tokenizer training — counts of ADJACENT token pairs
+    //    corpus-wide. The pair array is a zip of the token array with
+    //    its own tail (one codegen pass, no self-join); the count is
+    //    one hash-agg. Iterating merge→recount is this same row in a
+    //    driver loop. ────────────────────────────────────────────────
+    Q("d25_bpe_pair_stats",
+      (s, d) => {
+        val toks = col("__toks")
+        val pairs = Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .filter(size(toks) >= 2)
+          .select(explode(zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            // separator = the oracle's chr(1): unambiguous pair key
+            (a, b) => concat_ws("\u0001", a, b))).as("pair"))
+        pairs.groupBy("pair")
+          .agg(count(lit(1)).cast("long").as("n"))
+          .orderBy(col("n").desc, col("pair").asc)
+          .limit(20)
+      },
+      Some(s"""WITH t AS (SELECT $sqlToks AS tk FROM documents
+            WHERE len($sqlToks) >= 2),
+          p AS (SELECT unnest(list_transform(
+              range(1, len(tk)),
+              i -> tk[i] || chr(1) || tk[i + 1])) AS pair
+            FROM t)
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""")),
+
     // ── §7.5 PII redaction: scrub emails/phones before training.
     //    RE2-safe patterns (char classes + bounded repeats — no
     //    lookaround), so Java regex and DuckDB RE2 agree exactly.
