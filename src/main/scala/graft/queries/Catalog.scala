@@ -1404,6 +1404,48 @@ object Catalog {
         SELECT event_id, user_id, last_view_id FROM w
         WHERE event_type = 'purchase' ORDER BY event_id""")),
 
+    // ── §2.6-at-scale: time-RANGE join, binned — views within ±30 min
+    //    of each purchase, WITHOUT the naive cross-range explosion: a
+    //    view lands in ONE ⌊ts/30min⌋ bin, a purchase probes its bin
+    //    ±1 (any in-window view must be there), so the join is a plain
+    //    equi-shuffle on a compact long bin key + a residual |Δt|
+    //    filter — the batch analog of StreamJoin's watermark-bounded
+    //    interval join. Oracle = DuckDB's native inequality join. ────
+    Q("q25_range_join_binned",
+      (s, d) => {
+        val winUs = 1800L * 1000000L
+        val ev = Tables.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .select(unix_micros(col("ts")).as("v_us"))
+          .withColumn("bin", floor(col("v_us") / winUs))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), unix_micros(col("ts")).as("p_us"))
+        val probed = purchases
+          .withColumn("__b", floor(col("p_us") / winUs))
+          .withColumn("bin", explode(array(
+            col("__b") - 1, col("__b"), col("__b") + 1)))
+        val hits = probed.join(views, Seq("bin"))
+          .filter(abs(col("v_us") - col("p_us")) <= winUs)
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n"))
+        purchases.select("event_id")
+          .join(hits, Seq("event_id"), "left")
+          .select(col("event_id"),
+            coalesce(col("n"), lit(0L)).cast("long").as("n_views"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase'),
+          v AS (SELECT CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'view'),
+          hits AS (SELECT p.event_id, count(*) AS n
+            FROM p JOIN v ON v.ts BETWEEN p.ts - INTERVAL 30 MINUTE
+              AND p.ts + INTERVAL 30 MINUTE
+            GROUP BY 1)
+        SELECT p.event_id, CAST(coalesce(n, 0) AS BIGINT) AS n_views
+        FROM p LEFT JOIN hits USING (event_id)
+        ORDER BY event_id""")),
+
     // ── §7.5 corpus-wide duplicated n-grams (Lee et al. span-level
     //    dedup signal): per doc, distinct 3-shingles + how many occur
     //    in ≥2 docs corpus-wide. One shingle hash-agg + same-key join
