@@ -275,6 +275,23 @@ object Dedup {
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
   }
 
+  /** Retention policy after clustering: pick ONE survivor per
+    * near-dup cluster by a quality score (the real pipeline decision —
+    * the structural min-id label from [[neardupClusters]] says which
+    * docs are together, not which is worth keeping). Argmax =
+    * `min(struct(-score, id))`: partial-aggregatable (map-side
+    * combine), no window, ties broken by smallest id. One shuffle on
+    * the cluster id. */
+  def clusterSurvivors(clusters: DataFrame, scored: DataFrame,
+                       idCol: String, scoreCol: String): DataFrame =
+    clusters
+      .join(scored.select(col(idCol).as("id"),
+        col(scoreCol).as("__s")), "id")
+      .groupBy(col("cluster").as("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        min(struct((-col("__s")).as("ns"), col("id").as("i")))
+          .getField("i").as("keep_id"))
+
   /** Benchmark decontamination, bloom-prefiltered — the scale path
     * past [[graft.functions.BloomOverlapCount]]'s plan-literal limit
     * note: phase 1 probes each doc's shingles against a bloom BITSET

@@ -574,6 +574,44 @@ object Catalog {
         SELECT id AS doc_id, min(lbl) AS cluster_id
         FROM walk GROUP BY 1 ORDER BY 1""")),
 
+    // ── §7.5 cluster retention policy: ONE survivor per near-dup
+    //    cluster by QUALITY argmax (ties → smallest id) — the actual
+    //    keep/drop decision after d09's structural clustering. Argmax
+    //    = min(struct(-q, id)): partial-aggregatable, no window. ─────
+    Q("d26_cluster_survivors",
+      (s, d) => {
+        val toks = col("__toks")
+        val scored = Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .select(col("doc_id"),
+            Text.qualityScoreFromToks(col("text"), toks).as("q"))
+        Dedup.clusterSurvivors(
+          Dedup.neardupClusters(
+            Dedup.minhashLshPairs(Tables.documents(s, d),
+              "text", "doc_id", shingleN = 3, k = 32, bands = 8,
+              threshold = 0.2, seed = 42L)),
+          scored, "doc_id", "q")
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH RECURSIVE $sqlTruthPairs,
+        edges AS (SELECT ia AS src, ib AS dst FROM truth
+          UNION SELECT ib, ia FROM truth),
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        clus AS (SELECT id, min(lbl) AS cluster_id
+          FROM walk GROUP BY 1),
+        scored AS (SELECT doc_id, $sqlQuality AS q FROM documents),
+        r AS (SELECT c.cluster_id, c.id, s.q,
+            row_number() OVER (PARTITION BY c.cluster_id
+              ORDER BY s.q DESC, c.id) AS rn,
+            count(*) OVER (PARTITION BY c.cluster_id) AS n
+          FROM clus c JOIN scored s ON s.doc_id = c.id)
+        SELECT cluster_id, CAST(n AS BIGINT) AS n_members,
+          id AS keep_id
+        FROM r WHERE rn = 1 ORDER BY cluster_id""")),
+
     // ── §7.5 composed corpus filter (the C4/Gopher-style keep
     //    decision a training pipeline actually applies): language =
     //    en AND token budget in range; emits the quality score. One
@@ -656,6 +694,36 @@ object Catalog {
         CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS a
                     FROM embeddings WHERE vec_id = 0)
         ORDER BY sim DESC, vec_id LIMIT 20""")),
+
+    // ── §7.5 hard-negative mining (contrastive-training data prep):
+    //    top-10 most-similar vectors with a DIFFERENT label than the
+    //    anchor — v01's scan with a label filter; the label predicate
+    //    pushes to the parquet scan. ─────────────────────────────────
+    Q("v06_hard_negatives",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val anchor = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("a_emb"),
+            col("label").as("a_label"))
+        emb.crossJoin(broadcast(anchor))
+          .filter(col("label") =!= col("a_label"))
+          .select(col("vec_id"), col("label"),
+            round(Vectors.cosine(col("embedding"), col("a_emb")), 4)
+              .as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(10)
+      },
+      Some("""SELECT vec_id, label,
+          round(list_dot_product(e, a) /
+            (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(a, a))),
+            4) AS sim
+        FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings)
+        CROSS JOIN (SELECT label AS a_label,
+                      CAST(embedding AS DOUBLE[]) AS a
+                    FROM embeddings WHERE vec_id = 0)
+        WHERE label <> a_label
+        ORDER BY sim DESC, vec_id LIMIT 10""")),
 
     // ── §7.5 BPE-ish token counting (budget accounting) ─────────────
     Q("d06_bpeish_count",

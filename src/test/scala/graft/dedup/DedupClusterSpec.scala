@@ -43,6 +43,20 @@ class DedupClusterSpec extends SparkSpec {
       (4L, 3L, 1L)))
   }
 
+  test("clusterSurvivors: quality argmax per cluster, ties -> min id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L)).toDF("id", "cluster")
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9),
+      (10L, 0.1), (11L, 0.1)).toDF("doc_id", "q")
+    val got = Dedup.clusterSurvivors(clusters, scored, "doc_id", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // cluster 1: q-tie between 2 and 3 -> smaller id 2 (not max-q-any)
+    // cluster 10: tie -> 10
+    assert(got == Set((1L, 3L, 2L), (10L, 2L, 10L)))
+  }
+
   test("neardupClusters over real minhash pairs at sf0.001") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
