@@ -612,6 +612,32 @@ object Catalog {
           id AS keep_id
         FROM r WHERE rn = 1 ORDER BY cluster_id""")),
 
+    // ── §7.5 sequence packing (pretraining concat-and-chunk): docs
+    //    concatenated in doc_id order, split into 256-token windows;
+    //    a doc's pack = the window holding its START offset. The
+    //    global cumulative token count is Rank.globalRunningSum —
+    //    range sort + driver partition offsets + one streaming pass
+    //    per partition; no unpartitioned window, no re-shuffle.
+    //    Integer DIV/% both sides. ─────────────────────────────────
+    Q("d27_pack_sequences",
+      (s, d) => graft.query.Rank.globalRunningSum(
+        Tables.documents(s, d)
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("n_tokens")),
+        Seq(col("doc_id").asc), col("n_tokens"), "__cum")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("(__cum - n_tokens) DIV 256").as("pack_id"),
+          pmod(col("__cum") - col("n_tokens"), lit(256L)).as("pack_off"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id,
+            CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+          c AS (SELECT doc_id, n_tokens,
+            CAST(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t)
+        SELECT doc_id, n_tokens,
+          (cum - n_tokens) // 256 AS pack_id,
+          (cum - n_tokens) % 256 AS pack_off
+        FROM c ORDER BY doc_id""")),
+
     // ── §7.5 composed corpus filter (the C4/Gopher-style keep
     //    decision a training pipeline actually applies): language =
     //    en AND token budget in range; emits the quality score. One
@@ -1539,6 +1565,35 @@ object Catalog {
           coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup
         FROM documents d LEFT JOIN per USING (doc_id)
         ORDER BY doc_id""")),
+
+    // ── §7.5 BM25 ranked retrieval — the scoring upgrade over
+    //    q06/q21's raw-tf rank. One codegen tokenize scan → slim
+    //    (id, len, tf) projection; corpus stats are a 1-row broadcast;
+    //    TakeOrderedAndProject. Integer-valued inputs make every
+    //    aggregate order-independent-exact; oracle mirrors the IEEE
+    //    dag textually (see Bm25.scala). ──────────────────────────────
+    Q("q26_bm25",
+      (s, d) => graft.text.Bm25.score(Tables.documents(s, d),
+        col("text"), Seq("spark", "join"), 20),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          f AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS len,
+              CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf0,
+              CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf1
+            FROM toks),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              avg(len) AS avgdl,
+              CAST(count(*) FILTER (WHERE tf0 > 0) AS DOUBLE) AS df0,
+              CAST(count(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1
+            FROM f)
+        SELECT doc_id, round(
+            ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1 + 1.2)
+              / (tf0 + 1.2 * (1 - 0.75 + 0.75 * len / avgdl))
+          + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1 + 1.2)
+              / (tf1 + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 4)
+            AS score
+        FROM f CROSS JOIN st
+        WHERE tf0 > 0 OR tf1 > 0
+        ORDER BY score DESC, doc_id LIMIT 20""")),
 
     // ── §7.5 quantized ANN: int8 scalar quantization (floor(x·127/
     //    max|x| + 0.5), bit-identical in both engines) → integer-dot

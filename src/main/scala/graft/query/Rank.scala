@@ -29,6 +29,46 @@ import org.apache.spark.sql.functions._
   */
 object Rank {
 
+  /** Scale-safe global (inclusive) running sum of `value` in `sort`
+    * order — the distributed prefix sum. Same two-job shape as
+    * [[globalRowNumber]]: range-repartition + sort (cached), a tiny
+    * per-partition-sums job whose driver prefix-scan yields partition
+    * offsets, then ONE streaming pass per partition adds
+    * offset + local running sum. The local scan is `mapPartitions` —
+    * the legitimate per-partition-imperative case: O(1) state, zero
+    * extra shuffle (a window over a materialized partition-id column
+    * would re-shuffle the whole table; an unpartitioned window would
+    * collapse it to one task). `value` must be integral (summed as
+    * long).
+    */
+  def globalRunningSum(df: DataFrame, sort: Seq[Column], value: Column,
+                       outCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val sorted = CacheTracker.persistTracked(
+      df.withColumn("__v", value.cast("long"))
+        .repartitionByRange(sort: _*).sortWithinPartitions(sort: _*))
+    val sums = sorted
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("__v")).as("__s"))
+      .collect().map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("__s"))
+    val offsets = sums.sortBy(_._1).map(_._1)
+      .zip(sums.sortBy(_._1).map(_._2).scanLeft(0L)(_ + _)).toMap
+    val vIdx = sorted.schema.fieldIndex("__v")
+    val outSchema = sorted.schema.add(outCol, LongType, nullable = false)
+    sorted.mapPartitions { it =>
+      var acc = 0L
+      var off = Option.empty[Long]
+      it.map { r =>
+        if (off.isEmpty)
+          off = Some(offsets(org.apache.spark.TaskContext.getPartitionId()))
+        acc += r.getLong(vIdx)
+        Row.fromSeq(r.toSeq :+ (off.get + acc))
+      }
+    }(Encoders.row(outSchema))
+      .drop("__v")
+  }
+
   def globalRowNumber(df: DataFrame, sort: Seq[Column],
                       rankCol: String = "rank"): DataFrame = {
     val sorted = CacheTracker.persistTracked(

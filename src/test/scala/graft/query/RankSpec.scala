@@ -27,6 +27,24 @@ class RankSpec extends SparkSpec {
       .contains("Window"))
   }
 
+  test("globalRunningSum == unpartitioned window sum, distributed") {
+    import spark.implicits._
+    val df = (1 to 10000).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("k", "n")
+    val viaWindow = df.withColumn("cum", sum("n").over(
+      Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val summed = Rank.globalRunningSum(df, Seq(col("k").asc),
+      col("n"), "cum")
+    assert(summed.rdd.getNumPartitions > 1)
+    val got = summed.select("k", "cum")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.CacheTracker.releaseAll()
+    assert(got == viaWindow)
+    assert(!summed.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("globalRowNumber distributes ranks across many partitions") {
     import spark.implicits._
     // more rows than one partition would hold comfortably; ensure the
