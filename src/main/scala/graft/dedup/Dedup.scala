@@ -327,6 +327,62 @@ object Dedup {
       .withColumn("contaminated", col("n_contam") > 0)
   }
 
+  /** Cross-corpus overlap estimation: MinHash-sketch Jaccard between
+    * every pair of corpora (e.g. a crawl snapshot vs a curated set —
+    * "how much does corpus B duplicate corpus A" before committing to
+    * a merge). Emits (corpus_a, corpus_b, agree, est) where `agree`
+    * counts agreeing minimum positions of the two k-slot sketches and
+    * est = agree/k estimates shingle-set Jaccard.
+    *
+    * Hashing is the classic one-strong-hash + k universal rehashes:
+    * base h = 60-bit md5 of the shingle mod p, slot i applies
+    * (a_i·h + b_i) mod p with a_i/b_i derived from md5("a:i"/"b:i") —
+    * every step is exact integer arithmetic a DuckDB oracle reproduces
+    * bit-for-bit (no engine-private hash, unlike the xxhash64 scale
+    * path in [[minhashLshPairs]]). p < 2^30 keeps a·h inside a long
+    * under ANSI arithmetic.
+    *
+    * Scale shape: per-doc signature is one codegen pass over the
+    * shingle array (k·|shingles| multiply-mods, no explode of the
+    * shingle table); the only shuffles are the (corpus, slot) min —
+    * k rows per DOC into a map-side-combined aggregate, so the
+    * exchange carries ≈ partitions·corpora·k rows — and the final
+    * sketch-vs-sketch join over a corpora·k-row table (broadcast).
+    * Corpus count, not corpus size, bounds the pair stage. */
+  def corpusOverlap(docs: DataFrame, textCol: String,
+                    corpusCol: String, k: Int = 32,
+                    shingleN: Int = 3): DataFrame = {
+    val p = 1000000007L
+    def md5Long60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val aLit = array((0 until k).map(i =>
+      lit(md5Long60(s"a:$i") % (p - 1) + 1)): _*)
+    val bLit = array((0 until k).map(i =>
+      lit(md5Long60(s"b:$i") % p)): _*)
+    val sigs = docs
+      .select(col(corpusCol).as("corpus"),
+        Text.wordShingles(Text.tokens(col(textCol)), shingleN).as("__sh"))
+      .withColumn("__h0",
+        transform(col("__sh"), s => pmod(Text.portableTokenHash(s), lit(p))))
+      .filter(size(col("__h0")) > 0)
+      .select(col("corpus"),
+        posexplode(transform(sequence(lit(0), lit(k - 1)), i =>
+          array_min(transform(col("__h0"), h =>
+            pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1),
+              lit(p)))))).as(Seq("i", "h")))
+    val sketch = sigs.groupBy("corpus", "i").agg(min("h").as("mh"))
+    val a = sketch.toDF("corpus_a", "i", "ha")
+    val b = sketch.toDF("corpus_b", "i", "hb")
+    a.join(b, a("i") === b("i") && col("corpus_a") < col("corpus_b"))
+      .groupBy("corpus_a", "corpus_b")
+      .agg(sum(when(col("ha") === col("hb"), 1L).otherwise(0L))
+        .cast("long").as("agree"))
+      .withColumn("est", round(col("agree") / lit(k.toDouble), 4))
+  }
+
   /** Exact Jaccard of every document against one anchor document —
     * the O(n) similarity scan (anchor shingle set is a plan literal →
     * broadcast; single codegen'd pass, no shuffle). */

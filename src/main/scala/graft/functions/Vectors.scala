@@ -267,6 +267,77 @@ object Vectors {
     * table partitioned by `cluster`, the filter prunes partitions at
     * the source — the scan touches nprobe/nlist of the data.
     */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): WITHIN each
+    * group — an IVF cluster from [[ivfAssign]], or any
+    * curation-domain key — drop a vector when any SMALLER-id vector
+    * in the same group is more cosine-similar than `threshold`; the
+    * survivor of every near-duplicate neighborhood is its first
+    * (min-id) member. Returns the kept rows unchanged.
+    *
+    * Shape at 100 TB: the pairwise pass is the SemDeDup premise —
+    * all-pairs is only ever run per cluster, so the self-join
+    * equi-shuffles on the group key and each task is |cluster|²
+    * bounded (nlist controls it; re-cluster hotspots before running).
+    * The drop set is distinct ids (slim), removed with a left-anti
+    * join on id. No window, no driver collection.
+    */
+  def semdedupKeep(vectors: DataFrame, vecCol: String, idCol: String,
+                   groupCol: String, threshold: Double): DataFrame = {
+    // Norms are computed ONCE per input row (projection below sits
+    // before the join), so each of the |cluster|² candidate pairs
+    // costs a single dot: cos(a,b) ≥ t ⟺ dot ≥ t·|a|·|b| (guarded
+    // for zero vectors, whose cosine is defined as 0 — never dropped
+    // by a positive threshold). Rearrangement error ~1e-15 — only a
+    // pair sitting exactly on the threshold could flip.
+    val slim = vectors.select(col(groupCol).as("__g"),
+      col(idCol).as("__i"), col(vecCol).as("__v"))
+      .withColumn("__n", norm(col("__v")))
+    val dropped = slim
+      .toDF("__g", "__ia", "__va", "__na")
+      .join(slim.toDF("__g", "__ib", "__vb", "__nb"), "__g")
+      .filter(col("__ib") < col("__ia") &&
+        col("__na") * col("__nb") > 0 &&
+        dot(col("__va"), col("__vb")) >=
+          lit(threshold) * (col("__na") * col("__nb")))
+      .select(col("__ia")).distinct()
+    vectors.join(dropped, col(idCol) === col("__ia"), "left_anti")
+  }
+
+  /** Prototypicality pruning (the other half of cluster-based
+    * curation, à la SemDeDup/SSL-prototypes): per-group MEAN centroid,
+    * each member's cosine to its centroid, and the k LEAST
+    * prototypical members per group (rank ties → min id). Returns
+    * (group, id, sim) for the outliers — the rows a curation pass
+    * reviews or drops.
+    *
+    * Shape at 100 TB: centroids are a (group, dim)-key hash aggregate
+    * (map-side combined, like [[kmeansFit]]'s mean step) re-assembled
+    * to one array row per group — #groups·dim rows, broadcast back.
+    * The bottom-k filter is a group-partitioned `row_number` ≤ k:
+    * Spark plants partial `WindowGroupLimit` before the shuffle, so
+    * each map task forwards at most k rows per group. */
+  def centroidOutliers(vectors: DataFrame, vecCol: String,
+                       idCol: String, groupCol: String,
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = vectors
+      .select(col(groupCol).as("__g"),
+        posexplode(col(vecCol).cast("array<double>"))
+          .as(Seq("__p", "__x")))
+      .groupBy("__g", "__p").agg(avg(col("__x")).as("__m"))
+      .groupBy("__g")
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"), col("__m")))),
+        s => s.getField("__m")).as("__cen"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__sim").asc, col(idCol).asc)
+    vectors.join(broadcast(cents), col(groupCol) === col("__g"))
+      .withColumn("__sim", cosine(col(vecCol), col("__cen")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(groupCol), col(idCol), round(col("__sim"), 4).as("sim"))
+  }
+
   def ivfTopK(assigned: DataFrame, vecCol: String,
               centroids: Seq[(Int, Seq[Float])], query: Seq[Float],
               k: Int, nprobe: Int, idCol: String = "vec_id",

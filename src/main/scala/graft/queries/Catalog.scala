@@ -751,6 +751,55 @@ object Catalog {
         WHERE label <> a_label
         ORDER BY sim DESC, vec_id LIMIT 10""")),
 
+    // ── §7.5 SemDeDup (Abbas et al. 2023): per-cluster semantic
+    //    dedup — drop a vector when any smaller-id same-group vector
+    //    has cosine ≥ 0.3 (survivor = first member of each
+    //    neighborhood). All-pairs only within a group (the SemDeDup
+    //    premise: cluster first, |cluster|² bounded), equi-shuffle on
+    //    the group key, slim distinct drop set, anti join back.
+    //    Nearest pair sits 1.9e-4 from the threshold — far beyond
+    //    any cross-engine float gap. ─────────────────────────────────
+    Q("v07_semdedup",
+      (s, d) => Vectors.semdedupKeep(Tables.embeddings(s, d),
+        "embedding", "vec_id", "label", threshold = 0.3)
+        .select("vec_id", "label")
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, label,
+            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          dr AS (SELECT DISTINCT a.vec_id FROM e a JOIN e b
+            ON a.label = b.label AND b.vec_id < a.vec_id
+            WHERE list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))) >= 0.3)
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id NOT IN (SELECT vec_id FROM dr)
+        ORDER BY vec_id""")),
+
+    // ── §7.5 prototypicality pruning: per-label mean centroid →
+    //    cosine to centroid → 5 least-prototypical members per label
+    //    (partial WindowGroupLimit caps map output at k per group;
+    //    centroids broadcast). Rank-boundary gaps ≥ 1.9e-3 at this SF
+    //    — far beyond aggregation-order float noise. ────────────────
+    Q("v08_centroid_outliers",
+      (s, d) => Vectors.centroidOutliers(Tables.embeddings(s, d),
+        "embedding", "vec_id", "label", k = 5)
+        .orderBy("label", "vec_id"),
+      Some("""WITH e AS (SELECT vec_id, label,
+            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          x AS (SELECT label, i, avg(v[i]) AS m
+            FROM e, range(1, 65) t(i) GROUP BY 1, 2),
+          c AS (SELECT label, list(m ORDER BY i) AS cen
+            FROM x GROUP BY 1),
+          s AS (SELECT e.vec_id, e.label,
+              list_dot_product(e.v, c.cen) /
+                (sqrt(list_dot_product(e.v, e.v)) *
+                 sqrt(list_dot_product(c.cen, c.cen))) AS sim
+            FROM e JOIN c USING (label)),
+          r AS (SELECT *, row_number() OVER (PARTITION BY label
+              ORDER BY sim, vec_id) AS rn FROM s)
+        SELECT label, vec_id, round(sim, 4) AS sim
+        FROM r WHERE rn <= 5 ORDER BY label, vec_id""")),
+
     // ── §7.5 BPE-ish token counting (budget accounting) ─────────────
     Q("d06_bpeish_count",
       (s, d) => Tables.documents(s, d)
@@ -1565,6 +1614,66 @@ object Catalog {
           coalesce(n_dup, CAST(0 AS BIGINT)) AS n_dup
         FROM documents d LEFT JOIN per USING (doc_id)
         ORDER BY doc_id""")),
+
+    // ── §7.5 cross-corpus MinHash overlap: sketch-level Jaccard
+    //    between every source pair (pre-merge contamination check).
+    //    One-strong-hash + k universal rehashes, all exact integer
+    //    math mod 1e9+7 → the oracle reproduces every slot
+    //    bit-for-bit. Shuffles: (corpus, slot) min (map-side
+    //    combined, ≈ corpora·k rows) + a 640-row sketch self-join. ───
+    Q("m03_corpus_overlap",
+      (s, d) => Dedup.corpusOverlap(Tables.documents(s, d),
+        "text", "source", k = 32, shingleN = 3)
+        .orderBy("corpus_a", "corpus_b"),
+      Some(s"""WITH toks AS (SELECT source, $sqlToks AS t FROM documents),
+          shing AS (SELECT source, unnest(list_transform(
+              range(1, greatest(len(t) - 2, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 2), ' '))) AS sh
+            FROM toks),
+          h0 AS (SELECT source,
+              ('0x' || substr(md5(sh), 1, 15))::BIGINT % 1000000007 AS h
+            FROM shing),
+          ab AS (SELECT i,
+              ('0x' || substr(md5('a:' || i), 1, 15))::BIGINT
+                % 1000000006 + 1 AS a,
+              ('0x' || substr(md5('b:' || i), 1, 15))::BIGINT
+                % 1000000007 AS b
+            FROM range(0, 32) t(i)),
+          sk AS (SELECT source, i, min((a * h + b) % 1000000007) AS mh
+            FROM h0 CROSS JOIN ab GROUP BY 1, 2),
+          pr AS (SELECT x.source AS corpus_a, y.source AS corpus_b,
+              CAST(sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)
+                AS BIGINT) AS agree
+            FROM sk x JOIN sk y
+              ON x.i = y.i AND x.source < y.source
+            GROUP BY 1, 2)
+        SELECT corpus_a, corpus_b, agree,
+          round(agree / 32.0, 4) AS est
+        FROM pr ORDER BY corpus_a, corpus_b""")),
+
+    // ── §7.5 unigram-LM surprisal (CCNet-style corpus-relative
+    //    quality): per-token cost quantized to integer micro-nats
+    //    BEFORE the per-doc sum — exact integer aggregation, no
+    //    float-sum-order surface (see UnigramLm.scala; measured
+    //    .5-boundary margin ≥0.02 vs a ≤2e-10 libm gap). ────────────
+    Q("d28_unigram_nll",
+      (s, d) => graft.text.UnigramLm.surprisal(
+        Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS tok
+            FROM documents),
+          cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cf
+            FROM toks GROUP BY 1),
+          n AS (SELECT CAST(sum(cf) AS BIGINT) AS n FROM cf),
+          per AS (SELECT doc_id, CAST(round(1e6 *
+              ln(CAST(n AS DOUBLE) / cf)) AS BIGINT) AS c
+            FROM toks JOIN cf USING (tok) CROSS JOIN n),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(c) AS BIGINT) AS nll_micro
+            FROM per GROUP BY 1)
+        SELECT doc_id, n_tokens, nll_micro,
+          round(nll_micro / 1e6 / n_tokens, 4) AS avg_nll
+        FROM agg ORDER BY doc_id""")),
 
     // ── §7.5 BM25 ranked retrieval — the scoring upgrade over
     //    q06/q21's raw-tf rank. One codegen tokenize scan → slim
