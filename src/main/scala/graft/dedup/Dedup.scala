@@ -373,7 +373,11 @@ object Dedup {
           array_min(transform(col("__h0"), h =>
             pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1),
               lit(p)))))).as(Seq("i", "h")))
-    val sketch = sigs.groupBy("corpus", "i").agg(min("h").as("mh"))
+    // corpora·k rows; persisted because both sides of the pair join
+    // read it — without this the whole shingle-hash subtree runs twice
+    // (verified in the formatted plan: no ReusedExchange fires)
+    val sketch = CacheTracker.persistTracked(
+      sigs.groupBy("corpus", "i").agg(min("h").as("mh")))
     val a = sketch.toDF("corpus_a", "i", "ha")
     val b = sketch.toDF("corpus_b", "i", "hb")
     a.join(b, a("i") === b("i") && col("corpus_a") < col("corpus_b"))

@@ -25,7 +25,8 @@ object PlanAudit {
       "d14_decontaminate", "d15_repetition", "d16_top_tfidf_term",
       "d17_sessionize", "d18_percentiles", "d19_asof_join",
       "d20_dup_ngrams", "d21_nfc_normalize", "v05_quantized_rerank",
-      "q24_skew_salted_join")) {
+      "q24_skew_salted_join", "v07_semdedup", "v08_centroid_outliers",
+      "m03_corpus_overlap", "d28_unigram_nll")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(
