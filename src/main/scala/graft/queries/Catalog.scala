@@ -1675,6 +1675,53 @@ object Catalog {
           round(nll_micro / 1e6 / n_tokens, 4) AS avg_nll
         FROM agg ORDER BY doc_id""")),
 
+    // ── §7.5 count-min sketch heavy hitters: the mergeable d·w
+    //    sketch (4×1024) built in one map-side-combined groupBy;
+    //    top-20 exact terms get their sketch estimates (est ≥ exact
+    //    by construction; the overestimate IS part of the verified
+    //    output — same portable universal-hash family as m03, so the
+    //    oracle rebuilds the identical sketch). ──────────────────────
+    Q("q27_cms_heavy",
+      (s, d) => {
+        val cached = graft.CacheTracker.persistTracked(
+          Tables.documents(s, d)
+            .select(explode(Text.tokens(col("text"))).as("tok")))
+        val sk = graft.functions.CountMin.sketch(cached, "tok")
+        val top = cached.groupBy("tok")
+          .agg(count(lit(1)).cast("long").as("exact"))
+          .orderBy(col("exact").desc, col("tok")).limit(20)
+        graft.functions.CountMin.estimate(sk, top, "tok")
+          .join(top, "tok")
+          .select(col("tok").as("term"), col("exact"),
+            col("est").cast("long").as("est"))
+          .orderBy(col("exact").desc, col("term"))
+      },
+      Some(s"""WITH toks AS (SELECT unnest($sqlToks) AS tok
+            FROM documents),
+          ab AS (SELECT j,
+              ('0x' || substr(md5('a:' || j), 1, 15))::BIGINT
+                % 1000000006 + 1 AS a,
+              ('0x' || substr(md5('b:' || j), 1, 15))::BIGINT
+                % 1000000007 AS b
+            FROM range(0, 4) t(j)),
+          cms AS (SELECT j,
+              ((a * (('0x' || substr(md5(tok), 1, 15))::BIGINT
+                  % 1000000007) + b) % 1000000007) % 1024 AS b2,
+              CAST(count(*) AS BIGINT) AS c
+            FROM toks CROSS JOIN ab GROUP BY 1, 2),
+          ex AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact
+            FROM toks GROUP BY 1
+            ORDER BY exact DESC, tok LIMIT 20),
+          est AS (SELECT tok, min(c) AS est
+            FROM (SELECT ex.tok, j,
+                ((a * (('0x' || substr(md5(ex.tok), 1, 15))::BIGINT
+                    % 1000000007) + b) % 1000000007) % 1024 AS b2
+              FROM ex CROSS JOIN ab) q
+            JOIN cms USING (j, b2) GROUP BY 1)
+        SELECT ex.tok AS term, exact, CAST(est AS BIGINT) AS est
+        FROM ex JOIN est USING (tok)
+        ORDER BY exact DESC, term""")),
+
     // ── §7.5 BM25 ranked retrieval — the scoring upgrade over
     //    q06/q21's raw-tf rank. One codegen tokenize scan → slim
     //    (id, len, tf) projection; corpus stats are a 1-row broadcast;

@@ -236,6 +236,41 @@ object ScaleEvidence {
         .agg(count(lit(1)).as("n")).count()
     }
 
+    println("== semantic curation (10x) ==")
+    // embeddings replicate with SALTED labels: 10× the cluster count,
+    // constant cluster size — the SemDeDup scale model (nlist grows
+    // with the corpus; per-task all-pairs stays |cluster|²-bounded).
+    val emb10 = {
+      val e0 = graft.Tables.embeddings(spark, d)
+      (0 until reps).map(i => e0
+        .withColumn("vec_id", col("vec_id") + i * 100000000L)
+        .withColumn("label", col("label") + i * 100))
+        .reduce(_ unionByName _)
+    }
+    timed("v07 semdedup keep-set (20k vecs, 100 clusters)") {
+      graft.functions.Vectors.semdedupKeep(emb10, "embedding",
+        "vec_id", "label", threshold = 0.3).count()
+    }
+    timed("v08 centroid outliers (bottom-5 per cluster)") {
+      graft.functions.Vectors.centroidOutliers(emb10, "embedding",
+        "vec_id", "label", k = 5).count()
+    }
+    // sources salted per replica: 200 corpora → the pair stage grows
+    // quadratically in CORPUS COUNT (the axis that matters; sketch
+    // table is still only corpora·k rows)
+    val docsSalted = corpus.withColumn("source",
+      concat(lit("s"), pmod(col("doc_id"), lit(200L))))
+    timed("m03 corpus overlap (200 corpora, 19900 pairs)") {
+      val n = Dedup.corpusOverlap(docsSalted, "text", "source",
+        k = 32).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed("d28 unigram surprisal (50k docs)") {
+      val n = graft.text.UnigramLm.surprisal(corpus, "text", "doc_id")
+        .count()
+      graft.CacheTracker.releaseAll(); n
+    }
+
     // ── bucketed streaming merge at 500k stored posts ───────────────
     println("== streaming merge (bucketed seed lookup) ==")
     val nPosts = 500000L
