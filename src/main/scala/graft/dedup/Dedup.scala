@@ -353,15 +353,10 @@ object Dedup {
                     corpusCol: String, k: Int = 32,
                     shingleN: Int = 3): DataFrame = {
     val p = 1000000007L
-    def md5Long60(s: String): Long = {
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.substring(0, 15), 16)
-    }
     val aLit = array((0 until k).map(i =>
-      lit(md5Long60(s"a:$i") % (p - 1) + 1)): _*)
+      lit(Text.portableHashLocal(s"a:$i") % (p - 1) + 1)): _*)
     val bLit = array((0 until k).map(i =>
-      lit(md5Long60(s"b:$i") % p)): _*)
+      lit(Text.portableHashLocal(s"b:$i") % p)): _*)
     val sigs = docs
       .select(col(corpusCol).as("corpus"),
         Text.wordShingles(Text.tokens(col(textCol)), shingleN).as("__sh"))

@@ -29,20 +29,14 @@ object CountMin {
 
   private val P = 1000000007L
 
-  private def md5Long60(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
-
   private def bucketCols(tok: Column, depth: Int, width: Int): Column =
     transform(sequence(lit(0), lit(depth - 1)), j => {
       // a_j/b_j are driver-side constants folded into the plan; the
       // per-row work is one md5 + depth multiply-mods
       val aLit = array((0 until depth).map(i =>
-        lit(md5Long60(s"a:$i") % (P - 1) + 1)): _*)
+        lit(Text.portableHashLocal(s"a:$i") % (P - 1) + 1)): _*)
       val bLit = array((0 until depth).map(i =>
-        lit(md5Long60(s"b:$i") % P)): _*)
+        lit(Text.portableHashLocal(s"b:$i") % P)): _*)
       pmod(pmod(element_at(aLit, j + 1) *
         pmod(Text.portableTokenHash(tok), lit(P)) +
         element_at(bLit, j + 1), lit(P)), lit(width))

@@ -244,6 +244,15 @@ object Text {
   def portableTokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
+  /** Driver-side twin of [[portableTokenHash]] — same 60-bit value,
+    * for deriving plan-literal constants (hash-family coefficients,
+    * sign matrices) that SQL oracles re-derive via md5(). */
+  def portableHashLocal(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** SimHash via the native codegen expression ([[SimHashExpr]]) over
     * pre-hashed tokens — same bits as [[simhash64]], one generated
     * loop per row instead of 64 composed ops per token. */

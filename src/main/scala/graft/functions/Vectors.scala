@@ -23,6 +23,22 @@ object Vectors {
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }
 
+  /** Johnson-Lindenstrauss ±1 random projection (Achlioptas 2003:
+    * the database-friendly sign matrix): inDim → outDim, entry
+    * sign(j,i) derived from the parity of md5("s:j:i") — a
+    * plan-literal constant matrix both engines re-derive exactly, so
+    * projected values are oracle-reproducible (each slot is the same
+    * left-to-right IEEE dot the cosine rows already rely on).
+    *
+    * Scale shape: outDim dots per row, pure codegen, no shuffle —
+    * the preprocessing step that shrinks every downstream ANN/pair
+    * shuffle by inDim/outDim while preserving distances to (1±ε). */
+  def jlProject(vec: Column, inDim: Int, outDim: Int): Column = {
+    val signs = (0 until outDim).map(j => (1 to inDim).map(i =>
+      if (Text.portableHashLocal(s"s:$j:$i") % 2 == 0) 1.0 else -1.0))
+    array(signs.map(sj => dot(vec, typedLit(sj))): _*)
+  }
+
   /** Exact top-k by cosine similarity against one query vector.
     * The query vector is inlined as a literal → shipped with the plan
     * (broadcast), so this is a single scan + TakeOrderedAndProject:

@@ -751,6 +751,42 @@ object Catalog {
         WHERE label <> a_label
         ORDER BY sim DESC, vec_id LIMIT 10""")),
 
+    // ── §7.5 JL ±1 random projection: 64 → 16 dims (Achlioptas sign
+    //    matrix from md5 parity — plan-literal, oracle re-derives it),
+    //    then v01's top-k over the PROJECTED vectors. The shape that
+    //    shrinks every downstream pair/ANN shuffle 4×; rank quality
+    //    vs the exact v01 ranking is visible in the output. ─────────
+    Q("v09_jl_topk",
+      (s, d) => {
+        val proj = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            Vectors.jlProject(col("embedding"), 64, 16).as("pv"))
+        val anchor = proj.filter(col("vec_id") === 0)
+          .select(col("pv").as("apv"))
+        proj.crossJoin(broadcast(anchor))
+          .select(col("vec_id"),
+            round(Vectors.cosine(col("pv"), col("apv")), 4).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+          sg AS (SELECT j, list(CASE WHEN
+                ('0x' || substr(md5('s:' || j || ':' || i), 1, 15))
+                  ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END
+              ORDER BY i) AS s
+            FROM range(0, 16) t(j), range(1, 65) u(i) GROUP BY j),
+          p AS (SELECT vec_id,
+              list(list_dot_product(v, s) ORDER BY j) AS pv
+            FROM e CROSS JOIN sg GROUP BY vec_id),
+          a AS (SELECT pv AS apv FROM p WHERE vec_id = 0)
+        SELECT vec_id,
+          round(list_dot_product(pv, apv) /
+            (sqrt(list_dot_product(pv, pv)) *
+             sqrt(list_dot_product(apv, apv))), 4) AS sim
+        FROM p CROSS JOIN a
+        ORDER BY sim DESC, vec_id LIMIT 20""")),
+
     // ── §7.5 SemDeDup (Abbas et al. 2023): per-cluster semantic
     //    dedup — drop a vector when any smaller-id same-group vector
     //    has cosine ≥ 0.3 (survivor = first member of each
@@ -1193,6 +1229,37 @@ object Catalog {
               ::BIGINT AS draw
           FROM documents)
         WHERE CAST(draw AS DOUBLE) < q * 1152921504606846976.0
+        ORDER BY doc_id""")),
+
+    // ── §7.5 domain-mixture resampling (DoReMi-style rebalancing):
+    //    downsample every language stratum to the SMALLEST one's
+    //    share — keep-prob = min_count/count(lang), decided by the
+    //    same portable 2^60 md5 draw as d23 (per-row codegen filter;
+    //    the stratum counts are a broadcast 5-row aggregate). The
+    //    third sampling shape: d12 = K per stratum, d23 = per-row
+    //    weight, d29 = equalize strata. ───────────────────────────────
+    Q("d29_mixture_resample",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val cnts = docs.groupBy("lang").agg(count(lit(1)).as("__n"))
+        val minc = cnts.agg(min("__n").as("__m"))
+        docs.join(broadcast(cnts), "lang").crossJoin(broadcast(minc))
+          .withColumn("__draw", Text.portableTokenHash(
+            concat(lit("mix#"), col("doc_id").cast("string"))))
+          .filter(col("__draw").cast("double") <
+            col("__m").cast("double") / col("__n") *
+              lit(math.pow(2, 60)))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY 1),
+          m AS (SELECT min(n) AS mn FROM c)
+        SELECT doc_id, lang
+        FROM documents JOIN c USING (lang) CROSS JOIN m
+        WHERE CAST(('0x' || substr(md5('mix#' ||
+              CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+          < CAST(mn AS DOUBLE) / n * 1152921504606846976.0
         ORDER BY doc_id""")),
 
     // ── §7.5 vocabulary induction: top-50 tokens by document

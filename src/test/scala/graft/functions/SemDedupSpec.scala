@@ -53,6 +53,23 @@ class SemDedupSpec extends SparkSpec {
     assert(got.size == 2) // one outlier per group
   }
 
+  test("jlProject: deterministic, right arity, sign-structure sane") {
+    import spark.implicits._
+    val v = Seq((1L, Seq.fill(8)(1f)), (2L, Seq.fill(8)(1f)),
+      (3L, (1 to 8).map(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val p = v.select(col("vec_id"),
+      Vectors.jlProject(col("embedding"), 8, 4).as("pv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // arity and determinism: identical inputs project identically
+    assert(p(1L).length == 4 && p(1L) == p(2L))
+    // ±1 matrix over an all-ones vector: each slot is an integer in
+    // [-8, 8] (the column-sum of 8 signs)
+    assert(p(1L).forall(x => x == Math.rint(x) && Math.abs(x) <= 8))
+    // distinct inputs must not collapse to the same projection
+    assert(p(1L) != p(3L))
+  }
+
   test("group boundary is respected even for identical vectors") {
     // ids 1 and 5 are identical but in different groups: both kept
     val kept = Vectors.semdedupKeep(vecs, "embedding", "vec_id",
