@@ -1895,6 +1895,99 @@ object Catalog {
           CAST(length(nfc_normalize(text || ' cafe' || chr(769)))
             AS BIGINT) AS n_nfc,
           md5(nfc_normalize(text || ' cafe' || chr(769))) AS fp
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ── §2.5/§7.5 multi-level aggregation (ROLLUP / grouping sets):
+    //    the corpus-report shape — per (type, month), per type, and
+    //    grand total in ONE pass. Spark plans rollup as a single
+    //    Expand + hash aggregate (no re-scan per level); `grouping()`
+    //    disambiguates rollup-NULL from data-NULL. Value sums are
+    //    quantized to cents PER ROW before summing (exact integer
+    //    aggregation, no float-order surface — d28 pattern). ─────────
+    Q("q28_rollup",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM").as("month"),
+          round(col("value") * 100, 0).cast("long").as("__cents"))
+        .rollup("event_type", "month")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("__cents")).as("value_cents"),
+          grouping(col("event_type")).as("__g1"),
+          grouping(col("month")).as("__g2"))
+        .select(
+          when(col("__g1") === 1, lit("ALL"))
+            .otherwise(col("event_type")).as("event_type"),
+          when(col("__g2") === 1, lit("ALL"))
+            .otherwise(col("month")).as("month"),
+          col("n"), col("value_cents"))
+        .orderBy("event_type", "month"),
+      Some("""WITH b AS (SELECT event_type,
+            strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events)
+        SELECT
+          CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+               ELSE event_type END AS event_type,
+          CASE WHEN GROUPING(month) = 1 THEN 'ALL'
+               ELSE month END AS month,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM b GROUP BY ROLLUP (event_type, month)
+        ORDER BY event_type, month""")),
+
+    // ── §7.5 link-graph centrality (PageRank, 5 power iterations):
+    //    the source-quality weight corpus curation ranks domains by.
+    //    Graph = the symmetrized supplier↔part bipartite graph from
+    //    lineitem (distinct pairs; every node has in+out edges by
+    //    construction). Exact integer micro-unit arithmetic → the
+    //    oracle unrolls the same 5 iterations in SQL and matches
+    //    bit-for-bit. See LinkGraph.scala for the per-iteration
+    //    shuffle budget. ──────────────────────────────────────────────
+    Q("q29_pagerank",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_suppkey").cast("long").as("sk"),
+            col("l_partkey").cast("long").as("pk"))
+          .distinct()
+        val edges = li.select(
+            concat(lit("s:"), col("sk")).as("src"),
+            concat(lit("p:"), col("pk")).as("dst"))
+          .unionByName(li.select(
+            concat(lit("p:"), col("pk")).as("src"),
+            concat(lit("s:"), col("sk")).as("dst")))
+        graft.graph.LinkGraph.pageRank(edges, iters = 5)
+          .orderBy("node")
+      },
+      Some("""WITH e0 AS (SELECT DISTINCT
+            CAST(l_suppkey AS BIGINT) AS sk,
+            CAST(l_partkey AS BIGINT) AS pk FROM lineitem),
+        edges AS (SELECT 's:' || sk AS src, 'p:' || pk AS dst FROM e0
+          UNION ALL SELECT 'p:' || pk, 's:' || sk FROM e0),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+        er AS (SELECT e.src, e.dst, d.outdeg
+          FROM edges e JOIN deg d USING (src)),
+        r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr
+          FROM deg),
+        r1 AS (SELECT er.dst AS node,
+            CAST(150000 + (85 * sum(r.pr // er.outdeg)) // 100
+              AS BIGINT) AS pr
+          FROM er JOIN r0 r ON r.node = er.src GROUP BY 1),
+        r2 AS (SELECT er.dst AS node,
+            CAST(150000 + (85 * sum(r.pr // er.outdeg)) // 100
+              AS BIGINT) AS pr
+          FROM er JOIN r1 r ON r.node = er.src GROUP BY 1),
+        r3 AS (SELECT er.dst AS node,
+            CAST(150000 + (85 * sum(r.pr // er.outdeg)) // 100
+              AS BIGINT) AS pr
+          FROM er JOIN r2 r ON r.node = er.src GROUP BY 1),
+        r4 AS (SELECT er.dst AS node,
+            CAST(150000 + (85 * sum(r.pr // er.outdeg)) // 100
+              AS BIGINT) AS pr
+          FROM er JOIN r3 r ON r.node = er.src GROUP BY 1),
+        r5 AS (SELECT er.dst AS node,
+            CAST(150000 + (85 * sum(r.pr // er.outdeg)) // 100
+              AS BIGINT) AS pr
+          FROM er JOIN r4 r ON r.node = er.src GROUP BY 1)
+        SELECT node, pr FROM r5 ORDER BY node"""))
   )
 }
