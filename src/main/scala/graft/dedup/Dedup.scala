@@ -342,37 +342,41 @@ object Dedup {
     * path in [[minhashLshPairs]]). p < 2^30 keeps a·h inside a long
     * under ANSI arithmetic.
     *
-    * Scale shape: per-doc signature is one codegen pass over the
-    * shingle array (k·|shingles| multiply-mods, no explode of the
-    * shingle table); the only shuffles are the (corpus, slot) min —
-    * k rows per DOC into a map-side-combined aggregate, so the
-    * exchange carries ≈ partitions·corpora·k rows — and the final
-    * sketch-vs-sketch join over a corpora·k-row table (broadcast).
+    * Scale shape: tokens → shingles → base hash runs ONCE per doc
+    * inside a single Generate (a generator's child is evaluated once
+    * per input row — a materialization barrier CollapseProject cannot
+    * undo; the previous per-doc k-array-of-lambdas shape got its hash
+    * pass inlined into the slot lambda and re-ran it k times per row,
+    * a measured 20× on the bench). The exploded (corpus, h) rows then
+    * feed ONE hash aggregate computing all k slot-mins per corpus —
+    * map-side partial combine reduces each task to corpora·k values,
+    * so the only shuffles are that ≈ partitions·corpora·k-row
+    * exchange and the final corpora·k sketch self-join (broadcast).
     * Corpus count, not corpus size, bounds the pair stage. */
   def corpusOverlap(docs: DataFrame, textCol: String,
                     corpusCol: String, k: Int = 32,
                     shingleN: Int = 3): DataFrame = {
     val p = 1000000007L
-    val aLit = array((0 until k).map(i =>
-      lit(Text.portableHashLocal(s"a:$i") % (p - 1) + 1)): _*)
-    val bLit = array((0 until k).map(i =>
-      lit(Text.portableHashLocal(s"b:$i") % p)): _*)
-    val sigs = docs
+    val as = (0 until k).map(i =>
+      Text.portableHashLocal(s"a:$i") % (p - 1) + 1)
+    val bs = (0 until k).map(i => Text.portableHashLocal(s"b:$i") % p)
+    val h0 = docs
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .withColumn("__sh", Text.wordShingles(col("__toks"), shingleN))
       .select(col(corpusCol).as("corpus"),
-        Text.wordShingles(Text.tokens(col(textCol)), shingleN).as("__sh"))
-      .withColumn("__h0",
-        transform(col("__sh"), s => pmod(Text.portableTokenHash(s), lit(p))))
-      .filter(size(col("__h0")) > 0)
-      .select(col("corpus"),
-        posexplode(transform(sequence(lit(0), lit(k - 1)), i =>
-          array_min(transform(col("__h0"), h =>
-            pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1),
-              lit(p)))))).as(Seq("i", "h")))
-    // corpora·k rows; persisted because both sides of the pair join
+        explode(transform(col("__sh"),
+          s => pmod(Text.portableTokenHash(s), lit(p)))).as("h"))
+    val slotMins = (0 until k).map(i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(p)))
+        .as(s"__m$i"))
+    // corpora·k values; persisted because both sides of the pair join
     // read it — without this the whole shingle-hash subtree runs twice
     // (verified in the formatted plan: no ReusedExchange fires)
     val sketch = CacheTracker.persistTracked(
-      sigs.groupBy("corpus", "i").agg(min("h").as("mh")))
+      h0.groupBy("corpus").agg(slotMins.head, slotMins.tail: _*)
+        .select(col("corpus"),
+          posexplode(array((0 until k).map(i => col(s"__m$i")): _*))
+            .as(Seq("i", "mh"))))
     val a = sketch.toDF("corpus_a", "i", "ha")
     val b = sketch.toDF("corpus_b", "i", "hb")
     a.join(b, a("i") === b("i") && col("corpus_a") < col("corpus_b"))

@@ -1262,6 +1262,43 @@ object Catalog {
           < CAST(mn AS DOUBLE) / n * 1152921504606846976.0
         ORDER BY doc_id""")),
 
+    // ── §7.5 deterministic train/val/test split + shard assignment:
+    //    the fourth sampling shape (d12 = K per stratum, d23 = per-row
+    //    weight, d29 = equalize strata, d30 = DISJOINT EXHAUSTIVE
+    //    partition). Same portable 2^60 md5 draw; thresholds at
+    //    0.8/0.9 give 80/10/10; shard = draw mod 16 spreads each
+    //    split across output files. Pure per-row codegen — no
+    //    shuffle, no window — so assignment is reproducible under
+    //    any repartitioning at any scale (the property that matters:
+    //    a doc's split NEVER changes when the corpus grows). ─────────
+    Q("d30_split_assign",
+      (s, d) => {
+        val draw = Text.portableTokenHash(
+          concat(lit("split#"), col("doc_id").cast("string")))
+        val frac = draw.cast("double") / lit(math.pow(2, 60))
+        Tables.documents(s, d)
+          .withColumn("split",
+            when(frac < 0.8, lit("train"))
+              .when(frac < 0.9, lit("val"))
+              .otherwise(lit("test")))
+          .withColumn("shard", pmod(draw, lit(16L)).cast("long"))
+          .select(col("doc_id"), col("split"), col("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+          CASE WHEN frac < 0.8 THEN 'train'
+               WHEN frac < 0.9 THEN 'val'
+               ELSE 'test' END AS split,
+          CAST(draw % 16 AS BIGINT) AS shard
+        FROM (SELECT doc_id,
+            ('0x' || substr(md5('split#' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT AS draw,
+            CAST(('0x' || substr(md5('split#' ||
+              CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+              / 1152921504606846976.0 AS frac
+          FROM documents)
+        ORDER BY doc_id""")),
+
     // ── §7.5 vocabulary induction: top-50 tokens by document
     //    frequency (tokenizer vocab / stopword discovery). One explode
     //    → distinct per doc → hash-agg with map-side combine → top-k
