@@ -38,9 +38,8 @@ object LinkGraph {
 
   /** One power-iteration step over a prepared `(src, dst, outdeg)`
     * edge table: join ranks in on src, sum contributions per dst,
-    * apply the quantized damping update. Factored out so the bucketed
-    * scale path and the spec's plan proof drive the exact loop body
-    * the public entry points run. */
+    * apply the quantized damping update. The loop body of the bucketed
+    * scale path (and the spec's exchange-count plan proof). */
   def iterate(e: DataFrame, pr: DataFrame,
               dampNum: Long, dampDen: Long, scale: Long): DataFrame = {
     val base = (scale * (dampDen - dampNum)) / dampDen
@@ -52,15 +51,41 @@ object LinkGraph {
           .cast("long").as("pr"))
   }
 
+  /** In-memory variant, tuned for |nodes| ≪ |edges| (the link-graph
+    * norm): the edge table stays a slim persisted (src, dst) — no
+    * edge-sized outdeg prep join — and each iteration joins it against
+    * a BROADCAST node-sized table carrying the PRECOMPUTED per-edge
+    * contribution `pr div outdeg`. Forced broadcast, because AQE does
+    * not convert the chained-iteration join on its own (measured: SMJ
+    * re-sorting the cached edge table every iteration). Per iteration:
+    * one broadcast of |nodes| rows + one map-side-combined dst
+    * aggregate. When ranks outgrow the driver, use
+    * [[pageRankBucketed]] — its SMJ reads the bucketed edge table
+    * exchange-free instead. */
   def pageRank(edges: DataFrame, iters: Int,
                dampNum: Long = 85L, dampDen: Long = 100L,
                scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    val e = CacheTracker.persistTracked(
-      edges.join(deg, "src").select("src", "dst", "outdeg"))
+    // the caller's edge subtree feeds BOTH the degree aggregate and
+    // every iteration's join — without a persist it re-executes
+    val es = CacheTracker.persistTracked(edges)
+    val deg = CacheTracker.persistTracked(
+      es.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val base = (scale * (dampDen - dampNum)) / dampDen
     var pr = deg.select(col("src").as("node"), lit(scale).as("pr"))
-    for (_ <- 1 to iters) pr = iterate(e, pr, dampNum, dampDen, scale)
+    for (_ <- 1 to iters) {
+      val contribs = pr.as("r")
+        .join(deg.as("d"), col("r.node") === col("d.src"))
+        .select(col("r.node").as("node"),
+          expr("r.pr div d.outdeg").as("contrib"))
+      pr = es.as("e").join(broadcast(contribs).as("r"),
+          col("e.src") === col("r.node"))
+        .groupBy(col("e.dst"))
+        .agg(sum(col("r.contrib")).as("__s"))
+        .select(col("dst").as("node"),
+          expr(s"$base + (($dampNum * __s) div $dampDen)")
+            .cast("long").as("pr"))
+    }
     pr
   }
 

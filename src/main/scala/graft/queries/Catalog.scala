@@ -1982,10 +1982,12 @@ object Catalog {
     //    shuffle budget. ──────────────────────────────────────────────
     Q("q29_pagerank",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
+        // persisted: both symmetrization branches read it — otherwise
+        // the 600k-row distinct runs twice inside the union
+        val li = graft.CacheTracker.persistTracked(Tables.lineitem(s, d)
           .select(col("l_suppkey").cast("long").as("sk"),
             col("l_partkey").cast("long").as("pk"))
-          .distinct()
+          .distinct())
         val edges = li.select(
             concat(lit("s:"), col("sk")).as("src"),
             concat(lit("p:"), col("pk")).as("dst"))

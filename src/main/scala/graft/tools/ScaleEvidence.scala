@@ -5,16 +5,17 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev-only: one order-of-magnitude-up evidence run (VERDICT r2 #9).
+/** Dev-only: order(s)-of-magnitude-up evidence run (VERDICT r2 #9).
   *
-  * Builds a ~sf1 corpus (10× sf0.1: ~500k documents / ~1.5M events)
-  * by replicating with TOKEN-SALTED text — every token gets a
-  * replica prefix, so cross-replica pairs share zero shingles and
-  * the near-dup structure scales exactly 10× instead of exploding
-  * quadratically — then runs the headline dedup / search / feed /
-  * rank pipelines plus the BUCKETED streaming merge, recording
-  * wall-clock and real shuffle bytes per stage (SparkListener stage
-  * metrics). Output is pasted into BENCH_NOTES.md.
+  * Builds a replicated corpus (`args(0)`× sf0.1; default 10× ≈ sf1:
+  * ~50k documents / ~1M events, 100× ≈ sf10) with TOKEN-SALTED text —
+  * every token gets a replica prefix, so cross-replica pairs share
+  * zero shingles and the near-dup structure scales exactly reps×
+  * instead of exploding quadratically — then runs the headline
+  * dedup / search / feed / rank pipelines plus the BUCKETED streaming
+  * merge, recording wall-clock and real shuffle bytes per stage
+  * (SparkListener stage metrics). Output is pasted into
+  * BENCH_NOTES.md.
   */
 object ScaleEvidence {
 
@@ -60,7 +61,7 @@ object ScaleEvidence {
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new MetricsListener)
     val d = "/root/testdata/sf0.1"
-    val reps = 10
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
 
     // ── corpus: 10× documents, token-salted per replica ─────────────
     val docs0 = graft.Tables.documents(spark, d)
@@ -69,7 +70,7 @@ object ScaleEvidence {
         (col("doc_id") + i * 10000000L).as("doc_id"),
         regexp_replace(col("text"), "(\\S+)", s"r${i}_$$1").as("text"))
     }.reduce(_ unionByName _)
-    println(s"== corpus build (10x sf0.1, token-salted) ==")
+    println(s"== corpus build (${reps}x sf0.1, token-salted) ==")
     timed("write documents parquet") {
       docs.write.mode("overwrite").parquet(s"$work/documents")
       spark.read.parquet(s"$work/documents").count()
@@ -121,7 +122,7 @@ object ScaleEvidence {
         .count()
     }
 
-    println("== feed / rank shapes (10x events & customers) ==")
+    println(s"== feed / rank shapes (${reps}x events & customers) ==")
     val ev = {
       val e1 = graft.Tables.events(spark, d)
       (0 until reps).map(i => e1
@@ -145,7 +146,7 @@ object ScaleEvidence {
       graft.CacheTracker.releaseAll(); n
     }
 
-    println("== training-data ops (10x) ==")
+    println(s"== training-data ops (${reps}x) ==")
     timed("d14 decontaminate (plan-literal probe)") {
       val hold = corpus.filter(col("doc_id") < 5)
         .withColumn("__toks", graft.functions.Text.tokens(col("text")))
@@ -195,7 +196,7 @@ object ScaleEvidence {
           .as("m")).count()
       graft.CacheTracker.releaseAll(); n
     }
-    timed("d17 sessionize (1M events, one user shuffle)") {
+    timed(s"d17 sessionize (${reps/10.0}M events, one user shuffle)") {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts"), col("event_id"))
@@ -217,7 +218,7 @@ object ScaleEvidence {
         .filter(col("n_dup") > 0).count()
       graft.CacheTracker.releaseAll(); n
     }
-    timed("v05 quantized ANN rerank (10x vectors)") {
+    timed(s"v05 quantized ANN rerank (${reps}x vectors)") {
       val emb0 = graft.Tables.embeddings(spark, d)
       val emb = (0 until reps).map(i => emb0
         .withColumn("vec_id", col("vec_id") + i * 100000000L))
@@ -225,7 +226,7 @@ object ScaleEvidence {
       graft.functions.Vectors.quantizedTopK(emb, "embedding",
         col("vec_id") === 0, k = 20, candidates = 80).count()
     }
-    timed("q24 skew-salted join + agg (10x facts & dim)") {
+    timed(s"q24 skew-salted join + agg (${reps}x facts & dim)") {
       val cust = (0 until reps).map(i =>
         graft.Tables.customer(spark, d)
           .withColumn("c_custkey", col("c_custkey") + i * 100000000L))
@@ -236,8 +237,8 @@ object ScaleEvidence {
         .agg(count(lit(1)).as("n")).count()
     }
 
-    println("== semantic curation (10x) ==")
-    // embeddings replicate with SALTED labels: 10× the cluster count,
+    println(s"== semantic curation (${reps}x) ==")
+    // embeddings replicate with SALTED labels: reps× the cluster count,
     // constant cluster size — the SemDeDup scale model (nlist grows
     // with the corpus; per-task all-pairs stays |cluster|²-bounded).
     val emb10 = {
@@ -247,7 +248,7 @@ object ScaleEvidence {
         .withColumn("label", col("label") + i * 100))
         .reduce(_ unionByName _)
     }
-    timed("v07 semdedup keep-set (20k vecs, 100 clusters)") {
+    timed(s"v07 semdedup keep-set (${reps*2}k vecs, ${reps*10} clusters)") {
       graft.functions.Vectors.semdedupKeep(emb10, "embedding",
         "vec_id", "label", threshold = 0.3).count()
     }
@@ -265,7 +266,7 @@ object ScaleEvidence {
         k = 32).count()
       graft.CacheTracker.releaseAll(); n
     }
-    timed("d28 unigram surprisal (50k docs)") {
+    timed(s"d28 unigram surprisal (${reps*5}k docs)") {
       val n = graft.text.UnigramLm.surprisal(corpus, "text", "doc_id")
         .count()
       graft.CacheTracker.releaseAll(); n
@@ -273,7 +274,7 @@ object ScaleEvidence {
 
     // ── bucketed streaming merge at 500k stored posts ───────────────
     println("== streaming merge (bucketed seed lookup) ==")
-    val nPosts = 500000L
+    val nPosts = 50000L * reps
     def blocksFor(idStart: Long, count: Long, heightOff: Long,
                   body: Column, stride: Long = 1L): DataFrame =
       spark.range(count)
@@ -305,7 +306,7 @@ object ScaleEvidence {
     // scales as |batch keys| / n buckets — a batch with more distinct
     // keys than buckets degenerates to a full scan (that is the
     // honest bound; at 100 TB you size n ≫ trigger keys, e.g. 4096).
-    timed("micro-batch merge: 20 edits vs 500k stored") {
+    timed(s"micro-batch merge: 20 edits vs $nPosts stored") {
       graft.streaming.StreamIngest.mergeBlocksBatch(spark,
         blocksFor(600, 20, nPosts, lit("edited body text"), stride = 6),
         postsDir)
