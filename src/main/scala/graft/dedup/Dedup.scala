@@ -386,6 +386,64 @@ object Dedup {
       .withColumn("est", round(col("agree") / lit(k.toDouble), 4))
   }
 
+  /** Cross-document duplicated-SPAN coverage — the removal-side
+    * counterpart of [[dupNgramStats]] (which counts distinct dup
+    * shingles, this measures the token positions they cover). The
+    * published shape is suffix-array exact-substring dedup (Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"); at cluster scale the equivalent set-based plan is
+    * shingle → global doc-frequency → join back positions → per-doc
+    * interval merge, which is exactly what this computes:
+    *
+    *   1. posexplode k-token shingles (position = span start);
+    *   2. one hash-shuffle on the shingle to find spans occurring in
+    *      ≥ `minDocs` distinct docs (map-side combined count);
+    *   3. join positions back (shuffle carries (id, start) longs, not
+    *      text) and collect each doc's duplicated span starts;
+    *   4. merged-interval covered-token count via one `aggregate`
+    *      HOF pass over the sorted starts — O(spans) per doc, no
+    *      window, no per-position loop.
+    *
+    * Output per doc: `n_tokens`, `n_covered` (tokens inside at least
+    * one duplicated span), `n_clean = n_tokens - n_covered` (what a
+    * span-removal rewrite would keep). All-integer — hash-stable. */
+  def dupSpanStats(docs: DataFrame, textCol: String, idCol: String,
+                   shingleN: Int = 3, minDocs: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("t"))
+    val sh = CacheTracker.persistTracked(base
+      .select(col("id"), posexplode(Text.wordShingles(col("t"), shingleN)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("start"),
+        col("col").as("s")))
+    val dup = sh.groupBy("s")
+      .agg(count_distinct(col("id")).as("__d"))
+      .filter(col("__d") >= minDocs).select("s")
+    val k = shingleN.toLong
+    // interval merge over sorted span starts: state = (covered, end of
+    // rightmost merged interval); each span [st, st+k-1] adds only its
+    // part past the current end
+    val zero = struct(lit(0L).as("cov"), lit(0L).as("end"))
+    val covered = sh.join(dup, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("start"))).as("__ss"))
+      .withColumn("__acc", aggregate(col("__ss"), zero,
+        (acc, st) => {
+          val e = st + lit(k - 1L)
+          val lo = greatest(acc.getField("end") + lit(1L), st)
+          struct(
+            (acc.getField("cov") +
+              greatest(e - lo + lit(1L), lit(0L))).as("cov"),
+            greatest(acc.getField("end"), e).as("end"))
+        }))
+      .select(col("id"), col("__acc").getField("cov").as("n_covered"))
+    base.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (col("n_tokens") - coalesce(col("n_covered"), lit(0L)))
+          .as("n_clean"))
+  }
+
   /** Exact Jaccard of every document against one anchor document —
     * the O(n) similarity scan (anchor shingle set is a plan literal →
     * broadcast; single codegen'd pass, no shuffle). */

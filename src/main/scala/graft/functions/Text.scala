@@ -244,6 +244,23 @@ object Text {
   def portableTokenHash(t: Column): Column =
     conv(substring(md5(t), 1, 15), 16, 10).cast("long")
 
+  /** fastText-style hashed-feature LINEAR quality classifier: each
+    * token hashes to one of `buckets` feature slots, the doc score is
+    * the integer sum of the slot weights (milli-units), label =
+    * sign. The weights here are a deterministic md5-derived stand-in
+    * (range ±1000 milli) so the oracle reproduces them — a real
+    * deployment broadcasts trained weights as a plan-literal array
+    * and changes NOTHING about the shape, which is the point: one
+    * `aggregate` HOF over the token array, pure per-row codegen,
+    * zero shuffle, zero joins. The model-based quality filter that
+    * costs the same as a length count at 100 TB. */
+  def hashLinearScore(toks: Column, buckets: Int = 4096): Column = {
+    def w(t: Column): Column = pmod(portableTokenHash(
+      concat(lit("w#"), pmod(portableTokenHash(t), lit(buckets.toLong))
+        .cast("string"))), lit(2001L)) - lit(1000L)
+    aggregate(toks, lit(0L), (acc, t) => acc + w(t))
+  }
+
   /** Driver-side twin of [[portableTokenHash]] — same 60-bit value,
     * for deriving plan-literal constants (hash-family coefficients,
     * sign matrices) that SQL oracles re-derive via md5(). */

@@ -1299,6 +1299,113 @@ object Catalog {
           FROM documents)
         ORDER BY doc_id""")),
 
+    // ── §7.5 cross-doc duplicated-SPAN coverage (suffix-array-style
+    //    exact-substring dedup, Lee et al. 2022): which token
+    //    positions sit inside a 3-gram occurring in ≥2 docs, merged
+    //    intervals, and the clean length a removal rewrite keeps.
+    //    Shuffles: shingle-keyed doc-frequency + a positions join
+    //    carrying (id, start) longs; coverage is one aggregate-HOF
+    //    interval-merge pass per doc (no window, no per-token loop). ──
+    Q("d31_dup_spans",
+      (s, d) => Dedup.dupSpanStats(Tables.documents(s, d),
+        "text", "doc_id", shingleN = 3, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("n_covered"), col("n_clean"))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          sh AS (SELECT doc_id,
+              unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS start,
+              unnest(list_transform(
+                range(1, greatest(len(t) - 2, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+                AS s
+            FROM toks),
+          dup AS (SELECT s FROM (SELECT s, count(DISTINCT doc_id) AS c
+              FROM sh GROUP BY 1) q WHERE c >= 2),
+          ds AS (SELECT doc_id, CAST(start AS BIGINT) AS st,
+              CAST(start + 2 AS BIGINT) AS e
+            FROM sh JOIN dup USING (s)),
+          m AS (SELECT doc_id, st, e, max(e) OVER (PARTITION BY doc_id
+              ORDER BY st ROWS BETWEEN UNBOUNDED PRECEDING
+              AND 1 PRECEDING) AS pe FROM ds),
+          cov AS (SELECT doc_id, CAST(sum(greatest(
+              e - greatest(st, coalesce(pe, CAST(0 AS BIGINT)) + 1) + 1,
+              0)) AS BIGINT) AS n_covered FROM m GROUP BY 1),
+          base AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+            FROM toks)
+        SELECT doc_id, n_tokens,
+          coalesce(n_covered, CAST(0 AS BIGINT)) AS n_covered,
+          n_tokens - coalesce(n_covered, CAST(0 AS BIGINT)) AS n_clean
+        FROM base LEFT JOIN cov USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // ── §7.5 DSIR importance weights (Xie et al. 2023): hashed-
+    //    unigram log-likelihood ratio target-LM vs raw-LM, target =
+    //    the src0 domain sample. Both LMs are a fixed 4096-bucket
+    //    table (broadcast at any corpus size); integer micro-nat
+    //    quantization per BUCKET before the exact per-doc sum. ───────
+    Q("d32_dsir_weight",
+      (s, d) => graft.text.Dsir.importanceWeights(
+        Tables.documents(s, d), "text", "doc_id",
+        targetPred = col("source") === "src0", buckets = 4096)
+        .orderBy("doc_id"),
+      Some(s"""WITH tb AS (SELECT doc_id,
+              ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096
+                AS bucket,
+              source
+            FROM (SELECT doc_id, source, unnest($sqlToks) AS tok
+              FROM documents)),
+          cf AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cf_raw,
+              CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+                AS BIGINT) AS cf_tgt
+            FROM tb GROUP BY 1),
+          n AS (SELECT CAST(sum(cf_raw) AS BIGINT) AS n_raw,
+              CAST(sum(cf_tgt) AS BIGINT) AS n_tgt FROM cf),
+          r AS (SELECT bucket, CAST(round(1e6 * (
+                ln(cf_tgt + 1.0) - ln(n_tgt + 4096.0)
+                - ln(cf_raw + 1.0) + ln(n_raw + 4096.0)))
+              AS BIGINT) AS lr
+            FROM cf CROSS JOIN n),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(lr) AS BIGINT) AS w_micro
+            FROM tb JOIN r USING (bucket) GROUP BY 1)
+        SELECT doc_id, n_tokens, w_micro,
+          round(w_micro / 1e6 / n_tokens, 4) AS avg_lr
+        FROM agg ORDER BY doc_id""")),
+
+    // ── §7.5 hashed-feature linear quality classifier (fastText
+    //    shape): score = Σ weight[md5-bucket(tok)] in exact milli
+    //    units, keep = sign. Zero shuffle, zero joins — one aggregate
+    //    HOF per row; weights are md5-derived stand-ins the oracle
+    //    re-derives (a real model broadcasts trained weights, same
+    //    plan). ──────────────────────────────────────────────────────
+    Q("d33_hash_quality",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("__toks", Text.tokens(col("text")))
+        .withColumn("score_milli",
+          Text.hashLinearScore(col("__toks"), buckets = 4096))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          col("score_milli"), (col("score_milli") > 0).as("keep"))
+        .orderBy("doc_id"),
+      Some(s"""WITH w AS (SELECT doc_id,
+              ('0x' || substr(md5('w#' || CAST(
+                ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096
+                AS VARCHAR)), 1, 15))::BIGINT % 2001 - 1000 AS w
+            FROM (SELECT doc_id, unnest($sqlToks) AS tok
+              FROM documents)),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              CAST(sum(w) AS BIGINT) AS score_milli
+            FROM w GROUP BY 1),
+          base AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS nt
+            FROM documents)
+        SELECT doc_id,
+          coalesce(n_tokens, CAST(0 AS BIGINT)) AS n_tokens,
+          coalesce(score_milli, CAST(0 AS BIGINT)) AS score_milli,
+          coalesce(score_milli, CAST(0 AS BIGINT)) > 0 AS keep
+        FROM base LEFT JOIN agg USING (doc_id)
+        ORDER BY doc_id""")),
+
     // ── §7.5 vocabulary induction: top-50 tokens by document
     //    frequency (tokenizer vocab / stopword discovery). One explode
     //    → distinct per doc → hash-agg with map-side combine → top-k
