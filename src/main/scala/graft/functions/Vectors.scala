@@ -203,6 +203,77 @@ object Vectors {
       .limit(k)
   }
 
+  /** Product-quantization codebooks sampled from the table itself:
+    * codeword j of every subspace = the sub-vector of the row with
+    * `idCol == j` (j < k). A bounded driver collect (k rows — same
+    * class as IVF centroids), documented stand-in for per-subspace
+    * k-means training ([[kmeansFit]] is the trained path); the PQ
+    * ENCODE/ADC machinery downstream is identical either way, which
+    * is what the catalog row verifies. Returned as
+    * m × k × (dim/m) doubles. */
+  def pqCodebooksFrom(emb: DataFrame, vecCol: String, idCol: String,
+                      dim: Int, m: Int, k: Int): Seq[Seq[Seq[Double]]] = {
+    val subDim = dim / m
+    val rows = emb.filter(col(idCol) < k)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    (0 until m).map { s =>
+      (0 until k).map { j =>
+        rows(j.toLong).slice(s * subDim, (s + 1) * subDim)
+      }
+    }
+  }
+
+  /** PQ encode (Jégou et al. 2011): split the vector into m
+    * subspaces, replace each sub-vector by the index of its nearest
+    * codeword (L2², argmin, ties → lowest index). Codebooks are plan
+    * literals → one codegen'd scan per row, no shuffle; the output
+    * `array<int>` of m byte-sized codes is the 4·dim/m ×-smaller
+    * representation that ships through shuffles instead of floats. */
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.size
+    val subDim = codebooks.head.head.size
+    array((0 until m).map { s =>
+      val sub = slice(vec, s * subDim + 1, subDim)
+      val best = array_min(array(codebooks(s).zipWithIndex.map {
+        case (cw, j) =>
+          val diff = zip_with(sub, lit(cw.toArray),
+            (x, c) => x.cast("double") - c)
+          struct(dot(diff, diff).as("d"), lit(j).as("j"))
+      }: _*))
+      best.getField("j")
+    }: _*)
+  }
+
+  /** Asymmetric distance computation against a driver-side query:
+    * the per-subspace L2² tables `dt[s][j] = ‖q_s − codeword‖²` are
+    * computed ONCE on the driver, quantized to integer micro-units
+    * (the d28 determinism trick — per-cell rounding BEFORE the sum
+    * keeps the aggregate exact integer math), and shipped as m
+    * k-entry literal arrays. Per row the approximate distance is m
+    * array lookups + an integer chain — no float math touches the
+    * scan, and the full-precision vectors are never read. */
+  def pqAdcMicro(codes: Column, query: Seq[Double],
+                 codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val subDim = codebooks.head.head.size
+    val tables = codebooks.zipWithIndex.map { case (cws, s) =>
+      val qSub = query.slice(s * subDim, (s + 1) * subDim)
+      cws.map { cw =>
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val x = qSub(i) - cw(i); d += x * x; i += 1
+        }
+        math.round(1e6 * d)
+      }
+    }
+    tables.zipWithIndex.map { case (dt, s) =>
+      element_at(lit(dt.toArray), element_at(codes, s + 1) + 1)
+    }.reduce(_ + _)
+  }
+
   /** Assign each vector to its nearest centroid (argmax cosine).
     * `centroids` are plan literals (small, like IVF nlist ≤ 64k);
     * at scale the assignment is one codegen'd scan. Returns the input

@@ -2134,6 +2134,89 @@ object Catalog {
             CAST(150000 + (85 * sum(r.pr // er.outdeg)) // 100
               AS BIGINT) AS pr
           FROM er JOIN r4 r ON r.node = er.src GROUP BY 1)
-        SELECT node, pr FROM r5 ORDER BY node"""))
+        SELECT node, pr FROM r5 ORDER BY node""")),
+
+    // ── §2.7/§2.11 CDC changelog → SCD2 dimension history: collapse
+    //    per-user no-op event_type repeats, interval-ize the changes
+    //    ([valid_from, valid_to)), version them. Two key-partitioned
+    //    windows, one key shuffle — no global sort, no self-join. ────
+    Q("q30_scd2",
+      (s, d) => graft.state.Scd.scd2History(Tables.events(s, d),
+        keyCol = "user_id", stateCol = "event_type",
+        tsCol = "ts", tieCol = "event_id")
+        .orderBy("user_id", "version"),
+      Some("""WITH e AS (SELECT user_id, event_type, event_id,
+            CAST(ts AS TIMESTAMP) AS ts FROM events),
+          ch AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS pt FROM e),
+          k AS (SELECT user_id, event_type, ts, event_id FROM ch
+            WHERE pt IS NULL OR pt <> event_type),
+          v AS (SELECT user_id, event_type,
+              CAST(row_number() OVER w AS BIGINT) AS version,
+              strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+              coalesce(strftime(lead(ts) OVER w,
+                '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+              lead(ts) OVER w IS NULL AS is_current
+            FROM k WINDOW w AS (PARTITION BY user_id
+              ORDER BY ts, event_id))
+        SELECT user_id, version, event_type, valid_from, valid_to,
+          is_current
+        FROM v ORDER BY user_id, version""")),
+
+    // ── §7.5 product quantization ADC (Jégou et al. 2011) — the
+    //    billion-scale companion to IVF (v02): encode every vector as
+    //    m=8 nibble codes against sampled per-subspace codebooks
+    //    (vec_id < 16 — bounded collect, stand-in for kmeansFit-
+    //    trained books), then rank by asymmetric distance to the
+    //    vec_id-0 query via m integer table lookups per row. The
+    //    query's distance tables are micro-quantized driver-side, so
+    //    the scan does ZERO float math and the aggregate is exact
+    //    integer addition (d28 trick). Codes verify the encoder,
+    //    adist_micro verifies ADC. ───────────────────────────────────
+    Q("v10_pq_adc",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val cbs = Vectors.pqCodebooksFrom(emb, "embedding", "vec_id",
+          dim = 64, m = 8, k = 16)
+        val q = emb.filter(col("vec_id") === 0)
+          .select(col("embedding")).head()
+          .getSeq[Float](0).map(_.toDouble)
+        emb.withColumn("__codes", Vectors.pqCodes(col("embedding"), cbs))
+          .select(col("vec_id"),
+            concat_ws("-", transform(col("__codes"),
+              c => c.cast("string"))).as("codes"),
+            Vectors.pqAdcMicro(col("__codes"), q, cbs)
+              .cast("long").as("adist_micro"))
+          .orderBy(col("adist_micro").asc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some("""WITH cb AS (SELECT s.s AS sub, c.vec_id AS j,
+            list_transform(range(1, 9),
+              i -> CAST(c.embedding[s.s * 8 + i] AS DOUBLE)) AS cw
+          FROM range(0, 8) s(s) CROSS JOIN embeddings c
+          WHERE c.vec_id < 16),
+        dv AS (SELECT v.vec_id, cb.sub, cb.j,
+            list_dot_product(
+              list_transform(range(1, 9), i ->
+                CAST(v.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.cw[i]),
+              list_transform(range(1, 9), i ->
+                CAST(v.embedding[cb.sub * 8 + i] AS DOUBLE) - cb.cw[i]))
+              AS dist
+          FROM embeddings v CROSS JOIN cb),
+        codes AS (SELECT vec_id, sub, j AS code FROM (
+            SELECT vec_id, sub, j, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY dist, j) AS rk
+            FROM dv) q WHERE rk = 1),
+        qt AS (SELECT sub, j,
+            CAST(round(1e6 * dist) AS BIGINT) AS dm
+          FROM dv WHERE vec_id = 0),
+        ad AS (SELECT c.vec_id,
+            CAST(sum(qt.dm) AS BIGINT) AS adist_micro,
+            string_agg(CAST(c.code AS VARCHAR), '-'
+              ORDER BY c.sub) AS codes
+          FROM codes c JOIN qt ON qt.sub = c.sub AND qt.j = c.code
+          GROUP BY 1)
+        SELECT vec_id, codes, adist_micro
+        FROM ad ORDER BY adist_micro, vec_id LIMIT 20"""))
   )
 }
