@@ -28,16 +28,29 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see [[conf]]) so the
-    * column arrives as Long nanoseconds; normalize here to Spark's
-    * microsecond TimestampType (integer `div` — a double division
-    * would lose precision above 2^53 ns).
+  /** `events.ts` normalization — schema-adaptive because the driver
+    * has shipped the column two ways across data generations:
+    *
+    *   - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects
+    *     it ([PARQUET_TYPE_ILLEGAL]); sessions set
+    *     `spark.sql.legacy.parquet.nanosAsLong=true` (see [[conf]])
+    *     so it arrives as Long nanoseconds → integer-`div` to
+    *     microseconds (a double division would lose precision above
+    *     2^53 ns);
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *     TIMESTAMP_NTZ → cast to session-zone TimestampType (UTC
+    *     session, so the wall-clock value is unchanged).
+    *
+    * Either way downstream sees microsecond TimestampType.
     */
-  def events(s: SparkSession, d: String): DataFrame =
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 
   /** Session configs the engine requires; apply on every builder. */
   val conf: Map[String, String] = Map(
