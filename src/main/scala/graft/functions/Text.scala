@@ -312,6 +312,33 @@ object Text {
           slice(sig, b * rowsPerBand + 1, rowsPerBand))).as("key"))
     }: _*)
 
+  /** Markup tag pattern — RE2-safe (no backtracking, no lookaround),
+    * identical in the DuckDB oracle. */
+  val markupTagPattern: String = "<[^>]*>"
+
+  /** HTML/markup → text cleaning (the CommonCrawl-style extraction
+    * step before every text-quality op): drop tags, decode the
+    * common entities, collapse whitespace. Pure codegen regexp/replace
+    * chain — zero shuffle, embarrassingly parallel at 100 TB.
+    *
+    * Entity order matters and is mirrored verbatim in the oracle:
+    * named entities first, `&amp;` LAST — so `&amp;lt;` decodes to
+    * the literal text `&lt;` (one decoding pass, as a browser shows
+    * it), not to `<`. This is deliberately a cleaning heuristic, not
+    * a full HTML5 parser (no DOM, no numeric-entity table beyond
+    * `&#39;`) — the pipeline shape is the point; swap the chain for a
+    * parser UDF per corpus policy. */
+  def stripMarkup(text: Column): Column = {
+    val noTags = regexp_replace(text, markupTagPattern, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        replace(c, lit(from), lit(to))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Exact Jaccard similarity of two string arrays (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val ad = array_distinct(a)

@@ -203,6 +203,35 @@ object Vectors {
       .limit(k)
   }
 
+  /** Matryoshka-style two-stage retrieval (Kusupati et al. 2022:
+    * MRL embeddings order information by dimension prefix): rank
+    * candidates on the FIRST `prefixDims` dims only — cosine
+    * renormalizes, so truncation needs no re-embedding — then rerank
+    * the survivors with the full vector. Same two-stage shape as
+    * [[quantizedTopK]], trading dims instead of bits: the candidate
+    * scan reads dim/prefixDims× fewer floats, and a stored
+    * prefix-only column (or PQ over the prefix) shrinks the hot index
+    * the same factor at 100 TB. */
+  def matryoshkaTopK(emb: DataFrame, vecCol: String, anchorPred: Column,
+                     prefixDims: Int, k: Int, candidates: Int,
+                     idCol: String = "vec_id",
+                     simName: String = "sim"): DataFrame = {
+    val anchor = emb.filter(anchorPred)
+      .select(slice(col(vecCol), 1, prefixDims).as("a_p"),
+        col(vecCol).as("a_v"))
+    val cand = emb.crossJoin(broadcast(anchor))
+      .select(col(idCol), col(vecCol), col("a_v"),
+        round(cosine(slice(col(vecCol), 1, prefixDims), col("a_p")), 4)
+          .as("psim"))
+      .orderBy(col("psim").desc, col(idCol).asc)
+      .limit(candidates)
+    cand
+      .select(col(idCol), col("psim"),
+        round(cosine(col(vecCol), col("a_v")), 4).as(simName))
+      .orderBy(col(simName).desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Product-quantization codebooks sampled from the table itself:
     * codeword j of every subspace = the sub-vector of the row with
     * `idCol == j` (j < k). A bounded driver collect (k rows — same

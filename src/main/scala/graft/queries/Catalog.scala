@@ -2217,6 +2217,218 @@ object Catalog {
           FROM codes c JOIN qt ON qt.sub = c.sub AND qt.j = c.code
           GROUP BY 1)
         SELECT vec_id, codes, adist_micro
-        FROM ad ORDER BY adist_micro, vec_id LIMIT 20"""))
+        FROM ad ORDER BY adist_micro, vec_id LIMIT 20""")),
+
+    // ── §7.5 hybrid retrieval: RRF fusion (Cormack et al. 2009) of a
+    //    BM25 lexical top-30 and a dense cosine top-30 over the same
+    //    id space. Ranks derive from ROUNDED scores + id tie-breaks
+    //    (identical integer ranks in both engines); the fused score
+    //    is a fixed IEEE dag over the pivoted ranks, never a float
+    //    sum() aggregate. Rank assignment uses the distributed
+    //    range-sort path (no single-partition window). ──────────────
+    Q("q31_hybrid_rrf",
+      (s, d) => {
+        val lex = graft.query.Rank.globalRowNumber(
+          graft.text.Bm25.score(Tables.documents(s, d), col("text"),
+            Seq("spark", "join"), 30),
+          Seq(col("score").desc, col("doc_id").asc))
+          .select(col("doc_id").as("id"), col("rank"))
+        val emb = Tables.embeddings(s, d)
+        val anchor = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").as("a_emb"))
+        val dense = graft.query.Rank.globalRowNumber(
+          emb.crossJoin(broadcast(anchor))
+            .select(col("vec_id"),
+              round(Vectors.cosine(col("embedding"), col("a_emb")), 4)
+                .as("sim"))
+            .orderBy(col("sim").desc, col("vec_id").asc)
+            .limit(30),
+          Seq(col("sim").desc, col("vec_id").asc))
+          .select(col("vec_id").as("id"), col("rank"))
+        graft.text.Retrieval.rrfFuse(Seq(lex, dense), "id", k = 20)
+          .select(col("id").as("doc_id"), col("rank_0").as("r_lex"),
+            col("rank_1").as("r_dense"), col("rrf"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          f AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS len,
+              CAST(len(list_filter(t, x -> x = 'spark')) AS DOUBLE) AS tf0,
+              CAST(len(list_filter(t, x -> x = 'join')) AS DOUBLE) AS tf1
+            FROM toks),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              avg(len) AS avgdl,
+              CAST(count(*) FILTER (WHERE tf0 > 0) AS DOUBLE) AS df0,
+              CAST(count(*) FILTER (WHERE tf1 > 0) AS DOUBLE) AS df1
+            FROM f),
+          lex AS (SELECT doc_id, row_number() OVER
+              (ORDER BY score DESC, doc_id) AS r
+            FROM (SELECT doc_id, round(
+                ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1 + 1.2)
+                  / (tf0 + 1.2 * (1 - 0.75 + 0.75 * len / avgdl))
+              + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1 + 1.2)
+                  / (tf1 + 1.2 * (1 - 0.75 + 0.75 * len / avgdl)), 4)
+                AS score
+              FROM f CROSS JOIN st
+              WHERE tf0 > 0 OR tf1 > 0
+              ORDER BY score DESC, doc_id LIMIT 30)),
+          e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+          a AS (SELECT v AS av FROM e WHERE vec_id = 0),
+          dense AS (SELECT vec_id, row_number() OVER
+              (ORDER BY sim DESC, vec_id) AS r
+            FROM (SELECT vec_id, round(list_dot_product(v, av) /
+                  (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(av, av))), 4) AS sim
+              FROM e CROSS JOIN a
+              ORDER BY sim DESC, vec_id LIMIT 30))
+        SELECT coalesce(l.doc_id, de.vec_id) AS doc_id,
+          CAST(l.r AS BIGINT) AS r_lex,
+          CAST(de.r AS BIGINT) AS r_dense,
+          round(coalesce(CAST(1 AS DOUBLE) / (60 + l.r),
+              CAST(0 AS DOUBLE))
+            + coalesce(CAST(1 AS DOUBLE) / (60 + de.r),
+              CAST(0 AS DOUBLE)), 6) AS rrf
+        FROM lex l FULL JOIN dense de ON l.doc_id = de.vec_id
+        ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    // ── §7.5 incremental view maintenance: fold month-batches of
+    //    events through the partials view (state.Incremental) — the
+    //    refresh that costs O(batch), never O(history). The oracle is
+    //    the FULL-TABLE aggregate: incremental ≡ full recompute is
+    //    exactly the row's claim (integer cents ⇒ combine-order-
+    //    free). Month list is a bounded driver collect (the batch
+    //    boundary is the operator's INPUT, not data-sized). ─────────
+    Q("q32_incremental_agg",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .withColumn("__m", date_format(col("ts"), "yyyy-MM"))
+          .withColumn("__cents",
+            round(col("value") * 100, 0).cast("long"))
+        val months = ev.select("__m").distinct()
+          .collect().map(_.getString(0)).sorted
+        val batches = months.map(m => ev.filter(col("__m") === m)).toSeq
+        graft.state.Incremental.refreshAll(batches, Seq("event_type"),
+          col("__cents"))
+          .select(col("event_type"), col("n"),
+            col("total").as("value_cents"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+            AS value_cents
+        FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ── §7.5 snapshot diff: change set between the events state 30
+    //    days ago (latest-wins per user at the cutoff) and now —
+    //    added / removed / changed via slim (key, md5) frames
+    //    (state.Diff). Fingerprints use integer cents so both engines
+    //    stringify identically. ────────────────────────────────────
+    Q("q33_snapshot_diff",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val cut = ev.agg(
+          (max(col("ts")) - expr("INTERVAL 30 DAYS")).as("__cut"))
+        val oldSnap = Merge.latestWins(
+          ev.crossJoin(broadcast(cut)).filter(col("ts") <= col("__cut")),
+          Seq("user_id"), col("ts"), Seq(col("event_id")))
+        val newSnap = Merge.latestWins(ev, Seq("user_id"), col("ts"),
+          Seq(col("event_id")))
+        val cmp = Seq(col("event_id"),
+          round(col("value") * 100, 0).cast("long"))
+        graft.state.Diff.snapshotDiff(oldSnap, newSnap, Seq("user_id"),
+          cmp).orderBy("user_id")
+      },
+      Some("""WITH cut AS (SELECT max(CAST(ts AS TIMESTAMP))
+            - INTERVAL 30 DAY AS c FROM events),
+          oldv AS (SELECT user_id,
+              md5(CAST(event_id AS VARCHAR) || chr(1)
+                || CAST(CAST(round(value * 100, 0) AS BIGINT)
+                  AS VARCHAR)) AS old_fp
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+                AS rn
+              FROM events, cut WHERE CAST(ts AS TIMESTAMP) <= cut.c)
+            WHERE rn = 1),
+          newv AS (SELECT user_id,
+              md5(CAST(event_id AS VARCHAR) || chr(1)
+                || CAST(CAST(round(value * 100, 0) AS BIGINT)
+                  AS VARCHAR)) AS new_fp
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC)
+                AS rn FROM events)
+            WHERE rn = 1)
+        SELECT coalesce(o.user_id, n.user_id) AS user_id,
+          CASE WHEN o.old_fp IS NULL THEN 'added'
+               WHEN n.new_fp IS NULL THEN 'removed'
+               WHEN o.old_fp <> n.new_fp THEN 'changed' END AS change,
+          o.old_fp, n.new_fp
+        FROM oldv o FULL JOIN newv n ON o.user_id = n.user_id
+        WHERE o.old_fp IS NULL OR n.new_fp IS NULL
+          OR o.old_fp <> n.new_fp
+        ORDER BY user_id""")),
+
+    // ── §7.5 markup strip: HTML→text cleaning (tags → entity decode
+    //    → whitespace collapse, Text.stripMarkup). Synthetic markup
+    //    wrapped per row so the strip is provably active (the d13
+    //    pattern); chain order mirrored verbatim in the oracle. ─────
+    Q("d34_markup_strip",
+      (s, d) => {
+        val aug = concat(lit("<div id=\"d"),
+          col("doc_id").cast("string"), lit("\"><p>"), col("text"),
+          lit("</p>&nbsp;<a href=\"http://x.com/?a=1&amp;b=2\">" +
+            "link &lt;here&gt;</a></div>"))
+        Tables.documents(s, d)
+          .withColumn("__aug", aug)
+          .withColumn("__clean", Text.stripMarkup(col("__aug")))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("__aug"),
+              lit(Text.markupTagPattern), lit(0)))
+              .cast("long").as("n_tags"),
+            length(col("__clean")).cast("long").as("clean_len"),
+            md5(col("__clean")).as("clean_fp"))
+        // no ORDER BY: order-insensitive compare; zero-shuffle plan
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+            '<div id="d' || CAST(doc_id AS VARCHAR) || '"><p>' || text
+              || '</p>&nbsp;<a href="http://x.com/?a=1&amp;b=2">'
+              || 'link &lt;here&gt;</a></div>' AS s
+          FROM documents),
+        cln AS (SELECT doc_id, s,
+            trim(regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(s, '<[^>]*>', ' ', 'g'),
+                '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+              '\s+', ' ', 'g')) AS c
+          FROM aug)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(s, '<[^>]*>', 0)) AS BIGINT)
+            AS n_tags,
+          CAST(length(c) AS BIGINT) AS clean_len,
+          md5(c) AS clean_fp
+        FROM cln""")),
+
+    // ── §7.5 matryoshka retrieval: candidate top-80 on the FIRST 16
+    //    dims (cosine renormalizes the prefix), exact full-dim rerank
+    //    top-20 — the v05 two-stage shape trading dims for bits. ────
+    Q("v11_matryoshka",
+      (s, d) => Vectors.matryoshkaTopK(Tables.embeddings(s, d),
+        "embedding", col("vec_id") === 0, prefixDims = 16, k = 20,
+        candidates = 80),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings),
+          a AS (SELECT v AS av, list_slice(v, 1, 16) AS ap
+            FROM e WHERE vec_id = 0),
+          scored AS (SELECT vec_id, v, av,
+              round(list_dot_product(p, ap) /
+                (sqrt(list_dot_product(p, p))
+                  * sqrt(list_dot_product(ap, ap))), 4) AS psim
+            FROM (SELECT vec_id, v, av, ap,
+                list_slice(v, 1, 16) AS p FROM e CROSS JOIN a)),
+          cand AS (SELECT * FROM scored
+            ORDER BY psim DESC, vec_id LIMIT 80)
+        SELECT vec_id, psim,
+          round(list_dot_product(v, av) / (sqrt(list_dot_product(v, v))
+            * sqrt(list_dot_product(av, av))), 4) AS sim
+        FROM cand ORDER BY sim DESC, vec_id LIMIT 20"""))
   )
 }
