@@ -26,7 +26,9 @@ object PlanAudit {
       "d17_sessionize", "d18_percentiles", "d19_asof_join",
       "d20_dup_ngrams", "d21_nfc_normalize", "v05_quantized_rerank",
       "q24_skew_salted_join", "v07_semdedup", "v08_centroid_outliers",
-      "m03_corpus_overlap", "d28_unigram_nll")) {
+      "m03_corpus_overlap", "d28_unigram_nll",
+      "q31_hybrid_rrf", "q32_incremental_agg", "q33_snapshot_diff",
+      "d34_markup_strip", "v11_matryoshka")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(
