@@ -2429,6 +2429,87 @@ object Catalog {
         SELECT vec_id, psim,
           round(list_dot_product(v, av) / (sqrt(list_dot_product(v, v))
             * sqrt(list_dot_product(av, av))), 4) AS sim
-        FROM cand ORDER BY sim DESC, vec_id LIMIT 20"""))
+        FROM cand ORDER BY sim DESC, vec_id LIMIT 20""")),
+
+    // ── §7.5 mergeable percentile sketch: approx_percentile (exact-
+    //    rank-bounded GK sketch — the partition-mergeable path exact
+    //    sort-percentiles (d18) don't have) next to the exact values.
+    //    q22 pattern: exact columns hash-verify against quantile_cont;
+    //    the sketch output is asserted as a BOUND the oracle predicts
+    //    true (2% of exact or 50 cents, whichever is larger). ────────
+    Q("d35_approx_percentile",
+      (s, d) => {
+        val cents = round(col("value") * 100, 0).cast("long")
+        Tables.events(s, d)
+          .withColumn("__c", cents)
+          .groupBy("event_type")
+          .agg(
+            expr("percentile(__c, array(0.5D, 0.95D))").as("__p"),
+            expr("approx_percentile(__c, array(0.5D, 0.95D), 10000)")
+              .as("__a"))
+          .select(col("event_type"),
+            round(element_at(col("__p"), 1), 4).as("p50_cents"),
+            round(element_at(col("__p"), 2), 4).as("p95_cents"),
+            (abs(element_at(col("__a"), 1) - element_at(col("__p"), 1))
+              <= greatest(element_at(col("__p"), 1) * 0.02, lit(50.0)))
+              .as("p50_ok"),
+            (abs(element_at(col("__a"), 2) - element_at(col("__p"), 2))
+              <= greatest(element_at(col("__p"), 2) * 0.02, lit(50.0)))
+              .as("p95_ok"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type,
+          round(quantile_cont(CAST(round(value * 100, 0) AS BIGINT),
+            0.5), 4) AS p50_cents,
+          round(quantile_cont(CAST(round(value * 100, 0) AS BIGINT),
+            0.95), 4) AS p95_cents,
+          TRUE AS p50_ok, TRUE AS p95_ok
+        FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ── §7.5 data-quality expectations (quality.Expectations): null /
+    //    range / domain / duplicate-key counters in ONE map-side-
+    //    combined aggregate scan. Corruption is injected
+    //    deterministically (the d13 pattern) so every counter is
+    //    provably active; all outputs exact integers. ───────────────
+    Q("d36_data_quality",
+      (s, d) => {
+        import graft.quality.Expectations.{report, Check}
+        val ev = Tables.events(s, d)
+          .withColumn("value",
+            when(pmod(col("event_id"), lit(97)) === 0,
+              lit(null).cast("double"))
+              .when(pmod(col("event_id"), lit(89)) === 0, -col("value"))
+              .otherwise(col("value")))
+          .withColumn("event_type",
+            when(pmod(col("event_id"), lit(101)) === 0, lit("bogus"))
+              .otherwise(col("event_type")))
+        val dups = ev.filter(pmod(col("event_id"), lit(500)) === 0)
+        report(ev.unionByName(dups), Seq(
+          Check("null_value", col("value").isNull, nullIsBad = false),
+          Check("neg_value", col("value") < 0, nullIsBad = false),
+          Check("bad_type", !col("event_type").isin(
+            "click", "view", "purchase", "signup", "error"))),
+          uniqueKeys = Seq("event_id"))
+      },
+      Some("""WITH ev0 AS (SELECT event_id,
+            CASE WHEN event_id % 97 = 0 THEN NULL
+                 WHEN event_id % 89 = 0 THEN -value
+                 ELSE value END AS value,
+            CASE WHEN event_id % 101 = 0 THEN 'bogus'
+                 ELSE event_type END AS event_type
+          FROM events),
+        ev AS (SELECT * FROM ev0
+          UNION ALL SELECT * FROM ev0 WHERE event_id % 500 = 0)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS null_value,
+          CAST(sum(CASE WHEN (value < 0) IS TRUE THEN 1 ELSE 0 END)
+            AS BIGINT) AS neg_value,
+          CAST(sum(CASE WHEN coalesce(NOT event_type IN ('click',
+            'view', 'purchase', 'signup', 'error'), TRUE)
+            THEN 1 ELSE 0 END) AS BIGINT) AS bad_type,
+          CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+            AS dup_event_id
+        FROM ev"""))
   )
 }

@@ -123,4 +123,146 @@ object Layout {
       .join(dimX, factKey === dimKey && col("__fsalt") === col("__dsalt"))
       .drop("__fsalt", "__dsalt")
   }
+
+  // ── Z-order layout ────────────────────────────────────────────────
+  //
+  // One sort key can only cluster one dimension; a Z-order (Morton)
+  // curve clusters TWO at once, so range filters on EITHER dimension
+  // prune ~√(selectivity) of the layout instead of pruning on one
+  // dimension and scanning the other. This is the multi-dimensional
+  // layout trick behind Delta/Iceberg OPTIMIZE ZORDER, expressed with
+  // nothing but a codegen bit-interleave expression + partitionBy.
+
+  /** Morton z-value of two `bits`-bit non-negative coordinates:
+    * bit i of x → bit 2i, bit i of y → bit 2i+1. Callers quantize
+    * raw values into the 0..2^bits-1 grid first. Unrolled bitwise
+    * expression — whole-stage codegen, no UDF. */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "zValue: 1 <= bits <= 31")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(
+        call_function("shiftleft",
+          call_function("shiftright", x.cast("long"), lit(i))
+            .bitwiseAND(1L), lit(2 * i)),
+        call_function("shiftleft",
+          call_function("shiftright", y.cast("long"), lit(i))
+            .bitwiseAND(1L), lit(2 * i + 1)))
+    }
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Coarse z-cell: the z-value of the TOP `p` bits of each
+    * coordinate — a 2^(2p)-cell grid usable as a partition column
+    * (the z-prefix property: a cell is exactly a contiguous z-value
+    * range). */
+  def zCell(x: Column, y: Column, bits: Int, p: Int): Column = {
+    require(p >= 1 && p <= bits, "zCell: 1 <= p <= bits")
+    zValue(call_function("shiftright", x.cast("long"), lit(bits - p)),
+      call_function("shiftright", y.cast("long"), lit(bits - p)), p)
+  }
+
+  /** Driver-side twin of [[zValue]] for cell enumeration. */
+  def zValueLocal(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+    }
+
+  /** The z-cells intersecting the query box [x1,x2]×[y1,y2] (grid
+    * coords, inclusive) — the pruning list for a filter on either or
+    * both dimensions. Enumeration is over the ≤2^(2p) COARSE cells
+    * (p is chosen small: 3-6 ⇒ 64-4096 cells), a driver-trivial
+    * bound independent of data size; this is the plain-enumeration
+    * form of the BIGMIN z-range decomposition. */
+  def zCellsFor(x1: Long, x2: Long, y1: Long, y2: Long,
+                bits: Int, p: Int): Seq[Long] = {
+    val shift = bits - p
+    for {
+      cx <- (x1 >> shift) to (x2 >> shift)
+      cy <- (y1 >> shift) to (y2 >> shift)
+    } yield zValueLocal(cx, cy, p)
+  }
+
+  /** Write `df` z-ordered on (`xCol`, `yCol`): partitioned by the
+    * coarse `z_cell`, rows sorted by the fine z-value within each
+    * partition (parquet min/max row-group stats then cluster both
+    * dimensions inside files too). Read back with a
+    * `z_cell isin zCellsFor(...)` filter for partition pruning —
+    * metric-proven in LayoutSpec. */
+  def writeZOrdered(df: DataFrame, dir: String, xCol: Column,
+                    yCol: Column, bits: Int, p: Int): Unit =
+    df.withColumn("z_cell", zCell(xCol, yCol, bits, p))
+      .withColumn("__z", zValue(xCol, yCol, bits))
+      .repartition(col("z_cell"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").partitionBy("z_cell").parquet(dir)
+
+  // ── Small-file compaction ─────────────────────────────────────────
+
+  /** Bin-pack a parquet table's files toward `targetBytes` per file —
+    * the maintenance op that keeps a streaming-merged table healthy
+    * (each micro-batch overwrite leaves per-trigger files; thousands
+    * of tiny files turn every scan's file listing + task scheduling
+    * into the bottleneck long before bytes do).
+    *
+    * Works per LEAF DIRECTORY (= per partition for a partitioned
+    * table, the root for an unpartitioned one): a dir whose file
+    * count exceeds `ceil(dirBytes / targetBytes)` is re-read,
+    * coalesced to exactly that count, rewritten beside itself and
+    * swapped in by rename — partition values live in the dir path,
+    * so they are preserved untouched, readers never see a partial
+    * dir, and content is the same rows (spec-asserted by
+    * fingerprint). Dirs already at or under their target are left
+    * alone (no write amplification on healthy partitions).
+    *
+    * The driver loop is over partition dirs — bounded by the layout,
+    * not the data; at real scale the dirs compact independently (and
+    * concurrently — each swap touches only its own dir), exactly like
+    * Delta OPTIMIZE's per-partition bin-packing. Returns (files
+    * before, files after). */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long): (Long, Long) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(root, true)
+    val byDir = scala.collection.mutable.Map
+      .empty[org.apache.hadoop.fs.Path, (Long, Long)] // files, bytes
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val d = f.getPath.getParent
+        val (n, b) = byDir.getOrElse(d, (0L, 0L))
+        byDir(d) = (n + 1, b + f.getLen)
+      }
+    }
+    val before = byDir.values.map(_._1).sum
+    var after = 0L
+    byDir.toSeq.sortBy(_._1.toString).foreach { case (d, (n, bytes)) =>
+      val target = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+      if (n <= target) after += n
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(
+          d.getParent, d.getName + "__compact")
+        spark.read.parquet(d.toString)
+          .coalesce(target.toInt)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val bak = new org.apache.hadoop.fs.Path(
+          d.getParent, d.getName + "__old")
+        if (!fs.rename(d, bak))
+          throw new IllegalStateException(s"compact: cannot move $d")
+        if (!fs.rename(tmp, d)) {
+          fs.rename(bak, d) // roll back
+          throw new IllegalStateException(s"compact: cannot swap $tmp")
+        }
+        fs.delete(bak, true)
+        val it2 = fs.listFiles(d, false)
+        var cnt = 0L
+        while (it2.hasNext) {
+          if (it2.next().getPath.getName.endsWith(".parquet")) cnt += 1
+        }
+        after += cnt
+      }
+    }
+    (before, after)
+  }
 }
