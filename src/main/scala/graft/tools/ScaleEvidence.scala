@@ -335,6 +335,104 @@ object ScaleEvidence {
       s"${scan.metrics("numPartitions").value} of $total " +
       s"(month, bucket) partitions read")
     graft.CacheTracker.releaseAll()
+
+    // ── round-3 operators at the same scale ─────────────────────────
+    println(s"== round-3 ops (${reps}x) ==")
+    timed(s"q33 snapshot diff (${reps/10.0}M vs ${reps/10.0}M rows)") {
+      // two latest-wins snapshots of the replicated events + slim-fp
+      // full-outer join — the whole payload never shuffles
+      val cut = ev.agg(
+        (max(col("ts")) - expr("INTERVAL 30 DAYS")).as("__cut"))
+      val o = graft.state.Merge.latestWins(
+        ev.crossJoin(broadcast(cut)).filter(col("ts") <= col("__cut")),
+        Seq("user_id"), col("ts"), Seq(col("event_id")))
+      val n = graft.state.Merge.latestWins(ev, Seq("user_id"),
+        col("ts"), Seq(col("event_id")))
+      graft.state.Diff.snapshotDiff(o, n, Seq("user_id"),
+        Seq(col("event_id"),
+          round(col("value") * 100, 0).cast("long"))).count()
+    }
+    timed(s"q32 incremental refresh (1 month batch vs ${reps/10.0}M history)") {
+      // the O(batch) claim: view = full-history partials (built once,
+      // not timed against the refresh), refresh = one month's partial
+      // + combine — compare this stage's shuffle to the history size
+      val withM = ev.withColumn("__m", date_format(col("ts"), "yyyy-MM"))
+        .withColumn("__c", round(col("value") * 100, 0).cast("long"))
+      val months = withM.select("__m").distinct()
+        .collect().map(_.getString(0)).sorted
+      val view = graft.state.Incremental.partial(
+        withM.filter(col("__m") =!= months.last),
+        Seq("event_type"), col("__c")).persist()
+      view.count() // materialize the stored view OUTSIDE the refresh
+      val refreshed = graft.state.Incremental.merge(view,
+        withM.filter(col("__m") === months.last),
+        Seq("event_type"), col("__c")).count()
+      view.unpersist(blocking = false); refreshed
+    }
+    timed("q31 hybrid RRF (bm25 + dense over the corpus)") {
+      val lex = graft.query.Rank.globalRowNumber(
+        graft.text.Bm25.score(corpus, col("text"), terms, 30),
+        Seq(col("score").desc, col("doc_id").asc))
+        .select(col("doc_id").as("id"), col("rank"))
+      val emb0 = graft.Tables.embeddings(spark, d)
+      val emb = (0 until reps).map(i => emb0
+        .withColumn("vec_id", col("vec_id") + i * 100000000L))
+        .reduce(_ unionByName _)
+      val anchor = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("a_emb"))
+      val dense = graft.query.Rank.globalRowNumber(
+        emb.crossJoin(broadcast(anchor))
+          .select(col("vec_id"),
+            round(graft.functions.Vectors.cosine(col("embedding"),
+              col("a_emb")), 4).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id").asc).limit(30),
+        Seq(col("sim").desc, col("vec_id").asc))
+        .select(col("vec_id").as("id"), col("rank"))
+      val n = graft.text.Retrieval.rrfFuse(Seq(lex, dense), "id", 20)
+        .count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"d36 data-quality scan (${reps/10.0}M rows, one aggregate)") {
+      import graft.quality.Expectations.{report, Check}
+      report(ev, Seq(
+        Check("null_value", col("value").isNull, nullIsBad = false),
+        Check("neg_value", col("value") < 0, nullIsBad = false)),
+        uniqueKeys = Seq("event_id")).count()
+    }
+    timed(s"z-order write (${reps/10.0}M rows, 256-cell grid)") {
+      // quantize (user_id, ts-hour) onto a 2^10 grid, p=4 → 256 cells
+      val tmax = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val tmin = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      val g = ev.select(col("event_id"),
+        pmod(col("user_id"), lit(1024L)).as("x"),
+        least(lit(1023L), ((unix_micros(col("ts")) - tmin) * 1024L /
+          math.max(1L, tmax - tmin + 1)).cast("long")).as("y"))
+      graft.state.Layout.writeZOrdered(g, s"$work/zorder",
+        col("x"), col("y"), bits = 10, p = 4)
+      spark.read.parquet(s"$work/zorder").count()
+    }
+    timed("z-order pruned read (one x-stripe of 16)") {
+      val cells = graft.state.Layout.zCellsFor(0, 63, 0, 1023,
+        bits = 10, p = 4)
+      spark.read.parquet(s"$work/zorder")
+        .filter(col("z_cell").isin(cells: _*) && col("x") <= 63)
+        .count()
+    }
+    // an APPEND-mode sink fragments (each trigger adds files; the
+    // dynamic-overwrite merge does not — it rewrites whole
+    // partitions). Simulate 50 appended micro-batches, then bin-pack.
+    timed("compact a 50-trigger append-fragmented table") {
+      val frag = s"$work/appendlog"
+      (0 until 50).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(50L)) === i)
+          .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(frag)
+      }
+      val (b, a) = graft.state.Layout.compact(spark, frag,
+        targetBytes = 128L * 1024 * 1024)
+      println(f"   files: $b -> $a")
+      spark.read.parquet(frag).count()
+    }
     spark.stop()
   }
 }
