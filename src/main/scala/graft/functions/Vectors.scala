@@ -219,6 +219,11 @@ object Vectors {
     val anchor = emb.filter(anchorPred)
       .select(slice(col(vecCol), 1, prefixDims).as("a_p"),
         col(vecCol).as("a_v"))
+    // >1 anchors would silently interleave sims against different
+    // query vectors through the shared top-k; fail loudly instead
+    // (bounded probe: stops at 2 rows)
+    require(anchor.limit(2).count() == 1,
+      "matryoshkaTopK: anchorPred must select exactly one row")
     val cand = emb.crossJoin(broadcast(anchor))
       .select(col(idCol), col(vecCol), col("a_v"),
         round(cosine(slice(col(vecCol), 1, prefixDims), col("a_p")), 4)

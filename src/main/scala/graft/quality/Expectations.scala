@@ -33,12 +33,16 @@ object Expectations {
   }
 
   /** The report: one row — `n_rows`, one violation count per check,
-    * and `dup_<col>` = rows minus distinct values per uniqueness key.
-    */
+    * and per uniqueness key `dup_<col>` = NON-NULL rows minus
+    * distinct values (count(col) ignores nulls exactly like
+    * count(DISTINCT col) does, so null keys can't masquerade as
+    * duplicates) plus `nullkey_<col>` = null-key rows, a finding of
+    * its own. */
   def report(df: DataFrame, checks: Seq[Check],
              uniqueKeys: Seq[String] = Nil): DataFrame = {
-    val aggs = checks.map(_.counter) ++ uniqueKeys.map(k =>
-      (count(lit(1)) - countDistinct(col(k))).as(s"dup_$k"))
+    val aggs = checks.map(_.counter) ++ uniqueKeys.flatMap(k => Seq(
+      (count(col(k)) - countDistinct(col(k))).as(s"dup_$k"),
+      (count(lit(1)) - count(col(k))).as(s"nullkey_$k")))
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 }

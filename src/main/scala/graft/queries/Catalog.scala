@@ -2508,8 +2508,10 @@ object Catalog {
           CAST(sum(CASE WHEN coalesce(NOT event_type IN ('click',
             'view', 'purchase', 'signup', 'error'), TRUE)
             THEN 1 ELSE 0 END) AS BIGINT) AS bad_type,
-          CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
-            AS dup_event_id
+          CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT)
+            AS dup_event_id,
+          CAST(count(*) - count(event_id) AS BIGINT)
+            AS nullkey_event_id
         FROM ev"""))
   )
 }

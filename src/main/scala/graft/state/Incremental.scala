@@ -57,4 +57,40 @@ object Incremental {
     batches.tail.foldLeft(partial(batches.head, keys, valueExpr))(
       (view, b) => merge(view, b, keys, valueExpr))
   }
+
+  /** foreachBatch sink maintaining the partials view in a parquet dir
+    * — IDEMPOTENT under micro-batch replay: the view stores the
+    * last-applied `batchId` (constant `__last_batch` column), and a
+    * batch at or below it is skipped, so a crash between the view
+    * write and the streaming checkpoint commit (which replays that
+    * batch on restart) cannot double-count. This is the canonical
+    * exactly-once-effect recipe for non-transactional foreachBatch
+    * sinks; a Delta/JDBC sink would put the same guard in a
+    * transaction. The tiny-view rewrite (driver collect) is the local
+    * form — at scale the view is key-bucketed and merge-scoped like
+    * the posts table. */
+  def maintainParquetView(viewDir: String, keys: Seq[String],
+                          valueExpr: org.apache.spark.sql.Column)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(viewDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing =
+      if (fs.exists(path)) Some(spark.read.parquet(viewDir)) else None
+    val lastApplied = existing.map(
+      _.agg(max(col("__last_batch"))).head().getLong(0))
+    if (lastApplied.exists(_ >= batchId)) return // replay: already in
+    val updated = existing match {
+      case None => partial(batch, keys, valueExpr)
+      case Some(view) =>
+        merge(view.drop("__last_batch"), batch, keys, valueExpr)
+    }
+    val rows = updated.withColumn("__last_batch", lit(batchId)).collect()
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq),
+      org.apache.spark.sql.types.StructType(
+        updated.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "__last_batch", org.apache.spark.sql.types.LongType, false)))
+    out.coalesce(1).write.mode("overwrite").parquet(viewDir)
+  }
 }

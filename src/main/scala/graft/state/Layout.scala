@@ -208,22 +208,56 @@ object Layout {
     * Works per LEAF DIRECTORY (= per partition for a partitioned
     * table, the root for an unpartitioned one): a dir whose file
     * count exceeds `ceil(dirBytes / targetBytes)` is re-read,
-    * coalesced to exactly that count, rewritten beside itself and
-    * swapped in by rename — partition values live in the dir path,
-    * so they are preserved untouched, readers never see a partial
-    * dir, and content is the same rows (spec-asserted by
-    * fingerprint). Dirs already at or under their target are left
-    * alone (no write amplification on healthy partitions).
+    * coalesced to exactly that count, staged under a DOT-PREFIXED
+    * sibling (partition discovery and parquet reads ignore `.`/`_`
+    * dirs, so in-flight staging is invisible to readers) and swapped
+    * in by two renames. Partition values live in the dir path and
+    * are preserved untouched; content is the same rows
+    * (spec-asserted by fingerprint). Dirs already at or under their
+    * target are left alone (no write amplification on healthy
+    * partitions).
+    *
+    * Concurrency contract — SINGLE-WRITER MAINTENANCE op: the swap
+    * window is two renames, and between them the partition dir is
+    * briefly absent, so a reader racing the swap can miss that
+    * partition. Run it when the table has no concurrent readers (or
+    * behind a table lock); true snapshot-atomic compaction requires a
+    * manifest table format (Delta/Iceberg OPTIMIZE), which is the
+    * stated production path for this layout, not raw dir swaps. A
+    * crash between the renames leaves the data safe in the dot-dir;
+    * the next [[compact]] run restores it before doing new work.
     *
     * The driver loop is over partition dirs — bounded by the layout,
-    * not the data; at real scale the dirs compact independently (and
-    * concurrently — each swap touches only its own dir), exactly like
-    * Delta OPTIMIZE's per-partition bin-packing. Returns (files
-    * before, files after). */
+    * not the data; at real scale the dirs compact independently,
+    * exactly like Delta OPTIMIZE's per-partition bin-packing.
+    * Returns (files before, files after). */
   def compact(spark: SparkSession, dir: String,
               targetBytes: Long): (Long, Long) = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery FIRST: a `.X__old` left by a crashed swap is the
+    // authoritative copy iff `X` is missing — restore it; stale
+    // `.X__compact` staging is simply discarded. The root's own
+    // staging dirs live in its PARENT (the unpartitioned case).
+    val rootOld = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + "__old")
+    if (!fs.exists(root) && fs.exists(rootOld)) fs.rename(rootOld, root)
+    else if (fs.exists(rootOld)) fs.delete(rootOld, true)
+    val rootTmp = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + "__compact")
+    if (fs.exists(rootTmp)) fs.delete(rootTmp, true)
+    val rootIt = fs.listStatusIterator(root)
+    while (rootIt.hasNext) {
+      val st = rootIt.next()
+      val nm = st.getPath.getName
+      if (st.isDirectory && nm.startsWith(".") && nm.endsWith("__old")) {
+        val orig = new org.apache.hadoop.fs.Path(root,
+          nm.stripPrefix(".").stripSuffix("__old"))
+        if (!fs.exists(orig)) fs.rename(st.getPath, orig)
+        else fs.delete(st.getPath, true)
+      } else if (st.isDirectory && nm.startsWith(".") &&
+        nm.endsWith("__compact")) fs.delete(st.getPath, true)
+    }
     val it = fs.listFiles(root, true)
     val byDir = scala.collection.mutable.Map
       .empty[org.apache.hadoop.fs.Path, (Long, Long)] // files, bytes
@@ -242,12 +276,12 @@ object Layout {
       if (n <= target) after += n
       else {
         val tmp = new org.apache.hadoop.fs.Path(
-          d.getParent, d.getName + "__compact")
+          d.getParent, "." + d.getName + "__compact")
         spark.read.parquet(d.toString)
           .coalesce(target.toInt)
           .write.mode("overwrite").parquet(tmp.toString)
         val bak = new org.apache.hadoop.fs.Path(
-          d.getParent, d.getName + "__old")
+          d.getParent, "." + d.getName + "__old")
         if (!fs.rename(d, bak))
           throw new IllegalStateException(s"compact: cannot move $d")
         if (!fs.rename(tmp, d)) {

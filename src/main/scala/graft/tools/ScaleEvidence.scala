@@ -352,23 +352,24 @@ object ScaleEvidence {
         Seq(col("event_id"),
           round(col("value") * 100, 0).cast("long"))).count()
     }
+    // q32 setup OUTSIDE the timed block — the claim under test is
+    // that the REFRESH is O(batch); building the stored view and
+    // finding the month boundary are one-time history work
+    val q32WithM = ev
+      .withColumn("__m", date_format(col("ts"), "yyyy-MM"))
+      .withColumn("__c", round(col("value") * 100, 0).cast("long"))
+    val q32Months = q32WithM.select("__m").distinct()
+      .collect().map(_.getString(0)).sorted
+    val q32View = graft.state.Incremental.partial(
+      q32WithM.filter(col("__m") =!= q32Months.last),
+      Seq("event_type"), col("__c")).persist()
+    q32View.count() // materialized before the clock starts
     timed(s"q32 incremental refresh (1 month batch vs ${reps/10.0}M history)") {
-      // the O(batch) claim: view = full-history partials (built once,
-      // not timed against the refresh), refresh = one month's partial
-      // + combine — compare this stage's shuffle to the history size
-      val withM = ev.withColumn("__m", date_format(col("ts"), "yyyy-MM"))
-        .withColumn("__c", round(col("value") * 100, 0).cast("long"))
-      val months = withM.select("__m").distinct()
-        .collect().map(_.getString(0)).sorted
-      val view = graft.state.Incremental.partial(
-        withM.filter(col("__m") =!= months.last),
-        Seq("event_type"), col("__c")).persist()
-      view.count() // materialize the stored view OUTSIDE the refresh
-      val refreshed = graft.state.Incremental.merge(view,
-        withM.filter(col("__m") === months.last),
+      graft.state.Incremental.merge(q32View,
+        q32WithM.filter(col("__m") === q32Months.last),
         Seq("event_type"), col("__c")).count()
-      view.unpersist(blocking = false); refreshed
     }
+    q32View.unpersist(blocking = false)
     timed("q31 hybrid RRF (bm25 + dense over the corpus)") {
       val lex = graft.query.Rank.globalRowNumber(
         graft.text.Bm25.score(corpus, col("text"), terms, 30),
@@ -399,10 +400,12 @@ object ScaleEvidence {
         Check("neg_value", col("value") < 0, nullIsBad = false)),
         uniqueKeys = Seq("event_id")).count()
     }
+    // grid bounds: one combined min/max scan, outside the timed write
+    val tBounds = ev.agg(min(unix_micros(col("ts"))),
+      max(unix_micros(col("ts")))).head()
+    val (tmin, tmax) = (tBounds.getLong(0), tBounds.getLong(1))
     timed(s"z-order write (${reps/10.0}M rows, 256-cell grid)") {
-      // quantize (user_id, ts-hour) onto a 2^10 grid, p=4 → 256 cells
-      val tmax = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
-      val tmin = ev.agg(min(unix_micros(col("ts")))).head().getLong(0)
+      // quantize (user_id, ts) onto a 2^10 grid, p=4 → 256 cells
       val g = ev.select(col("event_id"),
         pmod(col("user_id"), lit(1024L)).as("x"),
         least(lit(1023L), ((unix_micros(col("ts")) - tmin) * 1024L /
@@ -420,14 +423,15 @@ object ScaleEvidence {
     }
     // an APPEND-mode sink fragments (each trigger adds files; the
     // dynamic-overwrite merge does not — it rewrites whole
-    // partitions). Simulate 50 appended micro-batches, then bin-pack.
+    // partitions). Fragmentation setup (50 appended micro-batches)
+    // happens off the clock; the timed work is the bin-pack itself.
+    val frag = s"$work/appendlog"
+    (0 until 50).foreach { i =>
+      ev.filter(pmod(col("event_id"), lit(50L)) === i)
+        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(frag)
+    }
     timed("compact a 50-trigger append-fragmented table") {
-      val frag = s"$work/appendlog"
-      (0 until 50).foreach { i =>
-        ev.filter(pmod(col("event_id"), lit(50L)) === i)
-          .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
-          .parquet(frag)
-      }
       val (b, a) = graft.state.Layout.compact(spark, frag,
         targetBytes = 128L * 1024 * 1024)
       println(f"   files: $b -> $a")

@@ -22,6 +22,16 @@ class ExpectationsSpec extends SparkSpec {
     assert(r.getAs[Long]("neg_v") === 1L) // null v NOT counted
     assert(r.getAs[Long]("bad_t") === 1L)
     assert(r.getAs[Long]("dup_id") === 1L)
+    assert(r.getAs[Long]("nullkey_id") === 0L)
+  }
+
+  test("null uniqueness keys are reported separately, not as duplicates") {
+    val df = Seq[(Option[Long], String)](
+      (Some(1L), "a"), (Some(1L), "b"), (None, "c"), (None, "d"))
+      .toDF("id", "s")
+    val r = report(df, Nil, uniqueKeys = Seq("id")).head()
+    assert(r.getAs[Long]("dup_id") === 1L)     // only the real 1L dup
+    assert(r.getAs[Long]("nullkey_id") === 2L) // nulls counted apart
   }
 
   test("nullIsBad: null predicate results count as violations") {

@@ -10,21 +10,22 @@ import org.apache.spark.sql.streaming.Trigger
 /** The streaming face of [[graft.state.Incremental]]: a foreachBatch
   * sink maintaining the stored partials view per micro-batch — the
   * metrics-refresh pattern where each trigger costs O(batch) and the
-  * event history is never rescanned. Batch-boundary invisibility is
-  * the claim: the view after any batch split equals the full
-  * recompute over everything ingested so far. */
+  * event history is never rescanned. Two claims proven here:
+  * batch-boundary invisibility (view == full recompute at every
+  * split, incl. a checkpoint restart) and replay idempotence (the
+  * stored batchId guard makes re-delivering a committed batch a
+  * no-op, the failure mode of non-transactional foreachBatch sinks).
+  */
 class StreamIncrementalSpec extends SparkSpec {
+
+  private def view(viewDir: String): DataFrame =
+    spark.read.parquet(viewDir).drop("__last_batch")
 
   test("foreachBatch-maintained view == full recompute at every batch boundary") {
     val dir = Files.createTempDirectory("graft-sivm").toString
     val inDir = s"$dir/in"
     val viewDir = s"$dir/view"
     new java.io.File(inDir).mkdirs()
-
-    def readView(): Option[DataFrame] =
-      if (new java.io.File(viewDir).exists())
-        Some(spark.read.parquet(viewDir))
-      else None
 
     def run(): Unit = {
       val in = spark.readStream
@@ -34,18 +35,8 @@ class StreamIncrementalSpec extends SparkSpec {
       val q = in.writeStream
         .option("checkpointLocation", s"$dir/ck")
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val updated = readView() match {
-            case None => Incremental.partial(batch, Seq("k"), col("v"))
-            case Some(view) =>
-              Incremental.merge(view, batch, Seq("k"), col("v"))
-          }
-          // tiny view: rewrite whole (bucketed/merge-scoped at scale)
-          val rows = updated.collect()
-          val tmp = spark.createDataFrame(
-            spark.sparkContext.parallelize(rows.toSeq), updated.schema)
-          tmp.coalesce(1).write.mode("overwrite").parquet(viewDir)
-        }
+        .foreachBatch(
+          Incremental.maintainParquetView(viewDir, Seq("k"), col("v")) _)
         .start()
       q.awaitTermination()
     }
@@ -57,7 +48,7 @@ class StreamIncrementalSpec extends SparkSpec {
       """{"k":"a","v":2}
         |{"k":"c","v":7}""".stripMargin)
     run()
-    val afterTwo = readView().get.orderBy("k").collect()
+    val afterTwo = view(viewDir).orderBy("k").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(afterTwo.toSeq ===
       Seq(("a", 2L, 12L), ("b", 1L, 1L), ("c", 1L, 7L)))
@@ -66,9 +57,24 @@ class StreamIncrementalSpec extends SparkSpec {
     Files.writeString(java.nio.file.Paths.get(s"$inDir/b3.json"),
       """{"k":"b","v":5}""")
     run()
-    val afterThree = readView().get.orderBy("k").collect()
+    val afterThree = view(viewDir).orderBy("k").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(afterThree.toSeq ===
       Seq(("a", 2L, 12L), ("b", 2L, 6L), ("c", 1L, 7L)))
+  }
+
+  test("replayed batchId is a no-op (crash between view write and checkpoint commit)") {
+    import spark.implicits._
+    val viewDir = Files.createTempDirectory("graft-sivm-replay")
+      .toString + "/view"
+    val handler = Incremental.maintainParquetView(
+      viewDir, Seq("k"), col("v")) _
+    handler(Seq(("a", 10L)).toDF("k", "v"), 0L)
+    handler(Seq(("a", 2L)).toDF("k", "v"), 1L)
+    // the crash-replay: batch 1 delivered again — must not double-count
+    handler(Seq(("a", 2L)).toDF("k", "v"), 1L)
+    val r = view(viewDir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq(("a", 2L, 12L)))
   }
 }
