@@ -191,6 +191,11 @@ object Vectors {
       .withColumn("__q", quantizeInt8(col(vecCol), col("__ma")))
     val anchor = q.filter(anchorPred)
       .select(col("__q").as("a_q"), col(vecCol).as("a_v"))
+    // >1 anchors would interleave integer dots against different
+    // query vectors through the shared top-k (same hazard as
+    // matryoshkaTopK); bounded probe, fail loudly
+    require(anchor.limit(2).count() == 1,
+      "quantizedTopK: anchorPred must select exactly one row")
     val cand = q.crossJoin(broadcast(anchor))
       .select(col(idCol), col(vecCol), col("a_v"),
         qdot(col("__q"), col("a_q")).as("qdot"))

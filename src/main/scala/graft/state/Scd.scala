@@ -21,7 +21,13 @@ import org.apache.spark.sql.functions._
   * is one hash-shuffle on the key and per-key sorted scans — no
   * global ordering anywhere. The order column must carry a unique
   * tie-break (event id) to make history deterministic under equal
-  * timestamps. */
+  * timestamps.
+  *
+  * NULL is a legal tracked state: change detection is null-SAFE
+  * (`<=>`), so A→NULL opens a new version and NULL→NULL collapses as
+  * a no-op; first-row detection rides a separate lag-of-constant
+  * marker rather than `__prev IS NULL` (which would conflate "no
+  * previous row" with "previous state was null"). */
 object Scd {
 
   def scd2History(cdc: DataFrame, keyCol: String, stateCol: String,
@@ -30,7 +36,8 @@ object Scd {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
     cdc
       .withColumn("__prev", lag(col(stateCol), 1).over(w))
-      .filter(col("__prev").isNull || col("__prev") =!= col(stateCol))
+      .withColumn("__first", lag(lit(1), 1).over(w).isNull)
+      .filter(col("__first") || !(col("__prev") <=> col(stateCol)))
       .withColumn("version", row_number().over(w).cast("long"))
       .withColumn("__next_ts", lead(col(tsCol), 1).over(w))
       .select(col(keyCol), col("version"), col(stateCol),

@@ -96,8 +96,17 @@ object StreamIngest {
     val tablePath = new org.apache.hadoop.fs.Path(postsDir)
     val fs = tablePath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    // "exists" = has DATA (a non-underscore/dot entry): a dir holding
+    // only the layout marker is a crashed first create — the marker
+    // is written before the data (see below), so this is the
+    // recovery path and the merge restarts as a fresh create
+    val hasData = fs.exists(tablePath) &&
+      fs.listStatus(tablePath).exists { st =>
+        val nm = st.getPath.getName
+        !nm.startsWith("_") && !nm.startsWith(".")
+      }
     val existing =
-      if (fs.exists(tablePath)) Some(spark.read.parquet(postsDir))
+      if (hasData) Some(spark.read.parquet(postsDir))
       else None
     // A table written before the bucketed layout (month-only
     // partitions, no key_bucket column) CANNOT be merged bucketed:
@@ -110,11 +119,21 @@ object StreamIngest {
       existing.exists(e => !e.columns.contains("key_bucket"))
     // the modulus is a property of the TABLE, not the call: pruning
     // or writing with a different n than the stored rows were hashed
-    // with silently splits keys across buckets. First bucketed write
-    // records n in a marker file; later merges use the stored value.
+    // with silently splits keys across buckets. The first bucketed
+    // create records n in the marker BEFORE writing data (so no
+    // crash window can leave bucketed data without its modulus); a
+    // bucketed table with data but NO marker is therefore foreign or
+    // corrupted — refuse rather than guess (guessing the caller's
+    // default was the silent key-splitting hazard).
     val n = if (legacyLayout) 1
-      else existing.flatMap(_ => storedKeyBuckets(fs, tablePath))
-        .getOrElse(keyBuckets)
+      else existing match {
+        case Some(_) => storedKeyBuckets(fs, tablePath).getOrElse(
+          throw new IllegalStateException(
+            s"bucketed table at $postsDir has no $LayoutMarkerFile; " +
+              "cannot infer its bucket modulus — restore the marker " +
+              "or migrate the table"))
+        case None => keyBuckets
+      }
     // parse once: bucket discovery, the gate fixpoint and the fold
     // all read the same events (released via CacheTracker below)
     val evs = graft.CacheTracker.persistTracked(
@@ -174,6 +193,10 @@ object StreamIngest {
       case None => fresh
     }
     try {
+      // marker BEFORE data: a crash after this point leaves either a
+      // marker-only dir (treated as fresh, rewritten) or bucketed
+      // data WITH its modulus — never modulus-less bucketed data
+      if (!legacyLayout) writeLayoutMarker(fs, tablePath, n)
       merged
         .repartition(partCols.map(col): _*)
         .sortWithinPartitions("author", "permlink")
@@ -182,7 +205,6 @@ object StreamIngest {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCols: _*)
         .parquet(postsDir)
-      if (!legacyLayout) writeLayoutMarker(fs, tablePath, n)
     } finally {
       fresh.unpersist(blocking = false)
       // the ingest pipeline registers per-batch caches (gate fixpoint

@@ -22,6 +22,19 @@ class CountMinSpec extends SparkSpec {
     assert(got == Map("alpha" -> 5L, "beta" -> 3L, "gamma" -> 1L))
   }
 
+  test("absent term with an empty bucket estimates 0 (empty rows join the min)") {
+    // wide sketch + tiny corpus: an unseen term's buckets are almost
+    // surely all empty — the CMS min must include them and report 0,
+    // not drop to the populated-bucket collision count (inner-join
+    // bug) or vanish from the output
+    val sk = CountMin.sketch(toks(Seq("alpha", "beta")), "tok",
+      depth = 4, width = 65536)
+    val got = CountMin.estimate(sk, toks(Seq("missing")), "tok",
+      depth = 4, width = 65536)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("missing" -> 0L))
+  }
+
   test("forced collisions overestimate, never underestimate") {
     // width 1 forces every term into the same bucket of every row:
     // each estimate must be the total instance count
