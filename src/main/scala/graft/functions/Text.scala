@@ -14,6 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object Text {
 
+  /** Projection-level `let`: evaluate `c` ONCE and derive `f(bound)`
+    * against the bound value. Encoded as
+    * `element_at(transform(array(c), x => f(x)), 1)` — the lambda
+    * variable is materialized before `f`'s body runs, and Catalyst
+    * cannot rewrite extraction through the lambda, so however many
+    * times `f` references its argument, `c` is computed exactly once
+    * per row.
+    *
+    * Why it exists: Catalyst does NOT common-subexpression-eliminate
+    * across higher-order-function lambdas, and predicate pushdown /
+    * CollapseProject substitute a `withColumn` alias back into every
+    * use site — a token array consumed by N HOF sites re-runs the
+    * tokenizer N times (measured: d10's pre-fix plan evaluated it 20×).
+    * Binding through a lambda is the one projection-local barrier the
+    * optimizer honors. */
+  def let(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), f), 1)
+
   /** Lowercased whitespace tokenization; empty strings removed. */
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= lit(""))
@@ -66,9 +84,12 @@ object Text {
     val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
       struct(listHitRatio(toks, ws).as("score"), lit(lang).as("lang"))
     }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best)
-      .otherwise(struct(lit(0.0).as("score"), lit("und").as("lang")))
+    // `best` referenced twice under the `when` — bind it (let) so the
+    // four marker scans run once, not once per reference
+    let(greatest(scored: _*)) { best =>
+      when(best.getField("score") > 0, best)
+        .otherwise(struct(lit(0.0).as("score"), lit("und").as("lang")))
+    }
   }
 
   /** Heuristic document quality in [0,1]: rewards normal-length docs,
@@ -163,6 +184,47 @@ object Text {
 
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** URL canonicalization — the normalization step web-crawl corpora
+    * apply before URL-level dedup (one canonical key per page across
+    * scheme-case / www / default-port / tracking-param / fragment /
+    * trailing-slash variants):
+    *
+    *   1. drop the `#fragment`;
+    *   2. lowercase scheme + authority only (paths are case-sensitive
+    *      per RFC 3986 — left untouched);
+    *   3. strip a leading `www.`;
+    *   4. strip default ports (`:80` http, `:443` https);
+    *   5. drop tracking params (`utm_*`, `fbclid`, `gclid`), sort the
+    *      survivors byte-wise, drop the `?` if none survive;
+    *   6. strip one trailing `/` from a non-root path.
+    *
+    * Pure codegen regex/array chain, zero shuffle; every step is
+    * anchored single-replacement so the DuckDB oracle can mirror it
+    * exactly (d37). */
+  def canonicalizeUrl(url: Column): Column = let(
+    regexp_replace(url, "#.*$", "")) { noFrag =>
+    val base = regexp_replace(noFrag, "\\?.*$", "")
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val auth = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          lower(regexp_extract(base,
+            "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)),
+          "^(https?://)www\\.", "$1"),
+        "^(http://.*):80$", "$1"),
+      "^(https://.*):443$", "$1")
+    val path0 = regexp_replace(base,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    val path = when(length(path0) > 1,
+      regexp_replace(path0, "/$", "")).otherwise(path0)
+    val keep = filter(split(query, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") &&
+        !p.startsWith("fbclid=") && !p.startsWith("gclid="))
+    val q = array_join(array_sort(keep), "&")
+    concat(auth, path,
+      when(q =!= "", concat(lit("?"), q)).otherwise(lit("")))
+  }
 
   /** Overlapping token windows — chunking for context-bounded
     * training. Chunks start every `stride` tokens; the tail chunks

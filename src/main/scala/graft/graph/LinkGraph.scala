@@ -73,7 +73,7 @@ object LinkGraph {
       es.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val base = (scale * (dampDen - dampNum)) / dampDen
     var pr = deg.select(col("src").as("node"), lit(scale).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contribs = pr.as("r")
         .join(deg.as("d"), col("r.node") === col("d.src"))
         .select(col("r.node").as("node"),
@@ -85,6 +85,17 @@ object LinkGraph {
         .select(col("dst").as("node"),
           expr(s"$base + (($dampNum * __s) div $dampDen)")
             .cast("long").as("pr"))
+      // Materialize each iteration (node-sized, tiny): without the
+      // cut, iteration k's broadcast subtree CONTAINS iterations
+      // 1..k-1, and when exchange reuse misses (AQE re-plans make the
+      // subtrees non-identical) the chain re-executes per iteration —
+      // O(iters²) work (measured 12.9 s → ~3 s at sf0.1). The
+      // driver-coordinated per-iteration job is the standard iterative
+      // shape (GraphX/MLlib do the same internally).
+      if (i < iters) {
+        pr = CacheTracker.persistTracked(pr)
+        pr.count()
+      }
     }
     pr
   }

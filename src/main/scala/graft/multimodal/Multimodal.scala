@@ -289,6 +289,70 @@ object Multimodal {
     }
   }
 
+  /** Perceptual average-hash (aHash) over REAL decoded pixels — the
+    * image analog of SimHash: near-identical images share bits, so
+    * grouping/banding on the hash is image near-dup detection without
+    * embeddings. 64 bits, one per cell of an 8×8 area-binned
+    * downsample: bit(j,i) = 1 iff cell mean brightness > image mean.
+    *
+    * All-integer math so the hash is portable: brightness = r+g+b
+    * (no luma rounding), cell membership i = x·8 div w, and the mean
+    * compare is cross-multiplied (`cell_sum · n_px > total · n_cell`)
+    * — no float division anywhere, which is what lets the mm05 oracle
+    * recompute the exact bits in SQL from the fixture's pixel formula.
+    * Emitted as a 64-char '0'/'1' string (row-major j, then i):
+    * sortable, bandable by substring, and engine-portable (bit 63
+    * would overflow a signed BIGINT in SQL).
+    *
+    * Scale shape: mapPartitions in the scan stage — bytes decoded
+    * where they're read, only (id, 64-char hash) flows on. */
+  def imageAHash(media: Dataset[MediaRow])
+      (implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        decodeImage(m.bytes) match {
+          case Some(img) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val cellSum = Array.ofDim[Long](8, 8)
+            val cellCnt = Array.ofDim[Long](8, 8)
+            var total = 0L
+            var y = 0
+            while (y < h) {
+              val j = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)
+                cellSum(j)(x * 8 / w) += s
+                cellCnt(j)(x * 8 / w) += 1
+                total += s
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toLong * h
+            val bits = new java.lang.StringBuilder(64)
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                bits.append(
+                  if (cellSum(j)(i) * n > total * cellCnt(j)(i)) '1'
+                  else '0')
+                i += 1
+              }
+              j += 1
+            }
+            (m.media_id, true, bits.toString)
+          case None => (m.media_id, false, null: String)
+        }
+      }
+    }.toDF("media_id", "decoded", "ahash_bits")
+  }
+
   /** Deterministic synthetic PNG: dimensions derived from the id
     * (width = 16 + id mod 32, height = 8 + id mod 16), gradient fill.
     * ENCODED through the real PNG writer, so decoding it back is a

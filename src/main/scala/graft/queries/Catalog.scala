@@ -645,16 +645,23 @@ object Catalog {
     //    d02/d03/d04 proving the pieces pipeline without re-runs. ───
     Q("d10_corpus_filter",
       (s, d) => {
-        val toks = col("__toks")
+        // ALL derived columns built inside ONE Text.let binding: the
+        // pre-fix withColumn formulation re-ran the tokenizer at
+        // every HOF site once predicate pushdown substituted the
+        // alias (measured 20 occurrences in the physical plan; now 2
+        // — one in the pushed filter, one in the projection).
+        val m = Text.let(Text.tokens(col("text"))) { toks =>
+          struct(
+            size(toks).cast("long").as("n_tokens"),
+            Text.langId(toks).getField("lang").as("pred_lang"),
+            Text.qualityScoreFromToks(col("text"), toks).as("q"))
+        }
         Tables.documents(s, d)
-          .withColumn("__toks", Text.tokens(col("text")))
-          .withColumn("n_tokens", size(toks).cast("long"))
-          .withColumn("pred_lang", Text.langId(toks).getField("lang"))
-          .withColumn("q",
-            Text.qualityScoreFromToks(col("text"), toks))
-          .filter(col("pred_lang") === "en" &&
-            col("n_tokens").between(20, 10000))
-          .select("doc_id", "n_tokens", "q")
+          .select(col("doc_id"), m.as("__m"))
+          .filter(col("__m.pred_lang") === "en" &&
+            col("__m.n_tokens").between(20, 10000))
+          .select(col("doc_id"), col("__m.n_tokens").as("n_tokens"),
+            col("__m.q").as("q"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id, n_tokens, q
@@ -2512,6 +2519,148 @@ object Catalog {
             AS dup_event_id,
           CAST(count(*) - count(event_id) AS BIGINT)
             AS nullkey_event_id
-        FROM ev"""))
+        FROM ev""")),
+
+    // ── §7.5 graph: triangle counting via the degree-ordered
+    //    node-iterator (graph.Triangles — the clustering-density
+    //    signal next to q29's PageRank). Edges: user u clicked on
+    //    user k's content (props.$.k), symmetrized+deduped. The
+    //    oracle enumerates triangles naively (orientation-free
+    //    a<b<c triple join) — the triangle SET is plan-independent,
+    //    which is exactly what makes the degree-ordered plan safe to
+    //    grade against it. ────────────────────────────────────────────
+    Q("q34_triangles",
+      (s, d) => graft.graph.Triangles.perNode(
+        Tables.events(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("src"),
+            get_json_object(col("props"), "$.k").cast("long")
+              .as("dst")))
+        .select(col("node").cast("long").as("user_id"),
+          col("n_triangles"))
+        .orderBy("user_id"),
+      Some("""WITH raw AS (SELECT user_id AS s,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS t
+          FROM events WHERE event_type = 'click'),
+        e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+          FROM raw WHERE s <> t),
+        tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+          JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (SELECT x AS n FROM tri
+          UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+        SELECT n AS user_id, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY 1 ORDER BY 1""")),
+
+    // ── §7.5 URL canonicalization (Text.canonicalizeUrl): the
+    //    normalization web-crawl pipelines key URL-dedup on. Messy
+    //    URLs injected per doc_id (the d13 synthetic-input pattern)
+    //    so every rule — scheme/host case, www, default port,
+    //    tracking params, param order, fragment, trailing slash — is
+    //    provably exercised; the oracle mirrors the chain step for
+    //    step. ──────────────────────────────────────────────────────
+    Q("d37_url_canon",
+      (s, d) => {
+        val id = col("doc_id")
+        val messy = concat(
+          when(pmod(id, lit(2)) === 0, lit("HTTPS://"))
+            .otherwise(lit("http://")),
+          when(pmod(id, lit(3)) === 0, lit("WWW.")).otherwise(lit("")),
+          lit("Example-"), pmod(id, lit(50)), lit(".COM"),
+          when(pmod(id, lit(2)) === 0, lit(":443")).otherwise(lit(":80")),
+          lit("/Path/"), pmod(id, lit(7)),
+          when(pmod(id, lit(5)) === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_source=feed&b="), pmod(id, lit(3)),
+          lit("&utm_campaign=x&a="), pmod(id, lit(4)),
+          when(pmod(id, lit(4)) === 0, lit("&fbclid=abc123"))
+            .otherwise(lit("")),
+          lit("#sec-"), pmod(id, lit(9)))
+        Tables.documents(s, d)
+          .select(id, messy.as("url_raw"))
+          .select(id, col("url_raw"),
+            Text.canonicalizeUrl(col("url_raw")).as("url_canon"))
+          .withColumn("host",
+            regexp_extract(col("url_canon"), "://([^:/?]*)", 1))
+          .orderBy("doc_id")
+      },
+      Some("""WITH u0 AS (SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://'
+                  ELSE 'http://' END)
+            || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+            || 'Example-' || (doc_id % 50) || '.COM'
+            || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+            || '/Path/' || (doc_id % 7)
+            || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+            || '?utm_source=feed&b=' || (doc_id % 3)
+            || '&utm_campaign=x&a=' || (doc_id % 4)
+            || (CASE WHEN doc_id % 4 = 0 THEN '&fbclid=abc123'
+                ELSE '' END)
+            || '#sec-' || (doc_id % 9) AS url_raw
+          FROM documents),
+        s1 AS (SELECT doc_id, url_raw,
+            regexp_replace(url_raw, '#.*$', '') AS nf FROM u0),
+        s2 AS (SELECT doc_id, url_raw,
+            regexp_replace(nf, '\?.*$', '') AS base,
+            coalesce(regexp_extract(nf, '\?(.*)$', 1), '') AS q
+          FROM s1),
+        s3 AS (SELECT doc_id, url_raw, q,
+            regexp_replace(regexp_replace(regexp_replace(
+              lower(regexp_extract(base,
+                '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)),
+              '^(https?://)www\.', '\1'),
+              '^(http://.*):80$', '\1'),
+              '^(https://.*):443$', '\1') AS auth,
+            regexp_replace(base,
+              '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '') AS path0
+          FROM s2),
+        s4 AS (SELECT doc_id, url_raw, auth,
+            CASE WHEN length(path0) > 1
+              THEN regexp_replace(path0, '/$', '') ELSE path0
+            END AS path,
+            array_to_string(list_sort(list_filter(
+              string_split(q, '&'),
+              p -> p <> '' AND NOT starts_with(p, 'utm_')
+                AND NOT starts_with(p, 'fbclid=')
+                AND NOT starts_with(p, 'gclid='))), '&') AS qc
+          FROM s3)
+        SELECT doc_id, url_raw,
+          auth || path
+            || (CASE WHEN qc <> '' THEN '?' || qc ELSE '' END)
+            AS url_canon,
+          regexp_extract(auth || path, '://([^:/?]*)', 1) AS host
+        FROM s4 ORDER BY doc_id""")),
+
+    // ── §7.5 multimodal: perceptual average-hash over REAL decoded
+    //    PNG pixels (Multimodal.imageAHash) — image near-dup keying
+    //    without embeddings. All-integer area-binned 8×8 aHash, so
+    //    the oracle recomputes the exact 64 bits from the fixture's
+    //    pixel formula; the Spark side reads them from the decoded
+    //    image (true codec roundtrip, mm03's proof shape). ──────────
+    Q("mm05_image_ahash",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticPngMedia(
+          Tables.documents(s, d).select("doc_id"))(s)
+        graft.multimodal.Multimodal.imageAHash(media)(s)
+          .orderBy("media_id")
+      },
+      Some("""WITH dims AS (SELECT doc_id, 16 + doc_id % 32 AS w,
+            8 + doc_id % 16 AS h FROM documents),
+        px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y,
+            (doc_id + xs.x) % 256 + (doc_id*7 + ys.y) % 256
+              + (xs.x*ys.y + doc_id) % 256 AS s
+          FROM dims, range(48) xs(x), range(24) ys(y)
+          WHERE xs.x < w AND ys.y < h),
+        tot AS (SELECT doc_id, sum(s) AS total, count(*) AS n
+          FROM px GROUP BY 1),
+        cells AS (SELECT doc_id, (y*8)//h AS j, (x*8)//w AS i,
+            sum(s) AS cs, count(*) AS cc
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (SELECT c.doc_id, j, i,
+            CASE WHEN c.cs * t.n > t.total * c.cc THEN '1' ELSE '0'
+            END AS b
+          FROM cells c JOIN tot t USING (doc_id))
+        SELECT doc_id AS media_id, true AS decoded,
+          string_agg(b, '' ORDER BY j, i) AS ahash_bits
+        FROM bits GROUP BY 1 ORDER BY media_id"""))
   )
 }

@@ -177,4 +177,41 @@ class MultimodalSpec extends SparkSpec {
     assert(f.embedding.toSeq == Multimodal.stripLuma(img).toSeq)
     assert(f.frames_sampled == 1)
   }
+
+  test("imageAHash: matches the integer formula; equal bytes ⇒ equal hash") {
+    import spark.implicits._
+    // expected aHash straight from the fixture's pixel formula — the
+    // Spark side must reproduce it from DECODED pixels (mm05's oracle
+    // computes this same formula in SQL)
+    def expected(id: Long): String = {
+      val w = 16 + (id % 32).toInt; val h = 8 + (id % 16).toInt
+      val cs = Array.ofDim[Long](8, 8); val cc = Array.ofDim[Long](8, 8)
+      var tot = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val s = (id + x) % 256 + (id * 7 + y) % 256 + (x * y + id) % 256
+        cs(y * 8 / h)(x * 8 / w) += s; cc(y * 8 / h)(x * 8 / w) += 1
+        tot += s
+      }
+      val n = w.toLong * h
+      (for (j <- 0 until 8; i <- 0 until 8)
+        yield if (cs(j)(i) * n > tot * cc(j)(i)) '1' else '0').mkString
+    }
+    val ids = Seq(0L, 3L, 17L, 41L).toDF("doc_id")
+    val got = Multimodal.imageAHash(
+      Multimodal.syntheticPngMedia(ids)(spark))(spark)
+      .orderBy("media_id")
+      .select("media_id", "ahash_bits")
+      .as[(Long, String)].collect().toMap
+    for (id <- Seq(0L, 3L, 17L, 41L)) assert(got(id) == expected(id))
+    // byte-identical payloads hash identically (the near-dup key
+    // property): same id → same PNG → same hash, trivially; also
+    // assert hashes differ across ids (the fixture isn't degenerate)
+    assert(got.values.toSet.size > 1)
+    // undecodable payload → decoded=false, null hash
+    val bad = Seq(MediaRow(99L, "image", Array[Byte](1, 2, 3),
+      "image/png", 0, 0, 0L)).toDS()
+    val r = Multimodal.imageAHash(bad)(spark).head()
+    assert(!r.getAs[Boolean]("decoded") &&
+      r.getAs[String]("ahash_bits") == null)
+  }
 }
