@@ -462,4 +462,36 @@ object Dedup {
           .otherwise(col("__o.n_inter").cast("double") /
             col("__o.n_union")))
       .drop("__toks", "__sh", "__o")
+
+  /** Blocked edit-distance record linkage: candidate pairs share a
+    * blocking key (first `blockToks` tokens), verified by Levenshtein
+    * distance over a bounded `prefixLen`-char prefix.
+    *
+    * The classic entity-resolution shape complementing MinHash/SimHash:
+    * blocking turns the O(n²) all-pairs comparison into one
+    * equi-shuffle on the block key plus per-block O(b²) — the same
+    * candidate-only discipline as the LSH variants, with an edit-metric
+    * verifier instead of a set-overlap one. The join ships only
+    * (id, block, prefix) — never the document body — so shuffle volume
+    * is O(rows × prefixLen). Skewed blocks are AQE's skew-join case;
+    * shrink them by raising `blockToks`. */
+  def blockedEditDistancePairs(docs: DataFrame, textCol: String,
+                               idCol: String, blockToks: Int,
+                               prefixLen: Int, maxDist: Int): DataFrame = {
+    val slim = docs
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol),
+        concat_ws(" ", slice(col("__toks"), 1, blockToks)).as("__blk"),
+        substring(col(textCol), 1, prefixLen).as("__pfx"))
+    val a = slim.select(col(idCol).as("id_a"), col("__blk"),
+      col("__pfx").as("__pa"))
+    val b = slim.select(col(idCol).as("id_b"), col("__blk"),
+      col("__pfx").as("__pb"))
+    a.join(b, Seq("__blk"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("dist",
+        levenshtein(col("__pa"), col("__pb")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
 }

@@ -113,6 +113,39 @@ object Text {
     round(raw, 4)
   }
 
+  /** Stopword list shared by the Gopher-rule filter and its DuckDB
+    * oracle (the English function-word markers). */
+  val gopherStopwords: Seq[String] = langMarkers("en")
+
+  /** Gopher-style repetition/quality gate signals (Rae et al. 2021,
+    * "Scaling Language Models", table A1 heuristics) restated in EXACT
+    * integer arithmetic so the oracle hash-compares without float
+    * rounding hazards:
+    *
+    *   - `n_words`         token count
+    *   - `n_chars`         summed token length
+    *   - `n_alpha`         tokens containing at least one [a-z]
+    *   - `stop_hits`       distinct stopwords present (of 8 markers)
+    *   - `passes`          50 ≤ n_words ≤ 100000
+    *                       ∧ 3 ≤ mean word length ≤ 10  (3n ≤ chars ≤ 10n)
+    *                       ∧ alpha fraction ≥ 0.8        (5·alpha ≥ 4n)
+    *                       ∧ stop_hits ≥ 2
+    *
+    * One pass over a MATERIALIZED token column; pure codegen (HOF
+    * folds), no shuffle — the scan stays the only exchange at 100 TB. */
+  def gopherStats(toks: Column): Column = {
+    val n = size(toks).cast("long")
+    val chars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val alpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val stops = size(filter(array(gopherStopwords.map(lit): _*),
+      w => array_contains(toks, w))).cast("long")
+    struct(n.as("n_words"), chars.as("n_chars"), alpha.as("n_alpha"),
+      stops.as("stop_hits"),
+      (n.between(50L, 100000L) && (lit(3L) * n <= chars) &&
+        (chars <= lit(10L) * n) && (lit(5L) * alpha >= lit(4L) * n) &&
+        stops >= 2L).as("passes"))
+  }
+
   /** Content fingerprint over whitespace-normalized lowercase text —
     * exact-dup key that survives formatting noise. md5 keeps the
     * oracle (DuckDB) bit-identical. Prefer [[fingerprintFromToks]]

@@ -2661,6 +2661,133 @@ object Catalog {
           FROM cells c JOIN tot t USING (doc_id))
         SELECT doc_id AS media_id, true AS decoded,
           string_agg(b, '' ORDER BY j, i) AS ahash_bits
-        FROM bits GROUP BY 1 ORDER BY media_id"""))
+        FROM bits GROUP BY 1 ORDER BY media_id""")),
+
+    // ── §7.5 Gopher-style quality gate (Rae et al. 2021 table A1):
+    //    word-count / mean-word-length / alpha-fraction / stopword
+    //    rules restated in exact integer arithmetic (Text.gopherStats)
+    //    so the oracle hash-compares without float rounding. One
+    //    codegen pass, no shuffle. ─────────────────────────────────
+    Q("d38_gopher_rules",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("__toks", Text.tokens(col("text")))
+        .withColumn("__g", Text.gopherStats(col("__toks")))
+        .select(col("doc_id"), col("__g.n_words").as("n_words"),
+          col("__g.n_chars").as("n_chars"),
+          col("__g.n_alpha").as("n_alpha"),
+          col("__g.stop_hits").as("stop_hits"),
+          col("__g.passes").as("passes"))
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS tk FROM documents),
+          g AS (SELECT doc_id,
+            CAST(len(tk) AS BIGINT) AS n_words,
+            CAST(coalesce(list_sum(list_transform(tk,
+              x -> length(x))), 0) AS BIGINT) AS n_chars,
+            CAST(len(list_filter(tk,
+              x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+            CAST(len(list_filter(
+              ['the','and','of','to','a','in','is','that'],
+              w -> list_contains(tk, w))) AS BIGINT) AS stop_hits
+          FROM t)
+        SELECT doc_id, n_words, n_chars, n_alpha, stop_hits,
+          (n_words BETWEEN 50 AND 100000
+            AND 3*n_words <= n_chars AND n_chars <= 10*n_words
+            AND 5*n_alpha >= 4*n_words AND stop_hits >= 2) AS passes
+        FROM g ORDER BY doc_id""")),
+
+    // ── §2.7 extension: frame-spec windows (ROWS BETWEEN) — rolling
+    //    sum/count + running total per user, the per-key sequence
+    //    features a training pipeline derives from event streams.
+    //    Monetary doubles restated as integer cents so the window
+    //    sums hash-compare exactly. One hash-shuffle on user_id; the
+    //    frame itself is a per-partition sorted scan (no extra
+    //    exchange), so the plan is shuffle → sort → window at any
+    //    scale. ───────────────────────────────────────────────────
+    Q("q35_rolling_metrics",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("__cents",
+            round(col("value") * 100, 0).cast("long"))
+          .withColumn("win_sum_cents",
+            sum("__cents").over(w.rowsBetween(-3, Window.currentRow)))
+          .withColumn("win_n",
+            count(lit(1)).over(w.rowsBetween(-3, Window.currentRow)))
+          .withColumn("run_sum_cents",
+            sum("__cents").over(
+              w.rowsBetween(Window.unboundedPreceding,
+                Window.currentRow)))
+          .select(col("event_id"), col("user_id"),
+            col("win_sum_cents"), col("win_n"), col("run_sum_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id,
+            CAST(ts AS TIMESTAMP) AS ts,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+        SELECT event_id, user_id,
+          CAST(sum(cents) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS win_sum_cents,
+          CAST(count(*) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS win_n,
+          CAST(sum(cents) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_sum_cents
+        FROM e ORDER BY event_id""")),
+
+    // ── §2.5 extension: pivot (wide per-key feature vector from a
+    //    long event log). With an EXPLICIT values list the plan is a
+    //    single hash aggregate (no distinct-values pre-pass, no
+    //    second shuffle) — the form that survives 100 TB. ──────────
+    Q("q36_pivot",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+          CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS click,
+          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS error,
+          CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS purchase,
+          CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS signup,
+          CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS view
+        FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ── §7.5 blocked edit-distance record linkage: block on the
+    //    first TWO tokens, verify with Levenshtein over a 60-char
+    //    prefix — the entity-resolution candidate-only shape (one
+    //    equi-shuffle on the block key; per-block O(b²) verification
+    //    on slim (id, prefix) rows; never all-pairs, never the full
+    //    body). The block key must stay SELECTIVE: one token over
+    //    this ~40-word vocabulary puts 2.5% of the corpus in every
+    //    block (417k candidates at sf0.1, and per-block b grows with
+    //    the corpus); two tokens keep blocks O(1)-sized (14k
+    //    candidates). Both engines use the textbook Levenshtein, so
+    //    distances hash-compare exactly. ────────────────────────────
+    Q("d39_fuzzy_blocked_pairs",
+      (s, d) => Dedup.blockedEditDistancePairs(
+        Tables.documents(s, d), "text", "doc_id",
+        blockToks = 2, prefixLen = 60, maxDist = 30)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH t AS (SELECT doc_id,
+            array_to_string(list_slice($sqlToks, 1, 2), ' ') AS blk,
+            substr(text, 1, 60) AS pfx
+          FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+        FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pfx, b.pfx) <= 30
+        ORDER BY id_a, id_b"""))
   )
 }
