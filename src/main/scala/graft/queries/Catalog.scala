@@ -2740,9 +2740,13 @@ object Catalog {
         FROM e ORDER BY event_id""")),
 
     // ── §2.5 extension: pivot (wide per-key feature vector from a
-    //    long event log). With an EXPLICIT values list the plan is a
-    //    single hash aggregate (no distinct-values pre-pass, no
-    //    second shuffle) — the form that survives 100 TB. ──────────
+    //    long event log). The EXPLICIT values list skips the
+    //    distinct-values collect job (an extra full pass + driver
+    //    round-trip with implicit pivot). Plan audit: per-(user,type)
+    //    partial aggregate → user-level pivot aggregate, both
+    //    map-side combined — the second shuffle carries only
+    //    |users×types| rows, so the corpus is read and reduced
+    //    exactly once at any scale. ─────────────────────────────────
     Q("q36_pivot",
       (s, d) => Tables.events(s, d)
         .groupBy("user_id")

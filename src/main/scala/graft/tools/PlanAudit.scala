@@ -28,7 +28,9 @@ object PlanAudit {
       "q24_skew_salted_join", "v07_semdedup", "v08_centroid_outliers",
       "m03_corpus_overlap", "d28_unigram_nll",
       "q31_hybrid_rrf", "q32_incremental_agg", "q33_snapshot_diff",
-      "d34_markup_strip", "v11_matryoshka")) {
+      "d34_markup_strip", "v11_matryoshka",
+      "d38_gopher_rules", "q35_rolling_metrics", "q36_pivot",
+      "d39_fuzzy_blocked_pairs")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(
