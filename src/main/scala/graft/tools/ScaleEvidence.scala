@@ -173,6 +173,8 @@ object ScaleEvidence {
         .filter(col("contaminated")).count()
     }
     timed("d15 repetition signals (scan-only)") {
+      // noop write, not count(): count would prune the computed
+      // columns and time only the scan
       corpus.withColumn("__toks",
         graft.functions.Text.tokens(col("text")))
         .withColumn("__g2", graft.functions.Text.wordShingles(
@@ -181,7 +183,8 @@ object ScaleEvidence {
           (size(col("__g2")) - size(array_distinct(col("__g2"))))
             .as("dup2"),
           graft.functions.Text.topTokenCount(col("__toks")).as("tt"))
-        .count()
+        .write.mode("overwrite").format("noop").save()
+      reps * 5000L
     }
     timed("d16 tf-idf top term (df from cached tf)") {
       val tf = graft.CacheTracker.persistTracked(
@@ -436,6 +439,45 @@ object ScaleEvidence {
         targetBytes = 128L * 1024 * 1024)
       println(f"   files: $b -> $a")
       spark.read.parquet(frag).count()
+    }
+
+    println(s"== round-3-final rows (${reps}x) ==")
+    // noop-write materialization (the Bench methodology): a bare
+    // count() would let Catalyst PRUNE the computed columns — a
+    // scan-only op timed via count measures the scan, not the op
+    timed(s"d38 gopher rules (${reps*5}k docs, scan-only)") {
+      val g = corpus
+        .withColumn("__toks", graft.functions.Text.tokens(col("text")))
+        .select(col("doc_id"),
+          graft.functions.Text.gopherStats(col("__toks")).as("g"))
+        .select("doc_id", "g.*")
+      g.write.mode("overwrite").format("noop").save()
+      reps * 5000L
+    }
+    timed(s"q35 rolling frame windows (${reps/10.0}M events, one user shuffle)") {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("__cents", round(col("value") * 100, 0).cast("long"))
+        .withColumn("win_sum",
+          sum("__cents").over(w.rowsBetween(-3, Window.currentRow)))
+        .withColumn("run_sum", sum("__cents").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .write.mode("overwrite").format("noop").save()
+      reps * 100000L
+    }
+    timed(s"q36 pivot (${reps/10.0}M events -> wide per-user counts)") {
+      ev.groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1))).na.fill(0L).count()
+    }
+    // token salting makes replica block keys disjoint, so block SIZE
+    // is scale-invariant and candidate pairs grow exactly reps× — the
+    // selective-key property d39's comment demands, now measured
+    timed(s"d39 blocked fuzzy linkage (${reps*5}k docs, 2-token blocks)") {
+      Dedup.blockedEditDistancePairs(corpus, "text", "doc_id",
+        blockToks = 2, prefixLen = 60, maxDist = 30).count()
     }
     spark.stop()
   }

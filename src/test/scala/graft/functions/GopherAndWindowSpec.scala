@@ -89,6 +89,40 @@ class GopherAndWindowSpec extends SparkSpec {
       (6L, 50L, 1L, 50L))) // separate user
   }
 
+  test("gopherStats matches an independent Scala reference on random text") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString),
+      Gen.nonEmptyListOf(Gen.numChar).map(_.mkString),
+      Gen.oneOf("the", "and", "a", "is", "...", "†‡", "x9", "ÆØ"))
+    val textGen = Gen.listOf(word).map(_.mkString(" "))
+    val texts = Gen.listOfN(60, textGen).pureApply(
+      Gen.Parameters.default, org.scalacheck.rng.Seed(42L)) :+
+      "" :+ "   "
+    def ref(text: String) = {
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = toks.length.toLong
+      val chars = toks.map(_.length.toLong).sum
+      val alpha = toks.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val stops = Text.gopherStopwords.count(toks.contains).toLong
+      (n, chars, alpha, stops,
+        n >= 50 && n <= 100000 && 3 * n <= chars && chars <= 10 * n &&
+          5 * alpha >= 4 * n && stops >= 2)
+    }
+    val got = texts.toDF("text")
+      .withColumn("__toks", Text.tokens(col("text")))
+      .select(col("text"), Text.gopherStats(col("__toks")).as("g"))
+      .select("text", "g.*")
+      .collect()
+      .map(r => (r.getAs[String]("text"),
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_alpha"), r.getAs[Long]("stop_hits"),
+          r.getAs[Boolean]("passes"))))
+    got.foreach { case (text, actual) =>
+      assert(actual === ref(text), s"text=<$text>")
+    }
+  }
+
   test("pivot with explicit values: zero-filled wide counts") {
     val e = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "error"))
       .toDF("user_id", "event_type")
