@@ -478,11 +478,13 @@ object Dedup {
   def blockedEditDistancePairs(docs: DataFrame, textCol: String,
                                idCol: String, blockToks: Int,
                                prefixLen: Int, maxDist: Int): DataFrame = {
-    val slim = docs
+    // persisted: BOTH sides of the self-join read it — without the
+    // persist the corpus scan + tokenizer run twice
+    val slim = CacheTracker.persistTracked(docs
       .withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol),
         concat_ws(" ", slice(col("__toks"), 1, blockToks)).as("__blk"),
-        substring(col(textCol), 1, prefixLen).as("__pfx"))
+        substring(col(textCol), 1, prefixLen).as("__pfx")))
     val a = slim.select(col(idCol).as("id_a"), col("__blk"),
       col("__pfx").as("__pa"))
     val b = slim.select(col(idCol).as("id_b"), col("__blk"),

@@ -85,17 +85,18 @@ object LinkGraph {
         .select(col("dst").as("node"),
           expr(s"$base + (($dampNum * __s) div $dampDen)")
             .cast("long").as("pr"))
-      // Materialize each iteration (node-sized, tiny): without the
-      // cut, iteration k's broadcast subtree CONTAINS iterations
-      // 1..k-1, and when exchange reuse misses (AQE re-plans make the
+      // Persist each iteration (node-sized, tiny): without the cut,
+      // iteration k's broadcast subtree CONTAINS iterations 1..k-1,
+      // and when exchange reuse misses (AQE re-plans make the
       // subtrees non-identical) the chain re-executes per iteration —
-      // O(iters²) work (measured 12.9 s → ~3 s at sf0.1). The
-      // driver-coordinated per-iteration job is the standard iterative
-      // shape (GraphX/MLlib do the same internally).
-      if (i < iters) {
-        pr = CacheTracker.persistTracked(pr)
-        pr.count()
-      }
+      // O(iters²) work (measured 12.9 s → ~3 s at sf0.1). No eager
+      // count() is needed: iteration k+1's broadcast collect is the
+      // first consumer and populates the cache — an eager count here
+      // just adds one driver job per iteration (measured ~0.2-0.3 s
+      // each at sf0.1). The driver-coordinated per-iteration job is
+      // the standard iterative shape (GraphX/MLlib do the same
+      // internally).
+      if (i < iters) pr = CacheTracker.persistTracked(pr)
     }
     pr
   }
