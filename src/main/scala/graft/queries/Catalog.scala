@@ -2096,18 +2096,19 @@ object Catalog {
     //    shuffle budget. ──────────────────────────────────────────────
     Q("q29_pagerank",
       (s, d) => {
-        // persisted: both symmetrization branches read it — otherwise
-        // the 600k-row distinct runs twice inside the union
-        val li = graft.CacheTracker.persistTracked(Tables.lineitem(s, d)
+        // symmetrize via explode, not union-of-two-branches: one pass
+        // over the 600k-row distinct (a union would execute the
+        // distinct subtree twice or need its own persist)
+        val edges = Tables.lineitem(s, d)
           .select(col("l_suppkey").cast("long").as("sk"),
             col("l_partkey").cast("long").as("pk"))
-          .distinct())
-        val edges = li.select(
-            concat(lit("s:"), col("sk")).as("src"),
-            concat(lit("p:"), col("pk")).as("dst"))
-          .unionByName(li.select(
-            concat(lit("p:"), col("pk")).as("src"),
-            concat(lit("s:"), col("sk")).as("dst")))
+          .distinct()
+          .select(explode(array(
+            struct(concat(lit("s:"), col("sk")).as("src"),
+              concat(lit("p:"), col("pk")).as("dst")),
+            struct(concat(lit("p:"), col("pk")).as("src"),
+              concat(lit("s:"), col("sk")).as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
         graft.graph.LinkGraph.pageRank(edges, iters = 5)
           .orderBy("node")
       },
