@@ -2793,6 +2793,34 @@ object Catalog {
           CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
         FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id
         WHERE levenshtein(a.pfx, b.pfx) <= 30
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // ── §2.12 custom Aggregator (UDAF surface): bounded top-k with
+    //    k-entries-per-group partial state — same semantics as q19's
+    //    window form (shared oracle), different machinery: the
+    //    map-side combine ships ≤ k rows per group per partition,
+    //    and the Aggregator API is what reaches top-k-shaped state
+    //    where a window filter can't (typed agg pipelines,
+    //    mapGroupsWithState). ───────────────────────────────────────
+    Q("q37_topk_aggregator",
+      (s, d) => {
+        val topk = graft.functions.TopKAgg.topK(3)
+        Tables.orders(s, d)
+          .groupBy("o_orderstatus")
+          .agg(topk(col("o_totalprice"),
+            col("o_orderkey").cast("long")).as("tk"))
+          .select(col("o_orderstatus"),
+            posexplode(col("tk")).as(Seq("pos", "t")))
+          .select(col("o_orderstatus"),
+            (col("pos") + 1).cast("long").as("rk"),
+            col("t._2").as("o_orderkey"),
+            col("t._1").as("o_totalprice"))
+          .orderBy("o_orderstatus", "rk")
+      },
+      Some("""SELECT o_orderstatus, CAST(rk AS BIGINT) AS rk,
+          CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
+        WHERE rk <= 3 ORDER BY o_orderstatus, rk"""))
   )
 }
