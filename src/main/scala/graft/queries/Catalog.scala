@@ -2821,6 +2821,62 @@ object Catalog {
           CAST(o_orderkey AS BIGINT) AS o_orderkey, o_totalprice
         FROM (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
             ORDER BY o_totalprice DESC, o_orderkey) AS rk FROM orders)
-        WHERE rk <= 3 ORDER BY o_orderstatus, rk"""))
+        WHERE rk <= 3 ORDER BY o_orderstatus, rk""")),
+
+    // ── §2.5 extension: unpivot/melt — the inverse of q36, wide
+    //    feature columns back to long form (`DataFrame.unpivot`,
+    //    Expand-based: one pass over the wide frame, rows × values
+    //    output, no join). The oracle restates the semantics
+    //    relationally (user × type grid, zero-filled). ─────────────
+    Q("q38_unpivot",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val wide = Tables.events(s, d)
+          .groupBy("user_id").pivot("event_type", types)
+          .agg(count(lit(1))).na.fill(0L)
+        wide.unpivot(Array(col("user_id")), types.map(col).toArray,
+            "event_type", "n")
+          .orderBy("user_id", "event_type")
+      },
+      Some("""WITH c AS (SELECT user_id, event_type,
+            CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+          u AS (SELECT DISTINCT user_id FROM events),
+          t AS (SELECT unnest(
+            ['click','error','purchase','signup','view']) AS event_type)
+        SELECT u.user_id, t.event_type,
+          CAST(coalesce(c.n, 0) AS BIGINT) AS n
+        FROM u CROSS JOIN t
+        LEFT JOIN c ON c.user_id = u.user_id
+          AND c.event_type = t.event_type
+        ORDER BY u.user_id, t.event_type""")),
+
+    // ── §3.1 extension: SQL-string front door with correlated
+    //    subqueries — `spark.sql` over registered views; Catalyst's
+    //    RewritePredicateSubquery decorrelates EXISTS / NOT EXISTS
+    //    into left-semi / left-anti joins (no per-row subquery
+    //    execution at any scale). ──────────────────────────────────
+    Q("q39_exists_subquery",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        s.sql("""SELECT c_custkey, c_name FROM customer_v c
+          WHERE EXISTS (SELECT 1 FROM orders_v o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 200000)
+            AND NOT EXISTS (SELECT 1 FROM orders_v o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F'
+                AND o.o_totalprice > 300000)
+          ORDER BY c_custkey""")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 200000)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderstatus = 'F'
+              AND o.o_totalprice > 300000)
+        ORDER BY c_custkey"""))
   )
 }

@@ -123,6 +123,39 @@ class GopherAndWindowSpec extends SparkSpec {
     }
   }
 
+  test("unpivot inverts pivot back to the long form") {
+    val e = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "error"))
+      .toDF("user_id", "event_type")
+    val types = Seq("click", "error", "view")
+    val wide = e.groupBy("user_id").pivot("event_type", types)
+      .agg(count(lit(1))).na.fill(0L)
+    val long = wide.unpivot(Array(col("user_id")),
+        types.map(col).toArray, "event_type", "n")
+      .orderBy("user_id", "event_type")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(long === Seq(
+      (1L, "click", 2L), (1L, "error", 0L), (1L, "view", 1L),
+      (2L, "click", 0L), (2L, "error", 1L), (2L, "view", 0L)))
+  }
+
+  test("correlated EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name")
+      .createOrReplaceTempView("cust_t")
+    Seq((1L, 10.0), (2L, 500.0), (3L, 500.0), (3L, 900.0))
+      .toDF("ck", "price").createOrReplaceTempView("ord_t")
+    val q = spark.sql("""SELECT k, name FROM cust_t c
+      WHERE EXISTS (SELECT 1 FROM ord_t o
+          WHERE o.ck = c.k AND o.price > 100)
+        AND NOT EXISTS (SELECT 1 FROM ord_t o
+          WHERE o.ck = c.k AND o.price > 800)
+      ORDER BY k""")
+    assert(q.as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+    // the scale property: no per-row subquery — the plan is joins
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan)
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
   test("pivot with explicit values: zero-filled wide counts") {
     val e = Seq((1L, "click"), (1L, "click"), (1L, "view"), (2L, "error"))
       .toDF("user_id", "event_type")
