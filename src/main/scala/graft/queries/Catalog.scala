@@ -2877,6 +2877,148 @@ object Catalog {
             WHERE o.o_custkey = c.c_custkey
               AND o.o_orderstatus = 'F'
               AND o.o_totalprice > 300000)
-        ORDER BY c_custkey"""))
+        ORDER BY c_custkey""")),
+
+    // ── §7.5 weighted sampling WITHOUT replacement (Efraimidis–
+    //    Spirakis A-ES): keep the k docs with the largest
+    //    u_i^(1/w_i), u_i = the portable md5 draw, w_i = token count.
+    //    One distributed top-k — orderBy(ln(u)/w desc).limit(k)
+    //    compiles to TakeOrderedAndProject (per-partition heaps, no
+    //    full sort, no shuffle beyond k·partitions rows) — the
+    //    training-mix shape d23's per-row Bernoulli can't give you: a
+    //    FIXED-SIZE sample with inclusion probability ∝ weight.
+    //    ln is monotone so ordering by ln(u)/w == ordering by
+    //    u^(1/w); both engines evaluate ln over the same doubles (the
+    //    q26 BM25 lesson: shared-input IEEE dags reproduce), and the
+    //    selection boundary at rank k sits ~1/n_docs of key-space
+    //    away from its neighbor — not a rounding-parity surface. The
+    //    key itself is never emitted. ─────────────────────────────────
+    Q("d40_weighted_sample",
+      (s, d) => graft.functions.Sampling.weightedTopK(
+          Tables.documents(s, d)
+            .select(col("doc_id"),
+              Text.tokenCount(col("text")).as("n_tokens")),
+          col("n_tokens"), col("doc_id"), k = 50, seedTag = "es")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, n_tokens FROM (
+          SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens,
+            ln((('0x' || substr(md5('es#' || CAST(doc_id AS VARCHAR)),
+                  1, 15))::BIGINT + 1.0) / 1152921504606846976.0)
+              / CAST(len($sqlToks) AS BIGINT) AS key
+          FROM documents
+          WHERE len($sqlToks) > 0
+          ORDER BY key DESC, doc_id LIMIT 50)
+        ORDER BY doc_id""")),
+
+    // ── §7.5 ANN quality EVALUATION as an operator: recall@20 of the
+    //    IVF index (v02) against the exact scan (v01), swept over
+    //    nprobe 1..3 — the measurement that decides an index's probe
+    //    budget before a 100 TB rollout. The assignment table is
+    //    computed once (lazy tracked persist, the LSH-builder
+    //    pattern); each probe setting is a centroid-pruned top-k
+    //    semi-joined against the broadcast 20-row truth set. Exact
+    //    integer outputs (hit counts). ───────────────────────────────
+    Q("v12_ivf_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select("vec_id", "embedding")
+          .collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq))
+          .toSeq
+        val query = centroids.find(_._1 == 1).get._2
+        val exact = Vectors.topKCosine(emb, "embedding", query, 20)
+          .select(col("vec_id"))
+        val assigned = graft.CacheTracker.persistTracked(
+          Vectors.ivfAssign(emb, "embedding", centroids))
+        (1 to 3).map { np =>
+          Vectors.ivfTopK(assigned, "embedding", centroids, query,
+              k = 20, nprobe = np)
+            .join(broadcast(exact), Seq("vec_id"), "left_semi")
+            .agg(count(lit(1)).cast("long").as("n_hits"))
+            .select(lit(np.toLong).as("nprobe"), col("n_hits"),
+              lit(20L).as("k"))
+        }.reduce(_.unionAll(_)).orderBy("nprobe")
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        q AS (SELECT cv AS qv FROM c WHERE cid = 1),
+        cos AS (SELECT e.vec_id, e.v, c.cid,
+            list_dot_product(e.v, c.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(c.cv, c.cv))) AS sim
+          FROM e CROSS JOIN c),
+        assigned AS (SELECT vec_id, v, cid AS cluster FROM cos
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cid DESC) = 1),
+        exact AS (SELECT e.vec_id FROM e CROSS JOIN q
+          ORDER BY list_dot_product(e.v, q.qv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(q.qv, q.qv))) DESC, e.vec_id
+          LIMIT 20),
+        prank AS (SELECT c.cid, row_number() OVER (ORDER BY
+            list_dot_product(c.cv, q.qv) /
+              (sqrt(list_dot_product(c.cv, c.cv)) *
+               sqrt(list_dot_product(q.qv, q.qv))) DESC, c.cid) AS rn
+          FROM c CROSS JOIN q),
+        np AS (SELECT unnest(range(1, 4)) AS nprobe),
+        scored AS (SELECT a.vec_id, a.cluster,
+            list_dot_product(a.v, q.qv) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(q.qv, q.qv))) AS sim_q
+          FROM assigned a CROSS JOIN q),
+        ivf AS (SELECT np.nprobe, s.vec_id,
+            row_number() OVER (PARTITION BY np.nprobe
+              ORDER BY s.sim_q DESC, s.vec_id) AS rk
+          FROM np
+          JOIN prank p ON p.rn <= np.nprobe
+          JOIN scored s ON s.cluster = p.cid)
+        SELECT CAST(nprobe AS BIGINT) AS nprobe,
+          CAST(count(*) FILTER (WHERE vec_id IN
+            (SELECT vec_id FROM exact)) AS BIGINT) AS n_hits,
+          CAST(20 AS BIGINT) AS k
+        FROM ivf WHERE rk <= 20
+        GROUP BY nprobe ORDER BY nprobe""")),
+
+    // ── §2.5/§7.5 GROUPING SETS — the general multi-dimensional agg
+    //    surface beyond q28's ROLLUP lattice: the user picks the
+    //    exact slices ((event_type), (month), ()) and Spark's Expand
+    //    replicates each input row once per set BEFORE the single
+    //    hash aggregate — one shuffle carrying |sets|·|groups|
+    //    partials, never a second pass over the fact table. ──────────
+    Q("q40_grouping_sets",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM").as("month"),
+          round(col("value") * 100, 0).cast("long").as("__cents"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("month")), Seq.empty),
+          col("event_type"), col("month"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("__cents")).as("value_cents"),
+          grouping(col("event_type")).as("__g1"),
+          grouping(col("month")).as("__g2"))
+        .select(
+          when(col("__g1") === 1, lit("ALL"))
+            .otherwise(col("event_type")).as("event_type"),
+          when(col("__g2") === 1, lit("ALL"))
+            .otherwise(col("month")).as("month"),
+          col("n"), col("value_cents"))
+        .orderBy("event_type", "month"),
+      Some("""WITH b AS (SELECT event_type,
+            strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events)
+        SELECT
+          CASE WHEN GROUPING(event_type) = 1 THEN 'ALL'
+               ELSE event_type END AS event_type,
+          CASE WHEN GROUPING(month) = 1 THEN 'ALL'
+               ELSE month END AS month,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(cents) AS BIGINT) AS value_cents
+        FROM b GROUP BY GROUPING SETS ((event_type), (month), ())
+        ORDER BY event_type, month"""))
   )
 }

@@ -479,6 +479,48 @@ object ScaleEvidence {
       Dedup.blockedEditDistancePairs(corpus, "text", "doc_id",
         blockToks = 2, prefixLen = 60, maxDist = 30).count()
     }
+
+    println(s"== sampling / recall / grouping-sets rows (${reps}x) ==")
+    // d40: the TakeOrderedAndProject heap path — only k·partitions
+    // rows ever leave the executors regardless of corpus size
+    timed(s"d40 A-ES weighted top-50 (${reps*5}k docs)") {
+      graft.functions.Sampling.weightedTopK(
+        corpus.select(col("doc_id"),
+          graft.functions.Text.tokenCount(col("text")).as("n_tokens")),
+        col("n_tokens"), col("doc_id"), k = 50, seedTag = "es").count()
+    }
+    // v12: assignment once (tracked persist), then three
+    // centroid-pruned top-k probes against the broadcast truth set
+    timed(s"v12 IVF recall sweep (${reps*2}k vecs, nprobe 1..3)") {
+      val e0 = graft.Tables.embeddings(spark, d)
+      val embR = (0 until reps).map(i => e0
+        .withColumn("vec_id", col("vec_id") + i * 100000000L))
+        .reduce(_ unionByName _)
+      val centroids = e0.filter(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq)).toSeq
+      val query = centroids.find(_._1 == 1).get._2
+      val exact = graft.functions.Vectors
+        .topKCosine(embR, "embedding", query, 20).select("vec_id")
+      val assigned = graft.CacheTracker.persistTracked(
+        graft.functions.Vectors.ivfAssign(embR, "embedding", centroids))
+      val n = (1 to 3).map { np =>
+        graft.functions.Vectors.ivfTopK(assigned, "embedding",
+            centroids, query, k = 20, nprobe = np)
+          .join(broadcast(exact), Seq("vec_id"), "left_semi").count()
+      }.sum
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"q40 grouping sets (${reps/10.0}M events, 3 slices)") {
+      ev.select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM").as("month"),
+          round(col("value") * 100, 0).cast("long").as("__cents"))
+        .groupingSets(
+          Seq(Seq(col("event_type")), Seq(col("month")), Seq.empty),
+          col("event_type"), col("month"))
+        .agg(count(lit(1)).as("n"), sum(col("__cents")).as("c"))
+        .count()
+    }
     spark.stop()
   }
 }
