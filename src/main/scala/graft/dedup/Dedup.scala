@@ -496,4 +496,68 @@ object Dedup {
       .where(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }
+
+  /** EXACT set-similarity join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW 2007): all pairs
+    * with shingle-set Jaccard ≥ tNum/tDen, recall = 1 BY
+    * CONSTRUCTION — the deterministic complement to
+    * [[minhashLshPairs]]' probabilistic LSH.
+    *
+    * Filter guarantee: order every set by GLOBAL shingle document
+    * frequency (rarest first, shingle asc tie-break) and keep the
+    * prefix of length |x| − ⌈t·|x|⌉ + 1. If J(x,y) ≥ t then
+    * |x∩y| ≥ t·u ≥ t·max(|x|,|y|), so the suffix of either set
+    * (⌈t·|set|⌉ − 1 shingles) cannot hold the whole intersection —
+    * pigeonhole puts the globally-rarest shared shingle inside BOTH
+    * prefixes, and the prefix equi-join cannot miss the pair.
+    *
+    * Scale shape: the candidate shuffle carries (prefix-shingle, id)
+    * only; rare-first ordering keeps blocks selective — prefixes
+    * hold each set's rarest (1−t)·|x|+1 shingles, never its common
+    * ones (the d39 common-token trap, dodged by construction).
+    * Verification pulls shingle sets back by id for candidates only
+    * and emits exact integer set sizes (the oracle-comparable form).
+    * Threshold is the rational tNum/tDen so the verify predicate
+    * i·tDen ≥ u·tNum is pure integer arithmetic. */
+  def prefixFilterJoinPairs(docs: DataFrame, textCol: String,
+                            idCol: String, shingleN: Int = 3,
+                            tNum: Int = 4, tDen: Int = 5): DataFrame = {
+    require(tNum > 0 && tNum < tDen, "threshold must be in (0,1)")
+    // persisted: feeds the frequency agg, the prefix build, and both
+    // verification sides (the LSH-builder side-table pattern)
+    val sets = CacheTracker.persistTracked(docs
+      .select(col(idCol).as("id"), array_distinct(
+          Text.wordShingles(Text.tokens(col(textCol)), shingleN))
+        .as("sh"))
+      .filter(size(col("sh")) > 0))
+    val ex = sets.select(col("id"), explode(col("sh")).as("tk"))
+    val dfreq = ex.groupBy("tk").agg(count(lit(1)).as("df"))
+    // prefix p = n − ⌈t·n⌉ + 1 over the rarest-first ordering
+    val pref = ex.join(dfreq, "tk")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tk"))))
+        .as("os"))
+      .select(col("id"), size(col("os")).cast("long").as("n"),
+        expr("transform(os, s -> s.tk)").as("os"))
+      .select(col("id"), explode(expr(
+          s"slice(os, 1, cast(n - (($tNum * n + ${tDen - 1}) DIV " +
+            s"$tDen) + 1 AS INT))")).as("tk"))
+    val cand = pref.select(col("tk"), col("id").as("id_a"))
+      .join(pref.select(col("tk"), col("id").as("id_b")), Seq("tk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+          .cast("long"))
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .select("id_a", "id_b", "n_inter", "n_union")
+  }
 }

@@ -3019,6 +3019,116 @@ object Catalog {
           CAST(count(*) AS BIGINT) AS n,
           CAST(sum(cents) AS BIGINT) AS value_cents
         FROM b GROUP BY GROUPING SETS ((event_type), (month), ())
-        ORDER BY event_type, month"""))
+        ORDER BY event_type, month""")),
+
+    // ── §7.5 time-decayed scoring (recency-weighted leaderboard):
+    //    score = Σ cents · 2^(26 − age_weeks) — a half-life of one
+    //    week, restated so every term is an EXACT integer (powers of
+    //    two ≤ 2^53 are exact doubles; cents·2^26 < 2^44; the long
+    //    sum is exact and order-independent — no float-summation
+    //    parity risk, the q28 cents lesson applied to decay). Anchor
+    //    date is plan-literal. One user_id hash agg (map-side
+    //    partials) → top-20 TakeOrderedAndProject. ───────────────────
+    Q("q41_decay_topk",
+      (s, d) => Tables.events(s, d)
+        .select(col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("__cents"),
+          least(lit(26L), greatest(lit(0L),
+            expr("datediff(DATE'2024-07-01', to_date(ts)) DIV 7")
+              .cast("long"))).as("__aw"))
+        .groupBy("user_id")
+        .agg(sum((col("__cents") *
+            pow(lit(2.0d), lit(26L) - col("__aw"))).cast("long"))
+          .as("score_micro"),
+          count(lit(1)).cast("long").as("n_events"))
+        .orderBy(col("score_micro").desc, col("user_id").asc)
+        .limit(20),
+      Some("""SELECT user_id,
+          CAST(sum(CAST(cents * power(2, 26 - aw) AS BIGINT))
+            AS BIGINT) AS score_micro,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM (SELECT user_id,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents,
+            least(26, greatest(0,
+              datediff('day', CAST(ts AS DATE), DATE '2024-07-01')
+                // 7)) AS aw
+          FROM events)
+        GROUP BY user_id
+        ORDER BY score_micro DESC, user_id LIMIT 20""")),
+
+    // ── §7.5 conversion funnel (ordered sequential pattern):
+    //    view → click-after-view → purchase-after-click, earliest
+    //    qualifying event per stage. Three user_id hash aggregates
+    //    chained by joins ON THE SAME KEY — one partitioning reused
+    //    end-to-end (no re-shuffle between stages under AQE); each
+    //    stage's survivor set only shrinks. Exact integer micro
+    //    timestamps. ─────────────────────────────────────────────────
+    Q("q42_funnel",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          col("event_type"), unix_micros(col("ts")).as("us"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t1"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, "user_id").filter(col("us") > col("t1"))
+          .groupBy("user_id").agg(min("us").as("t2"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, "user_id").filter(col("us") > col("t2"))
+          .groupBy("user_id").agg(min("us").as("t3"))
+        Seq(v -> "1_view", c -> "2_click", p -> "3_purchase").map {
+          case (df, st) =>
+            df.agg(count(lit(1)).cast("long").as("n_users"))
+              .select(lit(st).as("stage"), col("n_users"))
+        }.reduce(_.unionAll(_)).orderBy("stage")
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          v AS (SELECT user_id, min(us) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY 1),
+          c AS (SELECT e.user_id, min(us) AS t2 FROM e
+            JOIN v USING (user_id)
+            WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+          p AS (SELECT e.user_id, min(us) AS t3 FROM e
+            JOIN c USING (user_id)
+            WHERE event_type = 'purchase' AND us > t2 GROUP BY 1)
+        SELECT * FROM (
+          SELECT '1_view' AS stage,
+            CAST(count(*) AS BIGINT) AS n_users FROM v
+          UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+          UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT)
+            FROM p)
+        ORDER BY stage""")),
+
+    // ── §7.5 EXACT set-similarity join (prefix filtering, the
+    //    AllPairs/PPJoin family): every pair with 3-shingle Jaccard
+    //    ≥ 4/5, recall = 1 by CONSTRUCTION (pigeonhole over the
+    //    rarest-first global ordering — see Dedup Scaladoc), not by
+    //    LSH probability. Oracle = the all-pairs truth enumeration,
+    //    so equality proves both zero false positives AND zero false
+    //    negatives. Exact integer outputs. ───────────────────────────
+    Q("d41_prefix_join_pairs",
+      (s, d) => Dedup.prefixFilterJoinPairs(Tables.documents(s, d),
+          "text", "doc_id", shingleN = 3, tNum = 4, tDen = 5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          shing AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(t) - 2, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+            AS s FROM toks),
+          sizes AS (SELECT doc_id, count(*) AS n FROM shing
+            GROUP BY 1),
+          inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+              count(*) AS i
+            FROM shing a JOIN shing b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT ia AS id_a, ib AS id_b, CAST(i AS BIGINT) AS n_inter,
+          CAST(na.n + nb.n - i AS BIGINT) AS n_union
+        FROM inter
+        JOIN sizes na ON na.doc_id = ia
+        JOIN sizes nb ON nb.doc_id = ib
+        WHERE i * 5 >= (na.n + nb.n - i) * 4
+        ORDER BY 1, 2"""))
   )
 }

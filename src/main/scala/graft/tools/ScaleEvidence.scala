@@ -521,6 +521,41 @@ object ScaleEvidence {
         .agg(count(lit(1)).as("n"), sum(col("__cents")).as("c"))
         .count()
     }
+    timed(s"q41 decay top-20 (${reps/10.0}M events, exact ints)") {
+      ev.select(col("user_id"),
+          round(col("value") * 100, 0).cast("long").as("__cents"),
+          least(lit(26L), greatest(lit(0L),
+            expr("datediff(DATE'2024-07-01', to_date(ts)) DIV 7")
+              .cast("long"))).as("__aw"))
+        .groupBy("user_id")
+        .agg(sum((col("__cents") *
+            pow(lit(2.0d), lit(26L) - col("__aw"))).cast("long"))
+          .as("score_micro"))
+        .orderBy(col("score_micro").desc, col("user_id").asc)
+        .limit(20).count()
+    }
+    timed(s"q42 funnel (${reps/10.0}M events, 3 chained stages)") {
+      val e3 = ev.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val v = e3.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = e3.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val p = e3.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      Seq(v, c, p).map(df =>
+        df.agg(count(lit(1)).as("n")).select(col("n")))
+        .reduce(_.unionAll(_)).count()
+    }
+    // token salting keeps cross-replica shingles disjoint, so the
+    // prefix-join truth (and the prefix blocks) grow exactly reps×
+    timed(s"d41 prefix-filter exact join (${reps*5}k docs, t=4/5)") {
+      val n = Dedup.prefixFilterJoinPairs(corpus, "text", "doc_id",
+        shingleN = 3, tNum = 4, tDen = 5).count()
+      graft.CacheTracker.releaseAll(); n
+    }
     spark.stop()
   }
 }
