@@ -511,40 +511,76 @@ object Dedup {
     * pigeonhole puts the globally-rarest shared shingle inside BOTH
     * prefixes, and the prefix equi-join cannot miss the pair.
     *
-    * Scale shape: the candidate shuffle carries (prefix-shingle, id)
-    * only; rare-first ordering keeps blocks selective — prefixes
-    * hold each set's rarest (1−t)·|x|+1 shingles, never its common
-    * ones (the d39 common-token trap, dodged by construction).
+    * Scale shape: the candidate shuffle carries slim
+    * (prefix-shingle, id, n, pos) rows only; rare-first ordering
+    * keeps blocks selective — prefixes hold each set's rarest
+    * (1−t)·|x|+1 shingles, never its common ones (the d39
+    * common-token trap, dodged by construction). Two more standard
+    * PPJoin prunes run BEFORE the pair distinct, both
+    * guarantee-preserving:
+    *   - size filter: J ≥ t ⇒ t·max ≤ i ≤ min, so
+    *     |x|·tNum ≤ |y|·tDen (and symmetrically) — kills
+    *     mismatched-length pairs at the join;
+    *   - positional filter: for the rarest SHARED shingle at prefix
+    *     positions (px, py), the intersection fits in the tails, so
+    *     i ≤ 1 + min(|x|−px, |y|−py); J ≥ t needs
+    *     i ≥ α = ⌈tNum·(|x|+|y|)/(tNum+tDen)⌉ — rows whose
+    *     upper bound can't reach α are dropped, and the rarest
+    *     shared shingle of a true pair always survives (the bound is
+    *     tight exactly for it).
     * Verification pulls shingle sets back by id for candidates only
     * and emits exact integer set sizes (the oracle-comparable form).
-    * Threshold is the rational tNum/tDen so the verify predicate
-    * i·tDen ≥ u·tNum is pure integer arithmetic. */
+    * Threshold is the rational tNum/tDen so every predicate —
+    * prefix length, size, positional, final Jaccard — is pure
+    * integer arithmetic. */
   def prefixFilterJoinPairs(docs: DataFrame, textCol: String,
                             idCol: String, shingleN: Int = 3,
                             tNum: Int = 4, tDen: Int = 5): DataFrame = {
     require(tNum > 0 && tNum < tDen, "threshold must be in (0,1)")
     // persisted: feeds the frequency agg, the prefix build, and both
-    // verification sides (the LSH-builder side-table pattern)
+    // verification sides (the LSH-builder side-table pattern).
+    // Two measured traps dodged here (both ~5x on this stage at
+    // sf0.1): tokens materialize in their OWN projection — nested
+    // inside wordShingles' transform-lambda the regex tokenizer
+    // re-runs per shingle (Catalyst can't CSE across HOF lambdas);
+    // and NO filter(size(sh) > 0) — the pushed-down predicate would
+    // re-evaluate the whole shingle chain per row, and empty sets
+    // self-exclude anyway (explode emits nothing, so shingle-less
+    // docs never reach the prefix join or verification).
     val sets = CacheTracker.persistTracked(docs
+      .withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol).as("id"), array_distinct(
-          Text.wordShingles(Text.tokens(col(textCol)), shingleN))
-        .as("sh"))
-      .filter(size(col("sh")) > 0))
+          Text.wordShingles(col("__toks"), shingleN))
+        .as("sh")))
     val ex = sets.select(col("id"), explode(col("sh")).as("tk"))
     val dfreq = ex.groupBy("tk").agg(count(lit(1)).as("df"))
-    // prefix p = n − ⌈t·n⌉ + 1 over the rarest-first ordering
-    val pref = ex.join(dfreq, "tk")
+    // prefix p = n − ⌈t·n⌉ + 1 over the rarest-first ordering;
+    // posexplode keeps each prefix shingle's 1-based position for
+    // the positional filter. Persisted: BOTH self-join sides read it
+    // (the m01 banded-table lesson — without it the dfreq join +
+    // collect_list chain executes twice)
+    val pref = CacheTracker.persistTracked(ex.join(dfreq, "tk")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tk"))))
         .as("os"))
       .select(col("id"), size(col("os")).cast("long").as("n"),
         expr("transform(os, s -> s.tk)").as("os"))
-      .select(col("id"), explode(expr(
+      .select(col("id"), col("n"), posexplode(expr(
           s"slice(os, 1, cast(n - (($tNum * n + ${tDen - 1}) DIV " +
-            s"$tDen) + 1 AS INT))")).as("tk"))
-    val cand = pref.select(col("tk"), col("id").as("id_a"))
-      .join(pref.select(col("tk"), col("id").as("id_b")), Seq("tk"))
+            s"$tDen) + 1 AS INT))")).as(Seq("p0", "tk")))
+      .select(col("id"), col("n"), (col("p0") + 1).as("pos"),
+        col("tk")))
+    val cand = pref.select(col("tk"), col("id").as("id_a"),
+        col("n").as("na"), col("pos").as("pa"))
+      .join(pref.select(col("tk"), col("id").as("id_b"),
+        col("n").as("nb"), col("pos").as("pb")), Seq("tk"))
       .filter(col("id_a") < col("id_b"))
+      .filter(col("na") * tNum <= col("nb") * tDen &&
+        col("nb") * tNum <= col("na") * tDen)
+      .filter(lit(1L) + least(col("na") - col("pa"),
+          col("nb") - col("pb")) >=
+        expr(s"($tNum * (na + nb) + ${tNum + tDen - 1}) DIV " +
+          s"${tNum + tDen}"))
       .select("id_a", "id_b")
       .distinct()
     cand

@@ -30,7 +30,9 @@ object PlanAudit {
       "q31_hybrid_rrf", "q32_incremental_agg", "q33_snapshot_diff",
       "d34_markup_strip", "v11_matryoshka",
       "d38_gopher_rules", "q35_rolling_metrics", "q36_pivot",
-      "d39_fuzzy_blocked_pairs")) {
+      "d39_fuzzy_blocked_pairs",
+      "d40_weighted_sample", "v12_ivf_recall", "q40_grouping_sets",
+      "q41_decay_topk", "q42_funnel", "d41_prefix_join_pairs")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(
