@@ -648,16 +648,17 @@ object Catalog {
         // ALL derived columns built inside ONE Text.let binding: the
         // pre-fix withColumn formulation re-ran the tokenizer at
         // every HOF site once predicate pushdown substituted the
-        // alias (measured 20 occurrences in the physical plan; now 2
-        // — one in the pushed filter, one in the projection).
+        // alias (measured 20 occurrences in the physical plan; the
+        // let cut it to 2 — pushed filter + projection — and the
+        // evalOnce Generate barrier cuts it to exactly 1).
         val m = Text.let(Text.tokens(col("text"))) { toks =>
           struct(
             size(toks).cast("long").as("n_tokens"),
             Text.langId(toks).getField("lang").as("pred_lang"),
             Text.qualityScoreFromToks(col("text"), toks).as("q"))
         }
-        Tables.documents(s, d)
-          .select(col("doc_id"), m.as("__m"))
+        graft.query.Predicates.evalOnce(Tables.documents(s, d),
+          Seq(col("doc_id")), "__m" -> m)
           .filter(col("__m.pred_lang") === "en" &&
             col("__m.n_tokens").between(20, 10000))
           .select(col("doc_id"), col("__m.n_tokens").as("n_tokens"),
@@ -1219,11 +1220,15 @@ object Catalog {
     Q("d23_quality_sample",
       (s, d) => {
         val toks = col("__toks")
-        Tables.documents(s, d)
-          .withColumn("__toks", Text.tokens(col("text")))
-          .withColumn("q",
-            Text.qualityScoreFromToks(col("text"), toks))
-          .withColumn("__draw", Text.portableTokenHash(
+        // evalOnce: the pushed-down keep-filter would otherwise
+        // re-evaluate the whole quality dag as the scan predicate
+        // (measured 2x — FilterEvalProbe / BENCH_NOTES)
+        graft.query.Predicates.evalOnce(
+          Tables.documents(s, d)
+            .withColumn("__toks", Text.tokens(col("text"))),
+          Seq(col("doc_id")),
+          "q" -> Text.qualityScoreFromToks(col("text"), toks),
+          "__draw" -> Text.portableTokenHash(
             concat(lit("qs#"), col("doc_id").cast("string"))))
           .filter(col("__draw").cast("double") <
             col("q") * lit(math.pow(2, 60)))

@@ -69,4 +69,27 @@ object Predicates {
   /** OR-fold — the reference's `_or` feed filter (resolvers/index.ts:108-116). */
   def any(preds: Option[Column]*): Column =
     preds.flatten.reduceOption(_ || _).getOrElse(lit(true))
+
+  /** Evaluate expensive computed columns EXACTLY once per row even
+    * when a filter above consumes them.
+    *
+    * Predicate pushdown substitutes a projected alias into the
+    * pushed filter, so `project(q).filter(p(q))` evaluates q's whole
+    * expression dag twice per row (measured 2× on the d23 quality
+    * sampler — see BENCH_NOTES). An explode-of-one is a Generate the
+    * optimizer cannot push an OUTPUT-referencing predicate below, so
+    * the struct is computed once and both the filter and the final
+    * projection read the materialized field.
+    *
+    * Keeps `keep` columns alongside the computed `fields` (exposed
+    * under their given names). Use only when the computed work is
+    * genuinely expensive — the Generate costs a row-copy. */
+  def evalOnce(df: org.apache.spark.sql.DataFrame,
+               keep: Seq[Column], fields: (String, Column)*)
+      : org.apache.spark.sql.DataFrame = {
+    val m = struct(fields.map { case (n, c) => c.as(n) }: _*)
+    df.select(keep :+ explode(array(m)).as("__m"): _*)
+      .select(keep ++ fields.map { case (n, _) =>
+        col(s"__m.$n").as(n) }: _*)
+  }
 }
