@@ -596,4 +596,72 @@ object Dedup {
       .filter(col("n_inter") * tDen >= col("n_union") * tNum)
       .select("id_a", "id_b", "n_inter", "n_union")
   }
+
+  /** EXACT containment join: all pairs where the SMALLER shingle set
+    * is (tNum/tDen)-contained in the other —
+    * |A∩B| ≥ t·min(|A|,|B|). The boilerplate/subset-duplicate
+    * detector Jaccard structurally misses: a short doc embedded
+    * verbatim in a long one has containment 1.0 but Jaccard
+    * |A|/|B| ≈ 0, so neither [[minhashLshPairs]] nor
+    * [[prefixFilterJoinPairs]] can find it at any useful threshold.
+    *
+    * Candidate generation is the ASYMMETRIC prefix scheme: probe =
+    * each set's rarest-first prefix (|x| − ⌈t·|x|⌉ + 1 — valid for
+    * the smaller side of any qualifying pair, since
+    * i ≥ t·min = t·|x| makes x's suffix too small to hold the
+    * intersection), index = the FULL exploded shingle table (the
+    * larger side gives no prefix guarantee — its intersection can
+    * hide anywhere). The positional filter keeps only emissions
+    * whose probe-tail can still reach α = ⌈t·min(|x|,|y|)⌉; the
+    * rarest shared shingle probed from the smaller side always
+    * survives. No size filter exists here — a tiny doc contained in
+    * a huge one is exactly the signal. Recall = 1 by construction;
+    * verification is exact integer arithmetic. */
+  def containmentJoinPairs(docs: DataFrame, textCol: String,
+                           idCol: String, shingleN: Int = 3,
+                           tNum: Int = 9, tDen: Int = 10): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0,1]")
+    val sets = CacheTracker.persistTracked(docs
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol).as("id"), array_distinct(
+          Text.wordShingles(col("__toks"), shingleN))
+        .as("sh")))
+    val ex = sets.select(col("id"), explode(col("sh")).as("tk"))
+    val dfreq = ex.groupBy("tk").agg(count(lit(1)).as("df"))
+    val pref = CacheTracker.persistTracked(ex.join(dfreq, "tk")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tk"))))
+        .as("os"))
+      .select(col("id"), size(col("os")).cast("long").as("n"),
+        expr("transform(os, s -> s.tk)").as("os"))
+      .select(col("id"), col("n"), posexplode(expr(
+          s"slice(os, 1, cast(n - (($tNum * n + ${tDen - 1}) DIV " +
+            s"$tDen) + 1 AS INT))")).as(Seq("p0", "tk")))
+      .select(col("id"), col("n"), (col("p0") + 1).as("pos"),
+        col("tk")))
+    val index = sets.select(col("id").as("id_b"),
+      size(col("sh")).cast("long").as("nb"),
+      explode(col("sh")).as("tk"))
+    val cand = pref.select(col("tk"), col("id").as("id_a"),
+        col("n").as("na"), col("pos").as("pa"))
+      .join(index, Seq("tk"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(lit(1L) + (col("na") - col("pa")) >=
+        expr(s"($tNum * least(na, nb) + ${tDen - 1}) DIV $tDen"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_min",
+        least(size(col("sh_a")), size(col("sh_b"))).cast("long"))
+      .filter(col("n_inter") * tDen >= col("n_min") * tNum &&
+        col("n_min") > 0)
+      .select("id_a", "id_b", "n_inter", "n_min")
+  }
 }

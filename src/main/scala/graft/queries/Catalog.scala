@@ -3134,6 +3134,38 @@ object Catalog {
         JOIN sizes na ON na.doc_id = ia
         JOIN sizes nb ON nb.doc_id = ib
         WHERE i * 5 >= (na.n + nb.n - i) * 4
+        ORDER BY 1, 2""")),
+
+    // ── §7.5 containment join (subset-duplicate / boilerplate
+    //    detection): pairs whose SMALLER shingle set is 9/10-
+    //    contained in the other — the asymmetric criterion Jaccard
+    //    misses (a doc embedded verbatim in a longer one). Asymmetric
+    //    prefix scheme: probe prefixes against the FULL shingle
+    //    index; recall 1 by construction (see Dedup Scaladoc).
+    //    Oracle = all-pairs containment enumeration. ─────────────────
+    Q("d42_containment_pairs",
+      (s, d) => Dedup.containmentJoinPairs(Tables.documents(s, d),
+          "text", "doc_id", shingleN = 3, tNum = 9, tDen = 10)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          shing AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(t) - 2, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+            AS s FROM toks),
+          sizes AS (SELECT doc_id, count(*) AS n FROM shing
+            GROUP BY 1),
+          inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+              count(*) AS i
+            FROM shing a JOIN shing b
+              ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT ia AS id_a, ib AS id_b, CAST(i AS BIGINT) AS n_inter,
+          CAST(least(na.n, nb.n) AS BIGINT) AS n_min
+        FROM inter
+        JOIN sizes na ON na.doc_id = ia
+        JOIN sizes nb ON nb.doc_id = ib
+        WHERE i * 10 >= least(na.n, nb.n) * 9
         ORDER BY 1, 2"""))
   )
 }

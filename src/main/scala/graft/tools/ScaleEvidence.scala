@@ -153,6 +153,9 @@ object ScaleEvidence {
         .select(explode(graft.functions.Text.wordShingles(
           col("__toks"), 3)).as("sh")).distinct()
         .collect().map(_.getString(0)).toSeq
+      // count via aggregate, NOT filter+count: a pushed-down filter
+      // on the computed overlap evaluates the probe TWICE per row
+      // (the d23 evalOnce lesson applied to the harness itself)
       corpus.filter(col("doc_id") >= 5)
         .withColumn("__toks", graft.functions.Text.tokens(col("text")))
         .withColumn("__sh", graft.functions.Text.wordShingles(
@@ -160,7 +163,8 @@ object ScaleEvidence {
         .select(col("doc_id"), graft.functions.SigExprs
           .anchorOverlap(col("__sh"), hold)
           .getField("n_inter").as("n"))
-        .filter(col("n") > 0).count()
+        .agg(count(when(col("n") > 0, 1)).as("c"))
+        .head().getLong(0)
     }
     timed("d22 decontaminate (bloom prefilter + exact verify)") {
       val hold = corpus.filter(col("doc_id") < 5)
@@ -170,7 +174,8 @@ object ScaleEvidence {
         .collect().map(_.getString(0)).toSeq
       Dedup.decontaminateBloom(corpus.filter(col("doc_id") >= 5),
         "text", "doc_id", hold)
-        .filter(col("contaminated")).count()
+        .agg(count(when(col("contaminated"), 1)).as("c"))
+        .head().getLong(0)
     }
     timed("d15 repetition signals (scan-only)") {
       // noop write, not count(): count would prune the computed
@@ -554,6 +559,11 @@ object ScaleEvidence {
     timed(s"d41 prefix-filter exact join (${reps*5}k docs, t=4/5)") {
       val n = Dedup.prefixFilterJoinPairs(corpus, "text", "doc_id",
         shingleN = 3, tNum = 4, tDen = 5).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"d42 containment join (${reps*5}k docs, t=9/10)") {
+      val n = Dedup.containmentJoinPairs(corpus, "text", "doc_id",
+        shingleN = 3, tNum = 9, tDen = 10).count()
       graft.CacheTracker.releaseAll(); n
     }
     spark.stop()

@@ -66,6 +66,50 @@ class PrefixJoinSpec extends SparkSpec {
     assert(bruteForce(4, 5).subsetOf(want))
   }
 
+  test("containment join finds subset dups Jaccard misses") {
+    // doc 20 is a verbatim contiguous slice of doc 0's base text:
+    // every 3-shingle of the slice appears in the base, so
+    // containment = 1.0 while Jaccard is ~6/18 — invisible to the
+    // symmetric join at t=1/2, found by the containment join at 9/10
+    val subset = "epsilon zeta eta theta iota kappa lambda mu"
+    val withSub = docs.unionByName(
+      Seq(20L -> subset).toDF("doc_id", "text"))
+    val cont = Dedup.containmentJoinPairs(withSub, "text", "doc_id",
+        shingleN = 3, tNum = 9, tDen = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.CacheTracker.releaseAll()
+    val jac = Dedup.prefixFilterJoinPairs(withSub, "text", "doc_id",
+        shingleN = 3, tNum = 1, tDen = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.CacheTracker.releaseAll()
+    assert(cont.contains((0L, 20L)))
+    assert(!jac.contains((0L, 20L)))
+    // and subset pairs against the near-identical variants too
+    assert(cont.contains((1L, 20L)) && cont.contains((2L, 20L)))
+  }
+
+  test("containment output equals brute force at t=9/10") {
+    val got = Dedup.containmentJoinPairs(docs, "text", "doc_id",
+        shingleN = 3, tNum = 9, tDen = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.CacheTracker.releaseAll()
+    def shingles(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sh = docs.as[(Long, String)].collect().toSeq
+      .map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      i = (sa & sb).size
+      if i * 10 >= math.min(sa.size, sb.size) * 9
+    } yield (ia, ib)).toSet
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("emitted set sizes are the exact intersection/union") {
     val row = Dedup.prefixFilterJoinPairs(docs, "text", "doc_id",
         shingleN = 3, tNum = 4, tDen = 5)
