@@ -3166,6 +3166,144 @@ object Catalog {
         JOIN sizes na ON na.doc_id = ia
         JOIN sizes nb ON nb.doc_id = ib
         WHERE i * 10 >= least(na.n, nb.n) * 9
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ── §7.5 image near-dup pairs: 4×16-bit banding over the mm05
+    //    perceptual aHash, exact Hamming ≤ 3 verification — the m02
+    //    SimHash scheme applied to the IMAGE plane (any pair within
+    //    Hamming 3 of a 64-bit hash shares one of 4 bands by
+    //    pigeonhole — recall guaranteed). Verification is two
+    //    xor+bit_count ops over the hash halves, pure codegen; the
+    //    banding shuffle carries (16-char key, id) only, never
+    //    pixels. Oracle recomputes the aHash from the synthetic
+    //    pixel formula and enumerates all pairs. ─────────────────────
+    Q("mm06_image_neardup",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticPngMedia(
+          Tables.documents(s, d).select("doc_id"))(s)
+        val hashed = graft.CacheTracker.persistTracked(
+          graft.multimodal.Multimodal.imageAHash(media)(s)
+            .select(col("media_id"), col("ahash_bits"),
+              conv(substring(col("ahash_bits"), 1, 32), 2, 10)
+                .cast("long").as("h1"),
+              conv(substring(col("ahash_bits"), 33, 32), 2, 10)
+                .cast("long").as("h2")))
+        val banded = hashed.select(col("media_id"),
+          posexplode(array((0 until 4).map(b =>
+            substring(col("ahash_bits"), b * 16 + 1, 16)): _*))
+            .as(Seq("band", "key")))
+        val cand = banded
+          .select(col("band"), col("key"), col("media_id").as("id_a"))
+          .join(banded.select(col("band"), col("key"),
+            col("media_id").as("id_b")), Seq("band", "key"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        cand
+          .join(hashed.select(col("media_id").as("id_a"),
+            col("h1").as("h1a"), col("h2").as("h2a")), "id_a")
+          .join(hashed.select(col("media_id").as("id_b"),
+            col("h1").as("h1b"), col("h2").as("h2b")), "id_b")
+          .withColumn("hamming", expr(
+            "bit_count(h1a ^ h1b) + bit_count(h2a ^ h2b)")
+            .cast("long"))
+          .filter(col("hamming") <= 3)
+          .select("id_a", "id_b", "hamming")
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH dims AS (SELECT doc_id, 16 + doc_id % 32 AS w,
+            8 + doc_id % 16 AS h FROM documents),
+        px AS (SELECT doc_id, w, h, xs.x AS x, ys.y AS y,
+            (doc_id + xs.x) % 256 + (doc_id*7 + ys.y) % 256
+              + (xs.x*ys.y + doc_id) % 256 AS s
+          FROM dims, range(48) xs(x), range(24) ys(y)
+          WHERE xs.x < w AND ys.y < h),
+        tot AS (SELECT doc_id, sum(s) AS total, count(*) AS n
+          FROM px GROUP BY 1),
+        cells AS (SELECT doc_id, (y*8)//h AS j, (x*8)//w AS i,
+            sum(s) AS cs, count(*) AS cc
+          FROM px GROUP BY 1, 2, 3),
+        bits AS (SELECT c.doc_id, j, i,
+            CASE WHEN c.cs * t.n > t.total * c.cc THEN '1' ELSE '0'
+            END AS b
+          FROM cells c JOIN tot t USING (doc_id)),
+        hsh AS (SELECT doc_id, string_agg(b, '' ORDER BY j, i) AS hb
+          FROM bits GROUP BY 1),
+        p AS (SELECT a.doc_id AS ia, b.doc_id AS ib,
+            len(list_filter(range(1, 65),
+              k -> substr(a.hb, k, 1) <> substr(b.hb, k, 1))) AS ham
+          FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id)
+        SELECT ia AS id_a, ib AS id_b, CAST(ham AS BIGINT) AS hamming
+        FROM p WHERE ham <= 3 ORDER BY 1, 2""")),
+
+    // ── §2.5/§7.5 cohort retention (the classic retention triangle):
+    //    cohort = a user's first activity week; cell (cohort, offset)
+    //    counts distinct users active `offset` weeks later. Two
+    //    user_id hash aggs chained by a same-key join (the q42
+    //    partitioning-reuse shape) + one distinct-count agg. Exact
+    //    integer week arithmetic from a plan-literal epoch. ──────────
+    Q("q43_cohort_retention",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          expr("datediff(to_date(ts), DATE'2024-01-01') DIV 7")
+            .cast("long").as("wk"))
+        val cohort = ev.groupBy("user_id")
+          .agg(min("wk").as("cohort_wk"))
+        ev.join(cohort, "user_id")
+          .groupBy(col("cohort_wk"),
+            (col("wk") - col("cohort_wk")).as("offset_wk"))
+          .agg(count_distinct(col("user_id")).cast("long")
+            .as("n_active"))
+          .orderBy("cohort_wk", "offset_wk")
+      },
+      Some("""WITH e AS (SELECT user_id,
+            datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+              AS wk FROM events),
+          c AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+            GROUP BY 1)
+        SELECT c.cohort_wk, e.wk - c.cohort_wk AS offset_wk,
+          CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        FROM e JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── §7.5 corpus novelty score (saturation measurement for crawl
+    //    scheduling): per doc, the fraction of its shingles FIRST
+    //    seen in that doc (first = min doc_id over the corpus). One
+    //    shingle-key agg (map-side combined min) + one join back —
+    //    the d31 exploded-table shape; exact integer outputs. Docs
+    //    with no shingles drop out on both sides (explode/unnest). ──
+    Q("d43_novelty",
+      (s, d) => {
+        // persist the ARRAY table, not the exploded one: project
+        // collapse inlines the shingle dag into explode's generator
+        // and duplicates the tokenizer per HOF site (16 split() dags
+        // in the physical plan vs 2 — measured 8 s vs 1.8 s at
+        // sf0.1; the d41 lesson resurfacing through Generate)
+        val sets = graft.CacheTracker.persistTracked(
+          Tables.documents(s, d)
+            .withColumn("__toks", Text.tokens(col("text")))
+            .select(col("doc_id"), array_distinct(
+              Text.wordShingles(col("__toks"), 3)).as("sh")))
+        val ex = sets.select(col("doc_id"), explode(col("sh")).as("tk"))
+        val first = ex.groupBy("tk").agg(min("doc_id").as("first_id"))
+        ex.join(first, "tk")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_shingles"),
+            count(when(col("first_id") === col("doc_id"), 1))
+              .cast("long").as("n_novel"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          shing AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(t) - 2, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+            AS s FROM toks),
+          first AS (SELECT s, min(doc_id) AS fid FROM shing
+            GROUP BY 1)
+        SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+          CAST(count(*) FILTER (WHERE f.fid = sh.doc_id) AS BIGINT)
+            AS n_novel
+        FROM shing sh JOIN first f ON f.s = sh.s
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

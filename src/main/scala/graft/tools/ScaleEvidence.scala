@@ -566,6 +566,54 @@ object ScaleEvidence {
         shingleN = 3, tNum = 9, tDen = 10).count()
       graft.CacheTracker.releaseAll(); n
     }
+    // mm06 at 10x: generate + decode + hash 50k PNGs, band, verify.
+    // NOTE: replica doc_ids repeat the dims/pixel formula mod 32/16,
+    // so cross-replica images DO near-dup — the pair count grows
+    // ~quadratically BY CONSTRUCTION of this synthetic set (real
+    // image corpora don't alias like this); the banded join + slim
+    // (key, id) shuffle is the structural claim being measured.
+    timed(s"mm06 image aHash near-dup (${reps*5}k PNGs)") {
+      val media = graft.multimodal.Multimodal.syntheticPngMedia(
+        corpus.select("doc_id"))(spark)
+      val hashed = graft.CacheTracker.persistTracked(
+        graft.multimodal.Multimodal.imageAHash(media)(spark)
+          .select(col("media_id"), col("ahash_bits")))
+      val banded = hashed.select(col("media_id"),
+        posexplode(array((0 until 4).map(b =>
+          substring(col("ahash_bits"), b * 16 + 1, 16)): _*))
+          .as(Seq("band", "key")))
+      val n = banded
+        .select(col("band"), col("key"), col("media_id").as("id_a"))
+        .join(banded.select(col("band"), col("key"),
+          col("media_id").as("id_b")), Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct().count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"q43 cohort retention (${reps/10.0}M events)") {
+      val e3 = ev.select(col("user_id"),
+        expr("datediff(to_date(ts), DATE'2024-01-01') DIV 7")
+          .cast("long").as("wk"))
+      val cohort = e3.groupBy("user_id").agg(min("wk").as("cw"))
+      e3.join(cohort, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("off"))
+        .agg(count_distinct(col("user_id")).as("n")).count()
+    }
+    timed(s"d43 novelty score (${reps*5}k docs)") {
+      // persist the ARRAY table (pre-explode) — see the d43 catalog
+      // comment: the Generate otherwise re-inlines the tokenizer
+      val sets = graft.CacheTracker.persistTracked(corpus
+        .withColumn("__toks", graft.functions.Text.tokens(col("text")))
+        .select(col("doc_id"), array_distinct(graft.functions.Text
+          .wordShingles(col("__toks"), 3)).as("sh")))
+      val ex = sets.select(col("doc_id"), explode(col("sh")).as("tk"))
+      val first = ex.groupBy("tk").agg(min("doc_id").as("fid"))
+      val n = ex.join(first, "tk").groupBy("doc_id")
+        .agg(count(lit(1)).as("ns"),
+          count(when(col("fid") === col("doc_id"), 1)).as("nv"))
+        .count()
+      graft.CacheTracker.releaseAll(); n
+    }
     spark.stop()
   }
 }
