@@ -3304,6 +3304,40 @@ object Catalog {
           CAST(count(*) FILTER (WHERE f.fid = sh.doc_id) AS BIGINT)
             AS n_novel
         FROM shing sh JOIN first f ON f.s = sh.s
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // ── §2.7/§7.5 time-RANGE window frames (q35's ROWS sibling):
+    //    per event, the trailing-hour sum/count for its user —
+    //    `RANGE BETWEEN 3600s PRECEDING AND CURRENT ROW` over integer
+    //    epoch-micros. RANGE frames include ALL peers at equal
+    //    timestamps, so the result is deterministic without a
+    //    tie-break sort key (the property ROWS frames lack). One
+    //    user_id exchange; the frame is computed inside the
+    //    per-partition sort. ─────────────────────────────────────────
+    Q("q44_range_frame",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"))
+          .rangeBetween(-3600000000L, Window.currentRow)
+        Tables.events(s, d)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("us"),
+            round(col("value") * 100, 0).cast("long").as("__cents"))
+          .withColumn("hour_cents", sum("__cents").over(w))
+          .withColumn("hour_n", count(lit(1)).over(w).cast("long"))
+          .select("event_id", "user_id", "hour_cents", "hour_n")
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id,
+          CAST(sum(cents) OVER w AS BIGINT) AS hour_cents,
+          CAST(count(*) OVER w AS BIGINT) AS hour_n
+        FROM (SELECT event_id, user_id,
+            epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id"""))
   )
 }
