@@ -572,6 +572,14 @@ object ScaleEvidence {
     // ~quadratically BY CONSTRUCTION of this synthetic set (real
     // image corpora don't alias like this); the banded join + slim
     // (key, id) shuffle is the structural claim being measured.
+    if (reps > 10) {
+      // the synthetic pixel formulas alias doc_id mod 256, so the
+      // TRUE pair count grows quadratically with replication — at
+      // 100x that is ~500M real near-identical pairs, a property of
+      // the fixture, not the operator. 10x is the meaningful bound.
+      println("   mm06 skipped at reps>10 (fixture aliasing makes " +
+        "the true pair set quadratic — see BENCH_NOTES)")
+    } else
     timed(s"mm06 image aHash near-dup (${reps*5}k PNGs)") {
       val media = graft.multimodal.Multimodal.syntheticPngMedia(
         corpus.select("doc_id"))(spark)
