@@ -36,6 +36,40 @@ class StreamDedupSpec extends SparkSpec {
     assert(r2 == Set(1L, 2L, 5L))  // 4 deduped against state from run 1
   }
 
+  test("dropDuplicatesWithinWatermark: built-in bounded-state dedup") {
+    // The built-in alternative to StreamDedup's custom state store:
+    // duplicates within the watermark horizon are dropped and the
+    // key state is EVICTED past it (bounded memory — the property
+    // the unbounded first-seen store trades away). Same key arriving
+    // within the horizon dedupes; a later-than-horizon repeat would
+    // re-emit, which is the documented semantic difference.
+    val dir = Files.createTempDirectory("graft-wdedup").toString
+    val inDir = s"$dir/in"
+    new java.io.File(inDir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/b1.json"),
+      """{"doc_id":1,"ts":"2024-01-01T00:00:00Z","text":"a"}
+        |{"doc_id":1,"ts":"2024-01-01T00:02:00Z","text":"a dup"}
+        |{"doc_id":2,"ts":"2024-01-01T00:03:00Z","text":"b"}
+        |{"doc_id":2,"ts":"2024-01-01T00:04:00Z","text":"b dup"}
+        |{"doc_id":3,"ts":"2024-01-01T00:05:00Z","text":"c"}""".stripMargin)
+    val q = spark.readStream
+      .schema("doc_id long, ts timestamp, text string")
+      .json(inDir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .start()
+    q.awaitTermination()
+    val ids = spark.read.parquet(s"$dir/out").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L)) // one row per key survives
+  }
+
   test("SyncMetrics listener folds per-batch progress into the stats shape (A10)") {
     val dir = Files.createTempDirectory("graft-metrics").toString
     val inDir = s"$dir/in"
