@@ -3338,6 +3338,143 @@ object Catalog {
           FROM events)
         WINDOW w AS (PARTITION BY user_id ORDER BY us
           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ── §7.5 IVF-PQ (Jégou et al. 2011, the canonical billion-scale
+    //    ANN index): coarse quantizer = v02's IVF assignment; PQ
+    //    codes computed on the RESIDUAL v − centroid(cluster) (the
+    //    residual trick that makes 8-bit codes usable); the query
+    //    builds one integer-micro ADC table PER PROBED CLUSTER from
+    //    its own query residual. Per row the probe is m integer
+    //    lookups over 1-byte codes — vectors are never read at query
+    //    time, and the cluster column partition-prunes the scan.
+    //    Codebooks are the first-16 residual sub-vectors (plan-
+    //    deterministic, v10's convention) so the oracle replays
+    //    assignment, residuals, codes, probe set, and ADC tables
+    //    exactly; per-cell micro rounding BEFORE summation keeps the
+    //    distance an exact integer. ──────────────────────────────────
+    Q("v13_ivfpq_adc",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq))
+          .toSeq.sortBy(_._1)
+        val query = centroids.find(_._1 == 1).get._2.map(_.toDouble)
+        val centArr = array(centroids.map { case (_, c) =>
+          array(c.map(x => lit(x.toDouble)): _*) }: _*)
+        val assigned = graft.CacheTracker.persistTracked(
+          Vectors.ivfAssign(emb, "embedding", centroids)
+            .withColumn("__res", zip_with(col("embedding"),
+              element_at(centArr, col("cluster") + 1),
+              (v, c) => v.cast("double") - c)))
+        val cbRows = assigned.filter(col("vec_id") < 16)
+          .select(col("vec_id"), col("__res")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+        val cbs: Seq[Seq[Seq[Double]]] = (0 until 8).map(sb =>
+          (0 until 16).map(j => cbRows(j.toLong)
+            .slice(sb * 8, sb * 8 + 8)))
+        def cos(a: Seq[Float], b: Seq[Double]): Double = {
+          val dd = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+          val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+          val nb = math.sqrt(b.map(y => y * y).sum)
+          if (na == 0 || nb == 0) 0.0 else dd / (na * nb)
+        }
+        val probed = centroids.sortBy { case (cid, c) =>
+          (-cos(c, query), cid) }.take(3)
+        // ONE scan over the probed clusters: the ADC tables for all
+        // probed clusters ship as a cluster-indexed literal, so the
+        // giant PQ-code expression compiles once (the 3-branch union
+        // formulation codegen'd it per branch — 7.9 s vs 2 s)
+        val qtBySub: Seq[Seq[Seq[Long]]] = (0 until 8).map { sb =>
+          (0 until 8).map { cid =>
+            probed.find(_._1 == cid) match {
+              case Some((_, c)) =>
+                val qr = query.zip(c)
+                  .map { case (x, y) => x - y.toDouble }
+                val qSub = qr.slice(sb * 8, sb * 8 + 8)
+                cbs(sb).map { cw =>
+                  var dd = 0.0; var i = 0
+                  while (i < 8) {
+                    val x = qSub(i) - cw(i); dd += x * x; i += 1
+                  }
+                  math.round(1e6 * dd)
+                }
+              case None => Seq.fill(16)(0L)
+            }
+          }
+        }
+        val adist = (0 until 8).map { sb =>
+          element_at(element_at(typedLit(qtBySub(sb)),
+            col("cluster") + 1), element_at(col("__codes"), sb + 1) + 1)
+        }.reduce(_ + _)
+        assigned
+          .filter(col("cluster").isin(probed.map(_._1): _*))
+          .withColumn("__codes", Vectors.pqCodes(col("__res"), cbs))
+          .select(col("vec_id"), col("cluster"),
+            adist.cast("long").as("adist_micro"))
+          .orderBy(col("adist_micro").asc, col("vec_id").asc)
+          .limit(20)
+      },
+      Some("""WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        q AS (SELECT cv AS qv FROM c WHERE cid = 1),
+        cosm AS (SELECT e.vec_id, e.v, c.cid,
+            list_dot_product(e.v, c.cv) /
+              (sqrt(list_dot_product(e.v, e.v)) *
+               sqrt(list_dot_product(c.cv, c.cv))) AS sim
+          FROM e CROSS JOIN c),
+        assigned AS (SELECT vec_id, v, cid AS cluster FROM cosm
+          QUALIFY row_number() OVER (PARTITION BY vec_id
+            ORDER BY sim DESC, cid DESC) = 1),
+        res AS (SELECT a.vec_id, a.cluster,
+            list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r
+          FROM assigned a JOIN c ON c.cid = a.cluster),
+        cb AS (SELECT s.s AS sub, r16.vec_id AS j,
+            list_transform(range(1, 9), i -> r16.r[s.s * 8 + i]) AS cw
+          FROM range(0, 8) s(s) CROSS JOIN
+            (SELECT vec_id, r FROM res WHERE vec_id < 16) r16),
+        dv AS (SELECT res.vec_id, cb.sub, cb.j,
+            list_dot_product(
+              list_transform(range(1, 9),
+                i -> res.r[cb.sub * 8 + i] - cb.cw[i]),
+              list_transform(range(1, 9),
+                i -> res.r[cb.sub * 8 + i] - cb.cw[i])) AS dist
+          FROM res CROSS JOIN cb),
+        codes AS (SELECT vec_id, sub, j AS code FROM (
+            SELECT vec_id, sub, j, row_number() OVER (
+              PARTITION BY vec_id, sub ORDER BY dist, j) AS rk
+            FROM dv) t WHERE rk = 1),
+        probe AS (SELECT cid, cv FROM (
+            SELECT c.cid, c.cv, row_number() OVER (ORDER BY
+              list_dot_product(c.cv, q.qv) /
+                (sqrt(list_dot_product(c.cv, c.cv)) *
+                 sqrt(list_dot_product(q.qv, q.qv))) DESC, c.cid)
+              AS rn
+            FROM c CROSS JOIN q) t WHERE rn <= 3),
+        qres AS (SELECT p.cid,
+            list_transform(range(1, 65), i -> q.qv[i] - p.cv[i]) AS qr
+          FROM probe p CROSS JOIN q),
+        qt AS (SELECT qres.cid, cb.sub, cb.j,
+            CAST(round(1e6 * list_dot_product(
+              list_transform(range(1, 9),
+                i -> qres.qr[cb.sub * 8 + i] - cb.cw[i]),
+              list_transform(range(1, 9),
+                i -> qres.qr[cb.sub * 8 + i] - cb.cw[i])))
+              AS BIGINT) AS dm
+          FROM qres CROSS JOIN cb)
+        SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+          adist_micro
+        FROM (SELECT r.vec_id, r.cluster,
+            CAST(sum(qt.dm) AS BIGINT) AS adist_micro
+          FROM res r
+          JOIN codes co ON co.vec_id = r.vec_id
+          JOIN qt ON qt.cid = r.cluster AND qt.sub = co.sub
+            AND qt.j = co.code
+          GROUP BY 1, 2
+          ORDER BY adist_micro, r.vec_id LIMIT 20)
+        ORDER BY adist_micro, vec_id"""))
   )
 }
