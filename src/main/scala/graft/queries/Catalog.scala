@@ -2899,10 +2899,13 @@ object Catalog {
     //    away from its neighbor — not a rounding-parity surface. The
     //    key itself is never emitted. ─────────────────────────────────
     Q("d40_weighted_sample",
+      // evalOnce: weightedTopK filters on the weight AND keys the
+      // heap on it — without the barrier the pushed filter + key +
+      // output evaluated the tokenizer 3x (PlanGuardSpec finding)
       (s, d) => graft.functions.Sampling.weightedTopK(
-          Tables.documents(s, d)
-            .select(col("doc_id"),
-              Text.tokenCount(col("text")).as("n_tokens")),
+          graft.query.Predicates.evalOnce(
+            Tables.documents(s, d), Seq(col("doc_id")),
+            "n_tokens" -> Text.tokenCount(col("text"))),
           col("n_tokens"), col("doc_id"), k = 50, seedTag = "es")
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, n_tokens FROM (
