@@ -3478,6 +3478,36 @@ object Catalog {
             AND qt.j = co.code
           GROUP BY 1, 2
           ORDER BY adist_micro, r.vec_id LIMIT 20)
-        ORDER BY adist_micro, vec_id"""))
+        ORDER BY adist_micro, vec_id""")),
+
+    // ── §7.5 join-key skew profile: the diagnostic that decides
+    //    WHEN the q24 salted join is needed — per-key counts rolled
+    //    into one row of distribution facts (rows, keys, hottest
+    //    key, p50/p99 key size, and max/mean as an exact-integer
+    //    percentage). Two aggregates, map-side combined; the profile
+    //    runs on the would-be join key BEFORE committing a join
+    //    strategy at scale. ──────────────────────────────────────────
+    Q("q45_skew_profile",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .agg(sum("n").cast("long").as("n_rows"),
+          count(lit(1)).cast("long").as("n_keys"),
+          max("n").cast("long").as("max_n"),
+          expr("percentile(n, array(0.5D, 0.99D))").as("__p"))
+        .select(col("n_rows"), col("n_keys"), col("max_n"),
+          round(element_at(col("__p"), 1), 4).as("p50_n"),
+          round(element_at(col("__p"), 2), 4).as("p99_n"),
+          expr("max_n * n_keys * 100 DIV n_rows")
+            .as("skew_max_over_mean_pct")),
+      Some("""WITH kc AS (SELECT user_id, count(*) AS n FROM events
+            GROUP BY 1)
+        SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+          CAST(count(*) AS BIGINT) AS n_keys,
+          CAST(max(n) AS BIGINT) AS max_n,
+          round(quantile_cont(n, 0.5), 4) AS p50_n,
+          round(quantile_cont(n, 0.99), 4) AS p99_n,
+          CAST(max(n) AS BIGINT) * count(*) * 100
+            // CAST(sum(n) AS BIGINT) AS skew_max_over_mean_pct
+        FROM kc"""))
   )
 }
