@@ -664,4 +664,119 @@ object Dedup {
         col("n_min") > 0)
       .select("id_a", "id_b", "n_inter", "n_min")
   }
+
+  /** INCREMENTAL near-dup: probe a small DELTA batch against an
+    * existing CORPUS without re-pairing the corpus with itself — the
+    * shape every continuously-ingesting pipeline actually runs
+    * (yesterday's 100 TB is already deduped; only today's arrivals
+    * need checking).
+    *
+    * Same MinHash-LSH construction as [[minhashLshPairs]] (identical
+    * signature parameters ⇒ identical recall), but the banding join
+    * is ASYMMETRIC: delta bands × corpus bands. At 100 TB the corpus
+    * side is a persisted signature/band side table bucketed by band
+    * key — the probe then touches only the buckets the delta's keys
+    * hash into, O(delta), never O(corpus). Corpus-internal pairs are
+    * by definition already known and are NOT re-emitted; delta-delta
+    * pairs ARE emitted (both orientations reduced to new_id pairs)
+    * because neither member was seen before.
+    *
+    * Output: (new_id, old_id, n_inter, n_union) where new_id ∈ delta;
+    * old_id may itself be a delta id for intra-batch duplicates (then
+    * new_id < old_id dedups the orientation). */
+  def minhashLshProbe(corpus: DataFrame, delta: DataFrame,
+                      textCol: String, idCol: String,
+                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.5,
+                      seed: Long = 42L): DataFrame = {
+    val rowsPerBand = k / bands
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"),
+        Text.wordShingles(col("toks"), shingleN).as("sh"))
+    def bandRows(sh: DataFrame): DataFrame = sh
+      .withColumn("hashes", transform(col("sh"), s => xxhash64(s)))
+      .withColumn("sig",
+        SigExprs.minhashSigFromHashes(col("hashes"), k, seed))
+      .select(col("id"),
+        explode(Text.lshBandKeys(col("sig"), bands, rowsPerBand))
+          .as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    // shingle sets feed banding AND verification — cache both sides
+    // (the corpus side stands in for the persisted signature table)
+    val shNew = CacheTracker.persistTracked(prep(delta))
+    val shOld = CacheTracker.persistTracked(prep(corpus))
+    val bNew = bandRows(shNew)
+    // corpus ∪ delta on the index side so intra-batch dups surface
+    // too; the flag canonicalizes delta-delta pairs (which would
+    // otherwise emit in both orientations) to new_id < old_id
+    val bAll = bandRows(shOld).withColumn("was_new", lit(false))
+      .unionByName(bandRows(shNew).withColumn("was_new", lit(true)))
+    val cand = bNew.select(col("band"), col("key"),
+        col("id").as("new_id"))
+      .join(bAll.select(col("band"), col("key"), col("id").as("old_id"),
+          col("was_new")),
+        Seq("band", "key"))
+      .filter(col("new_id") =!= col("old_id") &&
+        (!col("was_new") || col("new_id") < col("old_id")))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+    val shAll = shOld.unionByName(shNew)
+    cand
+      .join(shAll.select(col("id").as("new_id"), col("sh").as("sh_a")),
+        "new_id")
+      .join(shAll.select(col("id").as("old_id"), col("sh").as("sh_b")),
+        "old_id")
+      .withColumn("__da", array_distinct(col("sh_a")))
+      .withColumn("__db", array_distinct(col("sh_b")))
+      .withColumn("n_inter",
+        size(array_intersect(col("__da"), col("__db"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("__da")) + size(col("__db")) - col("n_inter"))
+          .cast("long"))
+      .filter(col("n_union") > 0 &&
+        col("n_inter").cast("double") / col("n_union") >= threshold)
+      .select(col("new_id"), col("old_id"), col("n_inter"),
+        col("n_union"))
+  }
+
+  /** CCNet-style inter-document SEGMENT dedup: drop every segment
+    * (fixed non-overlapping token window — the role newlines play in
+    * CCNet's line dedup; this corpus has none) that appears verbatim
+    * in ≥ `minDocs` DISTINCT documents, and rebuild each document
+    * from its surviving segments. This removes boilerplate
+    * (headers, navigation, license blurbs) that document-level dedup
+    * can never touch because the surrounding text differs.
+    *
+    * Scale: one explode → one (fingerprint → distinct-doc count)
+    * aggregate → one join back. The aggregate shuffles md5 strings
+    * here for oracle portability; the production key is xxhash64
+    * (8 bytes). Reconstruction is a per-doc collect_list over that
+    * doc's own segments — bounded by document size, no global sort. */
+  def segmentDedup(docs: DataFrame, textCol: String, idCol: String,
+                   segTokens: Int = 16, minDocs: Int = 2): DataFrame = {
+    val segs = CacheTracker.persistTracked(docs
+      .withColumn("__toks", Text.tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        posexplode(Text.tokenChunks(col("__toks"), segTokens,
+          segTokens)))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", col("col")).as("seg"))
+      .withColumn("fp", md5(col("seg"))))
+    val dupFps = segs.groupBy("fp")
+      .agg(countDistinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("fp"), lit(true).as("dup"))
+    segs.join(dupFps, Seq("fp"), "left")
+      .withColumn("keep", col("dup").isNull)
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        count(when(!col("keep"), 1)).as("n_removed"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("keep"), struct(col("pos"), col("seg"))))),
+          s => s.getField("seg"))).as("clean_text"))
+  }
 }

@@ -384,7 +384,80 @@ case class CentroidArgmax(child: Expression,
       : CentroidArgmax = copy(child = c)
 }
 
+/** Native float-vector dot product: Σ (double)a_i · (double)b_i,
+  * summed LEFT TO RIGHT — bit-for-bit the fold [[graft.functions.Vectors.dot]]
+  * evaluates via `aggregate(zip_with(...))`, so the two forms are
+  * interchangeable under the DuckDB oracle (which also folds left).
+  * The HOF form allocates a 64-slot intermediate array and walks two
+  * generic ArrayData per PAIR; at |Q|·|corpus| pairs that allocation
+  * is the dominant cost of brute-force scoring (measured on v14:
+  * 4 M pairs, ~2× end-to-end). Here: one fused loop, zero allocation.
+  *
+  * Parity on the edges: length mismatch → null (zip_with pads with
+  * null and the fold poisons), a null ELEMENT on either side → null
+  * (same poisoning). */
+case class VecDotF(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float>, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true  // also null on ragged input
+  override def prettyName: String = "graft_vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        i += 1
+      }
+      java.lang.Double.valueOf(s)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+      if ($x.numElements() != $y.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        double $s = 0.0;
+        for (int $i = 0; $i < $x.numElements(); $i++) {
+          if ($x.isNullAt($i) || $y.isNullAt($i)) {
+            ${ev.isNull} = true; break;
+          }
+          $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+        }
+        if (!${ev.isNull}) ${ev.value} = $s;
+      }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecDotF = copy(left = l, right = r)
+}
+
 object SigExprs {
+
+  /** Column API: native float-array dot product (see [[VecDotF]]). */
+  def vecDotF(a: Column, b: Column): Column =
+    GraftBridge.column(
+      VecDotF(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Column API: nearest-centroid id by cosine (IVF assignment). */
   def centroidArgmax(vec: Column,

@@ -1,0 +1,57 @@
+package graft.graph
+
+import graft.CacheTracker
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded graph traversal (k-hop BFS) — the reachability shape the
+  * reference's follow graph implies but never materializes (a feed
+  * "friends-of-friends" expansion; in the training-data world, link
+  * neighborhoods for crawl frontier scoring).
+  *
+  * Pregel-lite: the frontier is a DataFrame, each hop is ONE
+  * equi-join frontier × edges + an anti-join against the visited
+  * set — shuffles are keyed on node id and sized O(frontier ·
+  * out-degree), never O(graph). `maxHops` iterations of a
+  * driver-coordinated loop, like [[LinkGraph.pageRank]]; each
+  * round's result is persisted and released by the harness
+  * (CacheTracker). At 1000 executors the edges side is a bucketed
+  * side table (see [[LinkGraph.writeEdgesBucketed]]) so every hop's
+  * join is exchange-free on the edge side.
+  */
+object Traversal {
+
+  /** Minimum-hop distance from `seed` to every node reachable within
+    * `maxHops` directed hops. Output: (node, hops), seed included at
+    * hops 0.
+    *
+    * The visited set doubles as the result accumulator; because BFS
+    * expands in hop order, the FIRST time a node is seen is its
+    * minimum distance — the anti-join both prunes re-expansion
+    * (termination on cyclic graphs) and guarantees min-hop without a
+    * global aggregate. */
+  def khop(edges: DataFrame, seed: Long, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    var visited = CacheTracker.persistTracked(
+      e.sparkSession.range(1).select(lit(seed).as("node"),
+        lit(0L).as("hops")))
+    var frontier = visited
+    var hop = 0
+    while (hop < maxHops) {
+      hop += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(hop.toLong).as("hops"))
+      frontier = CacheTracker.persistTracked(next)
+      // empty-frontier early exit: one cheap driver check per hop,
+      // same pattern as the pagerank convergence probe
+      if (frontier.isEmpty) return visited
+      visited = CacheTracker.persistTracked(
+        visited.unionByName(frontier))
+    }
+    visited
+  }
+}

@@ -3508,6 +3508,149 @@ object Catalog {
           round(quantile_cont(n, 0.99), 4) AS p99_n,
           CAST(max(n) AS BIGINT) * count(*) * 100
             // CAST(sum(n) AS BIGINT) AS skew_max_over_mean_pct
-        FROM kc"""))
+        FROM kc""")),
+
+    // ── §7.5 INCREMENTAL near-dup: today's arrivals (doc_id ≡ 0
+    //    mod 7 plays the delta batch) probed against the existing
+    //    corpus with the m01 LSH construction, asymmetric banding
+    //    join — the continuously-ingesting pipeline's shape, where
+    //    the corpus side is a persisted signature table and the
+    //    probe cost is O(delta). Oracle = the m01 ground-truth pair
+    //    set restricted to pairs touching the delta (recall 1 at
+    //    these band parameters, same argument as m01). ──────────────
+    Q("d44_incremental_neardup",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Dedup.minhashLshProbe(
+          docs.filter(col("doc_id") % 7 =!= 0),
+          docs.filter(col("doc_id") % 7 === 0),
+          "text", "doc_id", shingleN = 3, k = 32, bands = 8,
+          threshold = 0.2, seed = 42L)
+          .orderBy("new_id", "old_id")
+      },
+      Some(s"""WITH $sqlTruthPairs
+        SELECT CASE WHEN ia % 7 = 0 THEN ia ELSE ib END AS new_id,
+          CASE WHEN ia % 7 = 0 THEN ib ELSE ia END AS old_id,
+          CAST(i AS BIGINT) AS n_inter, CAST(u AS BIGINT) AS n_union
+        FROM truth WHERE ia % 7 = 0 OR ib % 7 = 0
+        ORDER BY 1, 2""")),
+
+    // ── §7.5 CCNet-style inter-document segment dedup: segments
+    //    (16-token non-overlapping windows — this corpus's stand-in
+    //    for lines) appearing verbatim in ≥2 distinct docs are
+    //    boilerplate; drop them and rebuild each doc from the
+    //    survivors. One explode → one fingerprint-keyed distinct-doc
+    //    count → one join back; reconstruction is per-doc-bounded.
+    //    clean_fp = md5 of the rebuilt text keeps the row compact. ──
+    Q("d45_segment_dedup",
+      (s, d) => Dedup.segmentDedup(Tables.documents(s, d),
+        "text", "doc_id", segTokens = 16, minDocs = 2)
+        .select(col("id").as("doc_id"), col("n_segments"),
+          col("n_removed"), md5(col("clean_text")).as("clean_fp"))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          starts AS (SELECT doc_id,
+            unnest(range(1, len(t) + 1, 16)) AS st, t
+            FROM toks WHERE len(t) >= 1),
+          segs AS (SELECT doc_id, CAST((st - 1) // 16 AS BIGINT) AS pos,
+            array_to_string(list_slice(t, st, st + 15), ' ') AS seg
+            FROM starts),
+          dup AS (SELECT seg FROM segs GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2),
+          j AS (SELECT s.doc_id, s.pos, s.seg,
+            d.seg IS NOT NULL AS is_dup
+            FROM segs s LEFT JOIN dup d USING (seg))
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+          CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_removed,
+          md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
+            FILTER (WHERE NOT is_dup), '')) AS clean_fp
+        FROM j GROUP BY 1 ORDER BY 1""")),
+
+    // ── §7.4 exact PHRASE search over the positional inverted
+    //    index: each phrase term's posting list equi-joins the first
+    //    term's on (id, pos − offset) — O(Σ posting lists), never
+    //    O(corpus); the term filter bucket-prunes under the q21
+    //    bucketed layout. Oracle = consecutive-token scan over the
+    //    same tokenization. ─────────────────────────────────────────
+    Q("q46_phrase_search",
+      (s, d) => graft.text.InvertedIndex.phraseSearch(
+        graft.text.InvertedIndex.buildPositional(
+          Tables.documents(s, d), "text", "doc_id"),
+        Seq("big", "order", "scan"))
+        .select(col("id").as("doc_id"), col("n_matches"))
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          m AS (SELECT doc_id, CAST(len(list_filter(
+              range(1, greatest(len(t) - 2, 0) + 1),
+              i -> t[i] = 'big' AND t[i + 1] = 'order'
+                AND t[i + 2] = 'scan')) AS BIGINT) AS n_matches
+            FROM toks)
+        SELECT doc_id, n_matches FROM m WHERE n_matches > 0
+        ORDER BY doc_id""")),
+
+    // ── §7.5 bounded graph traversal: min-hop BFS (3 hops from user
+    //    1 over the q34 click edges). One frontier×edges equi-join +
+    //    one visited anti-join per hop — shuffles O(frontier), the
+    //    anti-join is both cycle-termination and the min-hop
+    //    guarantee. Oracle = recursive-CTE shortest hops. ───────────
+    Q("q47_khop",
+      (s, d) => graft.graph.Traversal.khop(
+        Tables.events(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("src"),
+            get_json_object(col("props"), "$.k").cast("long")
+              .as("dst")),
+        seed = 1L, maxHops = 3)
+        .select(col("node"), col("hops"))
+        .orderBy("node"),
+      Some("""WITH RECURSIVE e AS (SELECT user_id AS src,
+            CAST(json_extract_string(props, '$.k') AS BIGINT) AS dst
+          FROM events WHERE event_type = 'click'),
+        walk(node, hops) AS (
+          SELECT CAST(1 AS BIGINT), 0
+          UNION
+          SELECT e.dst, w.hops + 1 FROM walk w
+          JOIN e ON e.src = w.node WHERE w.hops < 3)
+        SELECT node, CAST(min(hops) AS BIGINT) AS hops
+        FROM walk GROUP BY 1 ORDER BY 1""")),
+
+    // ── §7.5 kNN label propagation: every 5th vector plays the
+    //    unlabeled query set; its label is the majority vote of its
+    //    10 cosine-nearest labeled vectors (two-phase broadcast
+    //    top-k + argmax-by-min-struct vote — no global window).
+    //    Neighbor rank rounds sim at 1e-9 with id tie-break so the
+    //    k-th-neighbor boundary is engine-reproducible. ─────────────
+    Q("v14_knn_label",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Vectors.knnLabelVote(
+          emb.filter(col("vec_id") % 5 =!= 0),
+          emb.filter(col("vec_id") % 5 === 0),
+          "embedding", "vec_id", "label", k = 10)
+          .select(col("q_id").as("vec_id"), col("pred_label"),
+            col("votes"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH L AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+            label FROM embeddings WHERE vec_id % 5 <> 0),
+        Q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id % 5 = 0),
+        s AS (SELECT qid, vec_id, label,
+            round(list_dot_product(e, qe) /
+              (sqrt(list_dot_product(e, e)) *
+               sqrt(list_dot_product(qe, qe))), 9) AS sim
+          FROM L CROSS JOIN Q),
+        r AS (SELECT *, row_number() OVER (PARTITION BY qid
+            ORDER BY sim DESC, vec_id) AS rn FROM s),
+        v AS (SELECT qid, label, count(*) AS votes FROM r
+          WHERE rn <= 10 GROUP BY 1, 2)
+        SELECT qid AS vec_id, label AS pred_label,
+          CAST(votes AS BIGINT) AS votes
+        FROM v
+        QUALIFY row_number() OVER (PARTITION BY qid
+          ORDER BY votes DESC, label) = 1
+        ORDER BY vec_id"""))
   )
 }

@@ -74,4 +74,46 @@ object InvertedIndex {
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
   }
+
+  /** docs → POSITIONAL posting rows (term, id, pos) — the index
+    * layout phrase and proximity queries need (term-frequency
+    * postings can only answer bag-of-words queries). Same
+    * `writeBucketed` layout applies: bucketed by term, a phrase
+    * query scans only its terms' buckets. */
+  def buildPositional(docs: DataFrame, textCol: String,
+                      idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), posexplode(col("toks")).as(Seq("pos", "term")))
+
+  /** Exact phrase search: documents containing `phrase`'s tokens at
+    * CONSECUTIVE positions, with the match count per doc.
+    *
+    * Plan shape: the positional index is filtered to the phrase's
+    * terms (bucket-prunable), then each term's posting list joins the
+    * FIRST term's on (id, pos − offset) — w-1 equi-joins on (id,
+    * bigint), each side already restricted to one posting list. That
+    * is the classic positional-intersection algorithm; cost is
+    * O(Σ posting lists of the phrase terms), not O(corpus), and the
+    * joins shuffle only (id, pos) pairs. Repeated terms in the
+    * phrase are handled naturally (each occurrence joins at its own
+    * offset). */
+  def phraseSearch(positional: DataFrame,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val terms = phrase.map(_.toLowerCase)
+    val base = positional
+      .filter(col("term").isin(terms.distinct: _*))  // bucket-prunable
+    val head = base.filter(col("term") === terms.head)
+      .select(col("id"), col("pos").as("p0"))
+    val matches = terms.zipWithIndex.tail.foldLeft(head) {
+      case (acc, (t, i)) =>
+        acc.join(
+          base.filter(col("term") === t)
+            .select(col("id"), (col("pos") - i).as("p0")),
+          Seq("id", "p0"))
+    }
+    matches.groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_matches"))
+  }
 }

@@ -1,0 +1,101 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Incremental delta-vs-corpus near-dup probe (catalog d44) and
+  * CCNet-style inter-document segment dedup (d45). */
+class IncrementalSegmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  // corpus 0-3 (0/1 near-dups of each other — corpus-internal, must
+  // NOT re-emit), delta 10-13: 10 IDENTICAL to corpus doc 0 (an
+  // exact dup shares every band — a guaranteed LSH hit), 11/12
+  // identical to each other (intra-batch dup), 13 matches nothing.
+  private val other = ("one two three four five six seven eight " * 3).trim
+  private val corpus = Seq(
+    0L -> base,
+    1L -> base.replace("delta", "DELTA"),
+    2L -> "completely different words entirely here nothing shared",
+    3L -> ("foo bar " * 12).trim).toDF("doc_id", "text")
+  private val delta = Seq(
+    10L -> base,
+    11L -> other,
+    12L -> other,
+    13L -> "unrelated tail omega psi chi phi just filler").toDF("doc_id", "text")
+
+  private def shingles(t: String): Set[String] = {
+    val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < 3) Set.empty
+    else toks.sliding(3).map(_.mkString(" ")).toSet
+  }
+
+  test("probe finds delta-corpus AND intra-delta pairs, never corpus-corpus") {
+    val got = Dedup.minhashLshProbe(corpus, delta, "text", "doc_id",
+        shingleN = 3, k = 32, bands = 8, threshold = 0.2, seed = 42L)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    graft.CacheTracker.releaseAll()
+    // orientation: every pair leads with a delta id; delta-delta
+    // pairs are canonical (new < old), so nothing emits twice
+    assert(got.forall { case (n, _) => n >= 10L })
+    assert(got.forall { case (n, o) => o < 10L || n < o })
+    // precision: emitted ⊆ exact-Jaccard truth (verification is exact)
+    // NB: iterate a Seq, not the Map — a for/yield whose first
+    // generator is a Map builds a Map and collapses same-n pairs
+    val all = (corpus.as[(Long, String)].collect() ++
+      delta.as[(Long, String)].collect()).toSeq
+    val truth = (for {
+      (n, tn) <- all if n >= 10L
+      (o, to) <- all if o != n && !(o >= 10L && n > o)
+      sa = shingles(tn); sb = shingles(to)
+      i = (sa & sb).size; u = sa.size + sb.size - i
+      if u > 0 && i.toDouble / u >= 0.2
+    } yield (n, o)).toSet
+    assert(got.subsetOf(truth))
+    // guaranteed recall: exact duplicates share ALL bands
+    assert(got.contains((10L, 0L)))  // delta-corpus
+    assert(got.contains((11L, 12L))) // intra-delta, canonical order
+    // corpus-internal near-dup (0,1) must not re-emit
+    assert(!got.exists { case (n, o) => n < 10L && o < 10L })
+  }
+
+  test("segment dedup removes cross-doc boilerplate and rebuilds survivors") {
+    // 20-token boilerplate header shared by docs 0/1; unique tails
+    val header = (1 to 16).map(i => s"h$i").mkString(" ")
+    val docs = Seq(
+      0L -> s"$header u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16",
+      1L -> s"$header w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16",
+      2L -> "solo text with no duplicated segment at all here now ok")
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "text", "doc_id",
+        segTokens = 16, minDocs = 2)
+      .select(col("id"), col("n_segments"), col("n_removed"),
+        col("clean_text"))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    graft.CacheTracker.releaseAll()
+    assert(got(0L)._1 === 2L && got(0L)._2 === 1L)
+    assert(got(0L)._3 === (1 to 16).map(i => s"u$i").mkString(" "))
+    assert(got(1L)._2 === 1L)
+    assert(got(2L)._2 === 0L) // nothing removed from the solo doc
+    assert(got(2L)._3.startsWith("solo text"))
+  }
+
+  test("segment dedup: fully-boilerplate doc rebuilds to empty text") {
+    val seg = (1 to 16).map(i => s"b$i").mkString(" ")
+    val docs = Seq(0L -> seg, 1L -> seg, 2L -> s"$seg only one extra")
+      .toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(docs, "text", "doc_id",
+        segTokens = 16, minDocs = 2)
+      .select(col("id"), col("n_removed"), col("clean_text"))
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    graft.CacheTracker.releaseAll()
+    assert(got(0L) === ((1L, "")))
+    assert(got(2L) === ((1L, "only one extra")))
+  }
+}
