@@ -22,8 +22,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * AnchorOverlap) carry plan-literal matrices that have no natural
   * SQL literal syntax — they stay DataFrame-API-only by design. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    // custom whole-operator tier: AS-OF JOIN planner strategy
+    // (logical plan → merge-join exec, graft.plans.AsOfJoin)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

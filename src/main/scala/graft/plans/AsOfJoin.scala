@@ -1,0 +1,193 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** AS-OF JOIN as a first-class operator — custom `LogicalPlan` +
+  * `SparkStrategy` + `SparkPlan`, the tier of extension the composed
+  * forms can't reach (SURVEY.md §2.6 / the d19 window formulation).
+  *
+  * Semantics (Pandas `merge_asof` / DuckDB `ASOF JOIN` parity): for
+  * every LEFT row, attach the single RIGHT row with equal keys and
+  * the LARGEST right time ≤ the left time; no match ⇒ right columns
+  * null (left outer). Null times never match (a null left time gets
+  * no row; null-time right rows are skipped).
+  *
+  * Why a custom operator instead of the window trick: the composed
+  * form (union both sides + `last(...) ignoreNulls` window, d19)
+  * materializes BOTH tables through one shuffle AND a window sort,
+  * carries every left column through the window, and only yields one
+  * attached column per window pass. The operator shuffles each side
+  * once on its own keys (the SAME exchange a sort-merge equi-join
+  * would plan — EnsureRequirements co-partitions the children), sorts
+  * within partitions by (keys, time), and then a single forward merge
+  * pass attaches ALL right columns at once: no repeated window
+  * passes, no union, per-partition state = ONE buffered right row.
+  * At 100 TB that is exactly a sort-merge join's cost envelope, and
+  * bucketed/sorted tables make the exchanges vanish entirely.
+  *
+  * Determinism: if several right rows share (keys, time), the one
+  * latest in the within-partition sort wins — give the exec a total
+  * order by appending a `rightTieBreak` column (the API requires one).
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Expression)
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan =
+    copy(left = l, right = r)
+}
+
+/** Physical as-of merge join. Children arrive hash-clustered on
+  * their keys (ClusteredDistribution ⇒ the planner inserts/reuses
+  * the same exchanges a shuffled equi-join gets, and co-partitions
+  * them) and sorted by (keys, time, [tie]) — the merge is then a
+  * single O(|L| + |R|) forward pass per partition holding one
+  * buffered right row, never a hash table. */
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    rightTieBreak: Expression,
+    left: SparkPlan, right: SparkPlan)
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) ::
+      ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime :+ rightTieBreak)
+      .map(SortOrder(_, Ascending)))
+
+  // one-to-at-most-one join: left rows pass through in place
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    val timeType = leftTime.dataType
+    val lOut = left.output
+    val rOut = right.output
+    val nRight = rOut.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val timeOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(timeType))
+      val nullRight = new GenericInternalRow(nRight)
+      val joined = new JoinedRow
+      // downstream operators (sort, exchange, collect) expect
+      // UnsafeRow-backed iterators — flatten the JoinedRow view
+      val outProj = UnsafeProjection.create(output, output)
+      // the single piece of merge state: last right row whose
+      // (key, time) has been passed by the left cursor, + its key
+      var best: InternalRow = null
+      var bestKey: InternalRow = null
+      var rHead: InternalRow = null
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val ltRow = lTimeProj(l).copy()
+        val lTimeNull = ltRow.isNullAt(0)
+        // advance the right cursor past every row at a smaller key,
+        // or same key with time <= left time (each becoming `best`)
+        var done = lTimeNull // null left time matches nothing
+        while (!done && (rHead != null || rIter.hasNext)) {
+          if (rHead == null) rHead = rIter.next()
+          val rk = rKeyProj(rHead)
+          val c = keyOrd.compare(rk, lk)
+          if (c < 0) rHead = null // smaller key: discard, keep going
+          else if (c == 0) {
+            val rt = rTimeProj(rHead)
+            if (!rt.isNullAt(0) && timeOrd.compare(rt, ltRow) <= 0) {
+              best = rHead.copy() // candidate; later ones overwrite
+              bestKey = lk.copy()
+              rHead = null
+            } else if (rt.isNullAt(0)) rHead = null // never matches
+            else done = true // right row is in the future
+          } else done = true // right cursor is on a larger key
+        }
+        val matched = !lTimeNull && best != null && bestKey != null &&
+          keyOrd.compare(bestKey, lk) == 0
+        outProj(joined(l, if (matched) best else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): AsOfJoinExec =
+    copy(left = l, right = r)
+}
+
+/** Plans [[AsOfJoinPlan]] → [[AsOfJoinExec]]; injected via
+  * `SparkSessionExtensions.injectPlannerStrategy`
+  * ([[graft.functions.GraftExtensions]]) or the public
+  * `spark.experimental.extraStrategies` (what [[AsOf.join]] does for
+  * a live session). */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Public DataFrame API for the as-of join. */
+object AsOf {
+
+  /** Ensure the planner knows the operator (idempotent; public
+    * `experimental` hook, so it works on any live session). */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+  /** left AS-OF JOIN right: every left row + the right row with
+    * equal `on` keys and the largest `rightTime` ≤ `leftTime`
+    * (left outer; `rightTieBreak` totals the order among equal-time
+    * right rows). Right columns keep their names — pass pre-aliased
+    * inputs if names collide, as with any join. */
+  def join(left: DataFrame, right: DataFrame,
+           leftOn: Seq[String], rightOn: Seq[String],
+           leftTime: String, rightTime: String,
+           rightTieBreak: String): DataFrame = {
+    require(leftOn.nonEmpty && leftOn.size == rightOn.size,
+      "as-of join needs matching non-empty key lists")
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = GraftBridge.analyzed(left)
+    // re-alias the right side: a self-as-of-join (events to events)
+    // would otherwise carry duplicate attribute ids on both sides
+    val rAnalyzed = GraftBridge.analyzed(right)
+    val rPlan = Project(
+      rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"as-of join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime),
+      attr(rPlan, rightTieBreak))
+    GraftBridge.ofRows(spark, plan)
+  }
+}

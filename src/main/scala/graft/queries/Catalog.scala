@@ -3651,6 +3651,37 @@ object Catalog {
         FROM v
         QUALIFY row_number() OVER (PARTITION BY qid
           ORDER BY votes DESC, label) = 1
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // ── §2.6 AS-OF JOIN as a CUSTOM OPERATOR (graft.plans.AsOfJoin:
+    //    LogicalPlan + planner Strategy + merge-join SparkPlan — the
+    //    whole-operator extension tier; d19 keeps the composed window
+    //    form). Each purchase picks up the latest view at-or-before
+    //    it per user; views deduped per (user, ts) so both engines'
+    //    tie behavior is identical. Oracle = DuckDB's native
+    //    ASOF LEFT JOIN. ────────────────────────────────────────────
+    Q("q48_asof_custom",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .agg(max(col("event_id")).as("view_id"))
+        graft.plans.AsOf.join(purchases, views,
+          Seq("user_id"), Seq("v_user"), "ts", "v_ts", "view_id")
+          .select(col("event_id"), col("user_id"), col("view_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id,
+            CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'purchase'),
+        v AS (SELECT user_id AS v_user, CAST(ts AS TIMESTAMP) AS v_ts,
+            max(event_id) AS view_id FROM events
+          WHERE event_type = 'view' GROUP BY 1, 2)
+        SELECT p.event_id, p.user_id, v.view_id
+        FROM p ASOF LEFT JOIN v
+          ON p.user_id = v.v_user AND v.v_ts <= p.ts
+        ORDER BY p.event_id"""))
   )
 }

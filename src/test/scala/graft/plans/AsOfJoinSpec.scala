@@ -1,0 +1,111 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Custom as-of join operator (LogicalPlan + Strategy + SparkPlan):
+  * merge semantics vs a brute-force window reference, edge cases,
+  * and the planned physical shape. */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // trades (left) and quotes (right) — the canonical as-of shape
+  private def trades: DataFrame = Seq(
+    (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 25L),
+    (4L, "b", 5L), (5L, "b", 50L),
+    (6L, "c", 100L)) // no quotes for c at all
+    .toDF("trade_id", "sym", "t_ts")
+
+  private def quotes: DataFrame = Seq(
+    (101L, "a", 10L, 1.0), (102L, "a", 15L, 2.0), (103L, "a", 30L, 3.0),
+    (104L, "b", 6L, 4.0), (105L, "b", 40L, 5.0))
+    .toDF("quote_id", "sym", "q_ts", "px")
+
+  private def run(l: DataFrame, r: DataFrame): Map[Long, Option[Long]] =
+    AsOf.join(l, r, Seq("sym"), Seq("sym"), "t_ts", "q_ts", "quote_id")
+      .select(col("trade_id"), col("quote_id"))
+      .as[(Long, Option[Long])].collect().toMap
+
+  test("largest right time <= left time per key, left outer") {
+    assert(run(trades, quotes) === Map(
+      1L -> Some(101L),  // q_ts 10 <= 10 (inclusive)
+      2L -> Some(102L),  // 15, not 30
+      3L -> Some(102L),
+      4L -> None,        // quote at 6 is after trade at 5
+      5L -> Some(105L),
+      6L -> None))       // key never quoted
+  }
+
+  test("equal right times resolve by the tie-break column") {
+    val dup = Seq(
+      (101L, "a", 10L, 1.0), (109L, "a", 10L, 9.0), (105L, "a", 10L, 5.0))
+      .toDF("quote_id", "sym", "q_ts", "px")
+    val got = run(Seq((1L, "a", 10L)).toDF("trade_id", "sym", "t_ts"), dup)
+    assert(got === Map(1L -> Some(109L))) // largest tie-break wins
+  }
+
+  test("null times never match") {
+    val l = Seq((1L, "a", Some(10L)), (2L, "a", None))
+      .toDF("trade_id", "sym", "t_ts")
+    val r = Seq((101L, "a", Some(5L), 1.0), (102L, "a", None, 2.0))
+      .toDF("quote_id", "sym", "q_ts", "px")
+    assert(run(l, r) === Map(1L -> Some(101L), 2L -> None))
+  }
+
+  test("empty right side leaves every left row unmatched") {
+    assert(run(trades, quotes.filter(lit(false))) ===
+      Map(1L -> None, 2L -> None, 3L -> None, 4L -> None,
+        5L -> None, 6L -> None))
+  }
+
+  test("self as-of join (same source both sides) does not collide ids") {
+    val ev = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("event_id", "sym", "t_ts")
+    // each event joined to the latest event at-or-before it (itself)
+    val got = AsOf.join(
+      ev, ev.select(col("event_id").as("prev_id"), col("sym"),
+        col("t_ts").as("p_ts")),
+      Seq("sym"), Seq("sym"), "t_ts", "p_ts", "prev_id")
+      .select(col("event_id"), col("prev_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("matches the d19-style window formulation on random-ish data") {
+    import org.apache.spark.sql.expressions.Window
+    val l = (1 to 200).map(i =>
+      (i.toLong, s"k${i % 7}", (i * 13 % 97).toLong))
+      .toDF("lid", "k", "lt")
+    val r = (1 to 150).map(i =>
+      (1000L + i, s"k${i % 5}", (i * 29 % 89).toLong))
+      .toDF("rid", "k", "rt")
+    val got = AsOf.join(l, r, Seq("k"), Seq("k"), "lt", "rt", "rid")
+      .select(col("lid"), col("rid"))
+      .as[(Long, Option[Long])].collect().toMap
+    // reference: union trick + last ignoreNulls window
+    val w = Window.partitionBy("k")
+      .orderBy(col("ts"), col("is_l"), col("rid"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ref = l.select(col("lid"), col("k"), col("lt").as("ts"),
+        lit(1).as("is_l"), lit(null).cast("long").as("rid"))
+      .unionByName(r.select(lit(null).cast("long").as("lid"), col("k"),
+        col("rt").as("ts"), lit(0).as("is_l"), col("rid")))
+      .withColumn("m", last(col("rid"), ignoreNulls = true).over(w))
+      .filter(col("is_l") === 1)
+      .select(col("lid"), col("m"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === ref)
+  }
+
+  test("physical plan is the custom exec over co-partitioned sorted children") {
+    val df = AsOf.join(trades, quotes, Seq("sym"), Seq("sym"),
+      "t_ts", "q_ts", "quote_id")
+    val phys = df.queryExecution.executedPlan.toString
+    assert(phys.contains("AsOfJoin"))
+    // both children shuffled on their keys and sorted (key, time)
+    assert("Exchange hashpartitioning".r
+      .findAllIn(phys).size === 2)
+    assert(phys.contains("Sort ["))
+  }
+}
