@@ -3618,8 +3618,9 @@ object Catalog {
 
     // ── §7.5 kNN label propagation: every 5th vector plays the
     //    unlabeled query set; its label is the majority vote of its
-    //    10 cosine-nearest labeled vectors (two-phase broadcast
-    //    top-k + argmax-by-min-struct vote — no global window).
+    //    10 cosine-nearest labeled vectors (broadcast cross → native
+    //    VecDotF scoring → bounded TopKAgg heaps → argmax-by-min-
+    //    struct vote — no window, shuffle = |Q|·partitions·k).
     //    Neighbor rank rounds sim at 1e-9 with id tie-break so the
     //    k-th-neighbor boundary is engine-reproducible. ─────────────
     Q("v14_knn_label",

@@ -32,7 +32,10 @@ object PlanAudit {
       "d38_gopher_rules", "q35_rolling_metrics", "q36_pivot",
       "d39_fuzzy_blocked_pairs",
       "d40_weighted_sample", "v12_ivf_recall", "q40_grouping_sets",
-      "q41_decay_topk", "q42_funnel", "d41_prefix_join_pairs")) {
+      "q41_decay_topk", "q42_funnel", "d41_prefix_join_pairs",
+      "d44_incremental_neardup", "d45_segment_dedup",
+      "q46_phrase_search", "q47_khop", "v14_knn_label",
+      "q48_asof_custom")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(

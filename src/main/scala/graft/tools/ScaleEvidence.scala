@@ -622,6 +622,61 @@ object ScaleEvidence {
         .count()
       graft.CacheTracker.releaseAll(); n
     }
+
+    println(s"== round-4 rows (${reps}x) ==")
+    // delta = every 7th doc; the salting keeps truth pairs reps×
+    timed(s"d44 incremental probe (delta=1/7 of ${reps*5}k docs)") {
+      val n = Dedup.minhashLshProbe(
+        corpus.filter(col("doc_id") % 7 =!= 0),
+        corpus.filter(col("doc_id") % 7 === 0),
+        "text", "doc_id", shingleN = 3, k = 32, bands = 8,
+        threshold = 0.2, seed = 42L).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"d45 segment dedup + rebuild (${reps*5}k docs)") {
+      // replicas make every replica-0 doc's segments duplicated
+      // across... no: token salting keeps segments replica-local, so
+      // only true intra-replica dups count — reps× the sf0.1 truth
+      val n = Dedup.segmentDedup(corpus, "text", "doc_id",
+        segTokens = 16, minDocs = 2)
+        .filter(col("n_removed") > 0).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"q46 phrase search (positional index, ${reps*5}k docs)") {
+      graft.text.InvertedIndex.phraseSearch(
+        graft.text.InvertedIndex.buildPositional(corpus,
+          "text", "doc_id"),
+        Seq("r0_big", "r0_order", "r0_scan")).count()
+    }
+    timed(s"q47 3-hop BFS (${reps/10.0}M events graph)") {
+      val n = graft.graph.Traversal.khop(
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("src"),
+            get_json_object(col("props"), "$.k").cast("long")
+              .as("dst")),
+        seed = 1L, maxHops = 3).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    // queries stay replica-0 (the broadcast side is FIXED — at real
+    // scale a large query set routes through IVF instead); the
+    // labeled corpus side grows reps× → linear scan+heap cost
+    timed(s"v14 kNN label vote (${reps}x labeled, fixed queries)") {
+      graft.functions.Vectors.knnLabelVote(
+        emb10.filter(col("vec_id") % 5 =!= 0),
+        emb10.filter(col("vec_id") < 100000000L &&
+          col("vec_id") % 5 === 0),
+        "embedding", "vec_id", "label", k = 10).count()
+    }
+    timed(s"q48 custom as-of join (${reps/10.0}M events)") {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      graft.plans.AsOf.join(purchases, views,
+        Seq("user_id"), Seq("v_user"), "ts", "v_ts", "view_id")
+        .count()
+    }
     spark.stop()
   }
 }
