@@ -689,11 +689,22 @@ object Dedup {
                       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                       threshold: Double = 0.5,
                       seed: Long = 42L): DataFrame = {
-    val rowsPerBand = k / bands
     def prep(df: DataFrame): DataFrame = df
       .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
       .select(col("id"),
         Text.wordShingles(col("toks"), shingleN).as("sh"))
+    minhashLshProbeSets(prep(corpus), prep(delta), k, bands,
+      threshold, seed)
+  }
+
+  /** Shingle-set-level probe — the corpus side is (id, sh) rows, i.e.
+    * exactly the persisted signature side table an incremental
+    * pipeline maintains ([[graft.streaming.StreamNearDedup]] feeds
+    * this from parquet; [[minhashLshProbe]] from raw text). */
+  def minhashLshProbeSets(corpusSets: DataFrame, deltaSets: DataFrame,
+                          k: Int, bands: Int, threshold: Double,
+                          seed: Long): DataFrame = {
+    val rowsPerBand = k / bands
     def bandRows(sh: DataFrame): DataFrame = sh
       .withColumn("hashes", transform(col("sh"), s => xxhash64(s)))
       .withColumn("sig",
@@ -705,8 +716,8 @@ object Dedup {
         col("bk.key").as("key"))
     // shingle sets feed banding AND verification — cache both sides
     // (the corpus side stands in for the persisted signature table)
-    val shNew = CacheTracker.persistTracked(prep(delta))
-    val shOld = CacheTracker.persistTracked(prep(corpus))
+    val shNew = CacheTracker.persistTracked(deltaSets)
+    val shOld = CacheTracker.persistTracked(corpusSets)
     val bNew = bandRows(shNew)
     // corpus ∪ delta on the index side so intra-batch dups surface
     // too; the flag canonicalizes delta-delta pairs (which would

@@ -3683,6 +3683,78 @@ object Catalog {
         SELECT p.event_id, p.user_id, v.view_id
         FROM p ASOF LEFT JOIN v
           ON p.user_id = v.v_user AND v.v_ts <= p.ts
-        ORDER BY p.event_id"""))
+        ORDER BY p.event_id""")),
+
+    // ── §7.5 bigram-LM perplexity filter: add-one-smoothed
+    //    −ln P(w2|w1) summed per doc — the word-ORDER quality signal
+    //    d28's unigram model is blind to (the distributed floor of
+    //    CCNet's KenLM filter). Per-bigram cost quantized to integer
+    //    micro-nats BEFORE the doc sum: exact integer aggregation,
+    //    no float-sum-order dependence (the d28 contract). ──────────
+    Q("d46_bigram_nll",
+      (s, d) => graft.text.UnigramLm.bigramSurprisal(
+        Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+          c1 AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+            FROM tok GROUP BY 1),
+          v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM c1),
+          bg AS (SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(t) - 1, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 1), ' ')))
+              AS bg
+            FROM toks),
+          c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+            FROM bg GROUP BY 1),
+          per AS (SELECT doc_id, CAST(round(1e6 * ln(
+                CAST(c1.c1 + v.v AS DOUBLE) /
+                CAST(c12.c12 + 1 AS DOUBLE))) AS BIGINT) AS c
+            FROM bg JOIN c12 USING (bg)
+            JOIN c1 ON c1.tok = string_split(bg.bg, ' ')[1]
+            CROSS JOIN v),
+          agg AS (SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(c) AS BIGINT) AS nll_micro
+            FROM per GROUP BY 1)
+        SELECT doc_id, n_bigrams, nll_micro,
+          round(nll_micro / 1e6 / n_bigrams, 4) AS avg_nll
+        FROM agg ORDER BY doc_id""")),
+
+    // ── §7.5 length-tile bucketing (curriculum / packing prep):
+    //    k=8 equal-rank-width tiles over token count via the q11
+    //    scale-safe distributed rank (range-repartition + partition
+    //    offsets — NO unpartitioned window), tile = ⌊(rank−1)·k/N⌋+1.
+    //    Formula stated explicitly because NTILE's remainder rule
+    //    differs; the oracle applies the identical arithmetic. ──────
+    Q("q49_length_tiles",
+      (s, d) => {
+        val counted = Tables.documents(s, d)
+          .select(col("doc_id"), Text.tokenCount(col("text"))
+            .as("n_tokens"))
+        val ranked = graft.query.Rank.globalRowNumber(counted,
+          Seq(col("n_tokens").asc, col("doc_id").asc))
+        val n = ranked.count()
+        ranked
+          .withColumn("tile", expr(s"(rank - 1) * 8 DIV $n + 1"))
+          .groupBy("tile")
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            min("n_tokens").cast("long").as("min_tokens"),
+            max("n_tokens").cast("long").as("max_tokens"))
+          .orderBy("tile")
+      },
+      Some(s"""WITH c AS (SELECT doc_id,
+            CAST(len($sqlToks) AS BIGINT) AS n_tokens
+          FROM documents),
+        r AS (SELECT *, row_number() OVER
+            (ORDER BY n_tokens, doc_id) AS rank,
+            count(*) OVER () AS n FROM c),
+        t AS (SELECT n_tokens,
+            CAST((rank - 1) * 8 // n AS BIGINT) + 1 AS tile FROM r)
+        SELECT tile, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+          CAST(max(n_tokens) AS BIGINT) AS max_tokens
+        FROM t GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.CacheTracker
+import graft.dedup.Dedup
+import graft.functions.Text
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming INCREMENTAL near-dup: every micro-batch is probed
+  * against the corpus's persisted shingle-set side table with the
+  * d44 asymmetric MinHash-LSH construction, then appended to that
+  * side table — near-duplicate detection that never re-pairs the
+  * corpus with itself, as a continuously-running ingest.
+  *
+  * Layout: both outputs are partitioned by `batch_id` and written
+  * with DYNAMIC partition overwrite, so a replayed micro-batch
+  * (post-crash foreachBatch redelivery) overwrites its own partition
+  * instead of duplicating rows — the same replay-idempotence
+  * contract StreamIngest's merge proves, without a table-wide
+  * rewrite. The side table stores (id, sh): per-doc shingle sets,
+  * i.e. the verification payload; band keys are derived per probe
+  * (cheap, codegen) — at larger scale the band table is ALSO
+  * persisted, bucketed by band key, making the probe's corpus-side
+  * read bucket-pruned like the q21 posting layout.
+  *
+  * Wire into a stream exactly like [[StreamIngest]]:
+  * `readStream...foreachBatch((b, id) => probeAndAppend(spark, b, id, …))`.
+  */
+object StreamNearDedup {
+
+  /** One micro-batch: emit (new_id, old_id, n_inter, n_union,
+    * batch_id) pairs to `pairsDir`, then register the batch's
+    * shingle sets in `sideDir`. Both writes are per-batch-partition
+    * overwrites → replay-idempotent (same input ⇒ same pairs ⇒ the
+    * replay rewrites its partition byte-equivalent; a batch with
+    * ZERO pairs touches no pairs partition at all — the pairs table
+    * may not exist until the first duplicate arrives, so readers
+    * supply the schema). Returns the batch's pair count (the
+    * foreachBatch progress metric). */
+  def probeAndAppend(spark: SparkSession, batch: DataFrame,
+                     batchId: Long, sideDir: String, pairsDir: String,
+                     textCol: String = "text", idCol: String = "doc_id",
+                     shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+                     threshold: Double = 0.5, seed: Long = 42L): Long = {
+    val before = spark.conf.get(
+      "spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val deltaSets = CacheTracker.persistTracked(batch
+        .select(col(idCol).as("id"),
+          Text.tokens(col(textCol)).as("toks"))
+        .select(col("id"),
+          Text.wordShingles(col("toks"), shingleN).as("sh")))
+      val fs = new org.apache.hadoop.fs.Path(sideDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val hasSide = fs.exists(new org.apache.hadoop.fs.Path(sideDir))
+      // a replayed batch must not probe against its OWN first-run
+      // signatures (every doc would "near-dup" itself) — exclude the
+      // batch's partition from the corpus side
+      val corpusSets =
+        if (hasSide)
+          spark.read.parquet(sideDir)
+            .filter(col("batch_id") =!= batchId)
+            .select("id", "sh")
+        else deltaSets.filter(lit(false))
+      val pairs = CacheTracker.persistTracked(
+        Dedup.minhashLshProbeSets(corpusSets, deltaSets,
+          k, bands, threshold, seed))
+      pairs.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(pairsDir)
+      deltaSets.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(sideDir)
+      pairs.count()
+    } finally {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+      CacheTracker.releaseAll()
+    }
+  }
+}

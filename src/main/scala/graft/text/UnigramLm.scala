@@ -53,4 +53,46 @@ object UnigramLm {
         round(col("nll_micro") / lit(1e6) / col("n_tokens"), 4))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Bigram-LM surprisal with add-one smoothing — one Markov order up
+    * from [[surprisal]], the distributed floor of the KenLM-perplexity
+    * filter CCNet actually runs: documents whose WORD SEQUENCE is
+    * improbable (shuffled tokens, keyword stuffing) score high even
+    * when every individual token is common — the signal the unigram
+    * model is structurally blind to.
+    *
+    *   cost(w1,w2) = ln((c(w1) + V) / (c(w1,w2) + 1))   [= −ln P̂(w2|w1)]
+    *
+    * Same determinism contract as [[surprisal]]: per-bigram cost
+    * quantized to integer micro-nats before the per-doc sum. Same
+    * scale shape + one more token-keyed count (the bigram table);
+    * the w1 unigram join reuses the SAME count table the unigram
+    * pass built. Docs with <2 tokens have no bigrams → not emitted. */
+  def bigramSurprisal(docs: DataFrame, textCol: String,
+                      idCol: String): DataFrame = {
+    val base = CacheTracker.persistTracked(
+      docs.select(col(idCol).as("id"),
+        Text.tokens(col(textCol)).as("toks")))
+    val bigrams = CacheTracker.persistTracked(
+      base.select(col("id"),
+        explode(Text.wordShingles(col("toks"), 2)).as("bg")))
+    val c12 = bigrams.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = base.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).cast("long").as("v"))
+    bigrams.join(c12, "bg")
+      .withColumn("__w1", substring_index(col("bg"), " ", 1))
+      .join(c1.withColumnRenamed("tok", "__w1"), "__w1")
+      .crossJoin(broadcast(v))
+      .withColumn("__c",
+        round(lit(1e6) * log(
+          (col("c1") + col("v")).cast("double") /
+            (col("c12") + 1).cast("double"))).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("__c").cast("long").as("nll_micro"))
+      .withColumn("avg_nll",
+        round(col("nll_micro") / lit(1e6) / col("n_bigrams"), 4))
+      .withColumnRenamed("id", idCol)
+  }
 }

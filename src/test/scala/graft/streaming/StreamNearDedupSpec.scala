@@ -1,0 +1,59 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Streaming incremental near-dup (foreachBatch unit): cross-batch
+  * probing, intra-batch pairs, replay idempotence. */
+class StreamNearDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  test("batches probe the accumulated corpus; replay overwrites in place") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("snd").toString
+    val side = s"$dir/side"; val pairs = s"$dir/pairs"
+    def run(batchId: Long, docs: Seq[(Long, String)]): Long =
+      StreamNearDedup.probeAndAppend(spark,
+        docs.toDF("doc_id", "text"), batchId, side, pairs,
+        threshold = 0.2)
+    // zero-pair batches never create the pairs table — readers
+    // supply the schema (the operator's documented contract)
+    def pairSet(): Set[(Long, Long, Long)] =
+      spark.read.schema(
+          "new_id long, old_id long, n_inter long, n_union long, " +
+            "batch_id long")
+        .parquet(pairs)
+        .select(col("new_id"), col("old_id"), col("batch_id"))
+        .as[(Long, Long, Long)].collect().toSet
+
+    // batch 0: two unrelated docs — no pairs, side table seeded
+    assert(run(0L, Seq(1L -> base,
+      2L -> "completely different words entirely here nothing shared"))
+      === 0L)
+    assert(spark.read.parquet(side).count() === 2)
+
+    // batch 1: near-dup of doc 1 + fresh doc — one cross-batch pair
+    run(1L, Seq(10L -> base.replace("sigma", "SIGMA"),
+      11L -> ("foo bar " * 12).trim))
+    assert(pairSet() === Set((10L, 1L, 1L)))
+
+    // batch 2: exact dup of 11 twice — cross-batch AND intra-batch
+    run(2L, Seq(20L -> ("foo bar " * 12).trim,
+      21L -> ("foo bar " * 12).trim))
+    assert(pairSet() === Set((10L, 1L, 1L),
+      (20L, 11L, 2L), (21L, 11L, 2L), (20L, 21L, 2L)))
+    assert(spark.read.parquet(side).count() === 6)
+
+    // replay batch 2 (post-crash redelivery): nothing duplicates,
+    // and the batch does not pair against its own first run
+    run(2L, Seq(20L -> ("foo bar " * 12).trim,
+      21L -> ("foo bar " * 12).trim))
+    assert(pairSet() === Set((10L, 1L, 1L),
+      (20L, 11L, 2L), (21L, 11L, 2L), (20L, 21L, 2L)))
+    assert(spark.read.parquet(side).count() === 6)
+  }
+}
