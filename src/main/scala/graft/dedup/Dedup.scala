@@ -752,6 +752,57 @@ object Dedup {
         col("n_union"))
   }
 
+  /** Sorted-neighborhood near-dup (Hernández & Stolfo 1995): sort
+    * the corpus by a domain sort key (here a normalized text
+    * prefix), slide a window of `w` over the sorted order, verify
+    * every in-window pair by exact Jaccard. The third blocking
+    * family next to hash blocking (d39 — equal block key required)
+    * and MinHash-LSH (m01 — probabilistic): candidates are
+    * RANK-ADJACENT, so near-dups with *similar but unequal* keys
+    * still pair, and the candidate count is exactly N·w — linear,
+    * tunable, skew-immune (a hot block key can explode hash
+    * blocking; the window cannot). Multi-pass = union over keys.
+    *
+    * Scale shape: the global order comes from the q11 distributed
+    * rank (range repartition + partition offsets — no unpartitioned
+    * window); candidates are an equi-join of rank against an
+    * exploded rank+1..rank+w probe column; verification joins pull
+    * shingle sets by id for in-window pairs only. */
+  def sortedNeighborhoodPairs(docs: DataFrame, textCol: String,
+                              idCol: String, keyChars: Int = 16,
+                              w: Int = 5, shingleN: Int = 3,
+                              threshold: Double = 0.5): DataFrame = {
+    val sh = CacheTracker.persistTracked(docs
+      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col("id"), array_distinct(
+        Text.wordShingles(col("toks"), shingleN)).as("sh")))
+    val keyed = docs.select(col(idCol).as("id"),
+      substring(lower(col(textCol)), 1, keyChars).as("k"))
+    val ranked = CacheTracker.persistTracked(
+      graft.query.Rank.globalRowNumber(keyed,
+        Seq(col("k").asc, col("id").asc)))
+    val cand = ranked.select(col("id").as("id_x"),
+        explode(sequence(col("rank") + 1, col("rank") + w))
+          .as("probe"))
+      .join(ranked.select(col("rank").as("probe"),
+        col("id").as("id_y")), "probe")
+      .select(least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter"))
+          .cast("long"))
+      .filter(col("n_union") > 0 &&
+        col("n_inter").cast("double") / col("n_union") >= threshold)
+      .select("id_a", "id_b", "n_inter", "n_union")
+  }
+
   /** CCNet-style inter-document SEGMENT dedup: drop every segment
     * (fixed non-overlapping token window — the role newlines play in
     * CCNet's line dedup; this corpus has none) that appears verbatim

@@ -24,6 +24,11 @@ final case class AudioMeta(
     media_id: Long, decoded: Boolean, sample_rate: Int,
     n_frames: Long, duration_ms: Long)
 
+/** Per-video container metadata ([[Multimodal.videoMeta]]). */
+final case class VideoMeta(
+    media_id: Long, ok: Boolean, brand: String, duration_ms: Long,
+    width: Int, height: Int)
+
 /** Multimodal-column operators for the training-data pipeline.
   *
   * The Spark-side plumbing is real — schemas, partitioning, batch
@@ -407,6 +412,127 @@ object Multimodal {
       it.map { m =>
         val out = m.bytes.grouped(keepEvery).map(_.head).toArray
         m.copy(bytes = out, width = targetW, height = targetH)
+      }
+    }
+  }
+
+  // ── video CONTAINER metadata: real ISO-BMFF (MP4) box parsing ────
+  // The JDK ships no video CODEC, so frame DECODE stays a stub
+  // (below) — but container metadata needs no codec: duration,
+  // timescale and track dimensions live in plain big-endian boxes
+  // (ftyp / moov>mvhd / moov>trak>tkhd, ISO/IEC 14496-12). Parsing
+  // them is the real operation ingest pipelines run to filter/route
+  // video BEFORE any expensive decode, and it follows the mm03/mm04
+  // proof shape: genuine bytes generated from formulas, genuinely
+  // parsed back, oracle predicts the formulas.
+
+  private def be32(v: Int): Array[Byte] = Array(
+    ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+    ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  private def readBe32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def mp4Box(tpe: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8) ++ tpe.getBytes("US-ASCII") ++ payload
+
+  /** Minimal valid MP4: ftyp + moov(mvhd + trak(tkhd)) + mdat.
+    * Formula metadata: timescale 1000, duration_ms 1500 + id%600·25,
+    * width 320 + id%8·16, height 180 + id%6·16. */
+  private[multimodal] def syntheticMp4(id: Long): Array[Byte] = {
+    val timescale = 1000
+    val duration = (1500 + (id % 600) * 25).toInt
+    val w = (320 + (id % 8) * 16).toInt
+    val h = (180 + (id % 6) * 16).toInt
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++
+        "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+    val mvhd = mp4Box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++            // ver/flags, ctime, mtime
+        be32(timescale) ++ be32(duration) ++
+        be32(0x00010000) ++                        // rate 1.0
+        Array[Byte](0x01, 0x00, 0, 0) ++           // volume 1.0 + reserved
+        new Array[Byte](8) ++                      // reserved
+        (be32(0x00010000) ++ be32(0) ++ be32(0) ++ // unity matrix
+          be32(0) ++ be32(0x00010000) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000)) ++
+        new Array[Byte](24) ++                     // pre_defined
+        be32(2))                                   // next_track_ID
+    val tkhd = mp4Box("tkhd",
+      be32(7) ++ be32(0) ++ be32(0) ++             // ver/flags(enabled), times
+        be32(1) ++ be32(0) ++ be32(duration) ++    // track_ID, rsvd, duration
+        new Array[Byte](8) ++                      // reserved
+        new Array[Byte](8) ++                      // layer/alt/volume/rsvd
+        (be32(0x00010000) ++ be32(0) ++ be32(0) ++
+          be32(0) ++ be32(0x00010000) ++ be32(0) ++
+          be32(0) ++ be32(0) ++ be32(0x40000000)) ++
+        be32(w << 16) ++ be32(h << 16))            // 16.16 fixed
+    val moov = mp4Box("moov", mvhd ++ mp4Box("trak", tkhd))
+    val mdat = mp4Box("mdat", new Array[Byte](50 + (id % 100).toInt))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Fixture/bench source: real MP4 media rows. */
+  def syntheticMp4Media(ids: DataFrame, idCol: String = "doc_id")
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        MediaRow(id, "video", syntheticMp4(id), "video/mp4", 0, 0, 0L)
+      }
+    }
+  }
+
+  /** Walk sibling boxes in [start, end); return the payload span of
+    * the first box of `tpe`. Size-0 ("to end of file") and 64-bit
+    * sizes are rejected as unsupported rather than misparsed. */
+  private def findMp4Box(b: Array[Byte], start: Int, end: Int,
+                         tpe: String): Option[(Int, Int)] = {
+    var off = start
+    while (off + 8 <= end) {
+      val size = readBe32(b, off)
+      if (size < 8 || off + size > end) return None
+      val t = new String(b, off + 4, 4, "US-ASCII")
+      if (t == tpe) return Some((off + 8, off + size.toInt))
+      off += size.toInt
+    }
+    None
+  }
+
+  /** Parse container metadata from MP4 bytes: brand, duration (from
+    * mvhd timescale+duration), track dimensions (tkhd 16.16 fixed).
+    * Returns None for anything that isn't a well-formed MP4. */
+  private[multimodal] def parseMp4(b: Array[Byte])
+      : Option[(String, Long, Int, Int)] =
+    for {
+      (fs, _) <- findMp4Box(b, 0, b.length, "ftyp")
+      brand = new String(b, fs, 4, "US-ASCII")
+      (ms, me) <- findMp4Box(b, 0, b.length, "moov")
+      (hs, _) <- findMp4Box(b, ms, me, "mvhd")
+      timescale = readBe32(b, hs + 12)
+      if timescale > 0
+      duration = readBe32(b, hs + 16)
+      (ts, te) <- findMp4Box(b, ms, me, "trak")
+      (ks, _) <- findMp4Box(b, ts, te, "tkhd")
+    } yield (brand, duration * 1000L / timescale,
+      (readBe32(b, ks + 76) >> 16).toInt,
+      (readBe32(b, ks + 80) >> 16).toInt)
+
+  /** Container metadata extraction over the binary column — real box
+    * parsing, partition-local, bytes never shuffle; `ok = false` for
+    * non-MP4 payloads. */
+  def videoMeta(media: Dataset[MediaRow])
+      (implicit spark: SparkSession): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        parseMp4(m.bytes) match {
+          case Some((brand, durMs, w, h)) =>
+            VideoMeta(m.media_id, ok = true, brand, durMs, w, h)
+          case None =>
+            VideoMeta(m.media_id, ok = false, "", 0L, 0, 0)
+        }
       }
     }
   }

@@ -3755,6 +3755,70 @@ object Catalog {
         SELECT tile, CAST(count(*) AS BIGINT) AS n_docs,
           CAST(min(n_tokens) AS BIGINT) AS min_tokens,
           CAST(max(n_tokens) AS BIGINT) AS max_tokens
-        FROM t GROUP BY 1 ORDER BY 1"""))
+        FROM t GROUP BY 1 ORDER BY 1""")),
+
+    // ── §7.5 multimodal: REAL video CONTAINER parse (ISO-BMFF box
+    //    walk — ftyp brand, mvhd timescale/duration, tkhd 16.16
+    //    dimensions; no codec needed for metadata, which is what
+    //    ingest filters on BEFORE any decode). Same proof shape as
+    //    mm03/mm04: genuine MP4 bytes built from formulas, genuinely
+    //    parsed back; the oracle predicts the formulas. ─────────────
+    Q("mm07_video_meta",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticMp4Media(
+          Tables.documents(s, d).select("doc_id"))(s)
+        graft.multimodal.Multimodal.videoMeta(media)(s)
+          .toDF()
+          .select(col("media_id"), col("ok"), col("brand"),
+            col("duration_ms"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id, true AS ok, 'isom' AS brand,
+          CAST(1500 + doc_id % 600 * 25 AS BIGINT) AS duration_ms,
+          CAST(320 + doc_id % 8 * 16 AS BIGINT) AS width,
+          CAST(180 + doc_id % 6 * 16 AS BIGINT) AS height
+        FROM documents ORDER BY media_id""")),
+
+    // ── §7.5 sorted-neighborhood near-dup (Hernández–Stolfo): the
+    //    third blocking family after hash blocking (d39) and LSH
+    //    (m01) — sort by a 16-char normalized prefix, pair every
+    //    record with its w=5 rank-neighbors, verify exact Jaccard
+    //    ≥ 0.2. Candidates are exactly N·w (linear, skew-immune);
+    //    the global order is the q11 distributed rank. ──────────────
+    Q("d47_sorted_neighborhood",
+      (s, d) => Dedup.sortedNeighborhoodPairs(Tables.documents(s, d),
+        "text", "doc_id", keyChars = 16, w = 5, shingleN = 3,
+        threshold = 0.2)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          shing AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, greatest(len(t) - 2, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 2), ' '))))
+              AS sh
+            FROM toks),
+          sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM shing GROUP BY 1),
+          r AS (SELECT doc_id, row_number() OVER (ORDER BY
+              substr(lower(text), 1, 16), doc_id) AS rn
+            FROM documents),
+          cand AS (SELECT least(a.doc_id, b.doc_id) AS ia,
+              greatest(a.doc_id, b.doc_id) AS ib
+            FROM r a JOIN r b
+              ON b.rn > a.rn AND b.rn <= a.rn + 5),
+          inter AS (SELECT c.ia, c.ib, CAST(count(*) AS BIGINT) AS i
+            FROM cand c
+            JOIN shing sa ON sa.doc_id = c.ia
+            JOIN shing sb ON sb.doc_id = c.ib AND sb.sh = sa.sh
+            GROUP BY 1, 2)
+        SELECT ia AS id_a, ib AS id_b, i AS n_inter,
+          na.n + nb.n - i AS n_union
+        FROM inter
+        JOIN sizes na ON na.doc_id = ia
+        JOIN sizes nb ON nb.doc_id = ib
+        WHERE i * 5 >= na.n + nb.n - i
+        ORDER BY 1, 2"""))
   )
 }

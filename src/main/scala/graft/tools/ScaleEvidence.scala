@@ -677,6 +677,33 @@ object ScaleEvidence {
         Seq("user_id"), Seq("v_user"), "ts", "v_ts", "view_id")
         .count()
     }
+    timed(s"d46 bigram-LM surprisal (${reps*5}k docs)") {
+      val n = graft.text.UnigramLm.bigramSurprisal(corpus,
+        "text", "doc_id").count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"q49 length tiles (distributed rank, ${reps*5}k docs)") {
+      val counted = corpus.select(col("doc_id"),
+        graft.functions.Text.tokenCount(col("text")).as("n_tokens"))
+      val ranked = graft.query.Rank.globalRowNumber(counted,
+        Seq(col("n_tokens").asc, col("doc_id").asc))
+      val nr = ranked.count()
+      val n = ranked
+        .withColumn("tile", expr(s"(rank - 1) * 8 DIV $nr + 1"))
+        .groupBy("tile").agg(count(lit(1)).as("n")).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"d47 sorted-neighborhood w=5 (${reps*5}k docs)") {
+      val n = Dedup.sortedNeighborhoodPairs(corpus, "text", "doc_id",
+        keyChars = 16, w = 5, shingleN = 3, threshold = 0.2).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"mm07 MP4 container parse (${reps*5}k videos)") {
+      graft.multimodal.Multimodal.videoMeta(
+        graft.multimodal.Multimodal.syntheticMp4Media(
+          corpus.select("doc_id"))(spark))(spark)
+        .filter(col("ok")).count()
+    }
     spark.stop()
   }
 }

@@ -85,6 +85,31 @@ class IncrementalSegmentSpec extends SparkSpec {
     assert(got(2L)._3.startsWith("solo text"))
   }
 
+  test("sorted-neighborhood: rank-window candidates, exact verify") {
+    // prefixes cluster docs 0/1/2 adjacently; doc 9 is a near-dup of
+    // doc 0 but its prefix sorts it FAR away — with w=1 the (0,9)
+    // pair must be invisible (the method's documented blind spot;
+    // multi-pass with another key would catch it)
+    val docs = Seq(
+      0L -> s"aaa $base",
+      1L -> s"aab $base",
+      2L -> "aac completely different content here nothing shared ok",
+      5L -> "mmm middle unrelated filler text goes right here now",
+      9L -> s"zzz $base").toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "text", "doc_id",
+        keyChars = 3, w = 1, shingleN = 3, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.CacheTracker.releaseAll()
+    assert(got === Set((0L, 1L)))
+    // widening the window to cover the whole corpus recovers (0,9)
+    // and (1,9); exact verification still rejects non-dups
+    val wide = Dedup.sortedNeighborhoodPairs(docs, "text", "doc_id",
+        keyChars = 3, w = 4, shingleN = 3, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    graft.CacheTracker.releaseAll()
+    assert(wide === Set((0L, 1L), (0L, 9L), (1L, 9L)))
+  }
+
   test("segment dedup: fully-boilerplate doc rebuilds to empty text") {
     val seg = (1 to 16).map(i => s"b$i").mkString(" ")
     val docs = Seq(0L -> seg, 1L -> seg, 2L -> s"$seg only one extra")

@@ -214,4 +214,33 @@ class MultimodalSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("decoded") &&
       r.getAs[String]("ahash_bits") == null)
   }
+
+  test("real MP4 roundtrip: videoMeta parses brand, duration, dims") {
+    import spark.implicits._
+    val ids = Seq(0L, 7L, 599L, 1234L).toDF("doc_id")
+    val got = Multimodal.videoMeta(
+      Multimodal.syntheticMp4Media(ids)(spark))(spark)
+      .collect().map(v => v.media_id -> v).toMap
+    for (id <- Seq(0L, 7L, 599L, 1234L)) {
+      val v = got(id)
+      assert(v.ok && v.brand === "isom")
+      assert(v.duration_ms === 1500 + (id % 600) * 25)
+      assert(v.width === 320 + (id % 8) * 16)
+      assert(v.height === 180 + (id % 6) * 16)
+    }
+  }
+
+  test("videoMeta rejects malformed payloads instead of misparsing") {
+    import spark.implicits._
+    val mp4 = Multimodal.syntheticMp4Media(Seq(5L).toDF("doc_id"))(
+      spark).head().bytes
+    val bad = Seq(
+      MediaRow(1L, "video", Array[Byte](1, 2, 3), "video/mp4", 0, 0, 0),
+      MediaRow(2L, "video", "RIFFxxxxWAVE".getBytes, "video/mp4", 0, 0, 0),
+      MediaRow(3L, "video", mp4.take(20), "video/mp4", 0, 0, 0),  // truncated
+      MediaRow(4L, "video", Array.empty[Byte], "video/mp4", 0, 0, 0))
+      .toDS()
+    val got = Multimodal.videoMeta(bad)(spark).collect()
+    assert(got.forall(v => !v.ok && v.duration_ms == 0L))
+  }
 }
