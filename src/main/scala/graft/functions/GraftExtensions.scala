@@ -25,8 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
     // custom whole-operator tier: AS-OF JOIN planner strategy
-    // (logical plan → merge-join exec, graft.plans.AsOfJoin)
+    // (logical plan → merge-join exec, graft.plans.AsOfJoin) + the
+    // optimizer rule that un-bars filter pushdown through it
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }
 

@@ -152,15 +152,64 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Optimizer rule: push a Filter THROUGH [[AsOfJoinPlan]].
+  *
+  * Catalyst's PushPredicateThroughJoin only knows built-in Join
+  * nodes — a custom operator is a pushdown BARRIER by default, so
+  * `asOfJoin.filter(left-only predicate)` would scan the whole left
+  * table, join it, and discard rows after the fact. This rule
+  * restores the invariant the engine promises everywhere ("filters
+  * reach the scan"):
+  *
+  *   - conjuncts over LEFT output only → below the left child.
+  *     Safe for any predicate: the join attaches columns to left
+  *     rows 1:1 (left outer), it never creates or duplicates them,
+  *     so filtering before ≡ filtering after.
+  *   - conjuncts touching right output stay above: right columns
+  *     are null-extended on misses, and dropping right rows
+  *     pre-join would CHANGE which row is "latest at-or-before" —
+  *     not merely filter the output. (Same reasoning that stops
+  *     Catalyst pushing into the null-producing side of an outer
+  *     join.)
+  *
+  * Registered with [[GraftExtensions]] (`injectOptimizerRule`) and by
+  * [[AsOf.register]] via the public `experimental.extraOptimizations`.
+  */
+object PushFilterThroughAsOfJoin
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+  with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case f @ Filter(cond, j: AsOfJoinPlan) =>
+        val (push, keep) = splitConjunctivePredicates(cond)
+          .partition(c => c.deterministic &&
+            c.references.subsetOf(j.left.outputSet))
+        if (push.isEmpty) f
+        else {
+          val pushed = j.copy(
+            left = Filter(push.reduce(And), j.left))
+          keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+        }
+    }
+}
+
 /** Public DataFrame API for the as-of join. */
 object AsOf {
 
   /** Ensure the planner knows the operator (idempotent; public
-    * `experimental` hook, so it works on any live session). */
-  def register(spark: SparkSession): Unit =
+    * `experimental` hooks, so it works on any live session). */
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(PushFilterThroughAsOfJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughAsOfJoin
+  }
 
   /** left AS-OF JOIN right: every left row + the right row with
     * equal `on` keys and the largest `rightTime` ≤ `leftTime`

@@ -98,6 +98,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("left-only filters push below the join; right filters do not") {
+    val df = AsOf.join(trades, quotes, Seq("sym"), Seq("sym"),
+      "t_ts", "q_ts", "quote_id")
+    // left-only predicate: must land under AsOfJoinPlan's left child
+    val lOpt = df.filter(col("trade_id") > 2)
+      .queryExecution.optimizedPlan
+    val pushedLeft = lOpt.collect {
+      case j: AsOfJoinPlan => j.left
+    }.head
+    assert(pushedLeft.toString.contains("trade_id"),
+      s"filter not pushed into left child:\n$lOpt")
+    assert(!lOpt.exists {
+      case org.apache.spark.sql.catalyst.plans.logical
+        .Filter(_, _: AsOfJoinPlan) => true
+      case _ => false
+    }, s"left-only filter stayed above the join:\n$lOpt")
+    // right-referencing predicate: pushing would CHANGE which quote
+    // is latest-at-or-before — must stay above
+    val rOpt = df.filter(col("px") > 2.0)
+      .queryExecution.optimizedPlan
+    assert(rOpt.exists {
+      case org.apache.spark.sql.catalyst.plans.logical
+        .Filter(_, _: AsOfJoinPlan) => true
+      case _ => false
+    }, s"right filter was pushed (unsound):\n$rOpt")
+    // and results agree with filter-after-join semantics either way
+    val got = df.filter(col("trade_id") > 2)
+      .select(col("trade_id"), col("quote_id"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got === Map(3L -> Some(102L), 4L -> None,
+      5L -> Some(105L), 6L -> None))
+  }
+
   test("physical plan is the custom exec over co-partitioned sorted children") {
     val df = AsOf.join(trades, quotes, Seq("sym"), Seq("sym"),
       "t_ts", "q_ts", "quote_id")
