@@ -3819,6 +3819,61 @@ object Catalog {
         JOIN sizes na ON na.doc_id = ia
         JOIN sizes nb ON nb.doc_id = ib
         WHERE i * 5 >= na.n + nb.n - i
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ── §7.5 mixed-language detection: language-ID per 32-token
+    //    chunk (d03's argmax over d11's chunking), then per-doc lang
+    //    diversity — the code-switching / concatenated-crawl signal
+    //    a DOCUMENT-level lang-id hides (a 90% en / 10% de doc still
+    //    argmaxes 'en'). main_lang = most frequent chunk lang, ties
+    //    to the smaller code (argmax-by-min-struct, no window). ─────
+    Q("d48_mixed_lang",
+      (s, d) => {
+        val chunkLang = Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .select(col("doc_id"),
+            posexplode(Text.tokenChunks(col("__toks"), 32, 32)))
+          .select(col("doc_id"),
+            Text.langId(col("col")).getField("lang").as("lang"))
+        chunkLang.groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").cast("long").as("n_chunks"),
+            count(lit(1)).cast("long").as("n_langs"),
+            min(struct((-col("c")).as("nc"), col("lang").as("lang")))
+              .as("__m"))
+          .select(col("doc_id"), col("n_chunks"), col("n_langs"),
+            col("__m.lang").as("main_lang"),
+            (col("n_langs") > 1).as("is_mixed"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val m = Text.langMarkers
+        def h(lang: String) =
+          s"CAST(len(list_filter(ct, x -> list_contains(" +
+            m(lang).map(w => s"'$w'").mkString("[", ",", "]") +
+            s", x))) AS BIGINT) AS hits_$lang"
+        s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
+          starts AS (SELECT doc_id,
+            unnest(range(1, len(t) + 1, 32)) AS st, t
+            FROM toks WHERE len(t) >= 1),
+          ch AS (SELECT doc_id, list_slice(t, st, st + 31) AS ct
+            FROM starts),
+          hh AS (SELECT doc_id, ${h("en")}, ${h("es")}, ${h("de")},
+              ${h("fr")}
+            FROM ch),
+          l AS (SELECT doc_id, $sqlLangCase AS lang FROM hh),
+          cnt AS (SELECT doc_id, lang, count(*) AS c
+            FROM l GROUP BY 1, 2),
+          main AS (SELECT doc_id, lang FROM cnt
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+              ORDER BY c DESC, lang) = 1)
+        SELECT cnt.doc_id, CAST(sum(c) AS BIGINT) AS n_chunks,
+          CAST(count(*) AS BIGINT) AS n_langs,
+          any_value(main.lang) AS main_lang,
+          count(*) > 1 AS is_mixed
+        FROM cnt JOIN main ON main.doc_id = cnt.doc_id
+        GROUP BY 1 ORDER BY 1"""
+      })
   )
 }

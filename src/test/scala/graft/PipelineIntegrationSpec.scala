@@ -131,4 +131,41 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(may.collect().map(_.getAs[String]("permlink")).toSeq
       == Seq("v1"))
   }
+
+  test("training-data curation chain: dedup → rebuild → perplexity gate → BPE budget") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val n0 = docs.count()
+
+    // 1. exact dedup, then cross-doc boilerplate removal + rebuild
+    val uniq = graft.dedup.Dedup.exact(docs, "text", "doc_id")
+    val n1 = uniq.count()
+    assert(n1 <= n0 && n1 > 0)
+    val cleaned = graft.dedup.Dedup
+      .segmentDedup(uniq, "text", "doc_id", segTokens = 16, minDocs = 2)
+      .select(col("id").as("doc_id"), col("clean_text").as("text"))
+      .filter(length(col("text")) > 0)
+
+    // 2. bigram-perplexity gate: keep docs under the p90 avg_nll
+    val scored = graft.text.UnigramLm
+      .bigramSurprisal(cleaned, "text", "doc_id")
+    val p90 = scored.stat.approxQuantile("avg_nll", Array(0.9), 0.0)(0)
+    val kept = scored.filter(col("avg_nll") <= p90)
+      .select("doc_id").join(cleaned, "doc_id")
+    val n2 = kept.count()
+    assert(n2 > 0 && n2 <= n1)
+
+    // 3. tokenizer learned on the SURVIVORS, budget column applied
+    val merges = graft.text.Bpe.learnMerges(kept, "text", 8)
+    val budgeted = kept.select(col("doc_id"),
+      graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe"),
+      graft.functions.Text.tokenCount(col("text")).as("n_ws"))
+    val r = budgeted.agg(sum("n_bpe").cast("long"),
+      sum("n_ws").cast("long"), count(lit(1))).head()
+    // BPE merges never cross word boundaries: per-doc BPE count is
+    // >= whitespace count, and every kept doc got a budget
+    assert(r.getLong(0) >= r.getLong(1))
+    assert(r.getLong(2) === n2)
+    graft.CacheTracker.releaseAll()
+  }
 }

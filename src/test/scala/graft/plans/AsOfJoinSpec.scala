@@ -141,4 +141,34 @@ class AsOfJoinSpec extends SparkSpec {
       .findAllIn(phys).size === 2)
     assert(phys.contains("Sort ["))
   }
+
+  test("bucketed tables make the join exchange-free (the 100 TB claim)") {
+    val wh = java.nio.file.Files.createTempDirectory("asofb").toString
+    def writeBucketed(df: DataFrame, table: String): Unit =
+      df.write.mode("overwrite").format("parquet")
+        .option("path", s"$wh/$table")
+        .bucketBy(4, "sym").sortBy("sym")
+        .saveAsTable(table)
+    writeBucketed(trades, "asof_trades")
+    writeBucketed(quotes, "asof_quotes")
+    try {
+      val df = AsOf.join(spark.table("asof_trades"),
+        spark.table("asof_quotes"),
+        Seq("sym"), Seq("sym"), "t_ts", "q_ts", "quote_id")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(phys.contains("AsOfJoin"))
+      // ClusteredDistribution is satisfied by the bucketed layout on
+      // BOTH sides: zero exchanges, only in-partition sorts remain
+      assert(!phys.contains("Exchange"),
+        s"expected an exchange-free plan, got:\n$phys")
+      assert(phys.contains("Sort ["))
+      // and the results still match the shuffled-plan run
+      val got = df.select(col("trade_id"), col("quote_id"))
+        .as[(Long, Option[Long])].collect().toMap
+      assert(got === run(trades, quotes))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_trades")
+      spark.sql("DROP TABLE IF EXISTS asof_quotes")
+    }
+  }
 }
