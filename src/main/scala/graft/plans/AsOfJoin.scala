@@ -40,7 +40,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    rightTieBreak: Expression)
+    rightTieBreak: Expression,
+    tolerance: Option[Long] = None)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -61,8 +62,19 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression,
+    tolerance: Option[Long],
     left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
+
+  // tolerance needs an integral distance between times — long-backed
+  // Catalyst types only (timestamp = epoch micros, date = days)
+  tolerance.foreach { _ =>
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType, TimestampNTZType}
+    require(Seq(TimestampType, TimestampNTZType, DateType, LongType,
+      IntegerType).contains(leftTime.dataType),
+      s"as-of tolerance needs an integral time type, got " +
+        leftTime.dataType.sql)
+  }
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -100,10 +112,17 @@ case class AsOfJoinExec(
       // downstream operators (sort, exchange, collect) expect
       // UnsafeRow-backed iterators — flatten the JoinedRow view
       val outProj = UnsafeProjection.create(output, output)
+      def timeLong(r: InternalRow): Long = r.get(0, timeType) match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+        case other => other.asInstanceOf[Number].longValue()
+      }
       // the single piece of merge state: last right row whose
       // (key, time) has been passed by the left cursor, + its key
+      // and time (the time only read under `tolerance`)
       var best: InternalRow = null
       var bestKey: InternalRow = null
+      var bestTime = 0L
       var rHead: InternalRow = null
       lIter.map { l =>
         val lk = lKeyProj(l)
@@ -122,13 +141,17 @@ case class AsOfJoinExec(
             if (!rt.isNullAt(0) && timeOrd.compare(rt, ltRow) <= 0) {
               best = rHead.copy() // candidate; later ones overwrite
               bestKey = lk.copy()
+              if (tolerance.isDefined) bestTime = timeLong(rt)
               rHead = null
             } else if (rt.isNullAt(0)) rHead = null // never matches
             else done = true // right row is in the future
           } else done = true // right cursor is on a larger key
         }
+        // tolerance: the LARGEST rt <= lt is the only candidate —
+        // if it is too old, every earlier one is older still
         val matched = !lTimeNull && best != null && bestKey != null &&
-          keyOrd.compare(bestKey, lk) == 0
+          keyOrd.compare(bestKey, lk) == 0 &&
+          tolerance.forall(t => timeLong(ltRow) - bestTime <= t)
         outProj(joined(l, if (matched) best else nullRight))
       }
     }
@@ -146,8 +169,9 @@ case class AsOfJoinExec(
   * a live session). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -214,12 +238,16 @@ object AsOf {
   /** left AS-OF JOIN right: every left row + the right row with
     * equal `on` keys and the largest `rightTime` ≤ `leftTime`
     * (left outer; `rightTieBreak` totals the order among equal-time
-    * right rows). Right columns keep their names — pass pre-aliased
-    * inputs if names collide, as with any join. */
+    * right rows). `tolerance` (pandas merge_asof parity) bounds how
+    * far back the match may reach: leftTime − rightTime ≤ tolerance,
+    * in the time column's integral unit (MICROSECONDS for
+    * timestamps, days for dates). Right columns keep their names —
+    * pass pre-aliased inputs if names collide, as with any join. */
   def join(left: DataFrame, right: DataFrame,
            leftOn: Seq[String], rightOn: Seq[String],
            leftTime: String, rightTime: String,
-           rightTieBreak: String): DataFrame = {
+           rightTieBreak: String,
+           tolerance: Option[Long] = None): DataFrame = {
     require(leftOn.nonEmpty && leftOn.size == rightOn.size,
       "as-of join needs matching non-empty key lists")
     val spark = left.sparkSession
@@ -236,7 +264,7 @@ object AsOf {
     val plan = AsOfJoinPlan(lPlan, rPlan,
       leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      attr(rPlan, rightTieBreak))
+      attr(rPlan, rightTieBreak), tolerance)
     GraftBridge.ofRows(spark, plan)
   }
 }

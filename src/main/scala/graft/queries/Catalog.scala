@@ -3874,6 +3874,42 @@ object Catalog {
           count(*) > 1 AS is_mixed
         FROM cnt JOIN main ON main.doc_id = cnt.doc_id
         GROUP BY 1 ORDER BY 1"""
-      })
+      }),
+
+    // ── §2.6 as-of with TOLERANCE (pandas merge_asof parity): q48's
+    //    attribution join bounded to a 1-hour lookback — a view
+    //    older than an hour no longer explains the purchase. Same
+    //    custom exec; the bound is checked against the single
+    //    largest-rt candidate (an in-tolerance OLDER right row never
+    //    substitutes, spec-proven). Oracle = windowed range join +
+    //    latest-per-left. ──────────────────────────────────────────
+    Q("q50_asof_tolerance",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .agg(max(col("event_id")).as("view_id"))
+        graft.plans.AsOf.join(purchases, views,
+          Seq("user_id"), Seq("v_user"), "ts", "v_ts", "view_id",
+          tolerance = Some(3600L * 1000000L))  // 1 h in micros
+          .select(col("event_id"), col("user_id"), col("view_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id,
+            CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'purchase'),
+        v AS (SELECT user_id AS v_user, CAST(ts AS TIMESTAMP) AS v_ts,
+            max(event_id) AS view_id FROM events
+          WHERE event_type = 'view' GROUP BY 1, 2),
+        j AS (SELECT p.event_id, p.user_id, v.view_id,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY v.v_ts DESC) AS rn
+          FROM p LEFT JOIN v
+            ON v.v_user = p.user_id AND v.v_ts <= p.ts
+              AND v.v_ts >= p.ts - INTERVAL 1 HOUR)
+        SELECT event_id, user_id, view_id FROM j WHERE rn = 1
+        ORDER BY event_id"""))
   )
 }

@@ -98,6 +98,28 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === ref)
   }
 
+  test("tolerance bounds the lookback (pandas merge_asof parity)") {
+    def runTol(tol: Long): Map[Long, Option[Long]] =
+      AsOf.join(trades, quotes, Seq("sym"), Seq("sym"),
+        "t_ts", "q_ts", "quote_id", tolerance = Some(tol))
+        .select(col("trade_id"), col("quote_id"))
+        .as[(Long, Option[Long])].collect().toMap
+    // trade 3 (t=25) matches quote 102 (t=15): age 10
+    assert(runTol(10L)(3L) === Some(102L))
+    assert(runTol(9L)(3L) === None)     // too old at tol=9
+    assert(runTol(0L)(1L) === Some(101L)) // exact-time match survives
+    // an in-tolerance OLDER quote never substitutes for the
+    // out-of-tolerance latest one (largest-rt-only semantics)
+    val q2 = Seq((101L, "a", 1L, 1.0), (102L, "a", 15L, 2.0))
+      .toDF("quote_id", "sym", "q_ts", "px")
+    val got = AsOf.join(
+      Seq((1L, "a", 30L)).toDF("trade_id", "sym", "t_ts"), q2,
+      Seq("sym"), Seq("sym"), "t_ts", "q_ts", "quote_id",
+      tolerance = Some(5L))
+      .select(col("quote_id")).as[Option[Long]].collect().head
+    assert(got === None)
+  }
+
   test("left-only filters push below the join; right filters do not") {
     val df = AsOf.join(trades, quotes, Seq("sym"), Seq("sym"),
       "t_ts", "q_ts", "quote_id")
