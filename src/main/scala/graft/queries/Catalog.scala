@@ -3910,6 +3910,64 @@ object Catalog {
             ON v.v_user = p.user_id AND v.v_ts <= p.ts
               AND v.v_ts >= p.ts - INTERVAL 1 HOUR)
         SELECT event_id, user_id, view_id FROM j WHERE rn = 1
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ── §7.5 KMV (k-minimum-values / theta) distinct sketch: the
+    //    fifth sketch family next to HLL (q22), CMS (q27), Bloom
+    //    (d22) and MinHash (m01) — and unlike HLL it supports set
+    //    INTERSECTION estimates, which is why theta sketches are the
+    //    warehouse standard for overlap cardinalities. Per source:
+    //    keep the k=64 smallest portable 60-bit hashes of the
+    //    distinct shingle set; n̂ = (k−1)/θ with θ = h_k/2^60.
+    //    Deterministic (md5 hash, integer k-th order statistic) —
+    //    the ESTIMATE itself is oracle-verified, alongside the exact
+    //    count it approximates. Sources with < k shingles degrade to
+    //    the exact count (the sketch holds the whole set). ──────────
+    Q("d49_kmv_distinct",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 64
+        val sh = Tables.documents(s, d)
+          .withColumn("__toks", Text.tokens(col("text")))
+          .select(col("source"),
+            explode(Text.wordShingles(col("__toks"), 3)).as("sg"))
+          .distinct()
+        val hashed = sh.withColumn("h",
+          conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long"))
+        val w = Window.partitionBy("source")
+          .orderBy(col("h").asc, col("sg").asc)
+        val kth = hashed.withColumn("rk", row_number().over(w))
+          .filter(col("rk") === k).select(col("source"), col("h"))
+        sh.groupBy("source").agg(count(lit(1)).cast("long")
+            .as("n_exact"))
+          .join(kth, Seq("source"), "left")
+          .select(col("source"), col("n_exact"),
+            round(coalesce(
+              lit((k - 1).toDouble * 1152921504606846976.0d) / col("h"),
+              col("n_exact").cast("double")), 4).as("est_distinct"))
+          .orderBy("source")
+      },
+      Some(s"""WITH toks AS (SELECT source, $sqlToks AS t
+            FROM documents),
+          sh AS (SELECT DISTINCT source,
+            unnest(list_transform(
+              range(1, greatest(len(t) - 2, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+              AS sg
+            FROM toks),
+          h AS (SELECT source, sg,
+            ('0x' || substr(md5(sg), 1, 15))::UBIGINT AS h FROM sh),
+          r AS (SELECT source, h, row_number() OVER
+              (PARTITION BY source ORDER BY h, sg) AS rk
+            FROM h),
+          kth AS (SELECT source, h FROM r WHERE rk = 64),
+          e AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+            FROM sh GROUP BY 1)
+        SELECT e.source, e.n_exact,
+          round(coalesce(
+            63::DOUBLE * 1152921504606846976 / kth.h,
+            e.n_exact::DOUBLE), 4) AS est_distinct
+        FROM e LEFT JOIN kth USING (source)
+        ORDER BY source"""))
   )
 }
