@@ -3968,6 +3968,56 @@ object Catalog {
             63::DOUBLE * 1152921504606846976 / kth.h,
             e.n_exact::DOUBLE), 4) AS est_distinct
         FROM e LEFT JOIN kth USING (source)
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // ── §7.5 SPLIT-LEAKAGE audit: near-dup pairs (m01's verified
+    //    set) that STRADDLE the d30 train/val/test assignment — the
+    //    contamination a random split inflicts on any corpus with
+    //    duplicates (a test doc whose near-twin sits in train is a
+    //    memorization freebie). The fix is splitting by CLUSTER
+    //    (d09's component id), which this audit certifies: pairs are
+    //    intra-cluster by construction, so cluster-keyed splits have
+    //    zero straddlers. Output = every leaky pair with both
+    //    splits; oracle = truth pairs × the portable split draw. ────
+    Q("d50_split_leakage",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val draw = Text.portableTokenHash(
+          concat(lit("split#"), col("doc_id").cast("string")))
+        val frac = draw.cast("double") / lit(math.pow(2, 60))
+        val splits = docs.select(col("doc_id"),
+          when(frac < 0.8, lit("train"))
+            .when(frac < 0.9, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+          shingleN = 3, k = 32, bands = 8, threshold = 0.2,
+          seed = 42L)
+        pairs
+          .join(splits.select(col("doc_id").as("id_a"),
+            col("split").as("split_a")), "id_a")
+          .join(splits.select(col("doc_id").as("id_b"),
+            col("split").as("split_b")), "id_b")
+          .filter(col("split_a") =!= col("split_b"))
+          .select(col("id_a"), col("id_b"), col("split_a"),
+            col("split_b"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $sqlTruthPairs,
+        sp AS (SELECT doc_id,
+            CASE WHEN frac < 0.8 THEN 'train'
+                 WHEN frac < 0.9 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM (SELECT doc_id,
+              CAST(('0x' || substr(md5('split#' ||
+                CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE)
+                / 1152921504606846976.0 AS frac
+            FROM documents))
+        SELECT ia AS id_a, ib AS id_b,
+          sa.split AS split_a, sb.split AS split_b
+        FROM truth
+        JOIN sp sa ON sa.doc_id = ia
+        JOIN sp sb ON sb.doc_id = ib
+        WHERE sa.split <> sb.split
+        ORDER BY 1, 2"""))
   )
 }
