@@ -41,7 +41,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression,
-    tolerance: Option[Long] = None)
+    tolerance: Option[Long] = None,
+    direction: String = "backward")
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -63,16 +64,20 @@ case class AsOfJoinExec(
     leftTime: Expression, rightTime: Expression,
     rightTieBreak: Expression,
     tolerance: Option[Long],
+    direction: String,
     left: SparkPlan, right: SparkPlan)
   extends BinaryExecNode {
 
-  // tolerance needs an integral distance between times — long-backed
-  // Catalyst types only (timestamp = epoch micros, date = days)
-  tolerance.foreach { _ =>
+  require(Seq("backward", "forward", "nearest").contains(direction),
+    s"as-of direction must be backward/forward/nearest, got $direction")
+  // tolerance and the forward/nearest directions need an integral
+  // distance between times — long-backed Catalyst types only
+  // (timestamp = epoch micros, date = days)
+  if (tolerance.isDefined || direction != "backward") {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType, TimestampType, TimestampNTZType}
     require(Seq(TimestampType, TimestampNTZType, DateType, LongType,
       IntegerType).contains(leftTime.dataType),
-      s"as-of tolerance needs an integral time type, got " +
+      s"as-of tolerance/direction needs an integral time type, got " +
         leftTime.dataType.sql)
   }
 
@@ -141,18 +146,49 @@ case class AsOfJoinExec(
             if (!rt.isNullAt(0) && timeOrd.compare(rt, ltRow) <= 0) {
               best = rHead.copy() // candidate; later ones overwrite
               bestKey = lk.copy()
-              if (tolerance.isDefined) bestTime = timeLong(rt)
+              if (tolerance.isDefined || direction != "backward")
+                bestTime = timeLong(rt)
               rHead = null
             } else if (rt.isNullAt(0)) rHead = null // never matches
             else done = true // right row is in the future
           } else done = true // right cursor is on a larger key
         }
-        // tolerance: the LARGEST rt <= lt is the only candidate —
-        // if it is too old, every earlier one is older still
-        val matched = !lTimeNull && best != null && bestKey != null &&
+        // the advance loop leaves `best` = largest rt <= lt for this
+        // key (backward candidate) and `rHead` = the first row past
+        // it (the forward candidate when its key matches). tolerance:
+        // each direction checks only ITS closest candidate — any
+        // other row is farther by construction.
+        val backOk = !lTimeNull && best != null && bestKey != null &&
           keyOrd.compare(bestKey, lk) == 0 &&
           tolerance.forall(t => timeLong(ltRow) - bestTime <= t)
-        outProj(joined(l, if (matched) best else nullRight))
+        val row =
+          if (direction == "backward") { if (backOk) best else null }
+          else {
+            val fwdRow =
+              if (!lTimeNull && rHead != null &&
+                  keyOrd.compare(rKeyProj(rHead), lk) == 0) {
+                val rt = rTimeProj(rHead)
+                if (!rt.isNullAt(0) &&
+                    tolerance.forall(t =>
+                      timeLong(rt) - timeLong(ltRow) <= t)) rHead
+                else null
+              } else null
+            direction match {
+              case "forward" =>
+                // an exact-time row was consumed into `best`; it is
+                // the smallest rt >= lt, so it wins the forward match
+                if (backOk && bestTime == timeLong(ltRow)) best
+                else fwdRow
+              case _ => // nearest: closer of the two, ties backward
+                if (backOk && fwdRow != null) {
+                  val db = timeLong(ltRow) - bestTime
+                  val df = timeLong(rTimeProj(fwdRow)) - timeLong(ltRow)
+                  if (db <= df) best else fwdRow
+                } else if (backOk) best
+                else fwdRow
+            }
+          }
+        outProj(joined(l, if (row != null) row else nullRight))
       }
     }
   }
@@ -169,8 +205,8 @@ case class AsOfJoinExec(
   * a live session). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tie, tol,
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tie, tol, dir) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, tol, dir,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -247,7 +283,8 @@ object AsOf {
            leftOn: Seq[String], rightOn: Seq[String],
            leftTime: String, rightTime: String,
            rightTieBreak: String,
-           tolerance: Option[Long] = None): DataFrame = {
+           tolerance: Option[Long] = None,
+           direction: String = "backward"): DataFrame = {
     require(leftOn.nonEmpty && leftOn.size == rightOn.size,
       "as-of join needs matching non-empty key lists")
     val spark = left.sparkSession
@@ -264,7 +301,7 @@ object AsOf {
     val plan = AsOfJoinPlan(lPlan, rPlan,
       leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      attr(rPlan, rightTieBreak), tolerance)
+      attr(rPlan, rightTieBreak), tolerance, direction)
     GraftBridge.ofRows(spark, plan)
   }
 }

@@ -4018,6 +4018,40 @@ object Catalog {
         JOIN sp sa ON sa.doc_id = ia
         JOIN sp sb ON sb.doc_id = ib
         WHERE sa.split <> sb.split
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ── §2.6 as-of FORWARD direction: the first view at-or-after
+    //    each purchase per user (what did the buyer look at next?) —
+    //    merge_asof(direction='forward') on the custom operator.
+    //    Same merge pass: the forward candidate is exactly the row
+    //    the backward advance stopped on. Oracle = windowed
+    //    earliest-at-or-after. ─────────────────────────────────────
+    Q("q51_asof_forward",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .agg(max(col("event_id")).as("view_id"))
+        graft.plans.AsOf.join(purchases, views,
+          Seq("user_id"), Seq("v_user"), "ts", "v_ts", "view_id",
+          direction = "forward")
+          .select(col("event_id"), col("user_id"), col("view_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id,
+            CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'purchase'),
+        v AS (SELECT user_id AS v_user, CAST(ts AS TIMESTAMP) AS v_ts,
+            max(event_id) AS view_id FROM events
+          WHERE event_type = 'view' GROUP BY 1, 2),
+        j AS (SELECT p.event_id, p.user_id, v.view_id,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY v.v_ts ASC) AS rn
+          FROM p LEFT JOIN v
+            ON v.v_user = p.user_id AND v.v_ts >= p.ts)
+        SELECT event_id, user_id, view_id FROM j WHERE rn = 1
+        ORDER BY event_id"""))
   )
 }

@@ -120,6 +120,41 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === None)
   }
 
+  test("direction=forward matches the smallest right time >= left time") {
+    def fwd(tol: Option[Long] = None): Map[Long, Option[Long]] =
+      AsOf.join(trades, quotes, Seq("sym"), Seq("sym"),
+        "t_ts", "q_ts", "quote_id", tolerance = tol,
+        direction = "forward")
+        .select(col("trade_id"), col("quote_id"))
+        .as[(Long, Option[Long])].collect().toMap
+    assert(fwd() === Map(
+      1L -> Some(101L),  // exact-time rows match forward too
+      2L -> Some(103L),  // next quote at 30
+      3L -> Some(103L),
+      4L -> Some(104L),  // quote at 6 is ahead of trade at 5
+      5L -> None,        // nothing after 50 for b
+      6L -> None))
+    // tolerance bounds the look-AHEAD: trade 2 (t=20) → quote at 30
+    // is 10 away
+    assert(fwd(Some(10L))(2L) === Some(103L))
+    assert(fwd(Some(9L))(2L) === None)
+  }
+
+  test("direction=nearest picks the closer side, ties to backward") {
+    val q = Seq(
+      (201L, "a", 10L, 1.0), (202L, "a", 40L, 2.0))
+      .toDF("quote_id", "sym", "q_ts", "px")
+    def near(ts: Long): Option[Long] =
+      AsOf.join(Seq((1L, "a", ts)).toDF("trade_id", "sym", "t_ts"), q,
+        Seq("sym"), Seq("sym"), "t_ts", "q_ts", "quote_id",
+        direction = "nearest")
+        .select(col("quote_id")).as[Option[Long]].collect().head
+    assert(near(20L) === Some(201L)) // 10 back vs 20 ahead
+    assert(near(31L) === Some(202L)) // 21 back vs 9 ahead
+    assert(near(25L) === Some(201L)) // exact tie → backward
+    assert(near(5L) === Some(201L))  // nothing behind → forward side
+  }
+
   test("left-only filters push below the join; right filters do not") {
     val df = AsOf.join(trades, quotes, Seq("sym"), Seq("sym"),
       "t_ts", "q_ts", "quote_id")
