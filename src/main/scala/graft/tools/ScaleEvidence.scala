@@ -704,6 +704,50 @@ object ScaleEvidence {
           corpus.select("doc_id"))(spark))(spark)
         .filter(col("ok")).count()
     }
+    timed(s"d49 KMV distinct sketch (${reps*5}k docs, k=64)") {
+      import org.apache.spark.sql.expressions.Window
+      // the replicated corpus carries no source column — derive one
+      // (same cardinality role: tens of sketch groups)
+      val sh = corpus
+        .withColumn("source", concat(lit("src"), col("doc_id") % 20))
+        .withColumn("__toks", graft.functions.Text.tokens(col("text")))
+        .select(col("source"), explode(graft.functions.Text
+          .wordShingles(col("__toks"), 3)).as("sg"))
+        .distinct()
+      val w = Window.partitionBy("source")
+        .orderBy(col("h").asc, col("sg").asc)
+      sh.withColumn("h",
+          conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 64).count()
+    }
+    timed(s"d50 split-leakage audit (${reps*5}k docs)") {
+      val draw = graft.functions.Text.portableTokenHash(
+        concat(lit("split#"), col("doc_id").cast("string")))
+      val frac = draw.cast("double") / lit(math.pow(2, 60))
+      val splits = corpus.select(col("doc_id"),
+        when(frac < 0.8, lit("train")).when(frac < 0.9, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      val n = Dedup.minhashLshPairs(corpus, "text", "doc_id",
+          shingleN = 3, k = 32, bands = 8, threshold = 0.2,
+          seed = 42L)
+        .join(splits.select(col("doc_id").as("id_a"),
+          col("split").as("split_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"),
+          col("split").as("split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b")).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"q51 forward as-of (${reps/10.0}M events)") {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      graft.plans.AsOf.join(purchases, views,
+        Seq("user_id"), Seq("v_user"), "ts", "v_ts", "view_id",
+        direction = "forward").count()
+    }
     spark.stop()
   }
 }
