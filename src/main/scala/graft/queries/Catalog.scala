@@ -4052,6 +4052,152 @@ object Catalog {
           FROM p LEFT JOIN v
             ON v.v_user = p.user_id AND v.v_ts >= p.ts)
         SELECT event_id, user_id, view_id FROM j WHERE rn = 1
-        ORDER BY event_id"""))
+        ORDER BY event_id""")),
+
+    // ── §2.6 as-of NEAREST direction: the temporally closest view
+    //    on either side of each purchase, ties to the earlier one —
+    //    merge_asof(direction='nearest'). The merge pass compares
+    //    its two existing candidates' integral distances; nothing
+    //    new is buffered. Oracle = |Δt|-ranked join with the same
+    //    backward tie preference. ──────────────────────────────────
+    Q("q52_asof_nearest",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+          .agg(max(col("event_id")).as("view_id"))
+        graft.plans.AsOf.join(purchases, views,
+          Seq("user_id"), Seq("v_user"), "ts", "v_ts", "view_id",
+          direction = "nearest")
+          .select(col("event_id"), col("user_id"), col("view_id"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, user_id,
+            CAST(ts AS TIMESTAMP) AS ts FROM events
+          WHERE event_type = 'purchase'),
+        v AS (SELECT user_id AS v_user, CAST(ts AS TIMESTAMP) AS v_ts,
+            max(event_id) AS view_id FROM events
+          WHERE event_type = 'view' GROUP BY 1, 2),
+        j AS (SELECT p.event_id, p.user_id, v.view_id,
+            row_number() OVER (PARTITION BY p.event_id
+              ORDER BY abs(epoch_us(v.v_ts) - epoch_us(p.ts)),
+                CASE WHEN v.v_ts <= p.ts THEN 0 ELSE 1 END) AS rn
+          FROM p LEFT JOIN v ON v.v_user = p.user_id)
+        SELECT event_id, user_id, view_id FROM j WHERE rn = 1
+        ORDER BY event_id""")),
+
+    // ── §7.5 KMV INTERSECTION estimate — the capability that makes
+    //    theta sketches the warehouse standard over HLL: pairwise
+    //    source-overlap cardinality from the two k-sketches ALONE
+    //    (merge = k smallest of the union; count members present in
+    //    both sketches; n̂_∩ = c/k · n̂_∪). The corpus is touched once
+    //    to build the per-source sketches; every pair estimate after
+    //    that is O(k) — m03 computes the same overlaps exactly by
+    //    re-scanning. Estimate formula is deterministic → the
+    //    estimates themselves hash-verify, next to the exact counts
+    //    they approximate. First 5 sources ⇒ 10 pairs. ──────────────
+    Q("d51_kmv_intersect",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 1024
+        val sh = graft.CacheTracker.persistTracked(
+          Tables.documents(s, d)
+            .filter(col("source").isin(
+              "src0", "src1", "src2", "src3", "src4"))
+            .withColumn("__toks", Text.tokens(col("text")))
+            .select(col("source"),
+              explode(Text.wordShingles(col("__toks"), 3)).as("sg"))
+            .distinct())
+        val sk = graft.CacheTracker.persistTracked(sh
+          .withColumn("h",
+            conv(substring(md5(col("sg")), 1, 15), 16, 10)
+              .cast("long"))
+          .withColumn("rk", row_number().over(Window
+            .partitionBy("source").orderBy(col("h"), col("sg"))))
+          .filter(col("rk") <= k).select(col("source"), col("h")))
+        val srcs = sk.select("source").distinct()
+        val prs = srcs.select(col("source").as("a"))
+          .crossJoin(srcs.select(col("source").as("b")))
+          .filter(col("a") < col("b"))
+        val merged = prs
+          .join(sk.select(col("source").as("a"), col("h"),
+            lit(1).as("ia")), Seq("a"))
+          .unionByName(prs.join(sk.select(col("source").as("b"),
+            col("h"), lit(1).as("ia")), Seq("b"))
+            .withColumnRenamed("ia", "ib")
+            .select(col("a"), col("b"), col("h"),
+              lit(0).as("ia"), col("ib")),
+            allowMissingColumns = true)
+          .na.fill(0, Seq("ia", "ib"))
+          .groupBy("a", "b", "h")
+          .agg(max("ia").as("ia"), max("ib").as("ib"))
+        val ranked = merged.withColumn("rk", row_number().over(
+          Window.partitionBy("a", "b").orderBy(col("h"))))
+          .filter(col("rk") <= k)
+        val est = ranked.groupBy("a", "b")
+          .agg(max("h").as("theta"),
+            count(when(col("ia") === 1 && col("ib") === 1, 1))
+              .cast("long").as("c"))
+          .select(col("a"), col("b"), col("c"),
+            round(col("c") * lit(1023.0) * lit(1152921504606846976.0d)
+              / lit(1024) / col("theta"), 4).as("est_inter"))
+        val exact = sh.select(col("source").as("a"), col("sg"))
+          .join(sh.select(col("source").as("b"), col("sg")), "sg")
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).cast("long").as("n_inter_exact"))
+        est.join(exact, Seq("a", "b"), "left")
+          .select(col("a").as("src_a"), col("b").as("src_b"),
+            coalesce(col("n_inter_exact"), lit(0L))
+              .as("n_inter_exact"),
+            col("est_inter"))
+          .orderBy("src_a", "src_b")
+      },
+      Some(s"""WITH toks AS (SELECT source, $sqlToks AS t
+            FROM documents
+            WHERE source IN ('src0','src1','src2','src3','src4')),
+          sh AS (SELECT DISTINCT source,
+            unnest(list_transform(
+              range(1, greatest(len(t) - 2, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+              AS sg
+            FROM toks),
+          hh AS (SELECT source, sg,
+            ('0x' || substr(md5(sg), 1, 15))::UBIGINT AS h FROM sh),
+          sk AS (SELECT source, h FROM (SELECT source, h,
+              row_number() OVER (PARTITION BY source ORDER BY h, sg)
+                AS rk FROM hh) WHERE rk <= 1024),
+          prs AS (SELECT a.source AS a, b.source AS b
+            FROM (SELECT DISTINCT source FROM sk) a
+            JOIN (SELECT DISTINCT source FROM sk) b
+              ON a.source < b.source),
+          m AS (SELECT a, b, h, max(ia) AS ia, max(ib) AS ib FROM (
+              SELECT prs.a, prs.b, sk.h, 1 AS ia, 0 AS ib
+                FROM prs JOIN sk ON sk.source = prs.a
+              UNION ALL
+              SELECT prs.a, prs.b, sk.h, 0, 1
+                FROM prs JOIN sk ON sk.source = prs.b)
+            GROUP BY 1, 2, 3),
+          rkd AS (SELECT * FROM (SELECT m.*,
+              row_number() OVER (PARTITION BY a, b ORDER BY h) AS rk
+            FROM m) WHERE rk <= 1024),
+          est AS (SELECT a, b,
+              CAST(count(*) FILTER (WHERE ia = 1 AND ib = 1)
+                AS BIGINT) AS c,
+              max(h) AS theta
+            FROM rkd GROUP BY 1, 2),
+          ex AS (SELECT sa.source AS a, sb.source AS b,
+              CAST(count(*) AS BIGINT) AS n_inter_exact
+            FROM sh sa JOIN sh sb
+              ON sb.sg = sa.sg AND sa.source < sb.source
+            GROUP BY 1, 2)
+        SELECT est.a AS src_a, est.b AS src_b,
+          coalesce(ex.n_inter_exact, 0) AS n_inter_exact,
+          round(est.c * 1023.0 * 1152921504606846976.0
+            / 1024 / est.theta, 4) AS est_inter
+        FROM est LEFT JOIN ex ON ex.a = est.a AND ex.b = est.b
+        ORDER BY 1, 2"""))
   )
 }
