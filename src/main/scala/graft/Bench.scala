@@ -54,11 +54,31 @@ object Bench {
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // Apples-to-apples contract number: BASELINE was recorded over the
+    // 36-query round-1 catalog (BENCH_r01: 48.196 s); the catalog has
+    // since more than tripled, so the all-queries total is not
+    // comparable to it. `baseline36_total` sums exactly the recorded
+    // baseline's query set — the 2x bound applies to this figure.
+    val baseline36 = Set(
+      "d01_dedup_exact", "d02_token_stats", "d03_lang_id", "d04_quality",
+      "d05_jaccard_anchor", "d06_bpeish_count", "d07_rolling_fp",
+      "m01_minhash_pairs", "m02_simhash_pairs", "mm01_media_meta",
+      "mm02_media_features", "q01_where_algebra", "q02_point_lookup",
+      "q03_feed_page", "q04_trending", "q05_trending_tags", "q06_search",
+      "q07_semi_join", "q08_anti_join", "q09_left_join",
+      "q10_children_count", "q11_leaderboard", "q12_first_event",
+      "q13_latest_wins", "q14_distinct", "q15_except", "q16_union",
+      "q17_score_agg", "q18_scalar_funcs", "q19_group_topk",
+      "q20_related_sample", "q21_inverted_search", "q22_approx_distinct",
+      "v01_ann_cosine", "v02_ann_ivf", "v03_cosine_pairs")
+    val baseTotal = results.collect {
+      case (k, (v, _)) if baseline36(k) => v
+    }.sum
     val errs = results.map { case (k, (_, e)) =>
       s"\"" + k + "\":" + e.map("\"" + _ + "\"").getOrElse("null")
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline36_total":$baseTotal,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }

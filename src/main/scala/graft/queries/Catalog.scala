@@ -4198,6 +4198,69 @@ object Catalog {
           round(est.c * 1023.0 * 1152921504606846976.0
             / 1024 / est.theta, 4) AS est_inter
         FROM est LEFT JOIN ex ON ex.a = est.a AND ex.b = est.b
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // ── §7.5 TRAINED text classifier (multinomial NB, add-one) —
+    //    training IS an aggregation, scoring IS a vocabulary join, so
+    //    the whole supervised loop distributes with zero driver-side
+    //    data (the fastText-classifier floor every curation pipeline
+    //    runs). Train on doc_id % 5 != 0, score the % 5 == 0 holdout.
+    //    On THIS corpus the lang labels are text-independent by
+    //    construction (same token soup for every lang — verified), so
+    //    the learned model correctly collapses to the prior and the
+    //    holdout output records majority-class prediction — the
+    //    Bayes-optimal answer on signal-free data. That it LEARNS when
+    //    signal exists is proven in NaiveBayesSpec on a constructed
+    //    corpus (100% holdout, incl. a marker-less zh-like class the
+    //    d03 heuristic structurally cannot classify). Micro-nat d28
+    //    determinism contract throughout. ───────────────────────────
+    Q("d52_nb_classifier",
+      (s, d) => {
+        graft.text.NaiveBayes.trainApply(
+          Tables.documents(s, d), "text", "doc_id", "lang",
+          col("doc_id") % 5 === 0)
+          .select(col("id").as("doc_id"),
+            col("actual").as("actual_lang"),
+            col("pred").as("pred_lang"), col("cost_micro"),
+            (col("actual") === col("pred")).as("is_correct"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, lang, $sqlToks AS t,
+            doc_id % 5 = 0 AS is_apply FROM documents),
+        tr AS (SELECT lang, unnest(t) AS tok FROM base
+          WHERE NOT is_apply),
+        cc AS (SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM base
+          WHERE NOT is_apply GROUP BY 1),
+        nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nl FROM tr
+          GROUP BY 1),
+        vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr),
+        dd AS (SELECT CAST(sum(nd) AS BIGINT) AS d FROM cc),
+        clt AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM tr
+          GROUP BY 1, 2),
+        ap AS (SELECT doc_id, unnest(t) AS tok FROM base
+          WHERE is_apply),
+        sc AS (SELECT ap.doc_id, cc.lang,
+            CAST(round(1e6 * ln(
+              CAST(nl.nl + vv.v AS DOUBLE) /
+              CAST(coalesce(clt.c, 0) + 1 AS DOUBLE))) AS BIGINT)
+              AS cost
+          FROM ap CROSS JOIN cc
+          JOIN nl ON nl.lang = cc.lang CROSS JOIN vv
+          LEFT JOIN clt ON clt.lang = cc.lang AND clt.tok = ap.tok),
+        ssum AS (SELECT doc_id, lang, CAST(sum(cost) AS BIGINT) AS s
+          FROM sc GROUP BY 1, 2),
+        tot AS (SELECT b.doc_id, b.lang AS actual_lang, cc.lang,
+            CAST(round(1e6 * ln(CAST(dd.d AS DOUBLE) /
+              CAST(cc.nd AS DOUBLE))) AS BIGINT)
+              + coalesce(ssum.s, 0) AS total
+          FROM base b CROSS JOIN cc CROSS JOIN dd
+          LEFT JOIN ssum ON ssum.doc_id = b.doc_id
+            AND ssum.lang = cc.lang
+          WHERE b.is_apply),
+        pick AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY total, lang) AS rn FROM tot)
+        SELECT doc_id, actual_lang, lang AS pred_lang,
+          total AS cost_micro, actual_lang = lang AS is_correct
+        FROM pick WHERE rn = 1 ORDER BY doc_id"""))
   )
 }
