@@ -541,4 +541,67 @@ object Vectors {
       .select(col("q_id"), col("__w.lbl").as("pred_label"),
         (-col("__w.nv")).cast("long").as("votes"))
   }
+
+  /** Margin-based cross-collection pair mining (Artetxe & Schwenk
+    * 2019, "ratio" margin) — the bitext-mining / cross-modal-alignment
+    * scorer (LASER/CCMatrix): raw cosine over-pairs hub vectors that
+    * are close to EVERYTHING, so each candidate is scored relative to
+    * its two k-NN neighborhoods:
+    *
+    *   margin(x,y) = cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+    *
+    * and each x ∈ A is paired with its best y ∈ B by margin.
+    *
+    * Determinism: cosines are quantized to integer micro-units BEFORE
+    * any sum; the neighborhood sums are exact integer folds over
+    * TopKAgg's (value desc, id asc) bounded heaps; the margin is ONE
+    * integer-ratio division replayed identically in the oracle; the
+    * best-y pick is an argmax-by-min-struct with id tie-break — no
+    * unpartitioned window anywhere.
+    *
+    * Scale shape: norms hoisted per row, native VecDotF per pair
+    * (the v14 lesson); both neighborhood passes are TopKAgg over the
+    * SAME persisted pair table — map-side-combined, k-bounded partial
+    * state, shuffle = |ids|·partitions·k heap entries. The crossJoin
+    * candidate stage swaps to IVF probes (v02) or hyperplane-LSH
+    * banding (v03) at corpus scale; neighborhood sums and margin are
+    * unchanged. */
+  def marginMining(a: DataFrame, b: DataFrame, vecCol: String,
+                   idCol: String, k: Int): DataFrame = {
+    val isFloat = a.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    def d(x: Column, y: Column): Column =
+      if (isFloat) SigExprs.vecDotF(x, y) else dot(x, y)
+    val av = a.select(col(idCol).as("a_id"), col(vecCol).as("__av"),
+      d(col(vecCol), col(vecCol)).as("__an2"))
+    val bv = b.select(col(idCol).as("b_id"), col(vecCol).as("__bv"),
+      d(col(vecCol), col(vecCol)).as("__bn2"))
+    val pairs = graft.CacheTracker.persistTracked(
+      av.crossJoin(bv).select(col("a_id"), col("b_id"),
+        when(col("__an2") === 0 || col("__bn2") === 0, lit(0L))
+          .otherwise(round(lit(1e6) * d(col("__av"), col("__bv")) /
+            sqrt(col("__an2") * col("__bn2"))).cast("long")).as("c")))
+    def nbh(key: String, other: String) = pairs.groupBy(key)
+      .agg(TopKAgg.topK(k)(col("c").cast("double"), col(other))
+        .as("__t"))
+      .select(col(key),
+        aggregate(col("__t._1"), lit(0.0), _ + _).cast("long")
+          .as(s"s_$key"),
+        size(col("__t")).cast("long").as(s"n_$key"))
+    pairs
+      .join(nbh("a_id", "b_id"), "a_id")
+      .join(nbh("b_id", "a_id"), "b_id")
+      .withColumn("__margin",
+        (col("c") * (col("n_a_id") + col("n_b_id"))).cast("double") /
+          (col("s_a_id") + col("s_b_id")).cast("double"))
+      .groupBy("a_id")
+      .agg(min(struct((-col("__margin")).as("nm"),
+        col("b_id").as("b"), col("c").as("c"))).as("__w"))
+      .select(col("a_id").as("src_id"), col("__w.b").as("dst_id"),
+        round(col("__w.c") / lit(1e6), 4).as("cos_sim"),
+        round(-col("__w.nm"), 4).as("margin"))
+  }
 }

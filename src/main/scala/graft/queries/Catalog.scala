@@ -4261,6 +4261,84 @@ object Catalog {
             ORDER BY total, lang) AS rn FROM tot)
         SELECT doc_id, actual_lang, lang AS pred_lang,
           total AS cost_micro, actual_lang = lang AS is_correct
-        FROM pick WHERE rn = 1 ORDER BY doc_id"""))
+        FROM pick WHERE rn = 1 ORDER BY doc_id""")),
+
+    // ── §7.5 PMI collocation mining (Church & Hanks 1990) — the
+    //    corpus-statistics pass that surfaces multi-word expressions
+    //    for tokenizer vocab / stop-phrase / boilerplate lists.
+    //    PMI = ln(c12·NU²/(NB·c1·c2)), evaluated in ONE fixed
+    //    left-to-right double expression replayed verbatim in the
+    //    oracle, quantized once to micro-nats; min-count filter
+    //    BEFORE the unigram joins; global top-k is
+    //    TakeOrderedAndProject, never a full sort. ──────────────────
+    Q("d53_pmi_collocations",
+      (s, d) => graft.text.Collocations.pmiTopK(
+        Tables.documents(s, d), "text", minCount = 5, k = 50),
+      Some(s"""WITH toks AS (SELECT $sqlToks AS t FROM documents),
+          uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+          bi AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12
+            FROM (SELECT unnest(list_transform(
+                range(1, greatest(len(t) - 1, 0) + 1),
+                i -> array_to_string(list_slice(t, i, i + 1), ' ')))
+                AS bg FROM toks) GROUP BY 1),
+          nu AS (SELECT CAST(sum(c) AS BIGINT) AS nu FROM uni),
+          nb AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM bi),
+          j AS (SELECT bg, c12,
+              CAST(round(1e6 * ln(CAST(c12 AS DOUBLE)
+                * nu.nu * nu.nu / nb.nb / u1.c / u2.c)) AS BIGINT)
+                AS pmi_micro
+            FROM bi CROSS JOIN nu CROSS JOIN nb
+            JOIN uni u1 ON u1.tok = string_split(bg, ' ')[1]
+            JOIN uni u2 ON u2.tok = string_split(bg, ' ')[2]
+            WHERE c12 >= 5)
+        SELECT bg AS bigram, c12, pmi_micro FROM j
+        ORDER BY pmi_micro DESC, bigram LIMIT 50""")),
+
+    // ── §7.5 margin-based cross-collection pair mining (Artetxe &
+    //    Schwenk 2019 ratio margin — the LASER/CCMatrix bitext-mining
+    //    scorer): each candidate cosine is scored RELATIVE to its two
+    //    k-NN neighborhood averages, killing hub vectors that raw
+    //    cosine over-pairs; best-y-per-x by margin. Cosines micro-
+    //    quantized before any sum; neighborhood sums are exact integer
+    //    folds over TopKAgg bounded heaps; margin is one integer-ratio
+    //    division. A = labels 0-4, B = labels 5-9. ──────────────────
+    Q("v15_margin_mining",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Vectors.marginMining(
+          emb.filter(col("label") < 5), emb.filter(col("label") >= 5),
+          "embedding", "vec_id", k = 4)
+          .orderBy("src_id")
+      },
+      Some("""WITH A AS (SELECT vec_id AS a_id,
+            CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE label < 5),
+        B AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE label >= 5),
+        p AS (SELECT a_id, b_id,
+            CAST(round(1e6 * list_dot_product(A.v, B.v) /
+              sqrt(list_dot_product(A.v, A.v) *
+                   list_dot_product(B.v, B.v))) AS BIGINT) AS c
+          FROM A CROSS JOIN B),
+        sa AS (SELECT a_id, CAST(sum(c) AS BIGINT) AS s_a,
+            CAST(count(*) AS BIGINT) AS n_a
+          FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+              ORDER BY c DESC, b_id) AS rn FROM p)
+          WHERE rn <= 4 GROUP BY 1),
+        sb AS (SELECT b_id, CAST(sum(c) AS BIGINT) AS s_b,
+            CAST(count(*) AS BIGINT) AS n_b
+          FROM (SELECT *, row_number() OVER (PARTITION BY b_id
+              ORDER BY c DESC, a_id) AS rn FROM p)
+          WHERE rn <= 4 GROUP BY 1),
+        m AS (SELECT p.a_id, p.b_id, p.c,
+            CAST(p.c * (n_a + n_b) AS DOUBLE) / (s_a + s_b) AS margin
+          FROM p JOIN sa USING (a_id) JOIN sb USING (b_id))
+      SELECT a_id AS src_id, b_id AS dst_id,
+        round(c / 1e6, 4) AS cos_sim, round(margin, 4) AS margin
+      FROM m
+      QUALIFY row_number() OVER (PARTITION BY a_id
+        ORDER BY margin DESC, b_id) = 1
+      ORDER BY src_id"""))
   )
 }
