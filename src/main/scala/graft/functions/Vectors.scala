@@ -604,4 +604,63 @@ object Vectors {
         round(col("__w.c") / lit(1e6), 4).as("cos_sim"),
         round(-col("__w.nm"), 4).as("margin"))
   }
+
+  /** Semantic decontamination against a benchmark set — flag every
+    * corpus vector whose max cosine to ANY eval vector reaches the
+    * threshold (the embedding-space analogue of d14/d22's n-gram
+    * decontamination: paraphrased eval leakage that exact n-grams
+    * miss).
+    *
+    * Scale design: an eval set is SMALL by nature (a benchmark is
+    * thousands of rows, the corpus is billions), so it ships as a
+    * PLAN-LITERAL array of (id, vec, norm) structs — the v02
+    * centroid-collect rationale — and the whole operator is a MAP
+    * over the corpus scan: `transform` computes each eval sim exactly
+    * once (no CSE trap — one lambda site), `array_max` reduces to the
+    * best (sim, id) pair, the threshold filter drops in the same
+    * stage. ZERO shuffles, no join, nothing but the corpus scan
+    * itself; at larger eval sets the literal becomes a broadcast and
+    * the map is unchanged.
+    *
+    * Determinism: sims quantized to integer micro-units inside the
+    * transform; `array_max` on (sim_micro, −eval_id) structs gives
+    * max-sim with smallest-id tie-break. Zero-norm vectors score 0.
+    *
+    * Output: (corpus_id, eval_id, sim_micro) for flagged rows only —
+    * the drop list an anti join consumes downstream. */
+  def semanticDecontamFlags(corpus: DataFrame, evalSet: DataFrame,
+                            vecCol: String, idCol: String,
+                            simMicroThreshold: Long): DataFrame = {
+    val isFloat = corpus.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    def d(x: Column, y: Column): Column =
+      if (isFloat) SigExprs.vecDotF(x, y) else dot(x, y)
+    // benchmark-bounded driver collect (never corpus data)
+    val evals: Array[(Long, Seq[Float], Double)] = evalSet
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect().map { r =>
+        val v = r.getSeq[Float](1)
+        (r.getLong(0), v,
+          math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+      }.sortBy(_._1)
+    require(evals.nonEmpty, "eval set is empty")
+    val evalArr = array(evals.map { case (eid, v, nrm) =>
+      struct(lit(eid).as("id"), typedLit(v).as("v"),
+        lit(nrm).as("nrm"))
+    }: _*)
+    corpus.select(col(idCol).as("corpus_id"),
+      Text.let(sqrt(d(col(vecCol), col(vecCol)))) { nrm =>
+        array_max(transform(evalArr, e => struct(
+          when(nrm === 0 || e("nrm") === 0, lit(0L))
+            .otherwise(round(lit(1e6) * d(col(vecCol), e("v")) /
+              (nrm * e("nrm"))).cast("long")).as("s"),
+          (-e("id")).as("nid"))))
+      }.as("__best"))
+      .filter(col("__best.s") >= simMicroThreshold)
+      .select(col("corpus_id"), (-col("__best.nid")).as("eval_id"),
+        col("__best.s").as("sim_micro"))
+  }
 }

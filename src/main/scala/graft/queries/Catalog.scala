@@ -4339,6 +4339,45 @@ object Catalog {
       FROM m
       QUALIFY row_number() OVER (PARTITION BY a_id
         ORDER BY margin DESC, b_id) = 1
-      ORDER BY src_id"""))
+      ORDER BY src_id""")),
+
+    // ── §7.5 SEMANTIC decontamination — the embedding-space analogue
+    //    of d14 (exact n-gram) / d22 (bloom): paraphrased eval
+    //    leakage that exact n-grams miss. The eval set is
+    //    benchmark-small by nature, so it rides as a PLAN-LITERAL
+    //    (id, vec, norm) array and the operator is a pure MAP over
+    //    the corpus scan — `transform` scores each eval vector once,
+    //    `array_max` picks best-(sim, −id), the threshold filter
+    //    drops in the same stage. ZERO shuffles. Flagged rows are the
+    //    drop list a downstream anti join consumes. ─────────────────
+    Q("d54_semantic_decontam",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Vectors.semanticDecontamFlags(
+          emb.filter(col("vec_id") % 50 =!= 0),
+          emb.filter(col("vec_id") % 50 === 0),
+          "embedding", "vec_id", simMicroThreshold = 350000L)
+          .select(col("corpus_id"), col("eval_id"),
+            round(col("sim_micro") / lit(1e6), 4).as("sim"))
+          .orderBy("corpus_id")
+      },
+      Some("""WITH e AS (SELECT vec_id,
+            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ev AS (SELECT vec_id AS eval_id, v,
+            sqrt(list_dot_product(v, v)) AS nrm
+          FROM e WHERE vec_id % 50 = 0),
+        c AS (SELECT vec_id AS corpus_id, v,
+            sqrt(list_dot_product(v, v)) AS nrm
+          FROM e WHERE vec_id % 50 <> 0),
+        s AS (SELECT corpus_id, eval_id,
+            CASE WHEN c.nrm = 0 OR ev.nrm = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(1e6 * list_dot_product(c.v, ev.v) /
+                (c.nrm * ev.nrm)) AS BIGINT) END AS sim_micro
+          FROM c CROSS JOIN ev),
+        b AS (SELECT *, row_number() OVER (PARTITION BY corpus_id
+            ORDER BY sim_micro DESC, eval_id) AS rn FROM s)
+      SELECT corpus_id, eval_id, round(sim_micro / 1e6, 4) AS sim
+      FROM b WHERE rn = 1 AND sim_micro >= 350000
+      ORDER BY corpus_id"""))
   )
 }

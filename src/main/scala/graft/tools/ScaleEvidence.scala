@@ -748,6 +748,70 @@ object ScaleEvidence {
         Seq("user_id"), Seq("v_user"), "ts", "v_ts", "view_id",
         direction = "forward").count()
     }
+    timed(s"q52 nearest as-of (${reps/10.0}M events)") {
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .agg(max(col("event_id")).as("view_id"))
+      graft.plans.AsOf.join(purchases, views,
+        Seq("user_id"), Seq("v_user"), "ts", "v_ts", "view_id",
+        direction = "nearest").count()
+    }
+    timed(s"d51 KMV intersect (${reps*5}k docs, 20 srcs, k=1024)") {
+      // same derived source key as the d49 stage; pairwise estimates
+      // are O(pairs·k) AFTER the one corpus scan
+      import org.apache.spark.sql.expressions.Window
+      val k = 1024
+      val sh = graft.CacheTracker.persistTracked(corpus
+        .withColumn("source", concat(lit("src"), col("doc_id") % 20))
+        .withColumn("__toks", graft.functions.Text.tokens(col("text")))
+        .select(col("source"), explode(graft.functions.Text
+          .wordShingles(col("__toks"), 3)).as("sg"))
+        .distinct())
+      val sk = sh
+        .withColumn("h",
+          conv(substring(md5(col("sg")), 1, 15), 16, 10).cast("long"))
+        .withColumn("rk", row_number().over(Window
+          .partitionBy("source").orderBy(col("h"), col("sg"))))
+        .filter(col("rk") <= k).select(col("source"), col("h"))
+      val srcs = sk.select("source").distinct()
+      val prs = srcs.select(col("source").as("a"))
+        .crossJoin(srcs.select(col("source").as("b")))
+        .filter(col("a") < col("b"))
+      val n = prs.join(sk.select(col("source").as("a"), col("h")), Seq("a"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n")).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"d52 NB classifier train+apply (${reps*5}k docs)") {
+      val labeled = corpus.withColumn("cls",
+        concat(lit("c"), col("doc_id") % 5))
+      val n = graft.text.NaiveBayes.trainApply(labeled, "text",
+        "doc_id", "cls", col("doc_id") % 7 === 0).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"d53 PMI collocations (${reps*5}k docs)") {
+      val n = graft.text.Collocations.pmiTopK(corpus, "text",
+        minCount = 5, k = 50).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"v15 margin mining (A=${reps/4}k queries x B=${reps}k)") {
+      // candidate stage is the documented quadratic boundary (swaps
+      // to IVF probes at corpus scale); neighborhood + margin stages
+      // are k-bounded
+      val a = emb10.filter(col("label") % 100 < 5 &&
+        col("vec_id") % 10 === 0)
+      val b = emb10.filter(col("label") % 100 >= 5)
+      val n = graft.functions.Vectors.marginMining(a, b,
+        "embedding", "vec_id", k = 4).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"d54 semantic decontam (${reps*2}k vecs, zero-shuffle map)") {
+      graft.functions.Vectors.semanticDecontamFlags(
+        emb10.filter(col("vec_id") % 5000 =!= 0),
+        emb10.filter(col("vec_id") % 5000 === 0),
+        "embedding", "vec_id", simMicroThreshold = 350000L).count()
+    }
     spark.stop()
   }
 }
