@@ -35,7 +35,9 @@ object PlanAudit {
       "q41_decay_topk", "q42_funnel", "d41_prefix_join_pairs",
       "d44_incremental_neardup", "d45_segment_dedup",
       "q46_phrase_search", "q47_khop", "v14_knn_label",
-      "q48_asof_custom")) {
+      "q48_asof_custom", "q52_asof_nearest", "d51_kmv_intersect",
+      "d52_nb_classifier", "d53_pmi_collocations",
+      "v15_margin_mining", "d54_semantic_decontam")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(

@@ -168,4 +168,51 @@ class PipelineIntegrationSpec extends SparkSpec {
     assert(r.getLong(2) === n2)
     graft.CacheTracker.releaseAll()
   }
+
+  test("curation chain, continued: semantic decontam → NB classify → " +
+    "PMI vocab") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+
+    // 4. semantic decontamination: flag corpus vectors near the
+    //    held-out "benchmark" slice, anti-join the drop list
+    val flags = graft.functions.Vectors.semanticDecontamFlags(
+      emb.filter(col("vec_id") % 25 =!= 0),
+      emb.filter(col("vec_id") % 25 === 0),
+      "embedding", "vec_id", simMicroThreshold = 300000L)
+    val clean = docs.join(
+      flags.select(col("corpus_id").as("doc_id")), Seq("doc_id"),
+      "left_anti")
+    val nClean = clean.count()
+    assert(nClean > 0 && nClean <= docs.count())
+    // every flagged id really is gone
+    assert(clean.join(flags.select(col("corpus_id").as("doc_id")),
+      Seq("doc_id")).count() == 0)
+
+    // 5. NB classifier trained on the decontaminated corpus: every
+    //    holdout doc gets exactly one prediction from the label set
+    val scored = graft.text.NaiveBayes.trainApply(clean, "text",
+      "doc_id", "lang", col("doc_id") % 4 === 0)
+    val langs = clean.select("lang").distinct().collect()
+      .map(_.getString(0)).toSet
+    val preds = scored.collect()
+    assert(preds.length ==
+      clean.filter(col("doc_id") % 4 === 0).count())
+    assert(preds.forall(r => langs(r.getAs[String]("pred"))))
+
+    // 6. PMI collocations over the survivors: every mined bigram's
+    //    words are in the corpus vocabulary
+    val colls = graft.text.Collocations
+      .pmiTopK(clean, "text", minCount = 3, k = 20).collect()
+    assert(colls.nonEmpty)
+    val vocab = clean
+      .select(explode(graft.functions.Text.tokens(col("text")))
+        .as("t")).distinct().collect().map(_.getString(0)).toSet
+    assert(colls.forall { r =>
+      val Array(w1, w2) = r.getAs[String]("bigram").split(" ")
+      vocab(w1) && vocab(w2)
+    })
+    graft.CacheTracker.releaseAll()
+  }
 }
