@@ -584,6 +584,16 @@ object Vectors {
         when(col("__an2") === 0 || col("__bn2") === 0, lit(0L))
           .otherwise(round(lit(1e6) * d(col("__av"), col("__bv")) /
             sqrt(col("__an2") * col("__bn2"))).cast("long")).as("c")))
+    marginBest(pairs, k)
+      .select(col("src_id"), col("dst_id"), col("cos_sim"),
+        col("margin"))
+  }
+
+  /** Neighborhood sums + ratio margin + best-y-per-x over an already-
+    * built (a_id, b_id, c) candidate table — the stage shared by the
+    * exact ([[marginMining]]) and IVF-probed ([[marginMiningIvf]])
+    * forms. `c` is the micro-quantized cosine. */
+  private def marginBest(pairs: DataFrame, k: Int): DataFrame = {
     def nbh(key: String, other: String) = pairs.groupBy(key)
       .agg(TopKAgg.topK(k)(col("c").cast("double"), col(other))
         .as("__t"))
@@ -599,10 +609,72 @@ object Vectors {
           (col("s_a_id") + col("s_b_id")).cast("double"))
       .groupBy("a_id")
       .agg(min(struct((-col("__margin")).as("nm"),
-        col("b_id").as("b"), col("c").as("c"))).as("__w"))
+        col("b_id").as("b"), col("c").as("c"))).as("__w"),
+        count(lit(1)).cast("long").as("n_cand"))
       .select(col("a_id").as("src_id"), col("__w.b").as("dst_id"),
         round(col("__w.c") / lit(1e6), 4).as("cos_sim"),
-        round(-col("__w.nm"), 4).as("margin"))
+        round(-col("__w.nm"), 4).as("margin"), col("n_cand"))
+  }
+
+  /** IVF-probed margin mining — the 100 TB form of [[marginMining]],
+    * and how CCMatrix actually runs: candidates come from an ANN
+    * index (each B vector assigned to its [[ivfAssign]] cluster; each
+    * query probes its `nprobe` closest centroids), and the k-NN
+    * neighborhoods in the margin are computed over the RETRIEVED
+    * candidate set — the index's view of the space, exactly the
+    * approximation the mining pipelines make.
+    *
+    * Candidate generation is a cluster-keyed equi-join (the v02
+    * partition-pruning story): |pairs| ≈ |A| · nprobe/nlist · |B| —
+    * the measured 100× boundary of the exact form (250 M materialized
+    * pairs, BENCH_NOTES) drops by nlist/nprobe, tunable to the
+    * cluster's memory. Probe selection rides the same plan-literal
+    * centroid array as [[semanticDecontamFlags]] (transform +
+    * array_sort slice — map-only). Neighborhood sums, margin and the
+    * best-y pick are [[marginBest]], unchanged from the exact form.
+    *
+    * Output adds `n_cand` (candidates scored per query) — the
+    * recall-vs-cost knob made visible. */
+  def marginMiningIvf(a: DataFrame, b: DataFrame, vecCol: String,
+                      idCol: String, k: Int,
+                      centroids: Seq[(Int, Seq[Float])],
+                      nprobe: Int): DataFrame = {
+    val isFloat = a.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+    def d(x: Column, y: Column): Column =
+      if (isFloat) SigExprs.vecDotF(x, y) else dot(x, y)
+    val centArr = array(centroids.map { case (cid, v) =>
+      struct(lit(cid).as("cid"), typedLit(v).as("v"),
+        lit(math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+          .as("nrm"))
+    }: _*)
+    val bAssigned = ivfAssign(
+      b.select(col(idCol).as("b_id"), col(vecCol).as("__bv"),
+        d(col(vecCol), col(vecCol)).as("__bn2")), "__bv", centroids)
+    val probes = a
+      .select(col(idCol).as("a_id"), col(vecCol).as("__av"),
+        d(col(vecCol), col(vecCol)).as("__an2"))
+      .withColumn("__probe", explode(slice(array_sort(
+        Text.let(sqrt(col("__an2"))) { nrm =>
+          transform(centArr, cent => struct(
+            (-when(nrm === 0 || cent("nrm") === 0, lit(0L))
+              .otherwise(round(lit(1e6) * d(col("__av"), cent("v")) /
+                (nrm * cent("nrm"))).cast("long"))).as("ns"),
+            cent("cid").as("cid")))
+        }), 1, nprobe)))
+      .select(col("a_id"), col("__av"), col("__an2"),
+        col("__probe.cid").as("cluster"))
+    val pairs = graft.CacheTracker.persistTracked(
+      probes.join(bAssigned, "cluster")
+        .select(col("a_id"), col("b_id"),
+          when(col("__an2") === 0 || col("__bn2") === 0, lit(0L))
+            .otherwise(round(lit(1e6) * d(col("__av"), col("__bv")) /
+              sqrt(col("__an2") * col("__bn2"))).cast("long"))
+            .as("c")))
+    marginBest(pairs, k)
   }
 
   /** Semantic decontamination against a benchmark set — flag every

@@ -4378,6 +4378,78 @@ object Catalog {
             ORDER BY sim_micro DESC, eval_id) AS rn FROM s)
       SELECT corpus_id, eval_id, round(sim_micro / 1e6, 4) AS sim
       FROM b WHERE rn = 1 AND sim_micro >= 350000
-      ORDER BY corpus_id"""))
+      ORDER BY corpus_id""")),
+
+    // ── §7.5 IVF-probed margin mining — v15's 100 TB form and how
+    //    CCMatrix actually runs: candidates from the ANN index (B
+    //    assigned to v02's fixed seed centroids; each query probes
+    //    its nprobe closest), margin neighborhoods computed over the
+    //    RETRIEVED candidates — the index's view of the space. The
+    //    candidate stage is a cluster-keyed equi-join shrinking the
+    //    measured 250 M-pair 100× boundary (BENCH_NOTES) by
+    //    nlist/nprobe; n_cand in the output makes the recall-vs-cost
+    //    knob visible. Neighborhood sums / margin / best-y identical
+    //    to v15. ─────────────────────────────────────────────────────
+    Q("v16_margin_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val centroids = emb.filter(col("vec_id") < 8)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq))
+          .toSeq
+        Vectors.marginMiningIvf(
+          emb.filter(col("label") < 5), emb.filter(col("label") >= 5),
+          "embedding", "vec_id", k = 4, centroids, nprobe = 3)
+          .orderBy("src_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, label,
+            CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        A AS (SELECT vec_id AS a_id, v FROM e WHERE label < 5),
+        B AS (SELECT vec_id AS b_id, v FROM e WHERE label >= 5),
+        C AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        asg AS (SELECT b_id, v, cluster FROM (
+            SELECT B.b_id, B.v, C.cid AS cluster,
+              row_number() OVER (PARTITION BY B.b_id ORDER BY
+                list_dot_product(B.v, C.cv) /
+                  (sqrt(list_dot_product(B.v, B.v)) *
+                   sqrt(list_dot_product(C.cv, C.cv))) DESC,
+                C.cid DESC) AS rn
+            FROM B CROSS JOIN C) WHERE rn = 1),
+        prb AS (SELECT a_id, cluster FROM (
+            SELECT A.a_id, C.cid AS cluster,
+              row_number() OVER (PARTITION BY A.a_id ORDER BY
+                CAST(round(1e6 * list_dot_product(A.v, C.cv) /
+                  (sqrt(list_dot_product(A.v, A.v)) *
+                   sqrt(list_dot_product(C.cv, C.cv)))) AS BIGINT)
+                  DESC, C.cid) AS rn
+            FROM A CROSS JOIN C) WHERE rn <= 3),
+        p AS (SELECT prb.a_id, asg.b_id,
+            CAST(round(1e6 * list_dot_product(A.v, asg.v) /
+              (sqrt(list_dot_product(A.v, A.v)) *
+               sqrt(list_dot_product(asg.v, asg.v)))) AS BIGINT) AS c
+          FROM prb JOIN A USING (a_id)
+          JOIN asg ON asg.cluster = prb.cluster),
+        sa AS (SELECT a_id, CAST(sum(c) AS BIGINT) AS s_a,
+            CAST(count(*) AS BIGINT) AS n_a
+          FROM (SELECT *, row_number() OVER (PARTITION BY a_id
+              ORDER BY c DESC, b_id) AS rn FROM p)
+          WHERE rn <= 4 GROUP BY 1),
+        sb AS (SELECT b_id, CAST(sum(c) AS BIGINT) AS s_b,
+            CAST(count(*) AS BIGINT) AS n_b
+          FROM (SELECT *, row_number() OVER (PARTITION BY b_id
+              ORDER BY c DESC, a_id) AS rn FROM p)
+          WHERE rn <= 4 GROUP BY 1),
+        cnt AS (SELECT a_id, CAST(count(*) AS BIGINT) AS n_cand
+          FROM p GROUP BY 1),
+        m AS (SELECT p.a_id, p.b_id, p.c,
+            CAST(p.c * (n_a + n_b) AS DOUBLE) / (s_a + s_b) AS margin
+          FROM p JOIN sa USING (a_id) JOIN sb USING (b_id))
+      SELECT m.a_id AS src_id, m.b_id AS dst_id,
+        round(m.c / 1e6, 4) AS cos_sim, round(m.margin, 4) AS margin,
+        cnt.n_cand
+      FROM m JOIN cnt ON cnt.a_id = m.a_id
+      QUALIFY row_number() OVER (PARTITION BY m.a_id
+        ORDER BY m.margin DESC, m.b_id) = 1
+      ORDER BY src_id"""))
   )
 }

@@ -811,6 +811,20 @@ object ScaleEvidence {
         "embedding", "vec_id", k = 4).count()
       graft.CacheTracker.releaseAll(); n
     }
+    timed(s"v16 IVF-probed margin mining (2.5k q x B=${reps}k)") {
+      // the v15 scale path: nlist=64 / nprobe=4 → 1/16 of B per
+      // query reaches the pair table (vs ALL of B in the exact form)
+      val a = emb10.filter(col("label") % 100 < 5 &&
+        col("vec_id") % reps === 0)
+      val b = emb10.filter(col("label") % 100 >= 5)
+      val cents = emb10.filter(col("vec_id") < 64)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq))
+        .toSeq
+      val n = graft.functions.Vectors.marginMiningIvf(a, b,
+        "embedding", "vec_id", k = 4, cents, nprobe = 4).count()
+      graft.CacheTracker.releaseAll(); n
+    }
     timed(s"d54 semantic decontam (${reps*2}k vecs, zero-shuffle map)") {
       graft.functions.Vectors.semanticDecontamFlags(
         emb10.filter(col("vec_id") % 5000 =!= 0),
