@@ -626,7 +626,7 @@ object Vectors {
     *
     * Candidate generation is a cluster-keyed equi-join (the v02
     * partition-pruning story): |pairs| ≈ |A| · nprobe/nlist · |B| —
-    * the measured 100× boundary of the exact form (250 M materialized
+    * the measured 100× boundary of the exact form (110 M materialized
     * pairs, BENCH_NOTES) drops by nlist/nprobe, tunable to the
     * cluster's memory. Probe selection rides the same plan-literal
     * centroid array as [[semanticDecontamFlags]] (transform +

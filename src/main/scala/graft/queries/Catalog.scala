@@ -4386,7 +4386,7 @@ object Catalog {
     //    its nprobe closest), margin neighborhoods computed over the
     //    RETRIEVED candidates — the index's view of the space. The
     //    candidate stage is a cluster-keyed equi-join shrinking the
-    //    measured 250 M-pair 100× boundary (BENCH_NOTES) by
+    //    measured 110 M-pair 100× boundary (BENCH_NOTES) by
     //    nlist/nprobe; n_cand in the output makes the recall-vs-cost
     //    knob visible. Neighborhood sums / margin / best-y identical
     //    to v15. ─────────────────────────────────────────────────────
