@@ -71,6 +71,11 @@ object Bench {
       "q17_score_agg", "q18_scalar_funcs", "q19_group_topk",
       "q20_related_sample", "q21_inverted_search", "q22_approx_distinct",
       "v01_ann_cosine", "v02_ann_ivf", "v03_cosine_pairs")
+    // every baseline name must still resolve — a silent miss would
+    // shrink the sum and make the 2x bound pass vacuously
+    require(baseline36.subsetOf(results.keySet),
+      s"baseline36 queries missing from catalog: " +
+        (baseline36 -- results.keySet).mkString(", "))
     val baseTotal = results.collect {
       case (k, (v, _)) if baseline36(k) => v
     }.sum

@@ -592,7 +592,15 @@ object Vectors {
   /** Neighborhood sums + ratio margin + best-y-per-x over an already-
     * built (a_id, b_id, c) candidate table — the stage shared by the
     * exact ([[marginMining]]) and IVF-probed ([[marginMiningIvf]])
-    * forms. `c` is the micro-quantized cosine. */
+    * forms. `c` is the micro-quantized cosine.
+    *
+    * The margin is the paper's mean-of-means,
+    * cos / ((avgNN_k(x) + avgNN_k(y)) / 2), restated over integers as
+    * 2·c·n_a·n_b / (s_a·n_b + s_b·n_a) — NOT the pooled mean
+    * (n_a+n_b)/(s_a+s_b), which silently diverges whenever the two
+    * neighborhoods have different sizes (routine under IVF probing,
+    * where sparse clusters yield n < k). One double division of two
+    * exact integers, replayed verbatim in the oracle. */
   private def marginBest(pairs: DataFrame, k: Int): DataFrame = {
     def nbh(key: String, other: String) = pairs.groupBy(key)
       .agg(TopKAgg.topK(k)(col("c").cast("double"), col(other))
@@ -605,8 +613,10 @@ object Vectors {
       .join(nbh("a_id", "b_id"), "a_id")
       .join(nbh("b_id", "a_id"), "b_id")
       .withColumn("__margin",
-        (col("c") * (col("n_a_id") + col("n_b_id"))).cast("double") /
-          (col("s_a_id") + col("s_b_id")).cast("double"))
+        (lit(2L) * col("c") * col("n_a_id") * col("n_b_id"))
+          .cast("double") /
+          (col("s_a_id") * col("n_b_id") +
+            col("s_b_id") * col("n_a_id")).cast("double"))
       .groupBy("a_id")
       .agg(min(struct((-col("__margin")).as("nm"),
         col("b_id").as("b"), col("c").as("c"))).as("__w"),
@@ -710,18 +720,22 @@ object Vectors {
     }
     def d(x: Column, y: Column): Column =
       if (isFloat) SigExprs.vecDotF(x, y) else dot(x, y)
-    // benchmark-bounded driver collect (never corpus data)
-    val evals: Array[(Long, Seq[Float], Double)] = evalSet
+    // benchmark-bounded driver collect (never corpus data); element
+    // type follows the column (float vs double) so both vector
+    // families literalize correctly
+    val evals: Array[(Long, Seq[Double], Double)] = evalSet
       .select(col(idCol).cast("long"), col(vecCol))
       .collect().map { r =>
-        val v = r.getSeq[Float](1)
-        (r.getLong(0), v,
-          math.sqrt(v.map(x => x.toDouble * x.toDouble).sum))
+        val v: Seq[Double] =
+          if (isFloat) r.getSeq[Float](1).map(_.toDouble)
+          else r.getSeq[Double](1)
+        (r.getLong(0), v, math.sqrt(v.map(x => x * x).sum))
       }.sortBy(_._1)
     require(evals.nonEmpty, "eval set is empty")
     val evalArr = array(evals.map { case (eid, v, nrm) =>
-      struct(lit(eid).as("id"), typedLit(v).as("v"),
-        lit(nrm).as("nrm"))
+      val vLit = if (isFloat) typedLit(v.map(_.toFloat))
+                 else typedLit(v)
+      struct(lit(eid).as("id"), vLit.as("v"), lit(nrm).as("nrm"))
     }: _*)
     corpus.select(col(idCol).as("corpus_id"),
       Text.let(sqrt(d(col(vecCol), col(vecCol)))) { nrm =>

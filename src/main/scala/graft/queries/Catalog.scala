@@ -4241,11 +4241,11 @@ object Catalog {
           WHERE is_apply),
         sc AS (SELECT ap.doc_id, cc.lang,
             CAST(round(1e6 * ln(
-              CAST(nl.nl + vv.v AS DOUBLE) /
+              CAST(coalesce(nl.nl, 0) + vv.v AS DOUBLE) /
               CAST(coalesce(clt.c, 0) + 1 AS DOUBLE))) AS BIGINT)
               AS cost
           FROM ap CROSS JOIN cc
-          JOIN nl ON nl.lang = cc.lang CROSS JOIN vv
+          LEFT JOIN nl ON nl.lang = cc.lang CROSS JOIN vv
           LEFT JOIN clt ON clt.lang = cc.lang AND clt.tok = ap.tok),
         ssum AS (SELECT doc_id, lang, CAST(sum(cost) AS BIGINT) AS s
           FROM sc GROUP BY 1, 2),
@@ -4317,9 +4317,12 @@ object Catalog {
         B AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
           FROM embeddings WHERE label >= 5),
         p AS (SELECT a_id, b_id,
-            CAST(round(1e6 * list_dot_product(A.v, B.v) /
-              sqrt(list_dot_product(A.v, A.v) *
-                   list_dot_product(B.v, B.v))) AS BIGINT) AS c
+            CASE WHEN list_dot_product(A.v, A.v) = 0
+                   OR list_dot_product(B.v, B.v) = 0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(1e6 * list_dot_product(A.v, B.v) /
+                sqrt(list_dot_product(A.v, A.v) *
+                     list_dot_product(B.v, B.v))) AS BIGINT) END AS c
           FROM A CROSS JOIN B),
         sa AS (SELECT a_id, CAST(sum(c) AS BIGINT) AS s_a,
             CAST(count(*) AS BIGINT) AS n_a
@@ -4332,7 +4335,8 @@ object Catalog {
               ORDER BY c DESC, a_id) AS rn FROM p)
           WHERE rn <= 4 GROUP BY 1),
         m AS (SELECT p.a_id, p.b_id, p.c,
-            CAST(p.c * (n_a + n_b) AS DOUBLE) / (s_a + s_b) AS margin
+            CAST(2 * p.c * n_a * n_b AS DOUBLE) /
+              (s_a * n_b + s_b * n_a) AS margin
           FROM p JOIN sa USING (a_id) JOIN sb USING (b_id))
       SELECT a_id AS src_id, b_id AS dst_id,
         round(c / 1e6, 4) AS cos_sim, round(margin, 4) AS margin
@@ -4418,15 +4422,22 @@ object Catalog {
         prb AS (SELECT a_id, cluster FROM (
             SELECT A.a_id, C.cid AS cluster,
               row_number() OVER (PARTITION BY A.a_id ORDER BY
-                CAST(round(1e6 * list_dot_product(A.v, C.cv) /
-                  (sqrt(list_dot_product(A.v, A.v)) *
-                   sqrt(list_dot_product(C.cv, C.cv)))) AS BIGINT)
-                  DESC, C.cid) AS rn
+                CASE WHEN list_dot_product(A.v, A.v) = 0
+                       OR list_dot_product(C.cv, C.cv) = 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE CAST(round(1e6 * list_dot_product(A.v, C.cv) /
+                    (sqrt(list_dot_product(A.v, A.v)) *
+                     sqrt(list_dot_product(C.cv, C.cv)))) AS BIGINT)
+                  END DESC, C.cid) AS rn
             FROM A CROSS JOIN C) WHERE rn <= 3),
         p AS (SELECT prb.a_id, asg.b_id,
-            CAST(round(1e6 * list_dot_product(A.v, asg.v) /
-              (sqrt(list_dot_product(A.v, A.v)) *
-               sqrt(list_dot_product(asg.v, asg.v)))) AS BIGINT) AS c
+            CASE WHEN list_dot_product(A.v, A.v) = 0
+                   OR list_dot_product(asg.v, asg.v) = 0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(round(1e6 * list_dot_product(A.v, asg.v) /
+                sqrt(list_dot_product(A.v, A.v) *
+                     list_dot_product(asg.v, asg.v))) AS BIGINT)
+              END AS c
           FROM prb JOIN A USING (a_id)
           JOIN asg ON asg.cluster = prb.cluster),
         sa AS (SELECT a_id, CAST(sum(c) AS BIGINT) AS s_a,
@@ -4442,7 +4453,8 @@ object Catalog {
         cnt AS (SELECT a_id, CAST(count(*) AS BIGINT) AS n_cand
           FROM p GROUP BY 1),
         m AS (SELECT p.a_id, p.b_id, p.c,
-            CAST(p.c * (n_a + n_b) AS DOUBLE) / (s_a + s_b) AS margin
+            CAST(2 * p.c * n_a * n_b AS DOUBLE) /
+              (s_a * n_b + s_b * n_a) AS margin
           FROM p JOIN sa USING (a_id) JOIN sb USING (b_id))
       SELECT m.a_id AS src_id, m.b_id AS dst_id,
         round(m.c / 1e6, 4) AS cos_sim, round(m.margin, 4) AS margin,

@@ -783,8 +783,29 @@ object ScaleEvidence {
       val prs = srcs.select(col("source").as("a"))
         .crossJoin(srcs.select(col("source").as("b")))
         .filter(col("a") < col("b"))
-      val n = prs.join(sk.select(col("source").as("a"), col("h")), Seq("a"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n")).count()
+      // FULL estimate path as the d51 row runs it (merge both sides,
+      // per-pair re-rank to k, theta + intersection count) — only the
+      // row's exact-recount verification join is omitted, it exists
+      // to check the estimate, not to produce it
+      val merged = prs
+        .join(sk.select(col("source").as("a"), col("h"),
+          lit(1).as("ia")), Seq("a"))
+        .unionByName(prs.join(sk.select(col("source").as("b"),
+          col("h"), lit(1).as("ia")), Seq("b"))
+          .withColumnRenamed("ia", "ib")
+          .select(col("a"), col("b"), col("h"),
+            lit(0).as("ia"), col("ib")),
+          allowMissingColumns = true)
+        .na.fill(0, Seq("ia", "ib"))
+        .groupBy("a", "b", "h")
+        .agg(max("ia").as("ia"), max("ib").as("ib"))
+      val ranked = merged.withColumn("rk", row_number().over(
+        Window.partitionBy("a", "b").orderBy(col("h"))))
+        .filter(col("rk") <= k)
+      val n = ranked.groupBy("a", "b")
+        .agg(max("h").as("theta"),
+          count(when(col("ia") === 1 && col("ib") === 1, 1)).as("c"))
+        .count()
       graft.CacheTracker.releaseAll(); n
     }
     timed(s"d52 NB classifier train+apply (${reps*5}k docs)") {
@@ -799,7 +820,7 @@ object ScaleEvidence {
         minCount = 5, k = 50).count()
       graft.CacheTracker.releaseAll(); n
     }
-    timed(s"v15 margin mining (A=2.5k queries x B=${reps}k)") {
+    timed(s"v15 margin mining (A~1k queries x B=${reps}k)") {
       // candidate stage is the documented quadratic boundary (swaps
       // to IVF probes at corpus scale), so the query set stays
       // constant-size across reps — the measured axis is corpus
@@ -811,7 +832,7 @@ object ScaleEvidence {
         "embedding", "vec_id", k = 4).count()
       graft.CacheTracker.releaseAll(); n
     }
-    timed(s"v16 IVF-probed margin mining (2.5k q x B=${reps}k)") {
+    timed(s"v16 IVF-probed margin mining (~1k q x B=${reps}k)") {
       // the v15 scale path: nlist=64 / nprobe=4 → 1/16 of B per
       // query reaches the pair table (vs ALL of B in the exact form)
       val a = emb10.filter(col("label") % 100 < 5 &&
