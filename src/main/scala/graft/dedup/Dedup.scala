@@ -718,12 +718,17 @@ object Dedup {
     // (the corpus side stands in for the persisted signature table)
     val shNew = CacheTracker.persistTracked(deltaSets)
     val shOld = CacheTracker.persistTracked(corpusSets)
-    val bNew = bandRows(shNew)
+    // the banded delta feeds TWO consumers (the probe side and the
+    // union's intra-batch arm) — persist the slim (id, band, key)
+    // rows, or each consumer re-runs the per-shingle hashing +
+    // minhash signature over the whole delta (only the shingle SETS
+    // are cached below it; same-plan subtrees do NOT dedupe)
+    val bNew = CacheTracker.persistTracked(bandRows(shNew))
     // corpus ∪ delta on the index side so intra-batch dups surface
     // too; the flag canonicalizes delta-delta pairs (which would
     // otherwise emit in both orientations) to new_id < old_id
     val bAll = bandRows(shOld).withColumn("was_new", lit(false))
-      .unionByName(bandRows(shNew).withColumn("was_new", lit(true)))
+      .unionByName(bNew.withColumn("was_new", lit(true)))
     val cand = bNew.select(col("band"), col("key"),
         col("id").as("new_id"))
       .join(bAll.select(col("band"), col("key"), col("id").as("old_id"),
@@ -818,15 +823,20 @@ object Dedup {
     * doc's own segments — bounded by document size, no global sort. */
   def segmentDedup(docs: DataFrame, textCol: String, idCol: String,
                    segTokens: Int = 16, minDocs: Int = 2): DataFrame = {
+    // posexplode_OUTER: a zero-token doc still yields one (null seg)
+    // row, so it appears in the output with n_segments = 0 and empty
+    // clean_text — a rebuild op must return EVERY input doc, not
+    // silently drop the empty ones
     val segs = CacheTracker.persistTracked(docs
       .withColumn("__toks", Text.tokens(col(textCol)))
       .select(col(idCol).as("id"),
-        posexplode(Text.tokenChunks(col("__toks"), segTokens,
+        posexplode_outer(Text.tokenChunks(col("__toks"), segTokens,
           segTokens)))
       .select(col("id"), col("pos"),
-        concat_ws(" ", col("col")).as("seg"))
+        when(col("col").isNotNull, concat_ws(" ", col("col")))
+          .as("seg"))
       .withColumn("fp", md5(col("seg"))))
-    val dupFps = segs.groupBy("fp")
+    val dupFps = segs.filter(col("fp").isNotNull).groupBy("fp")
       .agg(countDistinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("fp"), lit(true).as("dup"))
@@ -834,11 +844,12 @@ object Dedup {
       .withColumn("keep", col("dup").isNull)
       .groupBy(col("id"))
       .agg(
-        count(lit(1)).as("n_segments"),
+        count(col("seg")).as("n_segments"),
         count(when(!col("keep"), 1)).as("n_removed"),
         concat_ws(" ", transform(
           array_sort(collect_list(
-            when(col("keep"), struct(col("pos"), col("seg"))))),
+            when(col("keep") && col("seg").isNotNull,
+              struct(col("pos"), col("seg"))))),
           s => s.getField("seg"))).as("clean_text"))
   }
 }

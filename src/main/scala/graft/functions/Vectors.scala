@@ -527,6 +527,10 @@ object Vectors {
         when(col("__qn2") === 0 || col("__ln2") === 0, lit(0.0))
           .otherwise(round(d(col("__lv"), col("__qv")) /
             sqrt(col("__qn2") * col("__ln2")), 9)).as("__sim"))
+      // null sims (null/ragged embeddings — the dot's null-poisoning
+      // falls through the zero-norm guard) would crash TopKAgg's
+      // non-nullable Double encoder; such pairs are skipped, not fatal
+      .filter(col("__sim").isNotNull)
       .groupBy(col("q_id"))
       .agg(TopKAgg.topK(k)(col("__sim"), col("n_id")).as("__top"))
       .select(col("q_id"), explode(col("__top._2")).as("n_id"))
@@ -583,7 +587,8 @@ object Vectors {
       av.crossJoin(bv).select(col("a_id"), col("b_id"),
         when(col("__an2") === 0 || col("__bn2") === 0, lit(0L))
           .otherwise(round(lit(1e6) * d(col("__av"), col("__bv")) /
-            sqrt(col("__an2") * col("__bn2"))).cast("long")).as("c")))
+            sqrt(col("__an2") * col("__bn2"))).cast("long")).as("c"))
+        .filter(col("c").isNotNull)) // null/ragged vecs: skip the pair
     marginBest(pairs, k)
       .select(col("src_id"), col("dst_id"), col("cos_sim"),
         col("margin"))
@@ -683,7 +688,8 @@ object Vectors {
           when(col("__an2") === 0 || col("__bn2") === 0, lit(0L))
             .otherwise(round(lit(1e6) * d(col("__av"), col("__bv")) /
               sqrt(col("__an2") * col("__bn2"))).cast("long"))
-            .as("c")))
+            .as("c"))
+        .filter(col("c").isNotNull)) // null/ragged vecs: skip the pair
     marginBest(pairs, k)
   }
 

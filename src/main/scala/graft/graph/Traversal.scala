@@ -37,9 +37,13 @@ object Traversal {
     // measured 25.6 s → 7.7 s cold / 2.6 s steady at 10× on the q47
     // shape). At real scale this is the bucketed edges side table
     // (LinkGraph.writeEdgesBucketed) and the persist is a no-op read.
+    // null endpoints are non-edges, not nodes: without the filter a
+    // null dst survives the equi-join as a (null, hops) row and the
+    // left_anti's null-safe miss re-emits it every hop
     val e = CacheTracker.persistTracked(
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")))
+        col("dst").cast("long").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull))
     var visited = CacheTracker.persistTracked(
       e.sparkSession.range(1).select(lit(seed).as("node"),
         lit(0L).as("hops")))

@@ -500,24 +500,43 @@ object Multimodal {
     None
   }
 
+  private def readBe64(b: Array[Byte], off: Int): Long =
+    (readBe32(b, off) << 32) | readBe32(b, off + 4)
+
   /** Parse container metadata from MP4 bytes: brand, duration (from
     * mvhd timescale+duration), track dimensions (tkhd 16.16 fixed).
-    * Returns None for anything that isn't a well-formed MP4. */
+    * Handles BOTH box versions — version 1 widens the ctime/mtime/
+    * duration fields to 64 bits, shifting every later field (common
+    * in real encoder output), so the version byte MUST be read:
+    * parsing v1 at v0 offsets would return garbage with ok=true.
+    * Returns None for anything that isn't a well-formed MP4 of a
+    * known box version. */
   private[multimodal] def parseMp4(b: Array[Byte])
       : Option[(String, Long, Int, Int)] =
     for {
       (fs, _) <- findMp4Box(b, 0, b.length, "ftyp")
       brand = new String(b, fs, 4, "US-ASCII")
       (ms, me) <- findMp4Box(b, 0, b.length, "moov")
-      (hs, _) <- findMp4Box(b, ms, me, "mvhd")
-      timescale = readBe32(b, hs + 12)
+      (hs, he) <- findMp4Box(b, ms, me, "mvhd")
+      mvhdV = b(hs) & 0xFF
+      if mvhdV <= 1
+      // v0: ctime/mtime 4+4 → timescale at +12, duration 4 at +16
+      // v1: ctime/mtime 8+8 → timescale at +20, duration 8 at +24
+      if he - hs >= (if (mvhdV == 0) 20 else 32)
+      timescale = readBe32(b, hs + (if (mvhdV == 0) 12 else 20))
       if timescale > 0
-      duration = readBe32(b, hs + 16)
+      duration = if (mvhdV == 0) readBe32(b, hs + 16)
+                 else readBe64(b, hs + 24)
       (ts, te) <- findMp4Box(b, ms, me, "trak")
-      (ks, _) <- findMp4Box(b, ts, te, "tkhd")
+      (ks, ke) <- findMp4Box(b, ts, te, "tkhd")
+      tkhdV = b(ks) & 0xFF
+      if tkhdV <= 1
+      // v1 tkhd: ctime/mtime 8+8 and duration 8 → +12 over v0
+      wOff = if (tkhdV == 0) 76 else 88
+      if ke - ks >= wOff + 8
     } yield (brand, duration * 1000L / timescale,
-      (readBe32(b, ks + 76) >> 16).toInt,
-      (readBe32(b, ks + 80) >> 16).toInt)
+      (readBe32(b, ks + wOff) >> 16).toInt,
+      (readBe32(b, ks + wOff + 4) >> 16).toInt)
 
   /** Container metadata extraction over the binary column — real box
     * parsing, partition-local, bytes never shuffle; `ok = false` for

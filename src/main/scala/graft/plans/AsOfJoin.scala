@@ -122,12 +122,16 @@ case class AsOfJoinExec(
         case i: java.lang.Integer => i.toLong
         case other => other.asInstanceOf[Number].longValue()
       }
-      // the single piece of merge state: last right row whose
-      // (key, time) has been passed by the left cursor, + its key
-      // and time (the time only read under `tolerance`)
+      // the merge state: last right row whose (key, time) has been
+      // passed by the left cursor, its key and time, plus the FIRST
+      // row of the tied group sharing that time — forward-at-equality
+      // must return the group's first row (pandas merge_asof picks
+      // the first duplicate going forward) while backward returns
+      // its last
       var best: InternalRow = null
       var bestKey: InternalRow = null
       var bestTime = 0L
+      var bestGroupFirst: InternalRow = null
       var rHead: InternalRow = null
       lIter.map { l =>
         val lk = lKeyProj(l)
@@ -144,10 +148,21 @@ case class AsOfJoinExec(
           else if (c == 0) {
             val rt = rTimeProj(rHead)
             if (!rt.isNullAt(0) && timeOrd.compare(rt, ltRow) <= 0) {
-              best = rHead.copy() // candidate; later ones overwrite
+              // timeLong is only safe under the integral-type check
+              // (tolerance / forward / nearest); plain backward never
+              // reads bestTime or the group tracker
+              if (tolerance.isDefined || direction != "backward") {
+                val rtLong = timeLong(rt)
+                // new (key, time) group ⇒ this row is its first member
+                val sameGroup = best != null && bestKey != null &&
+                  keyOrd.compare(bestKey, lk) == 0 && bestTime == rtLong
+                best = rHead.copy() // candidate; later ones overwrite
+                if (!sameGroup) bestGroupFirst = best
+                bestTime = rtLong
+              } else {
+                best = rHead.copy()
+              }
               bestKey = lk.copy()
-              if (tolerance.isDefined || direction != "backward")
-                bestTime = timeLong(rt)
               rHead = null
             } else if (rt.isNullAt(0)) rHead = null // never matches
             else done = true // right row is in the future
@@ -175,9 +190,13 @@ case class AsOfJoinExec(
               } else null
             direction match {
               case "forward" =>
-                // an exact-time row was consumed into `best`; it is
-                // the smallest rt >= lt, so it wins the forward match
-                if (backOk && bestTime == timeLong(ltRow)) best
+                // an exact-time group was consumed into `best`; its
+                // FIRST member is the forward match (pandas picks the
+                // first duplicate going forward; `best` alone would
+                // flip the tie policy between the equal-time and
+                // strictly-future cases)
+                if (backOk && bestTime == timeLong(ltRow))
+                  bestGroupFirst
                 else fwdRow
               case _ => // nearest: closer of the two, ties backward
                 if (backOk && fwdRow != null) {
@@ -298,9 +317,23 @@ object AsOf {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
         s"as-of join: no column '$n' in [${p.output.map(_.name).mkString(", ")}]"))
-    val plan = AsOfJoinPlan(lPlan, rPlan,
-      leftOn.map(attr(lPlan, _)), rightOn.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime),
+    val lk = leftOn.map(attr(lPlan, _))
+    val rk = rightOn.map(attr(rPlan, _))
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    // a custom LogicalPlan gets NO analyzer type coercion: the exec's
+    // orderings are built from the LEFT types and applied to both
+    // sides' UnsafeRows, so an int-vs-long key would compare raw
+    // bytes and silently mis-join — reject mismatches here instead
+    lk.zip(rk).zipWithIndex.foreach { case ((l, r), i) =>
+      require(l.dataType == r.dataType,
+        s"as-of join key $i type mismatch: ${l.dataType.sql} vs " +
+          s"${r.dataType.sql} — cast the inputs to a common type")
+    }
+    require(lt.dataType == rt.dataType,
+      s"as-of join time type mismatch: ${lt.dataType.sql} vs " +
+        s"${rt.dataType.sql} — cast the inputs to a common type")
+    val plan = AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt,
       attr(rPlan, rightTieBreak), tolerance, direction)
     GraftBridge.ofRows(spark, plan)
   }

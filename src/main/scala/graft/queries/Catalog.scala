@@ -3560,12 +3560,23 @@ object Catalog {
             HAVING count(DISTINCT doc_id) >= 2),
           j AS (SELECT s.doc_id, s.pos, s.seg,
             d.seg IS NOT NULL AS is_dup
-            FROM segs s LEFT JOIN dup d USING (seg))
-        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
-          CAST(count(*) FILTER (WHERE is_dup) AS BIGINT) AS n_removed,
-          md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
-            FILTER (WHERE NOT is_dup), '')) AS clean_fp
-        FROM j GROUP BY 1 ORDER BY 1""")),
+            FROM segs s LEFT JOIN dup d USING (seg)),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+              AS n_segments,
+            CAST(count(*) FILTER (WHERE is_dup) AS BIGINT)
+              AS n_removed,
+            md5(coalesce(string_agg(seg, ' ' ORDER BY pos)
+              FILTER (WHERE NOT is_dup), '')) AS clean_fp
+          FROM j GROUP BY 1)
+        -- LEFT JOIN from toks: zero-token docs still emit a row
+        -- (n_segments 0, empty-text fingerprint) — a rebuild returns
+        -- EVERY input doc
+        SELECT t.doc_id,
+          CAST(coalesce(a.n_segments, 0) AS BIGINT) AS n_segments,
+          CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+          coalesce(a.clean_fp, md5('')) AS clean_fp
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+        ORDER BY doc_id""")),
 
     // ── §7.4 exact PHRASE search over the positional inverted
     //    index: each phrase term's posting list equi-joins the first

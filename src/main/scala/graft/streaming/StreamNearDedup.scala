@@ -51,9 +51,20 @@ object StreamNearDedup {
           Text.tokens(col(textCol)).as("toks"))
         .select(col("id"),
           Text.wordShingles(col("toks"), shingleN).as("sh")))
-      val fs = new org.apache.hadoop.fs.Path(sideDir).getFileSystem(
+      val sidePath = new org.apache.hadoop.fs.Path(sideDir)
+      val fs = sidePath.getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val hasSide = fs.exists(new org.apache.hadoop.fs.Path(sideDir))
+      // "has a side table" = has DATA, not just a directory: an EMPTY
+      // first batch leaves sideDir holding only _SUCCESS (dynamic
+      // overwrite writes no partition), and a schema-less read of
+      // that would throw "Unable to infer schema" and wedge the
+      // stream on every subsequent batch (the StreamIngest hasData
+      // pattern)
+      val hasSide = fs.exists(sidePath) &&
+        fs.listStatus(sidePath).exists { st =>
+          val nm = st.getPath.getName
+          !nm.startsWith("_") && !nm.startsWith(".")
+        }
       // a replayed batch must not probe against its OWN first-run
       // signatures (every doc would "near-dup" itself) — exclude the
       // batch's partition from the corpus side

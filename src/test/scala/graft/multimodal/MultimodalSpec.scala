@@ -243,4 +243,43 @@ class MultimodalSpec extends SparkSpec {
     val got = Multimodal.videoMeta(bad)(spark).collect()
     assert(got.forall(v => !v.ok && v.duration_ms == 0L))
   }
+
+  test("version-1 mvhd/tkhd (64-bit times) parse at their shifted " +
+    "offsets, not as v0 garbage") {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xFFFFFFFFL)
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++ tpe.getBytes("US-ASCII") ++ payload
+    // mvhd v1: ver 1, flags 0, ctime+mtime 8B each, timescale 1000,
+    // duration 64-bit 2500 ms
+    val mvhd = box("mvhd", Array[Byte](1, 0, 0, 0) ++
+      be64(0L) ++ be64(0L) ++ be32(1000L) ++ be64(2500L))
+    // tkhd v1: ver 1, ctime+mtime 8B, track_id, reserved, duration
+    // 8B, reserved 8B, layer/alt/vol/reserved 8B, matrix 36B, then
+    // width/height 16.16
+    val tkhd = box("tkhd", Array[Byte](1, 0, 0, 0) ++
+      be64(0L) ++ be64(0L) ++ be32(1L) ++ be32(0L) ++ be64(2500L) ++
+      Array.fill[Byte](8)(0) ++ Array.fill[Byte](8)(0) ++
+      Array.fill[Byte](36)(0) ++
+      be32(640L << 16) ++ be32(360L << 16))
+    val bytes = box("ftyp", "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+    import spark.implicits._
+    val v = Multimodal.videoMeta(Seq(
+      MediaRow(9L, "video", bytes, "video/mp4", 0, 0, 0)).toDS())(
+      spark).head()
+    assert(v.ok && v.brand == "isom")
+    assert(v.duration_ms == 2500L)
+    assert(v.width == 640 && v.height == 360)
+    // unknown version byte → rejected, not misparsed
+    val v2bytes = bytes.clone()
+    // first byte of the mvhd payload (ftyp box is 16 bytes, moov
+    // header 8, mvhd header 8)
+    v2bytes(16 + 8 + 8) = 2
+    val r = Multimodal.videoMeta(Seq(
+      MediaRow(10L, "video", v2bytes, "video/mp4", 0, 0, 0)).toDS())(
+      spark).head()
+    assert(!r.ok)
+  }
 }

@@ -140,6 +140,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(fwd(Some(9L))(2L) === None)
   }
 
+  test("forward equal-TIME ties return the group's FIRST tie-break " +
+    "(pandas first-duplicate), backward its last") {
+    val q = Seq(
+      (301L, "a", 30L, 1.0), (309L, "a", 30L, 2.0))
+      .toDF("quote_id", "sym", "q_ts", "px")
+    def pick(dir: String, ts: Long): Option[Long] =
+      AsOf.join(Seq((1L, "a", ts)).toDF("trade_id", "sym", "t_ts"), q,
+        Seq("sym"), Seq("sym"), "t_ts", "q_ts", "quote_id",
+        direction = dir)
+        .select(col("quote_id")).as[Option[Long]].collect().head
+    // strictly-future forward: first of the tied group
+    assert(pick("forward", 20L) === Some(301L))
+    // equal-time forward: STILL the first of the group — the tie
+    // policy must not flip between the two cases
+    assert(pick("forward", 30L) === Some(301L))
+    // backward at-or-before: last of the group
+    assert(pick("backward", 30L) === Some(309L))
+  }
+
+  test("mismatched key or time types are rejected, not mis-compared") {
+    val l = Seq((1, "a", 10L)).toDF("id", "k", "ts") // int id
+    val rLongKey = Seq((1L, "a", 5L, 9L))
+      .toDF("rid", "k", "rts", "tie")
+    // key type mismatch: k string vs rid long
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(l, rLongKey, Seq("k"), Seq("rid"), "ts", "rts", "tie")
+    }
+    assert(e1.getMessage.contains("type mismatch"))
+    // time type mismatch: long vs int
+    val rIntTime = Seq(("a", 5, 9L)).toDF("k", "rts", "tie")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(l, rIntTime, Seq("k"), Seq("k"), "ts", "rts", "tie")
+    }
+    assert(e2.getMessage.contains("time type mismatch"))
+  }
+
   test("direction=nearest picks the closer side, ties to backward") {
     val q = Seq(
       (201L, "a", 10L, 1.0), (202L, "a", 40L, 2.0))

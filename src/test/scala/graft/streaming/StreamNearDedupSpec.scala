@@ -56,4 +56,20 @@ class StreamNearDedupSpec extends SparkSpec {
       (20L, 11L, 2L), (21L, 11L, 2L), (20L, 21L, 2L)))
     assert(spark.read.parquet(side).count() === 6)
   }
+
+  test("an EMPTY first batch (recovery replay) does not wedge the " +
+    "stream: the side read carries an explicit schema") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("snd-empty").toString
+    val side = s"$dir/side"; val pairs = s"$dir/pairs"
+    def run(batchId: Long, docs: Seq[(Long, String)]): Long =
+      StreamNearDedup.probeAndAppend(spark,
+        docs.toDF("doc_id", "text"), batchId, side, pairs,
+        threshold = 0.2)
+    // batch 0 delivers no rows: sideDir ends up with only _SUCCESS
+    assert(run(0L, Seq.empty) === 0L)
+    // batch 1 must still read the (empty) side table and proceed
+    assert(run(1L, Seq(1L -> base)) === 0L)
+    assert(run(2L, Seq(2L -> base.replace("pi", "PI"))) === 1L)
+  }
 }
