@@ -489,10 +489,13 @@ object Dedup {
       col("__pfx").as("__pa"))
     val b = slim.select(col(idCol).as("id_b"), col("__blk"),
       col("__pfx").as("__pb"))
-    a.join(b, Seq("__blk"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("dist",
-        levenshtein(col("__pa"), col("__pb")).cast("long"))
+    // evalOnce barrier: pushdown would substitute the `dist` alias
+    // into the pushed filter and run the Levenshtein DP twice per
+    // surviving pair (the measured d23 trap)
+    graft.query.Predicates.evalOnce(
+      a.join(b, Seq("__blk")).where(col("id_a") < col("id_b")),
+      Seq(col("id_a"), col("id_b")),
+      "dist" -> levenshtein(col("__pa"), col("__pb")).cast("long"))
       .where(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
   }

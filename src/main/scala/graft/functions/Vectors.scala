@@ -474,7 +474,11 @@ object Vectors {
       val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
       if (na == 0 || nb == 0) 0.0 else d / (na * nb)
     }
-    val probe = centroids.sortBy { case (_, c) => -cos(c, query) }
+    // cid tie-break: under an exact cosine tie (duplicate or
+    // proportional centroids) a sim-only stable sort would resolve
+    // the nprobe cutoff by the caller's collect order — scan-order-
+    // dependent and diverging from the oracle's ORDER BY sim DESC, cid
+    val probe = centroids.sortBy { case (cid, c) => (-cos(c, query), cid) }
       .take(nprobe).map(_._1)
     topKCosine(assigned.filter(col("cluster").isin(probe: _*)),
       vecCol, query, k, idCol, simName)

@@ -50,12 +50,14 @@ object Triangles {
     * canonical labeling, so the row set is deterministic. */
   def triangles(edges: DataFrame, srcCol: String = "src",
                 dstCol: String = "dst"): DataFrame = {
-    // canonical undirected edge list: (a < b), loops dropped, dups out
-    val e = edges.select(
+    // canonical undirected edge list: (a < b), loops dropped, dups
+    // out. Persisted: the degree aggregate and the rank-attach joins
+    // both read it, and same-plan subtrees do not dedupe execution
+    val e = graft.CacheTracker.persistTracked(edges.select(
         least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct())
     // degree over the canonical list (map-side combined)
     val deg = e.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
@@ -67,12 +69,16 @@ object Triangles {
     def rank(d: String, n: String) =
       struct(col(d).as("d"), col(n).as("n"))
     val aFirst = rank("da", "a") < rank("db", "b")
-    val oriented = withDeg.select(
+    // persisted: THREE consumers (wedge e1, wedge e2, closing-edge
+    // join) — the closing join shuffles on (y, z), a different key
+    // than the wedge's u, so exchange reuse cannot cover it and the
+    // whole distinct + degree + join chain would re-execute
+    val oriented = graft.CacheTracker.persistTracked(withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("u"),
       when(aFirst, col("b")).otherwise(col("a")).as("v"),
       // carry v's rank so the wedge join can order its two arms
       // without re-joining degrees
-      when(aFirst, rank("db", "b")).otherwise(rank("da", "a")).as("rv"))
+      when(aFirst, rank("db", "b")).otherwise(rank("da", "a")).as("rv")))
     // wedges: two oriented edges sharing their low endpoint; arms
     // ordered by rank so each unordered pair appears once and the
     // closing edge's orientation (lower-rank arm → higher) is known

@@ -1104,7 +1104,7 @@ object Catalog {
           .collect()
           .map(r => (r.getLong(0).toInt,
             r.getSeq[Float](1).toSeq))
-          .toSeq
+          .sortBy(_._1).toSeq // layout-independent centroid order
         val query = centroids.find(_._1 == 1).get._2
         val assigned = Vectors.ivfAssign(emb, "embedding", centroids)
         Vectors.ivfTopK(assigned, "embedding", centroids, query,
@@ -2933,7 +2933,7 @@ object Catalog {
           .select("vec_id", "embedding")
           .collect()
           .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq))
-          .toSeq
+          .sortBy(_._1).toSeq // layout-independent centroid order
         val query = centroids.find(_._1 == 1).get._2
         val exact = Vectors.topKCosine(emb, "embedding", query, 20)
           .select(col("vec_id"))
@@ -4411,7 +4411,7 @@ object Catalog {
         val centroids = emb.filter(col("vec_id") < 8)
           .select("vec_id", "embedding").collect()
           .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toSeq))
-          .toSeq
+          .sortBy(_._1).toSeq // layout-independent centroid order
         Vectors.marginMiningIvf(
           emb.filter(col("label") < 5), emb.filter(col("label") >= 5),
           "embedding", "vec_id", k = 4, centroids, nprobe = 3)

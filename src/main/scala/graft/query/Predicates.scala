@@ -88,8 +88,13 @@ object Predicates {
                keep: Seq[Column], fields: (String, Column)*)
       : org.apache.spark.sql.DataFrame = {
     val m = struct(fields.map { case (n, c) => c.as(n) }: _*)
-    df.select(keep :+ explode(array(m)).as("__m"): _*)
-      .select(keep ++ fields.map { case (n, _) =>
-        col(s"__m.$n").as(n) }: _*)
+    val projected = df.select(keep :+ explode(array(m)).as("__m"): _*)
+    // the second select references keep columns BY OUTPUT NAME —
+    // re-applying the keep EXPRESSIONS would resolve them against
+    // the projected frame, where a derived keep's inputs no longer
+    // exist (unresolved-column failure)
+    val keepNames = projected.columns.dropRight(1)
+    projected.select(keepNames.map(n => col(s"`$n`")) ++
+      fields.map { case (n, _) => col(s"__m.$n").as(n) }: _*)
   }
 }
