@@ -14,6 +14,16 @@ import org.apache.spark.sql.DataFrame
   * itself would run an action (the round-1 anti-pattern: the result
   * was computed twice — once in the builder's count, once by the
   * caller's write).
+  *
+  * SCOPE CONTRACT: the registry is application-global, so
+  * [[releaseAll]] assumes ONE pipeline runs at a time — the Verify /
+  * Bench / foreachBatch call patterns, all sequential. Running two
+  * CacheTracker-using streaming queries concurrently in one
+  * application would let one query's per-batch release unpersist the
+  * other's live caches (correctness is unaffected — Spark recomputes
+  * from lineage — but the O(consumers) re-execution the cache
+  * prevents comes back). Concurrent pipelines need per-query tracker
+  * instances; the harness has no such topology today.
   */
 object CacheTracker {
   private val tracked =

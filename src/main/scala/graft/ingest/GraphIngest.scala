@@ -73,13 +73,18 @@ object GraphIngest {
       .partitionBy("follower", "following")
       .orderBy(col("block_height"), col("op_index"))
       .rowsBetween(Long.MinValue, -1)
+    // struct marker: the stored edge's `what` may itself be NULL (a
+    // follow op without the field) — a bare last(what, ignoreNulls)
+    // would skip that follow and compare against a STALE older value,
+    // and `=== null` can never match; the reference's delete filter
+    // matches null-to-missing, so the compare must be null-safe
     val spkEffective = spk
-      .withColumn("prev_what",
-        last(when(!col("unfollow"), col("what")), ignoreNulls = true)
-          .over(wPrev))
+      .withColumn("__pw",
+        last(when(!col("unfollow"), struct(col("what").as("w"))),
+          ignoreNulls = true).over(wPrev))
       .filter(!col("unfollow") ||
-        coalesce(col("prev_what") === col("what"), lit(false)))
-      .drop("prev_what")
+        (col("__pw").isNotNull && col("__pw.w") <=> col("what")))
+      .drop("__pw")
 
     val community = cj.filter(col("cid") === "community" &&
       get_json_object(col("json"), "$[0]")

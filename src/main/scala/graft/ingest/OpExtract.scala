@@ -44,11 +44,15 @@ object OpExtract {
   def txSiblingFacts(ops: DataFrame): DataFrame = {
     val benefSchema = "array<struct<account:string,weight:int>>"
     ops.groupBy("block_height", "trx_id").agg(
-      // first comment_options op's beneficiaries extension
+      // FIRST comment_options op's beneficiaries extension — by
+      // op_index, not max() over the JSON string (which would pick
+      // the lexicographically greatest payload when a tx carries
+      // several comment_options ops)
       from_json(
-        max(when(col("op_name") === "comment_options",
+        min_by(when(col("op_name") === "comment_options",
           get_json_object(col("payload"),
-            "$.extensions[0][1].beneficiaries"))),
+            "$.extensions[0][1].beneficiaries")),
+          when(col("op_name") === "comment_options", col("op_index"))),
         graft.ddl(benefSchema)).as("beneficiaries"),
       max(when(col("op_name") === "custom_json" &&
         get_json_object(col("payload"), "$.id") === "3speak-publish" &&

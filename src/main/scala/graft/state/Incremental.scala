@@ -75,10 +75,21 @@ object Incremental {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(viewDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // "exists" = has DATA (the StreamIngest/StreamNearDedup hasData
+    // pattern): a dir holding only _SUCCESS/_temporary — an empty
+    // first write or a crash mid-overwrite — must be treated as
+    // absent, or the schema-less read wedges every restart
+    val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>
+      val nm = st.getPath.getName
+      !nm.startsWith("_") && !nm.startsWith(".")
+    }
     val existing =
-      if (fs.exists(path)) Some(spark.read.parquet(viewDir)) else None
-    val lastApplied = existing.map(
-      _.agg(max(col("__last_batch"))).head().getLong(0))
+      if (hasData) Some(spark.read.parquet(viewDir)) else None
+    // null-safe: a zero-ROW stored view (empty first batch) yields
+    // max = null — getLong would NPE and wedge the replay loop
+    val lastApplied = existing.flatMap(v =>
+      Option(v.agg(max(col("__last_batch"))).head().get(0))
+        .map(_.asInstanceOf[Long]))
     if (lastApplied.exists(_ >= batchId)) return // replay: already in
     val updated = existing match {
       case None => partial(batch, keys, valueExpr)

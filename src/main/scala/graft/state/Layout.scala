@@ -246,18 +246,32 @@ object Layout {
     val rootTmp = new org.apache.hadoop.fs.Path(
       root.getParent, "." + root.getName + "__compact")
     if (fs.exists(rootTmp)) fs.delete(rootTmp, true)
-    val rootIt = fs.listStatusIterator(root)
-    while (rootIt.hasNext) {
-      val st = rootIt.next()
-      val nm = st.getPath.getName
-      if (st.isDirectory && nm.startsWith(".") && nm.endsWith("__old")) {
-        val orig = new org.apache.hadoop.fs.Path(root,
-          nm.stripPrefix(".").stripSuffix("__old"))
-        if (!fs.exists(orig)) fs.rename(st.getPath, orig)
-        else fs.delete(st.getPath, true)
-      } else if (st.isDirectory && nm.startsWith(".") &&
-        nm.endsWith("__compact")) fs.delete(st.getPath, true)
+    // recovery must RECURSE: in a multi-level layout (e.g. the
+    // streaming table's created_month=/key_bucket=) a crashed swap
+    // leaves `.key_bucket=B__old` INSIDE a month dir — a root-only
+    // scan would never restore it (the partition's rows stay
+    // invisible forever), and the recursive listFiles below would
+    // treat the orphaned staging dirs as compactable data
+    def recover(dir: org.apache.hadoop.fs.Path): Unit = {
+      val it = fs.listStatusIterator(dir)
+      while (it.hasNext) {
+        val st = it.next()
+        val nm = st.getPath.getName
+        if (st.isDirectory) {
+          if (nm.startsWith(".") && nm.endsWith("__old")) {
+            val orig = new org.apache.hadoop.fs.Path(dir,
+              nm.stripPrefix(".").stripSuffix("__old"))
+            if (!fs.exists(orig)) fs.rename(st.getPath, orig)
+            else fs.delete(st.getPath, true)
+          } else if (nm.startsWith(".") && nm.endsWith("__compact")) {
+            fs.delete(st.getPath, true)
+          } else if (!nm.startsWith(".") && !nm.startsWith("_")) {
+            recover(st.getPath)
+          }
+        }
+      }
     }
+    recover(root)
     val it = fs.listFiles(root, true)
     val byDir = scala.collection.mutable.Map
       .empty[org.apache.hadoop.fs.Path, (Long, Long)] // files, bytes

@@ -34,7 +34,11 @@ object StreamDedup {
           if (state.exists) Iterator.empty
           else if (docs.hasNext) {
             state.update(true)
-            Iterator.single(docs.next())  // first in batch wins
+            // smallest doc_id wins WITHIN a batch: the iterator's
+            // order is shuffle-delivery order, so "first" would vary
+            // across task retries and replays of the same input —
+            // the survivor must be a function of the data
+            Iterator.single(docs.minBy(_.doc_id))
           } else Iterator.empty
       }
   }

@@ -77,10 +77,19 @@ object StreamIngest {
     // off for the span of this batch; restore the caller's setting
     // after (foreachBatch runs batches sequentially, so the toggle
     // cannot race a concurrent query).
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // toggle on BOTH sessions: under foreachBatch the micro-batch
+    // DataFrame is bound to the query's cloned session (conf copied
+    // at query start — the outer session's setting is invisible to
+    // plans rooted at the batch), while the stored-table reads are
+    // rooted at the outer session
+    val sessions =
+      Seq(blocks.sparkSession, spark).distinct
+    val aqeBefore = sessions.map(s =>
+      s -> s.conf.get("spark.sql.adaptive.enabled", "true"))
+    sessions.foreach(_.conf.set("spark.sql.adaptive.enabled", "false"))
     try mergeBlocksBatchImpl(spark, blocks, postsDir, keyBuckets)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    finally aqeBefore.foreach { case (s, v) =>
+      s.conf.set("spark.sql.adaptive.enabled", v) }
   }
 
   private def mergeBlocksBatchImpl(spark: SparkSession,
@@ -188,15 +197,25 @@ object StreamIngest {
             .withColumn("__src", lit(1))
             .unionByName(fresh.withColumn("__src", lit(0)),
               allowMissingColumns = true),
-          Seq("author", "permlink"), col("state_control.block_height"),
+          // document identity is the FULL 4-tuple (the reference's
+          // already-exists lookup matches all four,
+          // hive-stream.ts:530-535; foldPosts/seedEvents key the
+          // same way) — deduping on (author, permlink) alone would
+          // silently drop one of two documents sharing a permlink
+          // under different parents
+          Seq("parent_author", "parent_permlink", "author", "permlink"),
+          col("state_control.block_height"),
           ties = Seq(col("__src"))).drop("__src")
       case None => fresh
     }
     try {
-      // marker BEFORE data: a crash after this point leaves either a
-      // marker-only dir (treated as fresh, rewritten) or bucketed
-      // data WITH its modulus — never modulus-less bucketed data
-      if (!legacyLayout) writeLayoutMarker(fs, tablePath, n)
+      // marker BEFORE data, but only on table CREATE: for an
+      // existing table the modulus was just READ from this marker —
+      // re-writing it every batch (a truncating create) opens a
+      // recurring crash window that leaves a zero-byte marker and
+      // wedges every subsequent batch on "corrupt layout marker"
+      if (!legacyLayout && pruned.isEmpty)
+        writeLayoutMarker(fs, tablePath, n)
       merged
         .repartition(partCols.map(col): _*)
         .sortWithinPartitions("author", "permlink")

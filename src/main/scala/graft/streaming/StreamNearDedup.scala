@@ -42,9 +42,6 @@ object StreamNearDedup {
                      textCol: String = "text", idCol: String = "doc_id",
                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
                      threshold: Double = 0.5, seed: Long = 42L): Long = {
-    val before = spark.conf.get(
-      "spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       val deltaSets = CacheTracker.persistTracked(batch
         .select(col(idCol).as("id"),
@@ -77,15 +74,24 @@ object StreamNearDedup {
       val pairs = CacheTracker.persistTracked(
         Dedup.minhashLshProbeSets(corpusSets, deltaSets,
           k, bands, threshold, seed))
+      // dynamic overwrite as a PER-WRITE option, not session conf:
+      // under foreachBatch these frames are bound to the query's
+      // CLONED session (conf copied at query start), so a setting on
+      // the caller's session never reaches them — static overwrite
+      // would silently replace the whole table every batch (the
+      // StreamIngest per-write pattern)
       pairs.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
         .parquet(pairsDir)
       deltaSets.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
         .parquet(sideDir)
       pairs.count()
     } finally {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
       CacheTracker.releaseAll()
     }
   }

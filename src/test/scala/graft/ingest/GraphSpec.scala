@@ -50,6 +50,25 @@ class GraphSpec extends SparkSpec {
     assert(edges == Set(("alice", "did:key:zA")))
   }
 
+  test("spk.unfollow matches a stored NULL what (null-to-missing, " +
+    "not a stale older value)") {
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        // follow WITH what, then a later follow WITHOUT the field:
+        // the stored edge's what is now null
+        ("t1", Seq(("custom_json", cj("spk.follow", "alice",
+          """{"did":"did:key:zA","what":["posts"]}""")))),
+        ("t2", Seq(("custom_json", cj("spk.follow", "alice",
+          """{"did":"did:key:zA"}"""))))),
+      block(101, "2024-05-01T12:00:03",
+        // unfollow without what: must match the stored null and
+        // delete — comparing against the STALE ["posts"] would
+        // wrongly keep the edge
+        ("t3", Seq(("custom_json", cj("spk.unfollow", "alice",
+          """{"did":"did:key:zA"}"""))))))
+    assert(GraphIngest.follows(ops).collect().isEmpty)
+  }
+
   test("spk.follow DID edges + community subscribe edges") {
     val ops = toOps(spark,
       block(100, "2024-05-01T12:00:00",

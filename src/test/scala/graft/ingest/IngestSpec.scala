@@ -283,6 +283,27 @@ class IngestSpec extends SparkSpec {
       .getAs[Boolean]("authority_signed"))
   }
 
+  test("two comment_options in one tx: the FIRST op's beneficiaries " +
+    "win (op order, not payload lexicographic order)") {
+    def benef(acct: String) =
+      s"""{"author":"alice","permlink":"p1","extensions":[[""" +
+        s""""comment_payout_beneficiaries",{"beneficiaries":[""" +
+        s"""{"account":"$acct","weight":100}]}]]}"""
+    // 'zeta' sorts AFTER 'alpha' — a max() over the JSON strings
+    // would wrongly pick the second op's payload
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("tx1", Seq(
+          ("comment", comment("alice", "p1", "b")),
+          ("comment_options", benef("alpha")),
+          ("comment_options", benef("zeta"))))))
+    val p = PostsIngest.ingest(ops)(spark).collect().head
+    val benefs = p.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      "beneficiaries")
+    assert(benefs.map(_.getAs[String]("account")) ==
+      scala.collection.Seq("alpha"))
+  }
+
   test("first_upload true for every 3speak insert (J8, dead lookup)") {
     // the reference's dedup guard queries video.first_upload — a
     // field no writer sets — so it never fires (hive-stream.ts:623-631)

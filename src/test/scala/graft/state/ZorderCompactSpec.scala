@@ -92,4 +92,34 @@ class ZorderCompactSpec extends SparkSpec {
     val (b2, a2) = Layout.compact(spark, dir, targetBytes = 1L << 30)
     assert(b2 === 2 && a2 === 2)
   }
+
+  test("crash recovery reaches NESTED partition dirs (two-level " +
+    "layout): a level-2 .__old is restored, stale staging discarded") {
+    val dir = Files.createTempDirectory("graft-compact-l2").toString
+    // two-level layout: month=/bucket=
+    val df = spark.range(0, 200).select(
+      lit("2024-05").as("month"), (col("id") % 2).cast("int").as("bucket"),
+      col("id").as("v"))
+    df.repartition(4).write.mode("overwrite")
+      .partitionBy("month", "bucket").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate a crash between the two swap renames: the partition
+    // dir is gone, its data sits in the hidden .__old sibling
+    val part = new org.apache.hadoop.fs.Path(
+      s"$dir/month=2024-05/bucket=1")
+    val bak = new org.apache.hadoop.fs.Path(
+      s"$dir/month=2024-05/.bucket=1__old")
+    assert(fs.rename(part, bak))
+    // plus a stale staging dir that must be discarded, not compacted
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$dir/month=2024-05/.bucket=0__compact")
+    fs.mkdirs(stale)
+    val (before, _) = Layout.compact(spark, dir, targetBytes = 1L << 30)
+    assert(fs.exists(part) && !fs.exists(bak) && !fs.exists(stale))
+    // all 200 rows visible again
+    assert(spark.read.parquet(dir).count() === 200)
+    // the recovered partition's files were counted as data
+    assert(before >= 4)
+  }
 }

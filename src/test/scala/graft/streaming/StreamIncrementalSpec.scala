@@ -77,4 +77,20 @@ class StreamIncrementalSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(r.toSeq === Seq(("a", 2L, 12L)))
   }
+
+  test("an EMPTY first batch (zero-row view) does not wedge the sink") {
+    import spark.implicits._
+    val viewDir = Files.createTempDirectory("graft-sivm-empty")
+      .toString + "/view"
+    val handler = Incremental.maintainParquetView(
+      viewDir, Seq("k"), col("v")) _
+    // batch 0 delivers no rows → stored view has schema but 0 rows;
+    // the next batch must read it null-safely (max(__last_batch) is
+    // null) instead of NPEing on every replay
+    handler(Seq.empty[(String, Long)].toDF("k", "v"), 0L)
+    handler(Seq(("a", 3L)).toDF("k", "v"), 1L)
+    val r = view(viewDir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq(("a", 1L, 3L)))
+  }
 }

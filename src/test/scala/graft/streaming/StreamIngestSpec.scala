@@ -54,6 +54,44 @@ class StreamIngestSpec extends SparkSpec {
       .getAs[String]("body") == "v2 body")
   }
 
+  test("two documents sharing (author, permlink) under different " +
+    "parents BOTH survive the merge (4-tuple identity)") {
+    import spark.implicits._
+    def blocksDf(s: String) = spark.read
+      .schema(graft.domain.Schemas.block).json(Seq(s).toDS())
+    val dir = Files.createTempDirectory("graft-4tuple").toString
+    val postsDir = s"$dir/posts"
+    // same author+permlink: one top-level post, one reply — the
+    // reference's already-exists lookup matches all four key fields
+    // (hive-stream.ts:530-535), so these are distinct documents
+    StreamIngest.mergeBlocksBatch(spark,
+      blocksDf(
+        block(200, "2024-06-01T10:00:00",
+          ("t1", Seq(("comment", comment("carol", "px", "top-level")))),
+          ("t2", Seq(("comment", comment("carol", "px", "the reply",
+            parentAuthor = "alice", parentPermlink = "p1")))))),
+      postsDir)
+    val rows = spark.read.parquet(postsDir)
+      .filter(col("author") === "carol" && col("permlink") === "px")
+      .collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    assert(rows.map(_.getAs[String]("body")).toSet ==
+      Set("top-level", "the reply"))
+    // and a second batch editing ONE of them touches only that one
+    StreamIngest.mergeBlocksBatch(spark,
+      blocksDf(
+        block(201, "2024-06-01T10:00:03",
+          ("t3", Seq(("comment", comment("carol", "px", "reply v2",
+            parentAuthor = "alice", parentPermlink = "p1")))))),
+      postsDir)
+    val rows2 = spark.read.parquet(postsDir)
+      .filter(col("author") === "carol" && col("permlink") === "px")
+      .collect()
+    assert(rows2.length == 2)
+    assert(rows2.map(_.getAs[String]("body")).toSet ==
+      Set("top-level", "reply v2"))
+  }
+
   test("cross-batch edit: dmp applies to STORED body; insert facts kept") {
     val dir = Files.createTempDirectory("graft-xbatch").toString
     val postsDir = s"$dir/posts"
