@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass histogram core for [[CharEntropyMicro]] — a standalone
+  * object so generated Java can call it through the static
+  * forwarder. */
+object CharEntropyHelper {
+
+  /** Returns [n_uniq_chars, ent_micro] for the string's CODE-POINT
+    * histogram — the same alphabet DuckDB's `string_split(text, '')`
+    * / `length(text)` use, so the d55 oracle replays it exactly on
+    * ANY input, astral chars included. The composed
+    * [[Text.charEntropyParts]] form counts UTF-16 units via
+    * `split(text, "")` — identical on BMP-only text (the spec's
+    * parity corpus), divergent on surrogate pairs (an emoji is ONE
+    * code point here, two lone units there); the native/oracle
+    * alphabet is the authoritative one.
+    *
+    * Bit-parity contract (spec-asserted, CharEntropyExprSpec):
+    *
+    *  - per-term value replayed exactly: p = n/L as double,
+    *    term = round(1e6·p·log2(p)) with Spark's own operator
+    *    semantics — log2 = StrictMath.log(x)/StrictMath.log(2)
+    *    (decompiled from Log2's codegen template) and round =
+    *    scala BigDecimal HALF_UP (Round's DoubleType path), NOT
+    *    Math.round (which floors negative halves the other way);
+    *  - terms summed as exact longs (order-free).
+    *
+    * Empty string → [0, 0] (the one divergence from the composed
+    * form: Java `"".split("")` yields `[""]`, so the HOF version
+    * reports (1, 0) there; documents are length-filtered upstream). */
+  def compute(s: UTF8String): Array[Long] = {
+    val str = s.toString
+    val len = str.length
+    if (len == 0) return Array(0L, 0L)
+    // ASCII fast path + map fallback for the general alphabet
+    val ascii = new Array[Int](128)
+    var wide: java.util.HashMap[Integer, Int] = null
+    var i = 0
+    var cpCount = 0
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (wide == null) wide = new java.util.HashMap[Integer, Int]()
+        wide.merge(cp, 1, (a, b) => a + b)
+      }
+      cpCount += 1
+      i += Character.charCount(cp)
+    }
+    val l = cpCount.toDouble
+    var nUniq = 0L
+    var entMicro = 0L
+    def term(n: Int): Long = {
+      val p = n / l
+      val log2p = java.lang.StrictMath.log(p) /
+        java.lang.StrictMath.log(2)
+      BigDecimal(1e6 * p * log2p)
+        .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble.toLong
+    }
+    var c = 0
+    while (c < 128) {
+      if (ascii(c) > 0) { nUniq += 1; entMicro += term(ascii(c)) }
+      c += 1
+    }
+    if (wide != null) {
+      val it = wide.values().iterator()
+      while (it.hasNext) { nUniq += 1; entMicro += term(it.next()) }
+    }
+    Array(nUniq, entMicro)
+  }
+}
+
+/** Native codegen replacement for [[Text.charEntropyParts]]: ONE
+  * O(L) histogram pass per row instead of sort (O(L log L) UTF8String
+  * compares) + run-length scan over a per-row char array — and no
+  * `split(text, "")` materialization at all (the composed form
+  * allocates L single-char strings per row before it can start).
+  * Measured on the sf0.1 corpus: 3.0 s → sub-second steady-state.
+  *
+  * Output: array<long> [n_uniq_chars, ent_micro] — same values as
+  * the composed form's struct (see [[CharEntropyHelper.compute]] for
+  * the bit-parity contract and the empty-string edge). */
+case class CharEntropyMicro(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${other.sql}")
+    }
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_entropy_micro"
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      CharEntropyHelper.compute(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      val helper = "graft.functions.CharEntropyHelper"
+      s"""
+      ${ev.value} = org.apache.spark.sql.catalyst.expressions
+        .UnsafeArrayData.fromPrimitiveArray($helper.compute($str));
+      """
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CharEntropyMicro = copy(child = newChild)
+}
+
+object CharEntropyMicro {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftbridge.GraftBridge
+
+  /** Column API: [n_uniq_chars, ent_micro] over a string column. */
+  def charEntropyMicro(text: Column): Column =
+    GraftBridge.column(
+      CharEntropyMicro(GraftBridge.expression(text)))
+}

@@ -577,6 +577,35 @@ object Multimodal {
     }
   }
 
+  /** Frame-sampling PLAN from parsed container metadata: the
+    * (media_id, frame_idx, ts_ms) seek grid a decoder consumes —
+    * uniform `fps` sampling capped at `maxFrames` per video
+    * (the standard "N frames per clip" training-data policy).
+    * Metadata-only: derived entirely from [[videoMeta]]'s parsed
+    * duration, so it runs BEFORE any decode and the decode stage
+    * seeks exactly these timestamps instead of demuxing everything.
+    *
+    * Scale shape: per-row `sequence` explode bounded by `maxFrames`
+    * (≤ maxFrames× row growth, no shuffle); pure codegen.
+    *
+    * Frame count is ceil(duration·fps/1000) — the stamps t ∈ [0,
+    * duration) on the 1/fps grid. NOT floor+1: that emits a seek AT
+    * t == duration (end of stream, no frame there) whenever the
+    * duration is an exact multiple of the frame interval.
+    * Zero-duration clips sample no frames (also keeps `sequence`
+    * ascending — Spark's sequence(0, -1) would DESCEND). */
+  def frameSamplePlan(meta: Dataset[VideoMeta], fps: Int = 1,
+                      maxFrames: Int = 8): DataFrame =
+    meta.toDF().filter(col("ok"))
+      .withColumn("__n",
+        least(ceil(col("duration_ms") * lit(fps) / lit(1000)),
+          lit(maxFrames.toLong)))
+      .filter(col("__n") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("__n") - 1)).as("frame_idx"))
+      .withColumn("ts_ms",
+        (col("frame_idx") * lit(1000L) / lit(fps)).cast("long"))
+
   /** Metadata-only predicate pass (no byte access): the point of the
     * typed-metadata column — filters prune before decode. */
   def selectForDecode(media: DataFrame, kinds: Seq[String],

@@ -4473,6 +4473,158 @@ object Catalog {
       FROM m JOIN cnt ON cnt.a_id = m.a_id
       QUALIFY row_number() OVER (PARTITION BY m.a_id
         ORDER BY m.margin DESC, m.b_id) = 1
-      ORDER BY src_id"""))
+      ORDER BY src_id""")),
+
+    // ── §7.5 character-entropy quality signal (C4/Gopher family):
+    //    Shannon entropy in bits over each doc's char distribution —
+    //    low = spam/repetition, high = base64/hex noise; both tails
+    //    drop. Per-ROW expression (the histogram never leaves the
+    //    row — zero shuffle, unlike the explode-and-count shape);
+    //    per-term integer micro-bit quantization (house determinism
+    //    contract), final value = one double division replayed
+    //    verbatim in the oracle — no round() boundary surface. ──────
+    Q("d55_char_entropy",
+      (s, d) => {
+        // native one-pass histogram expression; bit-parity with the
+        // composed Text.charEntropyParts is spec-pinned. evalOnce:
+        // three output columns read __e — without the barrier
+        // CollapseProject would inline the histogram 3× per row
+        graft.query.Predicates.evalOnce(
+          Tables.documents(s, d), Seq(col("doc_id")),
+          "__e" -> graft.functions.CharEntropyMicro
+            .charEntropyMicro(col("text")))
+          .select(col("doc_id"),
+            element_at(col("__e"), 1).as("n_uniq_chars"),
+            element_at(col("__e"), 2).as("ent_micro"),
+            (-element_at(col("__e"), 2) / lit(1e6))
+              .as("char_entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH ch AS (SELECT doc_id,
+            unnest(string_split(text, '')) AS c FROM documents),
+          lens AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS L
+            FROM documents),
+          cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+            FROM ch GROUP BY 1, 2),
+          per AS (SELECT cnt.doc_id,
+              CAST(round(1e6 * (n / L) * log2(n / L)) AS BIGINT) AS m
+            FROM cnt JOIN lens ON lens.doc_id = cnt.doc_id),
+          agg AS (SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_uniq_chars,
+              CAST(sum(m) AS BIGINT) AS ent_micro
+            FROM per GROUP BY 1)
+        SELECT doc_id, n_uniq_chars, ent_micro,
+          -ent_micro / 1e6 AS char_entropy
+        FROM agg ORDER BY doc_id""")),
+
+    // ── §7.5 interpolated Kneser–Ney bigram surprisal (Kneser & Ney
+    //    1995) — the smoothing the real KenLM quality filter uses;
+    //    continuation counts N₁₊ give backoff mass add-one (d46)
+    //    structurally can't. Same micro-nat quantization contract;
+    //    the P expression is one fixed association order replayed
+    //    verbatim below. ─────────────────────────────────────────────
+    Q("d56_kn_bigram_nll",
+      (s, d) => graft.text.UnigramLm.knBigramSurprisal(
+        Tables.documents(s, d), "text", "doc_id")
+        .orderBy("doc_id"),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
+            FROM documents),
+          bgs AS (SELECT doc_id, unnest(list_transform(
+              range(1, greatest(len(t) - 1, 0) + 1),
+              i -> array_to_string(list_slice(t, i, i + 1), ' ')))
+              AS bg
+            FROM toks),
+          c12 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c12,
+              string_split(bg, ' ')[1] AS w1,
+              string_split(bg, ' ')[2] AS w2
+            FROM bgs GROUP BY 1),
+          c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+              CAST(count(*) AS BIGINT) AS n1fw
+            FROM c12 GROUP BY 1),
+          bwd AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw
+            FROM c12 GROUP BY 1),
+          tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c12),
+          per AS (SELECT doc_id, CAST(round(1e6 * -ln(
+                (greatest(CAST(c12.c12 AS DOUBLE) - 0.75, 0.0)
+                  / CAST(c1.c1 AS DOUBLE))
+                + ((0.75 * CAST(c1.n1fw AS DOUBLE)
+                    / CAST(c1.c1 AS DOUBLE))
+                  * (CAST(bwd.n1bw AS DOUBLE)
+                    / CAST(tt.t AS DOUBLE))))) AS BIGINT) AS c
+            FROM bgs JOIN c12 USING (bg)
+            JOIN c1 ON c1.w1 = c12.w1
+            JOIN bwd ON bwd.w2 = c12.w2
+            CROSS JOIN tt),
+          agg AS (SELECT doc_id,
+              CAST(count(*) AS BIGINT) AS n_bigrams,
+              CAST(sum(c) AS BIGINT) AS nll_micro
+            FROM per GROUP BY 1)
+        SELECT doc_id, n_bigrams, nll_micro,
+          round(nll_micro / 1e6 / n_bigrams, 4) AS avg_nll
+        FROM agg ORDER BY doc_id""")),
+
+    // ── §2.5/§2.7 time-bucketed OHLC downsample: per (user, day)
+    //    open/high/low/close — open/close are first/last value in
+    //    TIME order. The scale point: min_by/max_by over a
+    //    (ts, event_id) struct key is ONE partial-aggregatable
+    //    shuffle; the oracle's row_number-window formulation (the
+    //    naive translation) needs a second, per-group sort. ─────────
+    Q("q53_ohlc_downsample",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value"), col("ts"), col("event_id"))
+        .groupBy("user_id", "day")
+        .agg(
+          min_by(col("value"),
+            struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"),
+            struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).cast("long").as("n_events"))
+        .orderBy("user_id", "day"),
+      Some("""WITH e AS (SELECT user_id,
+            CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+              AS day, value, CAST(ts AS TIMESTAMP) AS tss, event_id
+          FROM events WHERE event_type = 'purchase'),
+        r AS (SELECT *,
+            row_number() OVER (PARTITION BY user_id, day
+              ORDER BY tss, event_id) AS rn_a,
+            row_number() OVER (PARTITION BY user_id, day
+              ORDER BY tss DESC, event_id DESC) AS rn_d
+          FROM e)
+        SELECT user_id, day,
+          max(CASE WHEN rn_a = 1 THEN value END) AS open,
+          max(value) AS high, min(value) AS low,
+          max(CASE WHEN rn_d = 1 THEN value END) AS close,
+          CAST(count(*) AS BIGINT) AS n_events
+        FROM r GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── §7.5 multimodal frame-sampling plan: the (media_id,
+    //    frame_idx, ts_ms) seek grid from mm07's PARSED container
+    //    duration — 1 fps capped at 8 frames/clip. Metadata-only
+    //    (zero byte access) so it runs before decode; bounded
+    //    per-row sequence explode, no shuffle. ──────────────────────
+    Q("mm08_frame_sample",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticMp4Media(
+          Tables.documents(s, d).select("doc_id"))(s)
+        graft.multimodal.Multimodal.frameSamplePlan(
+          graft.multimodal.Multimodal.videoMeta(media)(s),
+          fps = 1, maxFrames = 8)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+            CAST(1500 + doc_id % 600 * 25 AS BIGINT) AS d
+          FROM documents),
+        n AS (SELECT media_id,
+            least(CAST(ceil(d / 1000.0) AS BIGINT), 8) AS n
+          FROM m),
+        f AS (SELECT media_id, unnest(range(0, n)) AS frame_idx
+          FROM n)
+        SELECT media_id, frame_idx,
+          CAST(frame_idx * 1000 AS BIGINT) AS ts_ms
+        FROM f ORDER BY media_id, frame_idx"""))
   )
 }

@@ -95,4 +95,66 @@ object UnigramLm {
         round(col("nll_micro") / lit(1e6) / col("n_bigrams"), 4))
       .withColumnRenamed("id", idCol)
   }
+
+  /** Interpolated Kneser–Ney bigram surprisal (Kneser & Ney 1995;
+    * Chen & Goodman 1999 eq. 4.25) — the smoothing the real KenLM
+    * filter uses, one step past [[bigramSurprisal]]'s add-one:
+    *
+    *   P(w2|w1) = max(c(w1w2)−D, 0)/c(w1·)
+    *            + (D·N₁₊(w1·)/c(w1·)) · (N₁₊(·w2)/T)
+    *
+    * with discount D, c(w1·) = Σ_w2 c(w1w2), N₁₊(w1·)/N₁₊(·w2) the
+    * distinct-continuation counts, and T the number of distinct
+    * bigram TYPES. The continuation term is KN's insight: "Francisco"
+    * is frequent but follows only "San", so its unigram backoff mass
+    * is tiny — exactly what add-one smoothing gets wrong.
+    *
+    * Same determinism contract as [[surprisal]] (integer micro-nat
+    * quantization before the doc sum; the P expression is one fixed
+    * association order replayed verbatim in the oracle). Scoring the
+    * training corpus itself means every scored bigram has c ≥ 1, so
+    * P > 0 with no OOV branch.
+    *
+    * Shape at 100 TB: the model tables are token-keyed counts with
+    * map-side combine (c12 from the bigram shuffle; c1/N₁₊ both fold
+    * from c12, Zipf-small); scoring joins instances on bg / w1 / w2
+    * keys and doc-sums. The c12 table is persisted — three
+    * downstream folds read it. Docs with <2 tokens → not emitted. */
+  def knBigramSurprisal(docs: DataFrame, textCol: String,
+                        idCol: String,
+                        discount: Double = 0.75): DataFrame = {
+    // unlike bigramSurprisal, nothing else reads the tokenized base
+    // (c1/N₁₊ fold from the c12 TYPE table) — don't persist it
+    val base = docs.select(col(idCol).as("id"),
+      Text.tokens(col(textCol)).as("toks"))
+    val bigrams = CacheTracker.persistTracked(
+      base.select(col("id"),
+        explode(Text.wordShingles(col("toks"), 2)).as("bg")))
+    val c12 = CacheTracker.persistTracked(
+      bigrams.groupBy("bg").agg(count(lit(1)).as("c12"))
+        .withColumn("__w1", substring_index(col("bg"), " ", 1))
+        .withColumn("__w2", substring_index(col("bg"), " ", -1)))
+    // c(w1·) and N₁₊(w1·) fold from the TYPE table in one pass
+    val c1 = c12.groupBy("__w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1fw"))
+    val bw = c12.groupBy("__w2").agg(count(lit(1)).as("n1bw"))
+    val t = c12.agg(count(lit(1)).cast("long").as("t"))
+    val d = lit(discount)
+    bigrams.join(c12.select("bg", "c12", "__w1", "__w2"), "bg")
+      .join(c1, "__w1").join(bw, "__w2")
+      .crossJoin(broadcast(t))
+      .withColumn("__p",
+        (greatest(col("c12").cast("double") - d, lit(0.0)) /
+          col("c1").cast("double")) +
+          ((d * col("n1fw").cast("double") / col("c1").cast("double")) *
+            (col("n1bw").cast("double") / col("t").cast("double"))))
+      .withColumn("__c",
+        round(lit(1e6) * -log(col("__p"))).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        sum("__c").cast("long").as("nll_micro"))
+      .withColumn("avg_nll",
+        round(col("nll_micro") / lit(1e6) / col("n_bigrams"), 4))
+      .withColumnRenamed("id", idCol)
+  }
 }

@@ -218,6 +218,23 @@ object ScaleEvidence {
         .agg(count(lit(1)).as("n")).count()
     }
 
+    timed("d55 char entropy (native expr, zero shuffle)") {
+      // noop write so the computed columns are materialized
+      graft.query.Predicates.evalOnce(corpus, Seq(col("doc_id")),
+        "__e" -> graft.functions.CharEntropyMicro
+          .charEntropyMicro(col("text")))
+        .select(col("doc_id"),
+          element_at(col("__e"), 1).as("n_uniq_chars"),
+          (-element_at(col("__e"), 2) / lit(1e6)).as("char_entropy"))
+        .write.mode("overwrite").format("noop").save()
+      reps * 5000L
+    }
+    timed("d56 KN bigram NLL (3 token-keyed folds + score joins)") {
+      val n = graft.text.UnigramLm.knBigramSurprisal(
+        corpus, "text", "doc_id").count()
+      graft.CacheTracker.releaseAll(); n
+    }
+
     timed("d20 duplicated-ngram stats") {
       // filter on the computed column: a bare count() would let the
       // optimizer eliminate the cardinality-preserving left join and

@@ -238,6 +238,28 @@ class TextPropsSpec extends SparkSpec {
     assert(math.abs(j - 0.5) < 1e-12)
   }
 
+  test("charEntropyParts: hand values, order invariance, micro " +
+    "quantization") {
+    import spark.implicits._
+    def ent(s: String): (Long, Long) = {
+      val r = Seq(s).toDF("text")
+        .withColumn("__chars", split(col("text"), ""))
+        .select(Text.charEntropyParts(col("__chars")).as("e"))
+        .select(col("e.n_uniq_chars"), col("e.ent_micro"))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    assert(ent("aaaa") === ((1L, 0L)))           // degenerate: 0 bits
+    // "ab": 2 × round(1e6 · 0.5 · log2(0.5)) = 2 × −500000
+    assert(ent("ab") === ((2L, -1000000L)))      // exactly 1 bit
+    assert(ent("abcd") === ((4L, -2000000L)))    // exactly 2 bits
+    // entropy is a function of the histogram, not the order
+    assert(ent("aabb") === ent("abab"))
+    assert(ent("abab") === ent("bbaa"))
+    // skewed beats uniform: H("aaab") < H("aabb")
+    assert(-ent("aaab")._2 < -ent("aabb")._2)
+  }
+
   test("dupNgramStats invariants over random corpora") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)

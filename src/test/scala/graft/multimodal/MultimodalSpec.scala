@@ -282,4 +282,24 @@ class MultimodalSpec extends SparkSpec {
       spark).head()
     assert(!r.ok)
   }
+
+  test("frameSamplePlan: 1 fps grid, maxFrames cap, not-ok excluded") {
+    import spark.implicits._
+    val meta = Seq(
+      VideoMeta(1L, ok = true, "isom", 1500L, 320, 180),   // 2 frames
+      VideoMeta(2L, ok = true, "isom", 16475L, 320, 180),  // cap at 8
+      VideoMeta(3L, ok = true, "isom", 900L, 320, 180),    // 1 frame
+      VideoMeta(4L, ok = false, "", 0L, 0, 0)).toDS()      // excluded
+    val plan = Multimodal.frameSamplePlan(meta, fps = 1, maxFrames = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("frame_idx"),
+        r.getAs[Long]("ts_ms")))
+    val byId = plan.groupBy(_._1)
+    assert(byId(1L).map(_._2).sorted.toSeq === Seq(0L, 1L))
+    assert(byId(2L).length === 8)                  // 17 uncapped → 8
+    assert(byId(3L).map(_._2).toSeq === Seq(0L))
+    assert(!byId.contains(4L))
+    // seek timestamps are the uniform 1 fps grid
+    plan.foreach { case (_, idx, ts) => assert(ts === idx * 1000L) }
+  }
 }
