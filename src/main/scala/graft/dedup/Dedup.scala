@@ -292,6 +292,49 @@ object Dedup {
         min(struct((-col("__s")).as("ns"), col("id").as("i")))
           .getField("i").as("keep_id"))
 
+  /** Attribute-level survivorship — the "golden record" MDM merge
+    * step downstream of clustering. [[clusterSurvivors]] keeps ONE
+    * member row per cluster; this assembles a COMPOSITE record whose
+    * attributes may come from DIFFERENT members: canonical id =
+    * min(id), the longest record's id (argmax `lenCol`, tie →
+    * smallest id), max length, and the majority value of `langCol`
+    * (mode, tie → lexicographically smallest — deterministic, no
+    * hash-order dependence).
+    *
+    * Records absent from `clusters` (never paired) are singleton
+    * clusters of themselves (LEFT join + coalesce), so the op is
+    * TOTAL over the corpus — every record resolves to a golden row.
+    *
+    * Shape at 100 TB: two cluster-keyed partial-aggregatable
+    * shuffles — member-level argmaxes in one pass, then (cluster,
+    * value) counts → mode argmax. min-struct everywhere: map-side
+    * combine, no windows, no driver state. `base` is persisted —
+    * both aggregations read it. */
+  def goldenRecords(clusters: DataFrame, records: DataFrame,
+                    idCol: String, lenCol: String,
+                    langCol: String): DataFrame = {
+    val base = CacheTracker.persistTracked(
+      records.select(col(idCol).as("id"), col(lenCol).as("len"),
+        col(langCol).as("lang"))
+        .join(clusters.select(col("id"), col("cluster").as("__cl")),
+          Seq("id"), "left")
+        .withColumn("cluster_id", coalesce(col("__cl"), col("id"))))
+    val attrs = base.groupBy("cluster_id")
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        min(col("id")).as("canonical_id"),
+        min(struct((-col("len")).as("nl"), col("id").as("i")))
+          .getField("i").as("longest_doc"),
+        max(col("len")).as("max_len"))
+    val langMode = base.groupBy("cluster_id", "lang")
+      .agg(count(lit(1)).as("__n"))
+      .groupBy("cluster_id")
+      .agg(min(struct((-col("__n")).as("nn"), col("lang").as("l")))
+        .getField("l").as("maj_lang"))
+    attrs.join(langMode, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("canonical_id"),
+        col("longest_doc"), col("max_len"), col("maj_lang"))
+  }
+
   /** Benchmark decontamination, bloom-prefiltered — the scale path
     * past [[graft.functions.BloomOverlapCount]]'s plan-literal limit
     * note: phase 1 probes each doc's shingles against a bloom BITSET

@@ -4625,6 +4625,81 @@ object Catalog {
           FROM n)
         SELECT media_id, frame_idx,
           CAST(frame_idx * 1000 AS BIGINT) AS ts_ms
-        FROM f ORDER BY media_id, frame_idx"""))
+        FROM f ORDER BY media_id, frame_idx""")),
+
+    // ── §2.7 HOPPING time window (slide < length): each event lands
+    //    in length/slide windows. Spark's native TimeWindow expands
+    //    rows into their windows INSIDE the scan stage (a bounded
+    //    2× row growth here), then ONE partial-aggregatable shuffle
+    //    on (window, type) — no self-join, no per-group sort. q53 is
+    //    the tumbling special case; this is the overlapping form
+    //    dashboards use for smoothed trailing metrics. ──────────────
+    Q("q54_hopping_window",
+      (s, d) => Tables.events(s, d)
+        .withColumn("__cents",
+          round(col("value") * 100, 0).cast("long"))
+        .groupBy(window(col("ts"), "2 days", "1 day"),
+          col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum("__cents").as("sum_cents"))
+        .select(to_date(col("window.start")).as("win_start"),
+          col("event_type"), col("n"), col("sum_cents"))
+        .orderBy("win_start", "event_type"),
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS tss,
+            event_type,
+            CAST(round(value * 100, 0) AS BIGINT) AS cents
+          FROM events),
+        x AS (SELECT event_type, cents,
+            unnest([CAST(date_trunc('day', tss) AS DATE) - 1,
+                    CAST(date_trunc('day', tss) AS DATE)])
+              AS win_start
+          FROM e)
+        SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM x GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── §7.5 golden record (MDM survivorship): d26 keeps one member
+    //    row per near-dup cluster; this assembles a COMPOSITE record
+    //    whose attributes come from different members — min id,
+    //    longest text's id, majority lang (mode, deterministic
+    //    ties). Singletons (never paired) resolve to themselves, so
+    //    every document has a golden row. ───────────────────────────
+    Q("d57_golden_record",
+      (s, d) => graft.dedup.Dedup.goldenRecords(
+        graft.dedup.Dedup.neardupClusters(
+          graft.dedup.Dedup.minhashLshPairs(Tables.documents(s, d),
+            "text", "doc_id", shingleN = 3, k = 32, bands = 8,
+            threshold = 0.2, seed = 42L)),
+        Tables.documents(s, d), "doc_id", "n_chars", "lang")
+        .orderBy("cluster_id"),
+      Some(s"""WITH RECURSIVE $sqlTruthPairs,
+        edges AS (SELECT ia AS src, ib AS dst FROM truth
+          UNION SELECT ib, ia FROM truth),
+        walk(id, lbl) AS (
+          SELECT src, src FROM edges
+          UNION
+          SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+        cl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY 1),
+        base AS (SELECT d.doc_id AS id, d.n_chars AS len, d.lang,
+            coalesce(cl.cluster, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl ON cl.id = d.doc_id),
+        attrs AS (SELECT cluster_id,
+            CAST(count(*) AS BIGINT) AS n_members,
+            min(id) AS canonical_id, max(len) AS max_len
+          FROM base GROUP BY 1),
+        lng AS (SELECT cluster_id, id AS longest_doc FROM (
+            SELECT cluster_id, id, row_number() OVER (
+                PARTITION BY cluster_id ORDER BY len DESC, id) AS rn
+            FROM base) WHERE rn = 1),
+        lm AS (SELECT cluster_id, lang AS maj_lang FROM (
+            SELECT cluster_id, lang, count(*) AS n
+            FROM base GROUP BY 1, 2) t
+          QUALIFY row_number() OVER (
+            PARTITION BY cluster_id ORDER BY n DESC, lang) = 1)
+        SELECT a.cluster_id, a.n_members, a.canonical_id,
+          l.longest_doc, a.max_len, lm.maj_lang
+        FROM attrs a JOIN lng l USING (cluster_id)
+        JOIN lm USING (cluster_id)
+        ORDER BY cluster_id"""))
   )
 }

@@ -87,6 +87,20 @@ object ScaleEvidence {
         seed = 42L).count()
       graft.CacheTracker.releaseAll(); n
     }
+    timed("d57 golden record (pairs -> components -> survivorship)") {
+      // the salted corpus carries only (doc_id, text): derive the
+      // attribute columns the survivorship merge resolves
+      val recs = corpus
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("lang", concat(lit("l"), col("doc_id") % 3))
+      val n = Dedup.goldenRecords(
+        Dedup.neardupClusters(
+          Dedup.minhashLshPairs(corpus, "text", "doc_id",
+            shingleN = 3, k = 32, bands = 8, threshold = 0.2,
+            seed = 42L)),
+        recs, "doc_id", "n_chars", "lang").count()
+      graft.CacheTracker.releaseAll(); n
+    }
     timed("m02 simhash pairs (portable hash)") {
       val n = Dedup.simhashPairs(corpus, "text", "doc_id",
         maxHamming = 3,
@@ -133,6 +147,14 @@ object ScaleEvidence {
     timed("feed page (filter + top-100)") {
       ev.filter(col("event_type") === "view")
         .orderBy(col("ts").desc, col("event_id").desc).limit(100)
+        .count()
+    }
+    timed("q54 hopping window (2d/1d, native TimeWindow expand)") {
+      ev.withColumn("__cents",
+        round(col("value") * 100, 0).cast("long"))
+        .groupBy(window(col("ts"), "2 days", "1 day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("__cents").as("sum_cents"))
         .count()
     }
     timed("distributed leaderboard rank (q11 shape)") {
