@@ -37,7 +37,10 @@ object PlanAudit {
       "q46_phrase_search", "q47_khop", "v14_knn_label",
       "q48_asof_custom", "q52_asof_nearest", "d51_kmv_intersect",
       "d52_nb_classifier", "d53_pmi_collocations",
-      "v15_margin_mining", "d54_semantic_decontam")) {
+      "v15_margin_mining", "d54_semantic_decontam",
+      "d55_char_entropy", "d56_kn_bigram_nll", "q53_ohlc_downsample",
+      "mm08_frame_sample", "q54_hopping_window",
+      "d57_golden_record")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(
