@@ -305,6 +305,13 @@ object Dedup {
     * clusters of themselves (LEFT join + coalesce), so the op is
     * TOTAL over the corpus — every record resolves to a golden row.
     *
+    * NULL attribute values are IGNORED as candidates (the standard
+    * survivorship rule): a null-length member can't win longest_doc
+    * (Spark's min-struct would otherwise sort the null FIRST —
+    * inconsistent with null-ignoring max(len)), null langs don't
+    * vote, and a cluster whose members are all-null keeps its golden
+    * row with a null attribute (left join below).
+    *
     * Shape at 100 TB: two cluster-keyed partial-aggregatable
     * shuffles — member-level argmaxes in one pass, then (cluster,
     * value) counts → mode argmax. min-struct everywhere: map-side
@@ -322,15 +329,20 @@ object Dedup {
     val attrs = base.groupBy("cluster_id")
       .agg(count(lit(1)).cast("long").as("n_members"),
         min(col("id")).as("canonical_id"),
-        min(struct((-col("len")).as("nl"), col("id").as("i")))
+        // min ignores NULLs, so wrapping the struct in a null-len
+        // guard drops null candidates instead of letting struct
+        // ordering sort them first
+        min(when(col("len").isNotNull,
+          struct((-col("len")).as("nl"), col("id").as("i"))))
           .getField("i").as("longest_doc"),
         max(col("len")).as("max_len"))
-    val langMode = base.groupBy("cluster_id", "lang")
+    val langMode = base.filter(col("lang").isNotNull)
+      .groupBy("cluster_id", "lang")
       .agg(count(lit(1)).as("__n"))
       .groupBy("cluster_id")
       .agg(min(struct((-col("__n")).as("nn"), col("lang").as("l")))
         .getField("l").as("maj_lang"))
-    attrs.join(langMode, "cluster_id")
+    attrs.join(langMode, Seq("cluster_id"), "left")
       .select(col("cluster_id"), col("n_members"), col("canonical_id"),
         col("longest_doc"), col("max_len"), col("maj_lang"))
   }

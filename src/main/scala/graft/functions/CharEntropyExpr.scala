@@ -24,12 +24,20 @@ object CharEntropyHelper {
     * Bit-parity contract (spec-asserted, CharEntropyExprSpec):
     *
     *  - per-term value replayed exactly: p = n/L as double,
-    *    term = round(1e6·p·log2(p)) with Spark's own operator
-    *    semantics — log2 = StrictMath.log(x)/StrictMath.log(2)
-    *    (decompiled from Log2's codegen template) and round =
+    *    term = round(1e6·p·log2(p)) with the semantics the composed
+    *    comparator ACTUALLY executes — log2 =
+    *    Math.log(x)/Math.log(2): the composed form's Log2 sits
+    *    inside HOF lambdas (ArrayAggregate is CodegenFallback), so
+    *    it runs the INTERPRETED path (scala math.log = Math.log,
+    *    a HotSpot intrinsic), not the StrictMath codegen template —
+    *    matching StrictMath here would flake the exact-parity spec
+    *    by 1 ulp at HALF_UP .5 boundaries on some platforms; round =
     *    scala BigDecimal HALF_UP (Round's DoubleType path), NOT
     *    Math.round (which floors negative halves the other way);
-    *  - terms summed as exact longs (order-free).
+    *  - terms summed as exact longs (order-free);
+    *  - the only remaining cross-engine float surface is libm log
+    *    itself vs DuckDB's (≤1-ulp), same class as every other
+    *    float-bearing oracle row.
     *
     * Empty string → [0, 0] (the one divergence from the composed
     * form: Java `"".split("")` yields `[""]`, so the HOF version
@@ -58,8 +66,7 @@ object CharEntropyHelper {
     var entMicro = 0L
     def term(n: Int): Long = {
       val p = n / l
-      val log2p = java.lang.StrictMath.log(p) /
-        java.lang.StrictMath.log(2)
+      val log2p = java.lang.Math.log(p) / java.lang.Math.log(2)
       BigDecimal(1e6 * p * log2p)
         .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
         .toDouble.toLong

@@ -4489,8 +4489,13 @@ object Catalog {
         // composed Text.charEntropyParts is spec-pinned. evalOnce:
         // three output columns read __e — without the barrier
         // CollapseProject would inline the histogram 3× per row
+        // non-empty guard: the oracle's n/L term is undefined at
+        // L=0 (DuckDB string_split('','') yields ['']), so the
+        // contract excludes empty docs EXPLICITLY rather than
+        // leaning on the current corpus's min length
         graft.query.Predicates.evalOnce(
-          Tables.documents(s, d), Seq(col("doc_id")),
+          Tables.documents(s, d).filter(length(col("text")) > 0),
+          Seq(col("doc_id")),
           "__e" -> graft.functions.CharEntropyMicro
             .charEntropyMicro(col("text")))
           .select(col("doc_id"),
@@ -4500,10 +4505,12 @@ object Catalog {
               .as("char_entropy"))
           .orderBy("doc_id")
       },
-      Some("""WITH ch AS (SELECT doc_id,
-            unnest(string_split(text, '')) AS c FROM documents),
+      Some("""WITH ne AS (SELECT doc_id, text FROM documents
+            WHERE length(text) > 0),
+          ch AS (SELECT doc_id,
+            unnest(string_split(text, '')) AS c FROM ne),
           lens AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS L
-            FROM documents),
+            FROM ne),
           cnt AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
             FROM ch GROUP BY 1, 2),
           per AS (SELECT cnt.doc_id,

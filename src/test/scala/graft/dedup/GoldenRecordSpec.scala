@@ -48,6 +48,28 @@ class GoldenRecordSpec extends SparkSpec {
     assert(out(4L) === ((2L, 4L, 4L, 30L, "de")))
   }
 
+  test("null attributes never win: null len can't take longest_doc, " +
+    "null langs don't vote, all-null keeps the row") {
+    val recs = Seq[(Long, java.lang.Long, String)](
+      (1L, 10L, null), (2L, null, "en"), (3L, 5L, "en"),
+      (7L, 4L, null)) // singleton with null lang
+      .toDF("doc_id", "n_chars", "lang")
+    val out = Dedup.goldenRecords(
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "cluster"),
+      recs, "doc_id", "n_chars", "lang").collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r).toMap
+    val c = out(1L)
+    // doc 2 (null len) must NOT win longest_doc despite struct
+    // ordering putting nulls first; max_len likewise ignores it
+    assert(c.getAs[Long]("longest_doc") === 1L)
+    assert(c.getAs[Long]("max_len") === 10L)
+    // null langs don't vote: "en" wins 2-0, not null
+    assert(c.getAs[String]("maj_lang") === "en")
+    // all-null-lang singleton keeps its golden row, lang null
+    assert(out(7L).getAs[String]("maj_lang") === null)
+    assert(out(7L).getAs[Long]("max_len") === 4L)
+  }
+
   test("golden rows are total over the corpus") {
     val recs = (1L to 20L).map(i =>
       (i, i * 3L, if (i % 2 == 0) "en" else "de"))
