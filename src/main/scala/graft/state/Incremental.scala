@@ -66,25 +66,51 @@ object Incremental {
     * batch on restart) cannot double-count. This is the canonical
     * exactly-once-effect recipe for non-transactional foreachBatch
     * sinks; a Delta/JDBC sink would put the same guard in a
-    * transaction. The tiny-view rewrite (driver collect) is the local
-    * form — at scale the view is key-bucketed and merge-scoped like
-    * the posts table. */
+    * transaction.
+    *
+    * The refresh stays DISTRIBUTED end to end: the updated view is
+    * written to a sibling `<viewDir>__tmp` dir (the write's lineage
+    * reads the CURRENT view dir, so there is no read-overwrite
+    * cycle and nothing is ever collected to the driver — the view
+    * can be arbitrarily many keys), then swapped in with
+    * delete + rename. Crash points are all recoverable:
+    *
+    *   - crash after the tmp write, before the delete → both dirs
+    *     have data; the old view is authoritative (adopt-on-entry
+    *     deletes the stale tmp, and the replayed batch recomputes
+    *     it);
+    *   - crash between delete and rename → only tmp has data; it is
+    *     the COMPLETE updated view (parquet job committed, and it
+    *     already carries `__last_batch = batchId`), so adopt-on-entry
+    *     renames it in and the replayed batch hits the idempotency
+    *     guard.
+    *
+    * At 100 TB the swap would additionally bucket the view by the
+    * keys (one-sided merge exchange, see [[merge]]) — layout, not
+    * structure. */
   def maintainParquetView(viewDir: String, keys: Seq[String],
                           valueExpr: org.apache.spark.sql.Column)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(viewDir)
+    val tmp = new org.apache.hadoop.fs.Path(viewDir + "__tmp")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // "exists" = has DATA (the StreamIngest/StreamNearDedup hasData
     // pattern): a dir holding only _SUCCESS/_temporary — an empty
     // first write or a crash mid-overwrite — must be treated as
     // absent, or the schema-less read wedges every restart
-    val hasData = fs.exists(path) && fs.listStatus(path).exists { st =>
-      val nm = st.getPath.getName
-      !nm.startsWith("_") && !nm.startsWith(".")
+    def hasData(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(p) && fs.listStatus(p).exists { st =>
+        val nm = st.getPath.getName
+        !nm.startsWith("_") && !nm.startsWith(".")
+      }
+    // adopt-on-entry: resolve any interrupted swap (see scaladoc)
+    if (hasData(tmp)) {
+      if (hasData(path)) fs.delete(tmp, true)
+      else { fs.delete(path, true); fs.rename(tmp, path) }
     }
     val existing =
-      if (hasData) Some(spark.read.parquet(viewDir)) else None
+      if (hasData(path)) Some(spark.read.parquet(viewDir)) else None
     // null-safe: a zero-ROW stored view (empty first batch) yields
     // max = null — getLong would NPE and wedge the replay loop
     val lastApplied = existing.flatMap(v =>
@@ -96,12 +122,11 @@ object Incremental {
       case Some(view) =>
         merge(view.drop("__last_batch"), batch, keys, valueExpr)
     }
-    val rows = updated.withColumn("__last_batch", lit(batchId)).collect()
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toSeq),
-      org.apache.spark.sql.types.StructType(
-        updated.schema.fields :+ org.apache.spark.sql.types.StructField(
-          "__last_batch", org.apache.spark.sql.types.LongType, false)))
-    out.coalesce(1).write.mode("overwrite").parquet(viewDir)
+    updated.withColumn("__last_batch", lit(batchId))
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(path, true)
+    if (!fs.rename(tmp, path))
+      throw new java.io.IOException(
+        s"view swap failed: could not rename $tmp to $path")
   }
 }

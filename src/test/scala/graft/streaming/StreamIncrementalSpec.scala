@@ -78,6 +78,39 @@ class StreamIncrementalSpec extends SparkSpec {
     assert(r.toSeq === Seq(("a", 2L, 12L)))
   }
 
+  test("interrupted swap recovers: tmp-only state is adopted, " +
+    "stale tmp beside a live view is discarded") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sivm-swap").toString
+    val viewDir = s"$base/view"
+    val handler = Incremental.maintainParquetView(
+      viewDir, Seq("k"), col("v")) _
+    handler(Seq(("a", 10L)).toDF("k", "v"), 0L)
+    handler(Seq(("a", 2L)).toDF("k", "v"), 1L)
+    val fs = new org.apache.hadoop.fs.Path(viewDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash BETWEEN delete and rename: only tmp has data,
+    // already carrying __last_batch = 1
+    fs.rename(new org.apache.hadoop.fs.Path(viewDir),
+      new org.apache.hadoop.fs.Path(viewDir + "__tmp"))
+    // checkpoint replays batch 1 on restart: adopt-on-entry must
+    // rename tmp in, then the idempotency guard skips the batch
+    handler(Seq(("a", 2L)).toDF("k", "v"), 1L)
+    val r = view(viewDir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq(("a", 2L, 12L)))
+    // simulate a crash AFTER the tmp write but BEFORE the delete:
+    // both dirs have data — the live view is authoritative and the
+    // stale tmp must not shadow the next refresh
+    fs.mkdirs(new org.apache.hadoop.fs.Path(viewDir + "__tmp"))
+    Seq(("zz", 99L)).toDF("k", "v")
+      .write.mode("overwrite").parquet(viewDir + "__tmp")
+    handler(Seq(("b", 5L)).toDF("k", "v"), 2L)
+    val r2 = view(viewDir).orderBy("k").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r2.toSeq === Seq(("a", 2L, 12L), ("b", 1L, 5L)))
+  }
+
   test("an EMPTY first batch (zero-row view) does not wedge the sink") {
     import spark.implicits._
     val viewDir = Files.createTempDirectory("graft-sivm-empty")
