@@ -606,6 +606,37 @@ object Multimodal {
       .withColumn("ts_ms",
         (col("frame_idx") * lit(1000L) / lit(fps)).cast("long"))
 
+  /** Audio chunking PLAN — the overlapping fixed-window segmentation
+    * policy (Whisper-style "N-second windows with hop < window")
+    * expressed over DECODED METADATA only: each clip yields chunks
+    * starting every `hopMs` while the start is inside the clip; the
+    * last chunk is truncated at the clip end (end_ms = min(start +
+    * win, duration)), mirroring real pipelines that pad/trim the
+    * final window. n_frames converts the chunk span back to frame
+    * counts at the clip's own sample rate, so the downstream PCM
+    * slicer can address bytes directly.
+    *
+    * Like [[frameSamplePlan]]: metadata-only, so it runs BEFORE any
+    * byte access and the decode stage reads exactly these spans.
+    * Scale shape: bounded per-row `sequence` explode (≤ ceil(maxDur/
+    * hop) per clip), zero shuffle, pure codegen. Undecodable or
+    * zero-length clips yield no chunks (also keeps `sequence`
+    * ascending). */
+  def audioChunkPlan(meta: Dataset[AudioMeta], winMs: Int = 120,
+                     hopMs: Int = 100): DataFrame =
+    meta.toDF().filter(col("decoded") && col("duration_ms") > 0)
+      .withColumn("__n",
+        floor((col("duration_ms") - 1) / lit(hopMs)) + 1)
+      .select(col("media_id"), col("sample_rate"), col("duration_ms"),
+        explode(sequence(lit(0L), col("__n") - 1)).as("chunk_idx"))
+      .withColumn("start_ms", col("chunk_idx") * lit(hopMs.toLong))
+      .withColumn("end_ms",
+        least(col("start_ms") + lit(winMs.toLong), col("duration_ms")))
+      .withColumn("n_frames",
+        floor((col("end_ms") - col("start_ms")) *
+          col("sample_rate") / lit(1000)).cast("long"))
+      .drop("sample_rate", "duration_ms")
+
   /** Metadata-only predicate pass (no byte access): the point of the
     * typed-metadata column — filters prune before decode. */
   def selectForDecode(media: DataFrame, kinds: Seq[String],

@@ -4634,6 +4634,36 @@ object Catalog {
           CAST(frame_idx * 1000 AS BIGINT) AS ts_ms
         FROM f ORDER BY media_id, frame_idx""")),
 
+    // ── §7.5 audio chunking plan: mm08's audio twin — overlapping
+    //    120 ms windows every 100 ms over mm04's REAL-decode
+    //    durations (Whisper-style segmentation policy, scaled to the
+    //    fixture clips); last chunk truncates at clip end; n_frames
+    //    re-addresses each span at the clip's own sample rate.
+    //    Metadata-only, bounded explode, zero shuffle. ───────────────
+    Q("mm09_audio_chunks",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticWavMedia(
+          Tables.documents(s, d).select("doc_id"))(s)
+        graft.multimodal.Multimodal.audioChunkPlan(
+          graft.multimodal.Multimodal.decodeAudios(media)(s),
+          winMs = 120, hopMs = 100)
+          .orderBy("media_id", "chunk_idx")
+      },
+      Some("""WITH m AS (SELECT doc_id AS media_id,
+            CAST(100 + doc_id % 400 AS BIGINT) AS dur
+          FROM documents),
+        n AS (SELECT media_id, dur,
+            CAST(floor((dur - 1) / 100.0) AS BIGINT) + 1 AS n
+          FROM m),
+        f AS (SELECT media_id, dur,
+            unnest(range(0, n)) AS chunk_idx FROM n)
+        SELECT media_id, chunk_idx,
+          CAST(chunk_idx * 100 AS BIGINT) AS start_ms,
+          least(CAST(chunk_idx * 100 + 120 AS BIGINT), dur) AS end_ms,
+          CAST((least(CAST(chunk_idx * 100 + 120 AS BIGINT), dur)
+                - chunk_idx * 100) * 8 AS BIGINT) AS n_frames
+        FROM f ORDER BY media_id, chunk_idx""")),
+
     // ── §2.7 HOPPING time window (slide < length): each event lands
     //    in length/slide windows. Spark's native TimeWindow expands
     //    rows into their windows INSIDE the scan stage (a bounded

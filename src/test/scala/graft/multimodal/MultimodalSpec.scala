@@ -283,6 +283,30 @@ class MultimodalSpec extends SparkSpec {
     assert(!r.ok)
   }
 
+  test("audioChunkPlan: overlap grid, truncated last chunk, " +
+    "undecoded excluded") {
+    import spark.implicits._
+    val meta = Seq(
+      AudioMeta(1L, decoded = true, 8000, 800L, 100L),   // 1 chunk
+      AudioMeta(2L, decoded = true, 8000, 2792L, 349L),  // 4 chunks
+      AudioMeta(3L, decoded = true, 16000, 3200L, 200L), // 2, 16 kHz
+      AudioMeta(4L, decoded = false, 0, 0L, 0L)).toDS()  // excluded
+    val plan = Multimodal.audioChunkPlan(meta, winMs = 120,
+      hopMs = 100).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("start_ms"), r.getAs[Long]("end_ms"),
+        r.getAs[Long]("n_frames")))
+    val byId = plan.groupBy(_._1)
+    // duration 100 < hop: single chunk truncated at the clip end
+    assert(byId(1L).toSeq === Seq((1L, 0L, 0L, 100L, 800L)))
+    // duration 349: starts 0,100,200,300; last chunk 300..349
+    assert(byId(2L).map(x => (x._3, x._4)).sorted.toSeq ===
+      Seq((0L, 120L), (100L, 220L), (200L, 320L), (300L, 349L)))
+    // n_frames follows the clip's OWN rate: 120 ms @16 kHz = 1920
+    assert(byId(3L).find(_._2 == 0L).get._5 === 1920L)
+    assert(!byId.contains(4L))
+  }
+
   test("frameSamplePlan: 1 fps grid, maxFrames cap, not-ok excluded") {
     import spark.implicits._
     val meta = Seq(
