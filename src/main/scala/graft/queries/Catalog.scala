@@ -2448,27 +2448,53 @@ object Catalog {
     //    rank-bounded GK sketch — the partition-mergeable path exact
     //    sort-percentiles (d18) don't have) next to the exact values.
     //    q22 pattern: exact columns hash-verify against quantile_cont;
-    //    the sketch output is asserted as a BOUND the oracle predicts
-    //    true (2% of exact or 50 cents, whichever is larger). ────────
+    //    the sketch output is asserted against the sketch's ACTUAL
+    //    contract — RANK error ≤ n/accuracy (+1 slop for the
+    //    discrete/interpolated boundary), not a value-space
+    //    tolerance: on sparse data adjacent order statistics can sit
+    //    arbitrarily far apart in VALUE while the sketch is rank-
+    //    perfect (a 50-cent value bound flagged a correct sketch at
+    //    sf0.001). The returned element's attributable rank interval
+    //    [count(<)+1, count(≤)] must intersect [p·n − b, p·n + b].
+    //    The rank recount is one broadcast join (group list is tiny)
+    //    + a second map-side-combined pass. ──────────────────────────
     Q("d35_approx_percentile",
       (s, d) => {
         val cents = round(col("value") * 100, 0).cast("long")
-        Tables.events(s, d)
-          .withColumn("__c", cents)
-          .groupBy("event_type")
+        val ev = Tables.events(s, d).withColumn("__c", cents)
+        val ag = ev.groupBy("event_type")
           .agg(
             expr("percentile(__c, array(0.5D, 0.95D))").as("__p"),
             expr("approx_percentile(__c, array(0.5D, 0.95D), 10000)")
-              .as("__a"))
+              .as("__a"),
+            count(lit(1)).cast("long").as("__n"))
+        val ranks = ev
+          .join(broadcast(ag.select(col("event_type"), col("__a"))),
+            "event_type")
+          .groupBy("event_type")
+          .agg(
+            sum(when(col("__c") < element_at(col("__a"), 1), 1L)
+              .otherwise(0L)).as("__lt50"),
+            sum(when(col("__c") <= element_at(col("__a"), 1), 1L)
+              .otherwise(0L)).as("__le50"),
+            sum(when(col("__c") < element_at(col("__a"), 2), 1L)
+              .otherwise(0L)).as("__lt95"),
+            sum(when(col("__c") <= element_at(col("__a"), 2), 1L)
+              .otherwise(0L)).as("__le95"))
+        def rankOk(lt: org.apache.spark.sql.Column,
+                   le: org.apache.spark.sql.Column,
+                   p: Double): org.apache.spark.sql.Column = {
+          val target = col("__n").cast("double") * p
+          val bound = col("__n").cast("double") / 10000.0 + 1.0
+          (le.cast("double") >= target - bound) &&
+            ((lt.cast("double") + 1.0) <= target + bound)
+        }
+        ag.join(ranks, "event_type")
           .select(col("event_type"),
             round(element_at(col("__p"), 1), 4).as("p50_cents"),
             round(element_at(col("__p"), 2), 4).as("p95_cents"),
-            (abs(element_at(col("__a"), 1) - element_at(col("__p"), 1))
-              <= greatest(element_at(col("__p"), 1) * 0.02, lit(50.0)))
-              .as("p50_ok"),
-            (abs(element_at(col("__a"), 2) - element_at(col("__p"), 2))
-              <= greatest(element_at(col("__p"), 2) * 0.02, lit(50.0)))
-              .as("p95_ok"))
+            rankOk(col("__lt50"), col("__le50"), 0.5).as("p50_ok"),
+            rankOk(col("__lt95"), col("__le95"), 0.95).as("p95_ok"))
           .orderBy("event_type")
       },
       Some("""SELECT event_type,

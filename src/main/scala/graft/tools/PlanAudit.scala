@@ -40,7 +40,7 @@ object PlanAudit {
       "v15_margin_mining", "d54_semantic_decontam",
       "d55_char_entropy", "d56_kn_bigram_nll", "q53_ohlc_downsample",
       "mm08_frame_sample", "q54_hopping_window",
-      "d57_golden_record")) {
+      "d57_golden_record", "mm09_audio_chunks")) {
       println(s"\n######## $name ########")
       val df = graft.SparkEntry.queries(name)(spark, d)
       println(df.queryExecution.explainString(
