@@ -631,8 +631,8 @@ object Vectors {
         col("b_id").as("b"), col("c").as("c"))).as("__w"),
         count(lit(1)).cast("long").as("n_cand"))
       .select(col("a_id").as("src_id"), col("__w.b").as("dst_id"),
-        round(col("__w.c") / lit(1e6), 4).as("cos_sim"),
-        round(-col("__w.nm"), 4).as("margin"), col("n_cand"))
+        (col("__w.c") / lit(1e6)).as("cos_sim"),
+        (-col("__w.nm")).as("margin"), col("n_cand"))
   }
 
   /** IVF-probed margin mining — the 100 TB form of [[marginMining]],

@@ -1382,7 +1382,7 @@ object Catalog {
               CAST(sum(lr) AS BIGINT) AS w_micro
             FROM tb JOIN r USING (bucket) GROUP BY 1)
         SELECT doc_id, n_tokens, w_micro,
-          round(w_micro / 1e6 / n_tokens, 4) AS avg_lr
+          w_micro / 1e6 / n_tokens AS avg_lr
         FROM agg ORDER BY doc_id""")),
 
     // ── §7.5 hashed-feature linear quality classifier (fastText
@@ -1895,7 +1895,7 @@ object Catalog {
               CAST(sum(c) AS BIGINT) AS nll_micro
             FROM per GROUP BY 1)
         SELECT doc_id, n_tokens, nll_micro,
-          round(nll_micro / 1e6 / n_tokens, 4) AS avg_nll
+          nll_micro / 1e6 / n_tokens AS avg_nll
         FROM agg ORDER BY doc_id""")),
 
     // ── §7.5 count-min sketch heavy hitters: the mergeable d·w
@@ -2461,13 +2461,16 @@ object Catalog {
     Q("d35_approx_percentile",
       (s, d) => {
         val cents = round(col("value") * 100, 0).cast("long")
+        val accuracy = 10000
         val ev = Tables.events(s, d).withColumn("__c", cents)
-        val ag = ev.groupBy("event_type")
-          .agg(
-            expr("percentile(__c, array(0.5D, 0.95D))").as("__p"),
-            expr("approx_percentile(__c, array(0.5D, 0.95D), 10000)")
-              .as("__a"),
-            count(lit(1)).cast("long").as("__n"))
+        // both the rank recount and the final join read ag
+        val ag = graft.CacheTracker.persistTracked(
+          ev.groupBy("event_type")
+            .agg(
+              expr("percentile(__c, array(0.5D, 0.95D))").as("__p"),
+              expr(s"approx_percentile(__c, array(0.5D, 0.95D), " +
+                s"$accuracy)").as("__a"),
+              count(lit(1)).cast("long").as("__n")))
         val ranks = ev
           .join(broadcast(ag.select(col("event_type"), col("__a"))),
             "event_type")
@@ -2485,7 +2488,7 @@ object Catalog {
                    le: org.apache.spark.sql.Column,
                    p: Double): org.apache.spark.sql.Column = {
           val target = col("__n").cast("double") * p
-          val bound = col("__n").cast("double") / 10000.0 + 1.0
+          val bound = col("__n").cast("double") / accuracy + 1.0
           (le.cast("double") >= target - bound) &&
             ((lt.cast("double") + 1.0) <= target + bound)
         }
@@ -3756,7 +3759,7 @@ object Catalog {
               CAST(sum(c) AS BIGINT) AS nll_micro
             FROM per GROUP BY 1)
         SELECT doc_id, n_bigrams, nll_micro,
-          round(nll_micro / 1e6 / n_bigrams, 4) AS avg_nll
+          nll_micro / 1e6 / n_bigrams AS avg_nll
         FROM agg ORDER BY doc_id""")),
 
     // ── §7.5 length-tile bucketing (curriculum / packing prep):
@@ -4376,7 +4379,7 @@ object Catalog {
               (s_a * n_b + s_b * n_a) AS margin
           FROM p JOIN sa USING (a_id) JOIN sb USING (b_id))
       SELECT a_id AS src_id, b_id AS dst_id,
-        round(c / 1e6, 4) AS cos_sim, round(margin, 4) AS margin
+        c / 1e6 AS cos_sim, margin
       FROM m
       QUALIFY row_number() OVER (PARTITION BY a_id
         ORDER BY margin DESC, b_id) = 1
@@ -4398,8 +4401,14 @@ object Catalog {
           emb.filter(col("vec_id") % 50 =!= 0),
           emb.filter(col("vec_id") % 50 === 0),
           "embedding", "vec_id", simMicroThreshold = 350000L)
+          // sim = the exact division of the (cross-engine-identical)
+          // integer micro value — NOT round(..., 4): re-rounding a
+          // quantized value reopens the boundary surface (Spark's
+          // Round sees BigDecimal.valueOf's shortest decimal
+          // "0.38835"→0.3884 while DuckDB rounds the true binary
+          // 0.38834999…→0.3883; hit at sf0.1)
           .select(col("corpus_id"), col("eval_id"),
-            round(col("sim_micro") / lit(1e6), 4).as("sim"))
+            (col("sim_micro") / lit(1e6)).as("sim"))
           .orderBy("corpus_id")
       },
       Some("""WITH e AS (SELECT vec_id,
@@ -4417,7 +4426,7 @@ object Catalog {
           FROM c CROSS JOIN ev),
         b AS (SELECT *, row_number() OVER (PARTITION BY corpus_id
             ORDER BY sim_micro DESC, eval_id) AS rn FROM s)
-      SELECT corpus_id, eval_id, round(sim_micro / 1e6, 4) AS sim
+      SELECT corpus_id, eval_id, sim_micro / 1e6 AS sim
       FROM b WHERE rn = 1 AND sim_micro >= 350000
       ORDER BY corpus_id""")),
 
@@ -4494,7 +4503,7 @@ object Catalog {
               (s_a * n_b + s_b * n_a) AS margin
           FROM p JOIN sa USING (a_id) JOIN sb USING (b_id))
       SELECT m.a_id AS src_id, m.b_id AS dst_id,
-        round(m.c / 1e6, 4) AS cos_sim, round(m.margin, 4) AS margin,
+        m.c / 1e6 AS cos_sim, m.margin AS margin,
         cnt.n_cand
       FROM m JOIN cnt ON cnt.a_id = m.a_id
       QUALIFY row_number() OVER (PARTITION BY m.a_id
@@ -4593,7 +4602,7 @@ object Catalog {
               CAST(sum(c) AS BIGINT) AS nll_micro
             FROM per GROUP BY 1)
         SELECT doc_id, n_bigrams, nll_micro,
-          round(nll_micro / 1e6 / n_bigrams, 4) AS avg_nll
+          nll_micro / 1e6 / n_bigrams AS avg_nll
         FROM agg ORDER BY doc_id""")),
 
     // ── §2.5/§2.7 time-bucketed OHLC downsample: per (user, day)

@@ -69,21 +69,28 @@ object Incremental {
     * transaction.
     *
     * The refresh stays DISTRIBUTED end to end: the updated view is
-    * written to a sibling `<viewDir>__tmp` dir (the write's lineage
-    * reads the CURRENT view dir, so there is no read-overwrite
-    * cycle and nothing is ever collected to the driver — the view
-    * can be arbitrarily many keys), then swapped in with
-    * delete + rename. Crash points are all recoverable:
+    * written to a SIBLING tmp dir (the write's lineage reads the
+    * CURRENT view dir, so there is no read-overwrite cycle and
+    * nothing is ever collected to the driver — the view can be
+    * arbitrarily many keys), then swapped in with delete + rename.
     *
-    *   - crash after the tmp write, before the delete → both dirs
-    *     have data; the old view is authoritative (adopt-on-entry
-    *     deletes the stale tmp, and the replayed batch recomputes
-    *     it);
-    *   - crash between delete and rename → only tmp has data; it is
-    *     the COMPLETE updated view (parquet job committed, and it
-    *     already carries `__last_batch = batchId`), so adopt-on-entry
-    *     renames it in and the replayed batch hits the idempotency
-    *     guard.
+    * Crash recovery keys off parquet's own job-commit marker: a tmp
+    * dir whose write job COMMITTED (`_SUCCESS` present) is always
+    * exactly `view ⊕ lastBatch` — no other state can produce one,
+    * because every entry adopts or deletes tmp before writing a new
+    * one — so adoption unconditionally prefers a committed tmp. That
+    * covers every crash point, including a crash HALFWAY through the
+    * recursive delete of the old view (a partially deleted old dir
+    * can still "have data", so any old-view-is-authoritative rule
+    * would resurrect a corrupted view):
+    *
+    *   - crash mid-tmp-write → no `_SUCCESS` → tmp discarded, old
+    *     view intact, batch replays;
+    *   - crash after tmp commit (before/during/after the old-view
+    *     delete, before the rename) → committed tmp adopted; it
+    *     already carries `__last_batch = batchId`, so the replayed
+    *     batch hits the idempotency guard;
+    *   - crash after the rename → no tmp; nothing to do.
     *
     * At 100 TB the swap would additionally bucket the view by the
     * keys (one-sided merge exchange, see [[merge]]) — layout, not
@@ -93,7 +100,11 @@ object Incremental {
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val path = new org.apache.hadoop.fs.Path(viewDir)
-    val tmp = new org.apache.hadoop.fs.Path(viewDir + "__tmp")
+    // sibling of the NORMALIZED path — string concat on viewDir
+    // would nest tmp INSIDE the view dir for a trailing-slash
+    // viewDir, and the swap's delete would then destroy both copies
+    val tmp = new org.apache.hadoop.fs.Path(
+      path.getParent, path.getName + "__tmp")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // "exists" = has DATA (the StreamIngest/StreamNearDedup hasData
     // pattern): a dir holding only _SUCCESS/_temporary — an empty
@@ -104,10 +115,17 @@ object Incremental {
         val nm = st.getPath.getName
         !nm.startsWith("_") && !nm.startsWith(".")
       }
-    // adopt-on-entry: resolve any interrupted swap (see scaladoc)
-    if (hasData(tmp)) {
-      if (hasData(path)) fs.delete(tmp, true)
-      else { fs.delete(path, true); fs.rename(tmp, path) }
+    def committed(p: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    // adopt-on-entry: a COMMITTED tmp is the updated view (see
+    // scaladoc) — swap it in; an uncommitted tmp is a dead write
+    if (fs.exists(tmp)) {
+      if (committed(tmp)) {
+        fs.delete(path, true)
+        if (!fs.rename(tmp, path))
+          throw new java.io.IOException(
+            s"view recovery failed: could not rename $tmp to $path")
+      } else fs.delete(tmp, true)
     }
     val existing =
       if (hasData(path)) Some(spark.read.parquet(viewDir)) else None

@@ -60,7 +60,7 @@ object Dsir {
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum("lr_micro").cast("long").as("w_micro"))
       .withColumn("avg_lr",
-        round(col("w_micro") / lit(1e6) / col("n_tokens"), 4))
+        col("w_micro") / lit(1e6) / col("n_tokens"))
       .withColumnRenamed("id", idCol)
   }
 }

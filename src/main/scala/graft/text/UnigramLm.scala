@@ -50,7 +50,7 @@ object UnigramLm {
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         sum("__c").cast("long").as("nll_micro"))
       .withColumn("avg_nll",
-        round(col("nll_micro") / lit(1e6) / col("n_tokens"), 4))
+        col("nll_micro") / lit(1e6) / col("n_tokens"))
       .withColumnRenamed("id", idCol)
   }
 
@@ -92,7 +92,7 @@ object UnigramLm {
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum("__c").cast("long").as("nll_micro"))
       .withColumn("avg_nll",
-        round(col("nll_micro") / lit(1e6) / col("n_bigrams"), 4))
+        col("nll_micro") / lit(1e6) / col("n_bigrams"))
       .withColumnRenamed("id", idCol)
   }
 
@@ -164,7 +164,7 @@ object UnigramLm {
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         sum("__c").cast("long").as("nll_micro"))
       .withColumn("avg_nll",
-        round(col("nll_micro") / lit(1e6) / col("n_bigrams"), 4))
+        col("nll_micro") / lit(1e6) / col("n_bigrams"))
       .withColumnRenamed("id", idCol)
   }
 }

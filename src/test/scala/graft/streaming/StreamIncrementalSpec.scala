@@ -99,16 +99,31 @@ class StreamIncrementalSpec extends SparkSpec {
     val r = view(viewDir).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(r.toSeq === Seq(("a", 2L, 12L)))
-    // simulate a crash AFTER the tmp write but BEFORE the delete:
-    // both dirs have data — the live view is authoritative and the
-    // stale tmp must not shadow the next refresh
-    fs.mkdirs(new org.apache.hadoop.fs.Path(viewDir + "__tmp"))
+    // simulate a crash MID-TMP-WRITE: data files but no _SUCCESS
+    // (job never committed) — the dead write must be discarded and
+    // the live view kept
+    val tmpPath = new org.apache.hadoop.fs.Path(viewDir + "__tmp")
     Seq(("zz", 99L)).toDF("k", "v")
-      .write.mode("overwrite").parquet(viewDir + "__tmp")
+      .write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(tmpPath, "_SUCCESS"), false)
     handler(Seq(("b", 5L)).toDF("k", "v"), 2L)
     val r2 = view(viewDir).orderBy("k").collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
     assert(r2.toSeq === Seq(("a", 2L, 12L), ("b", 1L, 5L)))
+  }
+
+  test("trailing-slash viewDir keeps tmp a SIBLING (swap must not " +
+    "nest tmp inside the view dir and destroy both copies)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-sivm-slash").toString
+    val viewDir = s"$base/view/"
+    val handler = Incremental.maintainParquetView(
+      viewDir, Seq("k"), col("v")) _
+    handler(Seq(("a", 1L)).toDF("k", "v"), 0L)
+    handler(Seq(("a", 2L)).toDF("k", "v"), 1L)
+    val r = view(s"$base/view").collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq === Seq(("a", 2L, 3L)))
   }
 
   test("an EMPTY first batch (zero-row view) does not wedge the sink") {
