@@ -4669,6 +4669,47 @@ object Catalog {
           CAST(frame_idx * 1000 AS BIGINT) AS ts_ms
         FROM f ORDER BY media_id, frame_idx""")),
 
+    // ── §7.5 token-budget shard packing — the training-data EXPORT
+    //    step: deterministically shuffle the corpus (portable md5
+    //    draw, the d30 pattern), then cut the running token total at
+    //    budget multiples so every shard carries ≈budget tokens
+    //    regardless of document-length skew (equal-COUNT sharding
+    //    ships unbalanced work to the trainer). The global running
+    //    sum is Rank.globalRunningSum — range partition + partition
+    //    offsets, NOT an unpartitioned window; shard id is then a
+    //    pure map (floor(exclusive_prefix / budget)). ────────────────
+    Q("d58_shard_pack",
+      (s, d) => {
+        val draw = Text.portableTokenHash(
+          concat(lit("pack#"), col("doc_id").cast("string")))
+        val budget = 4000L
+        graft.query.Rank.globalRunningSum(
+          Tables.documents(s, d)
+            .withColumn("__draw", draw)
+            .withColumn("__tok",
+              size(Text.tokens(col("text"))).cast("long"))
+            .select(col("doc_id"), col("__draw"), col("__tok")),
+          Seq(col("__draw"), col("doc_id")), col("__tok"),
+          "cum_tokens")
+          .withColumn("shard",
+            floor((col("cum_tokens") - col("__tok")) / lit(budget))
+              .cast("long"))
+          .select(col("doc_id"), col("cum_tokens"), col("shard"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id,
+            ('0x' || substr(md5('pack#' || CAST(doc_id AS VARCHAR)),
+              1, 15))::BIGINT AS draw,
+            CAST(len($sqlToks) AS BIGINT) AS tok
+          FROM documents),
+        c AS (SELECT doc_id, tok,
+            CAST(sum(tok) OVER (ORDER BY draw, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+          FROM t)
+        SELECT doc_id, cum_tokens,
+          CAST(floor((cum_tokens - tok) / 4000.0) AS BIGINT) AS shard
+        FROM c ORDER BY doc_id""")),
+
     // ── §7.5 audio chunking plan: mm08's audio twin — overlapping
     //    120 ms windows every 100 ms over mm04's REAL-decode
     //    durations (Whisper-style segmentation policy, scaled to the
