@@ -4686,14 +4686,12 @@ object Catalog {
         graft.query.Rank.globalRunningSum(
           Tables.documents(s, d)
             .withColumn("__draw", draw)
-            .withColumn("__tok",
-              size(Text.tokens(col("text"))).cast("long"))
+            .withColumn("__tok", Text.tokenCount(col("text")))
             .select(col("doc_id"), col("__draw"), col("__tok")),
           Seq(col("__draw"), col("doc_id")), col("__tok"),
           "cum_tokens")
           .withColumn("shard",
-            floor((col("cum_tokens") - col("__tok")) / lit(budget))
-              .cast("long"))
+            floor((col("cum_tokens") - col("__tok")) / lit(budget)))
           .select(col("doc_id"), col("cum_tokens"), col("shard"))
           .orderBy("doc_id")
       },

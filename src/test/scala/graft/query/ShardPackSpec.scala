@@ -13,7 +13,7 @@ class ShardPackSpec extends SparkSpec {
 
   private val d = "/root/testdata/sf0.001"
 
-  private def engine() =
+  private lazy val engineOut =
     Catalog.all.find(_.name == "d58_shard_pack").get.run(spark, d)
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -31,27 +31,28 @@ class ShardPackSpec extends SparkSpec {
         size(graft.functions.Text.tokens(col("text"))).cast("long"))
       .withColumn("cum_tokens", sum("__tok").over(w))
       .withColumn("shard",
-        floor((col("cum_tokens") - col("__tok")) / lit(4000L))
-          .cast("long"))
+        floor((col("cum_tokens") - col("__tok")) / lit(4000L)))
       .select(col("doc_id"), col("cum_tokens"), col("shard"))
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Long]("cum_tokens"), r.getAs[Long]("shard"))))
       .toMap
-    val e = engine()
-    assert(e.nonEmpty && e === indep)
+    assert(engineOut.nonEmpty && engineOut === indep)
   }
 
   test("shards are balanced by TOKENS: all but the last carry at " +
     "least budget minus one document") {
-    val e = engine()
     val toks = graft.Tables.documents(spark, d)
       .select(col("doc_id"),
-        size(graft.functions.Text.tokens(col("text"))).cast("long")
-          .as("t"))
+        graft.functions.Text.tokenCount(col("text")).as("t"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val maxTok = toks.values.max
-    val byShard = e.toSeq.groupBy(_._2._2)
+    // the ±maxTok slack below is vacuous once any doc reaches the
+    // budget — guard the assumption so a fixture regeneration can't
+    // silently disarm the test
+    assert(maxTok < 4000L / 2,
+      s"fixture docs too large for the balance bounds (max $maxTok)")
+    val byShard = engineOut.toSeq.groupBy(_._2._2)
       .map { case (s, xs) => s -> xs.map(x => toks(x._1)).sum }
     val last = byShard.keys.max
     byShard.filter(_._1 != last).foreach { case (s, total) =>
