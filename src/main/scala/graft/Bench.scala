@@ -52,7 +52,14 @@ object Bench {
         finally CacheTracker.releaseAll()
       name -> ((System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    // Printed line stays PARSEABLE at 140+ queries: r4's official
+    // artifact came back `parsed: null` because full double reprs +
+    // an all-null errors map pushed the line past the driver's tail
+    // capture and truncated the JSON. Millisecond precision and
+    // errors-only-when-present keep the line ~4 KB; the full-precision
+    // per-query profile goes to a committed self-record file.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     // Apples-to-apples contract number: BASELINE was recorded over the
     // 36-query round-1 catalog (BENCH_r01: 48.196 s); the catalog has
@@ -79,11 +86,30 @@ object Bench {
     val baseTotal = results.collect {
       case (k, (v, _)) if baseline36(k) => v
     }.sum
-    val errs = results.map { case (k, (_, e)) =>
-      s"\"" + k + "\":" + e.map("\"" + _ + "\"").getOrElse("null")
+    // zero-error runs print "errors":{} — null entries added ~3 KB of
+    // dead weight to the one line that must survive tail capture
+    val errs = results.collect { case (k, (_, Some(e))) =>
+      s"\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"baseline36_total":$baseTotal,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"baseline36_total":${r3(baseTotal)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    // Self-record (VERDICT r4 #1): the official BENCH artifact only
+    // keeps what the driver's tail capture catches, so ALSO write the
+    // profile — full precision, one query per line for readable
+    // diffs — to a repo file committed each round.
+    val selfPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SELF",
+      "/root/repo/BENCH_SELF.json")
+    try {
+      val body = results.map { case (k, (v, e)) =>
+        s"""    "$k": {"sec": $v, "err": ${
+          e.map("\"" + _ + "\"").getOrElse("null")}}"""
+      }.mkString(",\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get(selfPath),
+        (s"""{\n  "metric": "total",\n  "value": $total,\n  "unit": "sec",\n  "n_queries": ${results.size},\n  "baseline36_total": $baseTotal,\n  "sf": "$sfDir",\n  "queries": {\n$body\n  }\n}\n""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench self-record write failed: $e") }
+    println(line)
     spark.stop()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }

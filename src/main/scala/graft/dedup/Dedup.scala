@@ -773,9 +773,16 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
     // shingle sets feed banding AND verification — cache both sides
-    // (the corpus side stands in for the persisted signature table)
+    // (the corpus side stands in for the persisted signature table).
+    // Latest-wins on re-ingest: a doc id present in BOTH sides would
+    // band twice and duplicate every verified pair row it joins (and
+    // its new-vs-stored self-pair is suppressed by new_id =!= old_id
+    // anyway) — drop the STORED version wherever the delta carries
+    // the id, the S9 merge's document identity rule. The delta id
+    // set is batch-sized, so the anti-join broadcasts.
     val shNew = CacheTracker.persistTracked(deltaSets)
-    val shOld = CacheTracker.persistTracked(corpusSets)
+    val shOld = CacheTracker.persistTracked(corpusSets.join(
+      broadcast(deltaSets.select("id")), Seq("id"), "left_anti"))
     // the banded delta feeds TWO consumers (the probe side and the
     // union's intra-batch arm) — persist the slim (id, band, key)
     // rows, or each consumer re-runs the per-shingle hashing +

@@ -30,7 +30,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted projections) while the merge loop lives in plain
   * Scala; the rank map + cache ride as a plan reference object.
   */
-case class BpeEncode(child: Expression, merges: Array[(String, String)])
+// merges is a Seq, NOT an Array: Array equality/hashCode are
+// referential, so an Array-carrying case class never compares equal
+// to a semantically identical instance — semanticEquals, common-
+// subexpression elimination and exchange reuse would silently fail
+// (the CentroidArgmax convention).
+case class BpeEncode(child: Expression,
+                     merges: IndexedSeq[(String, String)])
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -68,7 +74,7 @@ object BpeEncode {
     * symbols). One instance per plan reference; thread-safe via
     * ConcurrentHashMap, capped so a high-cardinality vocab can't
     * balloon executor memory. */
-  final case class MergeTable(merges: Array[(String, String)]) {
+  final case class MergeTable(merges: IndexedSeq[(String, String)]) {
     @transient lazy val rank: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer]()
       merges.zipWithIndex.foreach { case ((a, b), i) =>
@@ -143,5 +149,5 @@ object BpeEncode {
   /** Column API. */
   def bpeEncode(tokens: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(
-      BpeEncode(GraftBridge.expression(tokens), merges.toArray))
+      BpeEncode(GraftBridge.expression(tokens), merges.toIndexedSeq))
 }

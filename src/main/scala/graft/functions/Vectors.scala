@@ -575,7 +575,24 @@ object Vectors {
     * banding (v03) at corpus scale; neighborhood sums and margin are
     * unchanged. */
   def marginMining(a: DataFrame, b: DataFrame, vecCol: String,
-                   idCol: String, k: Int): DataFrame = {
+                   idCol: String, k: Int,
+                   allowExact: Boolean = false,
+                   maxExactPairs: Long = 50000000L): DataFrame = {
+    // The A×B candidate stage is the engine's one DOCUMENTED quadratic
+    // (110 M materialized pairs / 247.8 s at the measured 100× point —
+    // BENCH_NOTES): it exists as the oracle gate and the small-corpus
+    // fast path, NOT the corpus-scale form. Refuse past the pair
+    // threshold unless the caller opts in deliberately; the scale
+    // route is [[marginMiningIvf]] (cluster-keyed candidates, 21×
+    // faster at the same 100× point, 11× less shuffle).
+    if (!allowExact) {
+      val nA = a.count(); val nB = b.count()
+      require(nA * nB <= maxExactPairs,
+        s"marginMining's exact form would materialize ${nA * nB} " +
+          s"candidate pairs (> $maxExactPairs). Use marginMiningIvf " +
+          "(IVF-probed candidates — the corpus-scale form) or pass " +
+          "allowExact = true deliberately.")
+    }
     val isFloat = a.schema(vecCol).dataType match {
       case org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.FloatType, _) => true
@@ -621,15 +638,28 @@ object Vectors {
     pairs
       .join(nbh("a_id", "b_id"), "a_id")
       .join(nbh("b_id", "a_id"), "b_id")
+      // zero denominator (both neighborhoods' quantized cosine sums
+      // cancel — zero-norm / orthogonal corners): Spark's Divide
+      // returns NULL where IEEE division gives inf/nan, and a bare
+      // min-struct would sort that NULL-margin candidate FIRST and
+      // crown it. Guard the division and exclude null margins from
+      // the argmax (house when(isNotNull, struct) convention); the
+      // oracle mirrors with `den <> 0`.
+      .withColumn("__den",
+        (col("s_a_id") * col("n_b_id") +
+          col("s_b_id") * col("n_a_id")).cast("double"))
       .withColumn("__margin",
-        (lit(2L) * col("c") * col("n_a_id") * col("n_b_id"))
-          .cast("double") /
-          (col("s_a_id") * col("n_b_id") +
-            col("s_b_id") * col("n_a_id")).cast("double"))
+        when(col("__den") =!= 0.0,
+          (lit(2L) * col("c") * col("n_a_id") * col("n_b_id"))
+            .cast("double") / col("__den")))
       .groupBy("a_id")
-      .agg(min(struct((-col("__margin")).as("nm"),
-        col("b_id").as("b"), col("c").as("c"))).as("__w"),
+      .agg(min(when(col("__margin").isNotNull,
+        struct((-col("__margin")).as("nm"),
+          col("b_id").as("b"), col("c").as("c")))).as("__w"),
         count(lit(1)).cast("long").as("n_cand"))
+      // an id whose EVERY margin is undefined yields no row (matches
+      // the oracle, whose den<>0 filter empties its partition)
+      .filter(col("__w").isNotNull)
       .select(col("a_id").as("src_id"), col("__w.b").as("dst_id"),
         (col("__w.c") / lit(1e6)).as("cos_sim"),
         (-col("__w.nm")).as("margin"), col("n_cand"))

@@ -362,18 +362,27 @@ object Multimodal {
     * (width = 16 + id mod 32, height = 8 + id mod 16), gradient fill.
     * ENCODED through the real PNG writer, so decoding it back is a
     * true codec roundtrip, not a formula echo. */
-  private[multimodal] def syntheticPng(id: Long): Array[Byte] = {
+  private[multimodal] def syntheticPng(id: Long,
+                                       salt: Long = 0L): Array[Byte] = {
     val w = 16 + (id % 32).toInt
     val h = 8 + (id % 16).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // salt mixes into the COORDINATE coefficients, not just the
+    // offsets: a constant brightness shift would leave the aHash
+    // bit pattern (cell mean vs global mean) unchanged. salt=0
+    // reproduces the original formula bit-for-bit (the oracle
+    // fixture); distinct salts give genuinely different gradient
+    // frequencies — the de-aliasing knob for replicated bench
+    // corpora whose ids collide mod 256 (VERDICT r4 #3).
+    val s = math.abs(salt)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((id + x) % 256).toInt
-        val g = ((id * 7 + y) % 256).toInt
-        val b = ((x * y + id) % 256).toInt
+        val r = ((id + x * (1 + s % 5) + s) % 256).toInt
+        val g = ((id * 7 + y * (1 + s % 3) + s * 11) % 256).toInt
+        val b = ((x * y * (1 + s % 2) + id + s * 13) % 256).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }
@@ -387,12 +396,13 @@ object Multimodal {
   /** Fixture/bench source: real PNG media rows generated executor-
     * side from an id column (no driver bottleneck, no fixture files —
     * the generator runs inside the scan stage). */
-  def syntheticPngMedia(ids: DataFrame, idCol: String = "doc_id")
+  def syntheticPngMedia(ids: DataFrame, idCol: String = "doc_id",
+                        saltOf: Long => Long = _ => 0L)
       (implicit spark: SparkSession): Dataset[MediaRow] = {
     import spark.implicits._
     ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val bytes = syntheticPng(id)
+        val bytes = syntheticPng(id, saltOf(id))
         MediaRow(id, "image", bytes, "image/png",
           16 + (id % 32).toInt, 8 + (id % 16).toInt, 0L)
       }

@@ -3651,8 +3651,12 @@ object Catalog {
         walk(node, hops) AS (
           SELECT CAST(1 AS BIGINT), 0
           UNION
+          -- dst IS NOT NULL mirrors the engine's khop, which treats
+          -- null endpoints (missing / non-numeric $.k) as non-edges;
+          -- without it the recursive member admits (NULL, hops) rows
           SELECT e.dst, w.hops + 1 FROM walk w
-          JOIN e ON e.src = w.node WHERE w.hops < 3)
+          JOIN e ON e.src = w.node
+          WHERE w.hops < 3 AND e.dst IS NOT NULL)
         SELECT node, CAST(min(hops) AS BIGINT) AS hops
         FROM walk GROUP BY 1 ORDER BY 1""")),
 
@@ -4346,9 +4350,13 @@ object Catalog {
     Q("v15_margin_mining",
       (s, d) => {
         val emb = Tables.embeddings(s, d)
+        // allowExact: this row IS the documented quadratic oracle
+        // gate (and the ScaleEvidence 100× boundary probe) — every
+        // corpus-scale caller routes to v16 / marginMiningIvf, and
+        // marginMining itself refuses large inputs without this flag
         Vectors.marginMining(
           emb.filter(col("label") < 5), emb.filter(col("label") >= 5),
-          "embedding", "vec_id", k = 4)
+          "embedding", "vec_id", k = 4, allowExact = true)
           .orderBy("src_id")
       },
       Some("""WITH A AS (SELECT vec_id AS a_id,
@@ -4377,7 +4385,8 @@ object Catalog {
         m AS (SELECT p.a_id, p.b_id, p.c,
             CAST(2 * p.c * n_a * n_b AS DOUBLE) /
               (s_a * n_b + s_b * n_a) AS margin
-          FROM p JOIN sa USING (a_id) JOIN sb USING (b_id))
+          FROM p JOIN sa USING (a_id) JOIN sb USING (b_id)
+          WHERE s_a * n_b + s_b * n_a <> 0)
       SELECT a_id AS src_id, b_id AS dst_id,
         c / 1e6 AS cos_sim, margin
       FROM m
@@ -4501,7 +4510,8 @@ object Catalog {
         m AS (SELECT p.a_id, p.b_id, p.c,
             CAST(2 * p.c * n_a * n_b AS DOUBLE) /
               (s_a * n_b + s_b * n_a) AS margin
-          FROM p JOIN sa USING (a_id) JOIN sb USING (b_id))
+          FROM p JOIN sa USING (a_id) JOIN sb USING (b_id)
+          WHERE s_a * n_b + s_b * n_a <> 0)
       SELECT m.a_id AS src_id, m.b_id AS dst_id,
         m.c / 1e6 AS cos_sim, m.margin AS margin,
         cnt.n_cand

@@ -63,20 +63,30 @@ object NaiveBayes {
     val vocab = trainToks.select("tok").distinct().count()
     val dTotal = classDocs.map(_._2).sum
     val classes = classDocs.map(_._1)
+    // an all-apply input has nothing to train on — fail loudly here
+    // instead of letting least() die later with an opaque zero-child
+    // analysis error
+    require(classes.nonEmpty, "NaiveBayes.trainApply: empty training " +
+      "partition (every row matches isApply) — nothing to train on")
 
     // (token × class) counts, pivoted to one static column per class:
-    // the scoring join is on `tok` alone.
+    // the scoring join is on `tok` alone. Internal columns are
+    // INDEX-based (__c_0, __c_1, ...) — labels are data and may
+    // contain backticks or any other character a column name can't;
+    // pivot emits columns in the order of the `classes` seq, so the
+    // positional rename is exact.
     val weights = trainToks.groupBy("tok", "label")
       .agg(count(lit(1)).cast("long").as("c"))
       .groupBy("tok").pivot("label", classes).agg(first("c"))
+      .toDF("tok" +: classes.indices.map(i => s"__c_$i"): _*)
 
     val applyDocs = base.filter(col("__apply"))
       .select(col("id"), col("label").as("actual"))
-    val sumCols = classes.map { c =>
+    val sumCols = classes.zipWithIndex.map { case (c, i) =>
       sum(round(lit(1e6) *
         log(lit((nTok.getOrElse(c, 0L) + vocab).toDouble) /
-          (coalesce(col(s"`$c`"), lit(0L)) + lit(1L)).cast("double")))
-        .cast("long")).cast("long").as(s"__s_$c")
+          (coalesce(col(s"__c_$i"), lit(0L)) + lit(1L)).cast("double")))
+        .cast("long")).cast("long").as(s"__s_$i")
     }
     val sums = base.filter(col("__apply"))
       .select(col("id"), explode(col("toks")).as("tok"))
@@ -86,13 +96,17 @@ object NaiveBayes {
 
     val priors = classDocs.toMap
     val totals = applyDocs.join(sums, Seq("id"), "left")
-    val totalCols = classes.map { c =>
+    val totalCols = classes.zipWithIndex.map { case (c, i) =>
       (lit(math.round(1e6 *
         math.log(dTotal.toDouble / priors(c).toDouble))) +
-        coalesce(col(s"__s_$c"), lit(0L))).as(s"__t_$c")
+        coalesce(col(s"__s_$i"), lit(0L))).as(s"__t_$i")
     }
-    val best = least(classes.map(c =>
-      struct(col(s"__t_$c").as("cost"), lit(c).as("label"))): _*)
+    val structs = classes.zipWithIndex.map { case (c, i) =>
+      struct(col(s"__t_$i").as("cost"), lit(c).as("label")) }
+    // least() needs >= 2 children — a one-class model is degenerate
+    // but legal (everything gets the single label)
+    val best =
+      if (structs.size == 1) structs.head else least(structs: _*)
     totals.select(col("id") +: col("actual") +: totalCols: _*)
       .withColumn("__best", best)
       .select(col("id"), col("actual"),

@@ -43,7 +43,7 @@ object MarginProbe {
     }
     if (alsoExact) timed(s"v15 exact margin (${reps}x)") {
       val n = graft.functions.Vectors.marginMining(a, b,
-        "embedding", "vec_id", k = 4).count()
+        "embedding", "vec_id", k = 4, allowExact = true).count()
       graft.CacheTracker.releaseAll(); n
     }
     spark.stop()

@@ -868,7 +868,7 @@ object ScaleEvidence {
         col("vec_id") % reps === 0)
       val b = emb10.filter(col("label") % 100 >= 5)
       val n = graft.functions.Vectors.marginMining(a, b,
-        "embedding", "vec_id", k = 4).count()
+        "embedding", "vec_id", k = 4, allowExact = true).count()
       graft.CacheTracker.releaseAll(); n
     }
     timed(s"v16 IVF-probed margin mining (~1k q x B=${reps}k)") {
@@ -890,6 +890,147 @@ object ScaleEvidence {
         emb10.filter(col("vec_id") % 5000 =!= 0),
         emb10.filter(col("vec_id") % 5000 === 0),
         "embedding", "vec_id", simMicroThreshold = 350000L).count()
+    }
+
+    println(s"== round-5 closure rows (${reps}x) ==")
+    timed(s"q53 OHLC downsample (${reps/10.0}M events)") {
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value"), col("ts"), col("event_id"))
+        .groupBy("user_id", "day")
+        .agg(min_by(col("value"),
+            struct(col("ts"), col("event_id"))).as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max_by(col("value"),
+            struct(col("ts"), col("event_id"))).as("close"),
+          count(lit(1)).cast("long").as("n_events"))
+        .count()
+    }
+    timed(s"mm08 frame-sample plan (${reps*5}k clips, metadata-only)") {
+      graft.multimodal.Multimodal.frameSamplePlan(
+        graft.multimodal.Multimodal.videoMeta(
+          graft.multimodal.Multimodal.syntheticMp4Media(
+            corpus.select("doc_id"))(spark))(spark),
+        fps = 1, maxFrames = 8).count()
+    }
+    timed(s"mm09 audio chunk plan (${reps*5}k clips, real decode)") {
+      graft.multimodal.Multimodal.audioChunkPlan(
+        graft.multimodal.Multimodal.decodeAudios(
+          graft.multimodal.Multimodal.syntheticWavMedia(
+            corpus.select("doc_id"))(spark))(spark),
+        winMs = 120, hopMs = 100).count()
+    }
+    timed(s"d58 shard pack (distributed prefix sum, ${reps*5}k docs)") {
+      val draw = graft.functions.Text.portableTokenHash(
+        concat(lit("pack#"), col("doc_id").cast("string")))
+      val n = graft.query.Rank.globalRunningSum(
+        corpus.withColumn("__draw", draw)
+          .withColumn("__tok",
+            graft.functions.Text.tokenCount(col("text")))
+          .select(col("doc_id"), col("__draw"), col("__tok")),
+        Seq(col("__draw"), col("doc_id")), col("__tok"), "cum_tokens")
+        .withColumn("shard",
+          floor((col("cum_tokens") - col("__tok")) / lit(4000L)))
+        .count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    // mm06 DE-ALIASED (VERDICT r4 #3): per-replica pixel salt breaks
+    // the fixture's id-mod-256 aliasing, so cross-replica images stop
+    // being true near-duplicates and the banded candidate count can
+    // be judged against the replica-local truth. Runs at EVERY reps
+    // (the aliased stage above stays 10×-bounded as documented).
+    timed(s"mm06 image near-dup, de-aliased salt (${reps*5}k PNGs)") {
+      val media = graft.multimodal.Multimodal.syntheticPngMedia(
+        corpus.select("doc_id"),
+        saltOf = _ / 10000000L)(spark) // salt = replica index
+      val hashed = graft.CacheTracker.persistTracked(
+        graft.multimodal.Multimodal.imageAHash(media)(spark)
+          .select(col("media_id"), col("ahash_bits")))
+      val banded = hashed.select(col("media_id"),
+        posexplode(array((0 until 4).map(b =>
+          substring(col("ahash_bits"), b * 16 + 1, 16)): _*))
+          .as(Seq("band", "key")))
+      val cand = banded
+        .select(col("band"), col("key"), col("media_id").as("id_a"))
+        .join(banded.select(col("band"), col("key"),
+          col("media_id").as("id_b")), Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val n = cand.count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    // q29 both regimes side by side (VERDICT r4 #6): the broadcast-
+    // contrib loop (driver-sized ranks) vs the bucketed SMJ variant
+    // (exchange-free big side — the form for ranks past the driver).
+    // reps× disjoint supplier↔part subgraphs via key offsets.
+    val prEdges = {
+      val l0 = graft.Tables.lineitem(spark, d)
+        .select(col("l_suppkey").cast("long").as("sk"),
+          col("l_partkey").cast("long").as("pk"))
+        .distinct()
+      (0 until reps).map(i => l0
+        .select((col("sk") + i * 10000000L).as("sk"),
+          (col("pk") + i * 10000000L).as("pk")))
+        .reduce(_ unionByName _)
+        .select(explode(array(
+          struct(concat(lit("s:"), col("sk")).as("src"),
+            concat(lit("p:"), col("pk")).as("dst")),
+          struct(concat(lit("p:"), col("pk")).as("src"),
+            concat(lit("s:"), col("sk")).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    }
+    timed(s"q29 pagerank broadcast loop (${reps}x graph, 5 iters)") {
+      val n = graft.graph.LinkGraph.pageRank(prEdges, iters = 5).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(s"q29 bucketed edge write (${reps}x graph)") {
+      graft.graph.LinkGraph.writeEdgesBucketed(prEdges, "scale_edges",
+        s"$work/pr_edges")
+      spark.table("scale_edges").count()
+    }
+    timed(s"q29 pagerank bucketed SMJ (${reps}x graph, 5 iters)") {
+      val n = graft.graph.LinkGraph.pageRankBucketed(spark,
+        "scale_edges", iters = 5).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+
+    // ── integrated streaming freshness (VERDICT r4 #8): ONE recorded
+    //    run chaining the pieces a live deployment chains per micro-
+    //    batch — bucket-pruned merge into the stored posts, then the
+    //    crash-safe incremental view refresh, then the feed read that
+    //    serves the result. The timed number is the END-TO-END
+    //    freshness latency: op arrival → queryable in both the store
+    //    and the maintained aggregate view. History seeding is one-
+    //    time work and stays off the clock. ─────────────────────────
+    println("== integrated streaming freshness (merge + view + feed) ==")
+    val viewDir = s"$work/author_view"
+    val vPath = new org.apache.hadoop.fs.Path(viewDir)
+    val vfs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vfs.delete(vPath, true)
+    vfs.delete(new org.apache.hadoop.fs.Path(s"${viewDir}__tmp"), true)
+    graft.state.Incremental.maintainParquetView(viewDir,
+      Seq("author"), lit(1L))(
+      spark.read.parquet(postsDir).select("author"), 0L)
+    timed(s"e2e freshness: 20-op batch vs $nPosts stored") {
+      val blocks = blocksFor(1200, 20, nPosts * 3,
+        lit("fresh body text"), stride = 6)
+      // 1. merge the batch into the bucketed posts store
+      graft.streaming.StreamIngest.mergeBlocksBatch(spark, blocks,
+        postsDir)
+      // 2. refresh the per-author partials view (atomic swap)
+      graft.state.Incremental.maintainParquetView(viewDir,
+        Seq("author"), lit(1L))(
+        graft.ingest.PostsIngest.commentEvents(
+          graft.ingest.OpExtract.ops(blocks)).select("author"), 1L)
+      // 3. serve from BOTH refreshed artifacts: leaderboard from the
+      //    view, latest-posts feed page from the merged store
+      val topAuthors = spark.read.parquet(viewDir)
+        .orderBy(col("n").desc, col("author").asc).limit(20).count()
+      val freshFeed = spark.read.parquet(postsDir)
+        .filter(col("body") === "fresh body text")
+        .orderBy(col("created_at").desc).limit(100).count()
+      graft.CacheTracker.releaseAll()
+      topAuthors + freshFeed
     }
     spark.stop()
   }
