@@ -61,12 +61,14 @@ object Text {
     length(regexp_replace(text, s"[^$regexClass]", "")).cast("double") / total
   }
 
-  /** Fraction of tokens found in `words` (e.g. a stopword list). */
-  def listHitRatio(toks: Column, words: Seq[String]): Column = {
-    val wl = array(words.map(lit): _*)
-    size(filter(toks, t => array_contains(wl, t))).cast("double") /
-      greatest(size(toks), lit(1)).cast("double")
-  }
+  /** Fraction of tokens found in `words` (e.g. a stopword list).
+    * Native one-pass counter ([[WordSetHits]]) — the composed
+    * `size(filter(..., array_contains))` form ran an interpreted
+    * lambda (ArrayFilter is CodegenFallback) with a linear list scan
+    * per token; occurrence semantics are identical. */
+  def listHitRatio(toks: Column, words: Seq[String]): Column =
+    element_at(WordSetHits.wordSetHits(toks, Seq(words)), 1)
+      .cast("double") / greatest(size(toks), lit(1)).cast("double")
 
   /** Minimal per-language function-word lists for the n-gram/stopword
     * language-ID heuristic. Tiny on purpose: these ship into the plan
@@ -81,15 +83,26 @@ object Text {
     * ties and zero-hit rows → "und". Deterministic argmax (lexicographic
     * tie-break via the ordered fold). */
   def langId(toks: Column): Column = {
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      struct(listHitRatio(toks, ws).as("score"), lit(lang).as("lang"))
-    }
-    // `best` referenced twice under the `when` — bind it (let) so the
-    // four marker scans run once, not once per reference
-    let(greatest(scored: _*)) { best =>
-      when(best.getField("score") > 0, best)
-        .otherwise(struct(lit(0.0).as("score"), lit("und").as("lang")))
-    }
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    // ONE native hash-probe pass counts all four marker lists
+    // (WordSetHits; the four element_at references share the
+    // subexpression — codegen subexpression elimination applies to
+    // non-HOF exprs, and even a miss costs 4 native passes, not 4
+    // interpreted filter lambdas). The zero-hit fallback rides
+    // INSIDE the greatest as a sentinel struct: "und" sorts above
+    // every marker language, so it wins exactly when all scores are
+    // 0 and any positive score beats it — semantically identical to
+    // the previous when(best.score > 0) fallback, with neither the
+    // duplicated `best` dag (pre-r3: every marker scan ran twice per
+    // row) nor the interpreted `let` wrapper (r3-r4: ArrayTransform
+    // is CodegenFallback, so binding through it dragged the whole
+    // argmax out of codegen — the measured d03 0.72 → 1.2 s drift).
+    val h = WordSetHits.wordSetHits(toks, langs.map(_._2))
+    val n = greatest(size(toks), lit(1)).cast("double")
+    greatest(langs.zipWithIndex.map { case ((lang, _), i) =>
+      struct((element_at(h, i + 1).cast("double") / n).as("score"),
+        lit(lang).as("lang"))
+    } :+ struct(lit(0.0).as("score"), lit("und").as("lang")): _*)
   }
 
   /** Heuristic document quality in [0,1]: rewards normal-length docs,

@@ -454,20 +454,31 @@ object Catalog {
     // ── §7.5 language ID (n-gram/function-word heuristic) ────────────
     Q("d03_lang_id",
       (s, d) => {
-        // toks MATERIALIZED once: langId + the 4 hit counters all
-        // read it as a column reference — inlined, the tokenizer
-        // would re-run at every HOF use site (no CSE across lambdas)
-        val toks = col("__toks")
-        def hits(lang: String) = size(filter(toks,
-          t => array_contains(
-            array(Text.langMarkers(lang).map(lit): _*), t))).cast("long")
-        Tables.documents(s, d)
-          .withColumn("__toks", Text.tokens(col("text")))
-          .select(
-            col("doc_id"),
-            Text.langId(toks).getField("lang").as("pred_lang"),
-            hits("en").as("hits_en"), hits("es").as("hits_es"),
-            hits("de").as("hits_de"), hits("fr").as("hits_fr"))
+        // ONE native WordSetHits pass (evalOnce barrier: the count
+        // array feeds five output columns — without the Generate,
+        // CollapseProject would inline the pass per reference) and
+        // pred_lang derives FROM the materialized counts: the ratio
+        // comparison langId makes equals the count comparison (same
+        // size(toks) denominator for every language). The r02→r04
+        // drift was the interpreted `let` wrapper + langId
+        // re-scanning what hits_* had already counted — both gone.
+        // Tie-break = greatest over (hits, lang) structs with an
+        // "und" sentinel — bitwise the oracle's CASE.
+        val langs = Seq("en", "es", "de", "fr")
+        graft.query.Predicates.evalOnce(
+          Tables.documents(s, d)
+            .withColumn("__toks", Text.tokens(col("text"))),
+          Seq(col("doc_id")),
+          "__h" -> graft.functions.WordSetHits.wordSetHits(
+            col("__toks"), langs.map(Text.langMarkers)))
+          .select(col("doc_id") +:
+            greatest(langs.zipWithIndex.map { case (l, i) =>
+              struct(element_at(col("__h"), i + 1).as("h"),
+                lit(l).as("lang")) } :+
+              struct(lit(0L).as("h"), lit("und").as("lang")): _*)
+              .getField("lang").as("pred_lang") +:
+            langs.zipWithIndex.map { case (l, i) =>
+              element_at(col("__h"), i + 1).as(s"hits_$l") }: _*)
           .orderBy("doc_id")
       },
       Some {
