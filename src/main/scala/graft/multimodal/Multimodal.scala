@@ -358,6 +358,14 @@ object Multimodal {
     }.toDF("media_id", "decoded", "ahash_bits")
   }
 
+  /** splitmix64 finalizer — the salted-fixture texture mixer. */
+  @inline private def mix64(v: Long): Long = {
+    var z = v + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** Deterministic synthetic PNG: dimensions derived from the id
     * (width = 16 + id mod 32, height = 8 + id mod 16), gradient fill.
     * ENCODED through the real PNG writer, so decoding it back is a
@@ -368,21 +376,32 @@ object Multimodal {
     val h = 8 + (id % 16).toInt
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    // salt mixes into the COORDINATE coefficients, not just the
-    // offsets: a constant brightness shift would leave the aHash
-    // bit pattern (cell mean vs global mean) unchanged. salt=0
-    // reproduces the original formula bit-for-bit (the oracle
-    // fixture); distinct salts give genuinely different gradient
-    // frequencies — the de-aliasing knob for replicated bench
-    // corpora whose ids collide mod 256 (VERDICT r4 #3).
+    // salt mixes a per-pixel texture term into the channels, not a
+    // constant brightness shift (which would leave the aHash bit
+    // pattern — cell mean vs global mean — unchanged). The term
+    // depends on id ONLY through id % 256, so within-salt alias
+    // classes (the truth near-dup pairs) stay bit-identical, while
+    // distinct salts give uncorrelated textures. Coefficient-only
+    // tweaks (the first cut of this knob) were NOT enough: aHash of
+    // a near-linear ramp collapses to a handful of bit patterns
+    // regardless of gradient frequency, so cross-salt band keys
+    // still collided en masse (28.7M candidates for 50k images at
+    // 10×). A splitmix64-mixed per-cell term makes cross-salt
+    // hashes effectively uniform. salt=0 reproduces the original
+    // formula bit-for-bit (the oracle fixture). (VERDICT r4 #3)
     val s = math.abs(salt)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val r = ((id + x * (1 + s % 5) + s) % 256).toInt
-        val g = ((id * 7 + y * (1 + s % 3) + s * 11) % 256).toInt
-        val b = ((x * y * (1 + s % 2) + id + s * 13) % 256).toInt
+        val n = if (s == 0L) 0L
+          else mix64((id % 256) | (x.toLong << 16) |
+            (y.toLong << 32) | (s << 40))
+        val r = ((id + x * (1 + s % 5) + s + (n & 0xFF)) % 256).toInt
+        val g = ((id * 7 + y * (1 + s % 3) + s * 11 +
+          ((n >> 8) & 0xFF)) % 256).toInt
+        val b = ((x * y * (1 + s % 2) + id + s * 13 +
+          ((n >> 16) & 0xFF)) % 256).toInt
         img.setRGB(x, y, (r << 16) | (g << 8) | b)
         x += 1
       }

@@ -33,7 +33,21 @@ object ScaleEvidence {
     }
   }
 
+  /** Optional `args(1)` regex restricting which stages run (closure
+    * runs for a handful of new rows shouldn't pay for the full
+    * sweep's 300 s exact-form boundaries). Stages whose OUTPUT later
+    * stages read (corpus parquet, the posts store, the bucketed edge
+    * table) always run.
+    */
+  private var only: Option[scala.util.matching.Regex] = None
+  private val setupPrefixes = Seq(
+    "write documents parquet", "catch-up merge", "q29 bucketed edge write",
+    "inverted index build")
+
   private def timed(label: String)(f: => Long): Unit = {
+    val selected = only.forall(_.findFirstIn(label).isDefined) ||
+      setupPrefixes.exists(label.startsWith)
+    if (!selected) { println(f"$label%-42s   skipped (filter)"); return }
     val w0 = shuffleWrite.get(); val r0 = shuffleRead.get()
     val t0 = System.nanoTime()
     val n = f
@@ -62,6 +76,8 @@ object ScaleEvidence {
     spark.sparkContext.addSparkListener(new MetricsListener)
     val d = "/root/testdata/sf0.1"
     val reps = args.headOption.map(_.toInt).getOrElse(10)
+    only = args.lift(1).map(_.r)
+    only.foreach(r => println(s"stage filter: ${r.regex}"))
 
     // ── corpus: 10× documents, token-salted per replica ─────────────
     val docs0 = graft.Tables.documents(spark, d)
