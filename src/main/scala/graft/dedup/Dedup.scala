@@ -778,11 +778,15 @@ object Dedup {
     // band twice and duplicate every verified pair row it joins (and
     // its new-vs-stored self-pair is suppressed by new_id =!= old_id
     // anyway) — drop the STORED version wherever the delta carries
-    // the id, the S9 merge's document identity rule. The delta id
-    // set is batch-sized, so the anti-join broadcasts.
+    // the id, the S9 merge's document identity rule. CONTRACT: the
+    // delta is one ingest micro-batch — driver-broadcast-sized by
+    // construction (an unbounded "delta" belongs in the full rebuild
+    // path, not here). Broadcast the id projection off the PERSISTED
+    // shNew so it rides the cache instead of re-planning the raw
+    // tokenize+shingle lineage for the broadcast side (ADVICE r5).
     val shNew = CacheTracker.persistTracked(deltaSets)
     val shOld = CacheTracker.persistTracked(corpusSets.join(
-      broadcast(deltaSets.select("id")), Seq("id"), "left_anti"))
+      broadcast(shNew.select("id")), Seq("id"), "left_anti"))
     // the banded delta feeds TWO consumers (the probe side and the
     // union's intra-batch arm) — persist the slim (id, band, key)
     // rows, or each consumer re-runs the per-shingle hashing +

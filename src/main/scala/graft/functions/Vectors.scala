@@ -586,9 +586,18 @@ object Vectors {
     // route is [[marginMiningIvf]] (cluster-keyed candidates, 21×
     // faster at the same 100× point, 11× less shuffle).
     if (!allowExact) {
-      val nA = a.count(); val nB = b.count()
-      require(nA * nB <= maxExactPairs,
-        s"marginMining's exact form would materialize ${nA * nB} " +
+      // Catalyst stats first: when the optimizer already knows the
+      // row count (cached relation, CBO-analyzed table, local data)
+      // the guard is free; count() is only the fallback, because each
+      // count is a full job re-running the uncached upstream lineage
+      // before the mining job even starts (ADVICE r5). BigInt product
+      // so two >3B-row inputs can't overflow Long past the guard.
+      def rows(df: DataFrame): BigInt =
+        df.queryExecution.optimizedPlan.stats.rowCount
+          .getOrElse(BigInt(df.count()))
+      val nPairs = rows(a) * rows(b)
+      require(nPairs <= BigInt(maxExactPairs),
+        s"marginMining's exact form would materialize $nPairs " +
           s"candidate pairs (> $maxExactPairs). Use marginMiningIvf " +
           "(IVF-probed candidates — the corpus-scale form) or pass " +
           "allowExact = true deliberately.")

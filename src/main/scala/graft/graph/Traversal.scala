@@ -25,6 +25,14 @@ object Traversal {
     * `maxHops` directed hops. Output: (node, hops), seed included at
     * hops 0.
     *
+    * CONTRACT — null endpoints are NON-EDGES, not nodes: an edge row
+    * with a null src or dst is dropped before traversal, so a null
+    * never appears as a reachable node and a row like (5, null)
+    * contributes nothing (it is NOT "node 5 has an edge to the null
+    * node"). The q47 oracle pins the same rule on the SQL side
+    * (`e.dst IS NOT NULL` in its recursive CTE) — this scaladoc is
+    * the stated spec both sides anchor to (ADVICE r5).
+    *
     * The visited set doubles as the result accumulator; because BFS
     * expands in hop order, the FIRST time a node is seen is its
     * minimum distance — the anti-join both prunes re-expansion

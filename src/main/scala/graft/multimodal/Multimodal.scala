@@ -389,14 +389,21 @@ object Multimodal {
     // 10×). A splitmix64-mixed per-cell term makes cross-salt
     // hashes effectively uniform. salt=0 reproduces the original
     // formula bit-for-bit (the oracle fixture). (VERDICT r4 #3)
-    val s = math.abs(salt)
+    // salt hygiene (ADVICE r5): math.abs(Long.MinValue) stays
+    // negative (the s%5 coefficients below would too), so pin that
+    // one corner; and fold ALL 64 salt bits into the texture via a
+    // pre-mix — the old `s << 40` pack aliased salts ≥ 2^24 to the
+    // same texture (harmless for today's replica-index salts, a
+    // footgun for other callers).
+    val s = if (salt == Long.MinValue) Long.MaxValue else math.abs(salt)
+    val sMix = if (s == 0L) 0L else mix64(s)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         val n = if (s == 0L) 0L
-          else mix64((id % 256) | (x.toLong << 16) |
-            (y.toLong << 32) | (s << 40))
+          else mix64(sMix ^ ((id % 256) | (x.toLong << 16) |
+            (y.toLong << 32)))
         val r = ((id + x * (1 + s % 5) + s + (n & 0xFF)) % 256).toInt
         val g = ((id * 7 + y * (1 + s % 3) + s * 11 +
           ((n >> 8) & 0xFF)) % 256).toInt

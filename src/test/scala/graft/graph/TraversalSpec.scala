@@ -39,4 +39,19 @@ class TraversalSpec extends SparkSpec {
   test("isolated seed returns just itself at hops 0") {
     assert(run(99L, 3) === Map(99L -> 0L))
   }
+
+  test("null endpoints are non-edges, not nodes (spec'd contract)") {
+    // (1, null) and (null, 2) must contribute NOTHING: null never
+    // appears as a reachable node, and a null src never relays. The
+    // q47 oracle pins the same rule via `e.dst IS NOT NULL` in its
+    // recursive CTE — this test anchors that oracle-side clause to
+    // the engine's stated semantics (ADVICE r5).
+    val withNulls = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (1L, null), (null, 2L), (2L, 3L))
+      .toDF("src", "dst")
+    val got = Traversal.khop(withNulls, 1L, 5)
+      .as[(Long, Long)].collect().toMap
+    graft.CacheTracker.releaseAll()
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
 }

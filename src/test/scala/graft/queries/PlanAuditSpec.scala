@@ -65,8 +65,18 @@ class PlanAuditSpec extends SparkSpec {
     out.toSeq
   }
 
-  private def sizeIfKnown(p: SparkPlan): Option[BigInt] =
-    p.logicalLink.map(_.stats.sizeInBytes).filter(_ < BigInt(Long.MaxValue))
+  private def sizeIfKnown(p: SparkPlan): Option[BigInt] = {
+    // A join's DIRECT children are physical-only nodes inserted by
+    // EnsureRequirements (SortExec, ShuffleExchangeExec) that carry
+    // no logicalLink — reading only `p.logicalLink` made invariant 3
+    // pass vacuously (proven by the negative control below, which
+    // failed against the old one-node read). Use the TOPMOST
+    // descendant that has a link: that is the logical subtree whose
+    // stats JoinSelection itself consulted for the broadcast decision.
+    p.collectFirst { case n if n.logicalLink.isDefined => n }
+      .flatMap(_.logicalLink).map(_.stats.sizeInBytes)
+      .filter(_ < BigInt(Long.MaxValue))
+  }
 
   for (row <- Catalog.all) test(s"${row.name}: plan contract") {
     val plan = row.run(spark, d).queryExecution.executedPlan
@@ -132,6 +142,32 @@ class PlanAuditSpec extends SparkSpec {
       }
       assert(hit, "walker missed the global window INSIDE the cache")
     } finally cached.unpersist(blocking = false)
+  }
+
+  test("negative control: a sub-threshold SMJ build side is flagged") {
+    // Invariant 3 depends on logicalLink stats surviving to the
+    // physical join's children — if they don't (or sizeIfKnown goes
+    // blind after a Spark upgrade), the missed-broadcast check passes
+    // vacuously across all 140 rows. Force an SMJ over a tiny
+    // known-stats local side via the merge hint and assert checkJoin
+    // actually fires (ADVICE r5).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val tiny = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val big = spark.range(1000).select(col("id").as("k"),
+      (col("id") * 2).as("w"))
+    val joined = big.join(tiny.hint("merge"), Seq("k"))
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val hits = allNodes(joined.queryExecution.executedPlan).flatMap {
+      case j: SortMergeJoinExec =>
+        checkJoin(j.joinType, j.left, j.right, threshold)
+      case j: ShuffledHashJoinExec =>
+        checkJoin(j.joinType, j.left, j.right, threshold)
+      case _ => Nil
+    }
+    assert(hits.nonEmpty,
+      "checkJoin failed to flag a deliberate sub-threshold SMJ side — " +
+        "invariant 3 is running blind (logicalLink/stats missing?)")
   }
 
   private def checkJoin(jt: org.apache.spark.sql.catalyst.plans.JoinType,
