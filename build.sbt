@@ -30,4 +30,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench tail in GC (measured ~2-4x inflation on late queries); the
   // host has 128 GiB, so size like a real executor would be sized.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A long catalog run generates one codegen class per plan stage;
+  // at the JDK-17 default (240m reserved, ~117m non-profiled heap)
+  // the 100x ScaleEvidence sweep FILLED the code cache at t=665s —
+  // "CodeHeap 'non-profiled nmethods' is full. Compiler has been
+  // disabled." — and every later stage ran interpreter-only (d39
+  // 884s vs 7s compiled, d38 95s vs 2.3s). Size it like a real
+  // long-lived executor would be sized.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -102,12 +102,19 @@ object Feeds {
     // normalize exactly like InvertedIndex.search (lowercase +
     // distinct) so the brute-force and index paths are one contract
     val uniq = terms.map(_.toLowerCase).distinct
-    // tokenize ONCE into a materialized column; the per-term filters
-    // and tf sums all read it (vs re-splitting per term)
+    // Two-phase cost shape, measured deliberately (q06 RowTime):
+    //  - the FILTER runs on every row, so it stays the composed
+    //    short-circuiting array_contains chain (codegen'd; a
+    //    non-matching row exits at its first missing term) — swapping
+    //    it for a counting pass made q06 ~25% SLOWER because every
+    //    row then paid full-array counting;
+    //  - the TF count runs only on survivors, so the k interpreted
+    //    filter lambdas (ArrayFilter is CodegenFallback) are replaced
+    //    by ONE native WordSetHits pass (the d03 pattern).
     val toks = col("__toks")
-    val tf: Column = uniq.map { t =>
-      size(filter(toks, e => e === lit(t)))
-    }.reduce(_ + _)
+    val hits = graft.functions.WordSetHits.wordSetHits(
+      toks, uniq.map(Seq(_)))
+    val tf: Column = aggregate(hits, lit(0L), _ + _)
     val combine: (Column, Column) => Column =
       if (requireAll) _ && _ else _ || _
     val matches: Column = uniq.map { t =>

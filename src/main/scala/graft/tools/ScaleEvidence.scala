@@ -21,6 +21,8 @@ object ScaleEvidence {
 
   private val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
   private val shuffleRead = new java.util.concurrent.atomic.AtomicLong
+  private val execRunMs = new java.util.concurrent.atomic.AtomicLong
+  private val execGcMs = new java.util.concurrent.atomic.AtomicLong
 
   private class MetricsListener extends SparkListener {
     override def onStageCompleted(
@@ -29,6 +31,8 @@ object ScaleEvidence {
       if (tm != null) {
         shuffleWrite.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
         shuffleRead.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
+        execRunMs.addAndGet(tm.executorRunTime)
+        execGcMs.addAndGet(tm.jvmGCTime)
       }
     }
   }
@@ -49,13 +53,19 @@ object ScaleEvidence {
       setupPrefixes.exists(label.startsWith)
     if (!selected) { println(f"$label%-42s   skipped (filter)"); return }
     val w0 = shuffleWrite.get(); val r0 = shuffleRead.get()
+    val e0 = execRunMs.get(); val g0 = execGcMs.get()
     val t0 = System.nanoTime()
     val n = f
     val secs = (System.nanoTime() - t0) / 1e9
     val wMb = (shuffleWrite.get() - w0) / 1e6
     val rMb = (shuffleRead.get() - r0) / 1e6
+    // wall vs summed executor task time vs GC-inside-tasks: a stage
+    // whose wall >> run/32 is driver- or GC-bound, not plan-bound
+    val runS = (execRunMs.get() - e0) / 1e3
+    val gcS = (execGcMs.get() - g0) / 1e3
     println(f"$label%-42s ${secs}%7.2f s  $n%,12d rows  " +
-      f"shuffle w=$wMb%8.1f MB r=$rMb%8.1f MB")
+      f"shuffle w=$wMb%8.1f MB r=$rMb%8.1f MB  " +
+      f"taskrun=$runS%8.1f s gc=$gcS%7.1f s")
   }
 
   def main(args: Array[String]): Unit = {
