@@ -587,14 +587,27 @@ object Vectors {
     // faster at the same 100× point, 11× less shuffle).
     if (!allowExact) {
       // Catalyst stats first: when the optimizer already knows the
-      // row count (cached relation, CBO-analyzed table, local data)
-      // the guard is free; count() is only the fallback, because each
-      // count is a full job re-running the uncached upstream lineage
-      // before the mining job even starts (ADVICE r5). BigInt product
-      // so two >3B-row inputs can't overflow Long past the guard.
-      def rows(df: DataFrame): BigInt =
-        df.queryExecution.optimizedPlan.stats.rowCount
+      // row count the guard is free; count() is only the fallback,
+      // because each count is a full job re-running the uncached
+      // upstream lineage before the mining job even starts (ADVICE
+      // r5). rowCount is trusted ONLY for leaf shapes where it is
+      // exact by construction (local data, range, a materialized
+      // cache) — under CBO a Filter/Join rowCount is a selectivity
+      // ESTIMATE (or a stale ANALYZE-time count), and an
+      // underestimate there would wave a quadratic blow-up past the
+      // very guard built to refuse it. BigInt product so two
+      // >3B-row inputs can't overflow Long past the guard.
+      def rows(df: DataFrame): BigInt = {
+        import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range => LRange}
+        import org.apache.spark.sql.execution.columnar.InMemoryRelation
+        val p = df.queryExecution.optimizedPlan
+        val exactLeaf = p match {
+          case _: LocalRelation | _: LRange | _: InMemoryRelation => true
+          case _ => false
+        }
+        (if (exactLeaf) p.stats.rowCount else None)
           .getOrElse(BigInt(df.count()))
+      }
       val nPairs = rows(a) * rows(b)
       require(nPairs <= BigInt(maxExactPairs),
         s"marginMining's exact form would materialize $nPairs " +

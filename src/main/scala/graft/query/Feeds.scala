@@ -112,9 +112,13 @@ object Feeds {
     //    filter lambdas (ArrayFilter is CodegenFallback) are replaced
     //    by ONE native WordSetHits pass (the d03 pattern).
     val toks = col("__toks")
-    val hits = graft.functions.WordSetHits.wordSetHits(
-      toks, uniq.map(Seq(_)))
-    val tf: Column = aggregate(hits, lit(0L), _ + _)
+    // WordSetHits carries at most 64 lists per expression; a user
+    // query with more distinct terms (PostQueries passes raw search
+    // strings) chunks into several one-pass expressions, summed
+    val tf: Column = uniq.grouped(64).map { chunk =>
+      aggregate(graft.functions.WordSetHits.wordSetHits(
+        toks, chunk.map(Seq(_))), lit(0L), _ + _)
+    }.reduce(_ + _)
     val combine: (Column, Column) => Column =
       if (requireAll) _ && _ else _ || _
     val matches: Column = uniq.map { t =>
@@ -123,7 +127,7 @@ object Feeds {
     // the SHARED tokenizer (Text.tokens): brute-force, inverted-index
     // and oracle tokenizations are literally one expression
     df.withColumn("__toks", graft.functions.Text.tokens(textCol))
-      .filter(matches).withColumn(scoreName, tf.cast("long"))
+      .filter(matches).withColumn(scoreName, tf)
       .drop("__toks")
   }
 }

@@ -71,9 +71,23 @@ class PlanAuditSpec extends SparkSpec {
     // no logicalLink — reading only `p.logicalLink` made invariant 3
     // pass vacuously (proven by the negative control below, which
     // failed against the old one-node read). Use the TOPMOST
-    // descendant that has a link: that is the logical subtree whose
-    // stats JoinSelection itself consulted for the broadcast decision.
-    p.collectFirst { case n if n.logicalLink.isDefined => n }
+    // descendant that has a link — the logical subtree whose stats
+    // JoinSelection itself consulted — walking through the same
+    // wrapper boundaries as allNodes (QueryStageExec leaves inside
+    // executed adaptive cached subtrees have no children and no
+    // link; a plain collectFirst goes blind exactly there).
+    def topmostLinked(n: SparkPlan): Option[SparkPlan] =
+      if (n.logicalLink.isDefined) Some(n)
+      else {
+        val kids = n match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case s: InMemoryTableScanExec => Seq(s.relation.cachedPlan)
+          case _ => n.children
+        }
+        kids.view.flatMap(topmostLinked).headOption
+      }
+    topmostLinked(p)
       .flatMap(_.logicalLink).map(_.stats.sizeInBytes)
       .filter(_ < BigInt(Long.MaxValue))
   }

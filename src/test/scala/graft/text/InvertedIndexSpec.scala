@@ -26,6 +26,22 @@ class InvertedIndexSpec extends SparkSpec {
     assert(viaIndex.toSeq == Seq((1L, 3L), (4L, 2L)))
   }
 
+  test("brute search chunks past WordSetHits' 64-list cap") {
+    // a raw user query with 65+ distinct words must not throw
+    // (WordSetHits carries <=64 lists per expression; Feeds.search
+    // chunks and sums) — and tf must still count every term
+    val terms = (1 to 70).map(i => s"t$i")
+    import spark.implicits._
+    val wide = Seq((1L, terms.mkString(" ") + " t1"), (2L, "t1 only"))
+      .toDF("doc_id", "text")
+    val got = Feeds.search(wide, col("text"), terms,
+      requireAll = false)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 71L), (2L, 1L)))
+  }
+
   test("posting list shape: (term, id, tf)") {
     val idx = InvertedIndex.build(docs, "text", "doc_id")
     val sparkPostings = idx.filter(col("term") === "spark")
