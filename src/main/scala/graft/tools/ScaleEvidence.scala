@@ -39,18 +39,30 @@ object ScaleEvidence {
 
   /** Optional `args(1)` regex restricting which stages run (closure
     * runs for a handful of new rows shouldn't pay for the full
-    * sweep's 300 s exact-form boundaries). Stages whose OUTPUT later
-    * stages read (corpus parquet, the posts store, the bucketed edge
-    * table) always run.
+    * sweep's 300 s exact-form boundaries). In an UNFILTERED run the
+    * setup stages (corpus parquet, the posts store, the bucketed
+    * edge table, the postings table) always run because later stages
+    * read their output; in a FILTERED run they run only when the
+    * filter matches them — include the ones your stages need (e.g.
+    * "write documents|d01 " for a corpus-reading probe at a new
+    * reps), or reuse the on-disk artifacts of a previous run at the
+    * SAME reps. This keeps a 1000x corpus probe from paying the
+    * 1.2B-row edge write it never reads.
     */
   private var only: Option[scala.util.matching.Regex] = None
   private val setupPrefixes = Seq(
     "write documents parquet", "catch-up merge", "q29 bucketed edge write",
     "inverted index build")
 
+  /** Gates top-level setup work (jobs OUTSIDE timed blocks: off-clock
+    * seeding, driver-side probes) that only the named stages consume:
+    * true on an unfiltered run, or when the filter selects any of the
+    * given stage-label fragments. */
+  private def wanted(labelFragments: String*): Boolean =
+    only.forall(r => labelFragments.exists(l => r.findFirstIn(l).isDefined))
+
   private def timed(label: String)(f: => Long): Unit = {
-    val selected = only.forall(_.findFirstIn(label).isDefined) ||
-      setupPrefixes.exists(label.startsWith)
+    val selected = only.forall(_.findFirstIn(label).isDefined)
     if (!selected) { println(f"$label%-42s   skipped (filter)"); return }
     val w0 = shuffleWrite.get(); val r0 = shuffleRead.get()
     val e0 = execRunMs.get(); val g0 = execGcMs.get()
@@ -144,13 +156,17 @@ object ScaleEvidence {
     }
     // query terms drawn from the corpus itself: top-2 most frequent
     // within ONE replica (cross-replica terms never co-occur — the
-    // salting that keeps near-dup structure linear)
-    val terms = spark.table(idxTable)
+    // salting that keeps near-dup structure linear). Lazy + an
+    // explicit off-clock force when a consumer stage is selected, so
+    // a filtered run that skips all search stages never resolves the
+    // postings table (which a skipped index build never registered).
+    lazy val terms = spark.table(idxTable)
       .filter(col("term").startsWith("r0_"))
       .groupBy("term")
       .agg(sum("tf").as("n")).orderBy(col("n").desc).limit(2)
       .collect().map(_.getString(0)).toSeq
-    println(s"   query terms: ${terms.mkString(", ")}")
+    if (wanted("indexed search", "brute-force search", "q31 hybrid RRF"))
+      println(s"   query terms: ${terms.mkString(", ")}")
     timed("indexed search (2 terms, top-20)") {
       graft.text.InvertedIndex.search(spark.table(idxTable),
         terms, k = 20).count()
@@ -387,27 +403,29 @@ object ScaleEvidence {
         .filter(col("body") === "edited body text").count()
     }
     // seed-lookup pruning proof at scale: partitions read vs total
-    val existing = spark.read.parquet(postsDir)
-    val evs = graft.ingest.PostsIngest.commentEvents(
-      graft.ingest.OpExtract.ops(
-        blocksFor(600, 20, nPosts * 2, lit("x"), stride = 6)))
-    val prunedDf = graft.streaming.StreamIngest.prunedExisting(
-      existing, evs, 64)
-    prunedDf.collect()
-    val finalPlan = prunedDf.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive
-        .AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    if (wanted("micro-batch merge", "seed-lookup")) {
+      val existing = spark.read.parquet(postsDir)
+      val evs = graft.ingest.PostsIngest.commentEvents(
+        graft.ingest.OpExtract.ops(
+          blocksFor(600, 20, nPosts * 2, lit("x"), stride = 6)))
+      val prunedDf = graft.streaming.StreamIngest.prunedExisting(
+        existing, evs, 64)
+      prunedDf.collect()
+      val finalPlan = prunedDf.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = finalPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      val total = existing.select("created_month", "key_bucket")
+        .distinct().count()
+      println(s"seed-lookup scan: " +
+        s"${scan.metrics("numPartitions").value} of $total " +
+        s"(month, bucket) partitions read")
+      graft.CacheTracker.releaseAll()
     }
-    val scan = finalPlan.collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-    }.head
-    val total = existing.select("created_month", "key_bucket")
-      .distinct().count()
-    println(s"seed-lookup scan: " +
-      s"${scan.metrics("numPartitions").value} of $total " +
-      s"(month, bucket) partitions read")
-    graft.CacheTracker.releaseAll()
 
     // ── round-3 operators at the same scale ─────────────────────────
     println(s"== round-3 ops (${reps}x) ==")
@@ -428,21 +446,23 @@ object ScaleEvidence {
     // q32 setup OUTSIDE the timed block — the claim under test is
     // that the REFRESH is O(batch); building the stored view and
     // finding the month boundary are one-time history work
-    val q32WithM = ev
-      .withColumn("__m", date_format(col("ts"), "yyyy-MM"))
-      .withColumn("__c", round(col("value") * 100, 0).cast("long"))
-    val q32Months = q32WithM.select("__m").distinct()
-      .collect().map(_.getString(0)).sorted
-    val q32View = graft.state.Incremental.partial(
-      q32WithM.filter(col("__m") =!= q32Months.last),
-      Seq("event_type"), col("__c")).persist()
-    q32View.count() // materialized before the clock starts
-    timed(s"q32 incremental refresh (1 month batch vs ${reps/10.0}M history)") {
-      graft.state.Incremental.merge(q32View,
-        q32WithM.filter(col("__m") === q32Months.last),
-        Seq("event_type"), col("__c")).count()
-    }
-    q32View.unpersist(blocking = false)
+    if (wanted("q32 incremental refresh")) {
+      val q32WithM = ev
+        .withColumn("__m", date_format(col("ts"), "yyyy-MM"))
+        .withColumn("__c", round(col("value") * 100, 0).cast("long"))
+      val q32Months = q32WithM.select("__m").distinct()
+        .collect().map(_.getString(0)).sorted
+      val q32View = graft.state.Incremental.partial(
+        q32WithM.filter(col("__m") =!= q32Months.last),
+        Seq("event_type"), col("__c")).persist()
+      q32View.count() // materialized before the clock starts
+      timed(s"q32 incremental refresh (1 month batch vs ${reps/10.0}M history)") {
+        graft.state.Incremental.merge(q32View,
+          q32WithM.filter(col("__m") === q32Months.last),
+          Seq("event_type"), col("__c")).count()
+      }
+      q32View.unpersist(blocking = false)
+    } else println("q32 incremental refresh                       skipped (filter)")
     timed("q31 hybrid RRF (bm25 + dense over the corpus)") {
       val lex = graft.query.Rank.globalRowNumber(
         graft.text.Bm25.score(corpus, col("text"), terms, 30),
@@ -474,9 +494,12 @@ object ScaleEvidence {
         uniqueKeys = Seq("event_id")).count()
     }
     // grid bounds: one combined min/max scan, outside the timed write
-    val tBounds = ev.agg(min(unix_micros(col("ts"))),
-      max(unix_micros(col("ts")))).head()
-    val (tmin, tmax) = (tBounds.getLong(0), tBounds.getLong(1))
+    lazy val (tmin, tmax) = {
+      val tBounds = ev.agg(min(unix_micros(col("ts"))),
+        max(unix_micros(col("ts")))).head()
+      (tBounds.getLong(0), tBounds.getLong(1))
+    }
+    if (wanted("z-order write")) { val _ = (tmin, tmax) } // off-clock
     timed(s"z-order write (${reps/10.0}M rows, 256-cell grid)") {
       // quantize (user_id, ts) onto a 2^10 grid, p=4 → 256 cells
       val g = ev.select(col("event_id"),
@@ -499,11 +522,12 @@ object ScaleEvidence {
     // partitions). Fragmentation setup (50 appended micro-batches)
     // happens off the clock; the timed work is the bin-pack itself.
     val frag = s"$work/appendlog"
-    (0 until 50).foreach { i =>
-      ev.filter(pmod(col("event_id"), lit(50L)) === i)
-        .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
-        .parquet(frag)
-    }
+    if (wanted("compact a 50-trigger"))
+      (0 until 50).foreach { i =>
+        ev.filter(pmod(col("event_id"), lit(50L)) === i)
+          .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
+          .parquet(frag)
+      }
     timed("compact a 50-trigger append-fragmented table") {
       val (b, a) = graft.state.Layout.compact(spark, frag,
         targetBytes = 128L * 1024 * 1024)
@@ -1030,13 +1054,15 @@ object ScaleEvidence {
     //    time work and stays off the clock. ─────────────────────────
     println("== integrated streaming freshness (merge + view + feed) ==")
     val viewDir = s"$work/author_view"
-    val vPath = new org.apache.hadoop.fs.Path(viewDir)
-    val vfs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    vfs.delete(vPath, true)
-    vfs.delete(new org.apache.hadoop.fs.Path(s"${viewDir}__tmp"), true)
-    graft.state.Incremental.maintainParquetView(viewDir,
-      Seq("author"), lit(1L))(
-      spark.read.parquet(postsDir).select("author"), 0L)
+    if (wanted("e2e freshness")) {
+      val vPath = new org.apache.hadoop.fs.Path(viewDir)
+      val vfs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      vfs.delete(vPath, true)
+      vfs.delete(new org.apache.hadoop.fs.Path(s"${viewDir}__tmp"), true)
+      graft.state.Incremental.maintainParquetView(viewDir,
+        Seq("author"), lit(1L))(
+        spark.read.parquet(postsDir).select("author"), 0L)
+    }
     timed(s"e2e freshness: 20-op batch vs $nPosts stored") {
       val blocks = blocksFor(1200, 20, nPosts * 3,
         lit("fresh body text"), stride = 6)
