@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A media row: opaque bytes + typed metadata (the multimodal column
@@ -312,38 +312,53 @@ object Multimodal {
     * Scale shape: mapPartitions in the scan stage — bytes decoded
     * where they're read, only (id, 64-char hash) flows on. */
   def imageAHash(media: Dataset[MediaRow])
+      (implicit spark: SparkSession): DataFrame =
+    imageAHashN(media, 8, 8)
+
+  /** Grid-parametric aHash: gridW×gridH cell means vs global mean,
+    * one decode + one pixel pass per image, emitted as a bit string
+    * of length gridW·gridH. `imageAHash` is the (8,8) special case —
+    * byte-identical to the original (the mm05/mm06 oracles replicate
+    * the 8×8 predicate in SQL). Wider grids exist because a 64-bit
+    * hash saturates its band keyspace past ~1M images (the measured
+    * 1000× birthday floor, BENCH_NOTES round 6) — 16×16 = 256 bits
+    * keeps banded near-dup linear at corpus scale. Cells with no
+    * pixels (image smaller than the grid in one axis) emit '0'
+    * deterministically: 0·n > total·0 is false. */
+  def imageAHashN(media: Dataset[MediaRow], gridW: Int, gridH: Int)
       (implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
+    require(gridW > 0 && gridH > 0, "grid must be positive")
     media.mapPartitions { it =>
       it.map { m =>
         decodeImage(m.bytes) match {
           case Some(img) =>
             val w = img.getWidth
             val h = img.getHeight
-            val cellSum = Array.ofDim[Long](8, 8)
-            val cellCnt = Array.ofDim[Long](8, 8)
+            val cellSum = Array.ofDim[Long](gridH, gridW)
+            val cellCnt = Array.ofDim[Long](gridH, gridW)
             var total = 0L
             var y = 0
             while (y < h) {
-              val j = y * 8 / h
+              val j = y * gridH / h
               var x = 0
               while (x < w) {
                 val rgb = img.getRGB(x, y)
                 val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
                   (rgb & 0xff)
-                cellSum(j)(x * 8 / w) += s
-                cellCnt(j)(x * 8 / w) += 1
+                cellSum(j)(x * gridW / w) += s
+                cellCnt(j)(x * gridW / w) += 1
                 total += s
                 x += 1
               }
               y += 1
             }
             val n = w.toLong * h
-            val bits = new java.lang.StringBuilder(64)
+            val bits = new java.lang.StringBuilder(gridW * gridH)
             var j = 0
-            while (j < 8) {
+            while (j < gridH) {
               var i = 0
-              while (i < 8) {
+              while (i < gridW) {
                 bits.append(
                   if (cellSum(j)(i) * n > total * cellCnt(j)(i)) '1'
                   else '0')
@@ -356,6 +371,72 @@ object Multimodal {
         }
       }
     }.toDF("media_id", "decoded", "ahash_bits")
+  }
+
+  /** Banded perceptual-hash near-dup: ALL pairs within `maxHamming`
+    * bits on the gridW×gridH aHash, recall = 1 BY PIGEONHOLE — the
+    * hash splits into maxHamming+1 contiguous equal-width bands, so
+    * a pair differing in ≤ maxHamming bits agrees on at least one
+    * whole band and cannot miss the band equi-join.
+    *
+    * Scale shape: pixels never shuffle — the banding stage moves slim
+    * (band-key, id) rows only, and band keys ride as xxhash64 of the
+    * band substring (hashing MERGES buckets, never splits, so recall
+    * is unharmed; a 2^-64 false merge just adds a candidate that the
+    * exact verify rejects). Verification pulls the hash chunks back
+    * by id for candidates only and counts bits over 32-bit-chunk
+    * XORs. Candidate volume is governed by the band keyspace: with
+    * B = maxHamming+1 bands of width W = bits/B, the random-collision
+    * floor is ≈ B·n²/2^(W+1) pairs — the 8×8/Hamming-3 form (16-bit
+    * bands) is linear to ~1M images and measured hitting that floor
+    * at 5M (819M candidates, BENCH_NOTES round 6); 16×16 (64-bit
+    * bands) pushes the floor past any real corpus. Choose the grid
+    * so 2^W ≫ n.
+    *
+    * Output: (id_a, id_b, hamming), id_a < id_b, undecoded rows
+    * excluded. */
+  def imageNeardupPairs(media: Dataset[MediaRow], maxHamming: Int,
+                        gridW: Int = 8, gridH: Int = 8)
+      (implicit spark: SparkSession): DataFrame = {
+    val bits = gridW * gridH
+    val bands = maxHamming + 1
+    require(maxHamming >= 0, "maxHamming must be non-negative")
+    require(bits % bands == 0,
+      s"grid bits ($bits) must divide into maxHamming+1 ($bands) bands")
+    require(bits % 32 == 0,
+      s"grid bits ($bits) must chunk into 32-bit words for the verify")
+    val bw = bits / bands
+    val nChunks = bits / 32
+    val hashed = graft.CacheTracker.persistTracked(
+      imageAHashN(media, gridW, gridH)
+        .where(col("decoded"))
+        .select(col("media_id") +: col("ahash_bits") +:
+          (0 until nChunks).map(c =>
+            conv(substring(col("ahash_bits"), c * 32 + 1, 32), 2, 10)
+              .cast("long").as(s"__h$c")): _*))
+    val banded = hashed.select(col("media_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b), substring(col("ahash_bits"), b * bw + 1, bw)))
+        : _*)).as(Seq("band", "key")))
+    val cand = banded
+      .select(col("band"), col("key"), col("media_id").as("id_a"))
+      .join(banded.select(col("band"), col("key"),
+        col("media_id").as("id_b")), Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val hamming: Column = (0 until nChunks).map(c =>
+      bit_count(col(s"__h${c}a").bitwiseXOR(col(s"__h${c}b"))))
+      .reduce(_ + _).cast("long")
+    cand
+      .join(hashed.select(col("media_id").as("id_a") +:
+        (0 until nChunks).map(c => col(s"__h$c").as(s"__h${c}a")): _*),
+        "id_a")
+      .join(hashed.select(col("media_id").as("id_b") +:
+        (0 until nChunks).map(c => col(s"__h$c").as(s"__h${c}b")): _*),
+        "id_b")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
   }
 
   /** splitmix64 finalizer — the salted-fixture texture mixer. */

@@ -3224,33 +3224,11 @@ object Catalog {
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticPngMedia(
           Tables.documents(s, d).select("doc_id"))(s)
-        val hashed = graft.CacheTracker.persistTracked(
-          graft.multimodal.Multimodal.imageAHash(media)(s)
-            .select(col("media_id"), col("ahash_bits"),
-              conv(substring(col("ahash_bits"), 1, 32), 2, 10)
-                .cast("long").as("h1"),
-              conv(substring(col("ahash_bits"), 33, 32), 2, 10)
-                .cast("long").as("h2")))
-        val banded = hashed.select(col("media_id"),
-          posexplode(array((0 until 4).map(b =>
-            substring(col("ahash_bits"), b * 16 + 1, 16)): _*))
-            .as(Seq("band", "key")))
-        val cand = banded
-          .select(col("band"), col("key"), col("media_id").as("id_a"))
-          .join(banded.select(col("band"), col("key"),
-            col("media_id").as("id_b")), Seq("band", "key"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b").distinct()
-        cand
-          .join(hashed.select(col("media_id").as("id_a"),
-            col("h1").as("h1a"), col("h2").as("h2a")), "id_a")
-          .join(hashed.select(col("media_id").as("id_b"),
-            col("h1").as("h1b"), col("h2").as("h2b")), "id_b")
-          .withColumn("hamming", expr(
-            "bit_count(h1a ^ h1b) + bit_count(h2a ^ h2b)")
-            .cast("long"))
-          .filter(col("hamming") <= 3)
-          .select("id_a", "id_b", "hamming")
+        // the production banded near-dup operator (pigeonhole recall,
+        // 4 bands over the 8×8 hash); the 16×16 form is the corpus-
+        // scale path past the measured ~1M-image band-keyspace floor
+        graft.multimodal.Multimodal.imageNeardupPairs(
+          media, maxHamming = 3, gridW = 8, gridH = 8)(s)
           .orderBy("id_a", "id_b")
       },
       Some("""WITH dims AS (SELECT doc_id, 16 + doc_id % 32 AS w,

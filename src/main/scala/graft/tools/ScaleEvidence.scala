@@ -989,6 +989,18 @@ object ScaleEvidence {
     // being true near-duplicates and the banded candidate count can
     // be judged against the replica-local truth. Runs at EVERY reps
     // (the aliased stage above stays 10×-bounded as documented).
+    // the 256-bit (16×16) production operator at the same reps: the
+    // 8×8 banding's 16-bit keyspace hits its birthday floor at ~1M
+    // images (measured: 819M candidates at 5M) — 64-bit band keys
+    // push the floor past any real corpus, so this stage's candidate
+    // count tracks the TRUTH pairs, not the keyspace
+    timed(s"mm06 near-dup 256-bit hash (${reps*5}k PNGs)") {
+      val media = graft.multimodal.Multimodal.syntheticPngMedia(
+        corpus.select("doc_id"), saltOf = _ / 10000000L)(spark)
+      val n = graft.multimodal.Multimodal.imageNeardupPairs(
+        media, maxHamming = 3, gridW = 16, gridH = 16)(spark).count()
+      graft.CacheTracker.releaseAll(); n
+    }
     timed(s"mm06 image near-dup, de-aliased salt (${reps*5}k PNGs)") {
       val media = graft.multimodal.Multimodal.syntheticPngMedia(
         corpus.select("doc_id"),
