@@ -354,14 +354,22 @@ object Multimodal {
               y += 1
             }
             val n = w.toLong * h
+            // cross-multiplied mean compare: exact integers, no
+            // division. Products fit a Long only while 765·n² ≤
+            // Long.Max (n ≲ 1.1e8 px); past ~100 MPix fall back to
+            // BigInt so the hash bits stay correct (and stay parity
+            // with the DuckDB oracle, whose hugeint never wraps).
+            val big = n > 100000000L
             val bits = new java.lang.StringBuilder(gridW * gridH)
             var j = 0
             while (j < gridH) {
               var i = 0
               while (i < gridW) {
-                bits.append(
-                  if (cellSum(j)(i) * n > total * cellCnt(j)(i)) '1'
-                  else '0')
+                val one =
+                  if (!big) cellSum(j)(i) * n > total * cellCnt(j)(i)
+                  else BigInt(cellSum(j)(i)) * n >
+                    BigInt(total) * cellCnt(j)(i)
+                bits.append(if (one) '1' else '0')
                 i += 1
               }
               j += 1
@@ -407,17 +415,23 @@ object Multimodal {
       s"grid bits ($bits) must chunk into 32-bit words for the verify")
     val bw = bits / bands
     val nChunks = bits / 32
+    // band keys and verify chunks are derived BEFORE the persist and
+    // the raw bit string dropped — the cache carries (bands + chunks)
+    // longs per row instead of a gridW·gridH-char string (at 16×16
+    // that string alone is ~512 bytes/row, >80% of the footprint)
     val hashed = graft.CacheTracker.persistTracked(
       imageAHashN(media, gridW, gridH)
         .where(col("decoded"))
-        .select(col("media_id") +: col("ahash_bits") +:
+        .select(col("media_id") +:
+          ((0 until bands).map(b =>
+            xxhash64(lit(b), substring(col("ahash_bits"), b * bw + 1, bw))
+              .as(s"__b$b")) ++
           (0 until nChunks).map(c =>
             conv(substring(col("ahash_bits"), c * 32 + 1, 32), 2, 10)
-              .cast("long").as(s"__h$c")): _*))
+              .cast("long").as(s"__h$c"))): _*))
     val banded = hashed.select(col("media_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b), substring(col("ahash_bits"), b * bw + 1, bw)))
-        : _*)).as(Seq("band", "key")))
+      posexplode(array((0 until bands).map(b => col(s"__b$b")): _*))
+        .as(Seq("band", "key")))
     val cand = banded
       .select(col("band"), col("key"), col("media_id").as("id_a"))
       .join(banded.select(col("band"), col("key"),

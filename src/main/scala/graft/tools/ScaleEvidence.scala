@@ -39,30 +39,29 @@ object ScaleEvidence {
 
   /** Optional `args(1)` regex restricting which stages run (closure
     * runs for a handful of new rows shouldn't pay for the full
-    * sweep's 300 s exact-form boundaries). In an UNFILTERED run the
+    * sweep's 300 s exact-form boundaries). In a FILTERED run the
     * setup stages (corpus parquet, the posts store, the bucketed
-    * edge table, the postings table) always run because later stages
-    * read their output; in a FILTERED run they run only when the
-    * filter matches them — include the ones your stages need (e.g.
-    * "write documents|d01 " for a corpus-reading probe at a new
+    * edge table, the postings table) run only when the filter
+    * matches them too — include the ones your stages need (e.g.
+    * "documents parquet|d01 " for a corpus-reading probe at a new
     * reps), or reuse the on-disk artifacts of a previous run at the
-    * SAME reps. This keeps a 1000x corpus probe from paying the
+    * SAME reps (the corpus is row-count-guarded; the rest is on the
+    * caller). This keeps a 1000x corpus probe from paying the
     * 1.2B-row edge write it never reads.
     */
   private var only: Option[scala.util.matching.Regex] = None
-  private val setupPrefixes = Seq(
-    "write documents parquet", "catch-up merge", "q29 bucketed edge write",
-    "inverted index build")
 
-  /** Gates top-level setup work (jobs OUTSIDE timed blocks: off-clock
-    * seeding, driver-side probes) that only the named stages consume:
-    * true on an unfiltered run, or when the filter selects any of the
-    * given stage-label fragments. */
-  private def wanted(labelFragments: String*): Boolean =
-    only.forall(r => labelFragments.exists(l => r.findFirstIn(l).isDefined))
+  /** THE selection predicate — timed() and every off-clock setup
+    * gate test the filter against the SAME full stage label, so a
+    * regex that selects a stage always also runs the seeding that
+    * stage depends on (gates pass the exact label value the timed
+    * call uses; fragments drifted — a suffix-matching filter used to
+    * run a stage whose setup had been skipped). */
+  private def stageSelected(label: String): Boolean =
+    only.forall(_.findFirstIn(label).isDefined)
 
   private def timed(label: String)(f: => Long): Unit = {
-    val selected = only.forall(_.findFirstIn(label).isDefined)
+    val selected = stageSelected(label)
     if (!selected) { println(f"$label%-42s   skipped (filter)"); return }
     val w0 = shuffleWrite.get(); val r0 = shuffleRead.get()
     val e0 = execRunMs.get(); val g0 = execGcMs.get()
@@ -103,6 +102,7 @@ object ScaleEvidence {
 
     // ── corpus: 10× documents, token-salted per replica ─────────────
     val docs0 = graft.Tables.documents(spark, d)
+    val docs0Count = docs0.count()
     val docs = (0 until reps).map { i =>
       docs0.select(
         (col("doc_id") + i * 10000000L).as("doc_id"),
@@ -114,6 +114,17 @@ object ScaleEvidence {
       spark.read.parquet(s"$work/documents").count()
     }
     val corpus = spark.read.parquet(s"$work/documents")
+    // stale-artifact guard: a filtered run that skips the corpus
+    // write reuses whatever is on disk — if that parquet is from a
+    // run at a DIFFERENT reps, every stage label would misstate its
+    // scale and the recorded rows would be silently wrong. Fail loud.
+    locally {
+      val onDisk = corpus.count()
+      require(onDisk == docs0Count * reps,
+        s"on-disk corpus at $work/documents has $onDisk rows but " +
+          s"reps=$reps expects ${docs0Count * reps} — rerun with the " +
+          "\"documents parquet\" stage included in the filter")
+    }
 
     println("== dedup / similarity ==")
     timed("d01 exact dedup") {
@@ -165,7 +176,10 @@ object ScaleEvidence {
       .groupBy("term")
       .agg(sum("tf").as("n")).orderBy(col("n").desc).limit(2)
       .collect().map(_.getString(0)).toSeq
-    if (wanted("indexed search", "brute-force search", "q31 hybrid RRF"))
+    if (Seq("indexed search (2 terms, top-20)",
+        "brute-force search (2 terms, top-20)",
+        "q31 hybrid RRF (bm25 + dense over the corpus)")
+        .exists(stageSelected))
       println(s"   query terms: ${terms.mkString(", ")}")
     timed("indexed search (2 terms, top-20)") {
       graft.text.InvertedIndex.search(spark.table(idxTable),
@@ -403,7 +417,7 @@ object ScaleEvidence {
         .filter(col("body") === "edited body text").count()
     }
     // seed-lookup pruning proof at scale: partitions read vs total
-    if (wanted("micro-batch merge", "seed-lookup")) {
+    if (stageSelected(s"micro-batch merge: 20 edits vs $nPosts stored")) {
       val existing = spark.read.parquet(postsDir)
       val evs = graft.ingest.PostsIngest.commentEvents(
         graft.ingest.OpExtract.ops(
@@ -424,8 +438,11 @@ object ScaleEvidence {
       println(s"seed-lookup scan: " +
         s"${scan.metrics("numPartitions").value} of $total " +
         s"(month, bucket) partitions read")
-      graft.CacheTracker.releaseAll()
     }
+    // safety-net release OUTSIDE the gate: the merge stages persist
+    // internally, and on a filtered run that skips the seed-lookup
+    // block those caches must not leak into later measured stages
+    graft.CacheTracker.releaseAll()
 
     // ── round-3 operators at the same scale ─────────────────────────
     println(s"== round-3 ops (${reps}x) ==")
@@ -446,7 +463,9 @@ object ScaleEvidence {
     // q32 setup OUTSIDE the timed block — the claim under test is
     // that the REFRESH is O(batch); building the stored view and
     // finding the month boundary are one-time history work
-    if (wanted("q32 incremental refresh")) {
+    val q32Label =
+      s"q32 incremental refresh (1 month batch vs ${reps/10.0}M history)"
+    if (stageSelected(q32Label)) {
       val q32WithM = ev
         .withColumn("__m", date_format(col("ts"), "yyyy-MM"))
         .withColumn("__c", round(col("value") * 100, 0).cast("long"))
@@ -456,13 +475,13 @@ object ScaleEvidence {
         q32WithM.filter(col("__m") =!= q32Months.last),
         Seq("event_type"), col("__c")).persist()
       q32View.count() // materialized before the clock starts
-      timed(s"q32 incremental refresh (1 month batch vs ${reps/10.0}M history)") {
+      timed(q32Label) {
         graft.state.Incremental.merge(q32View,
           q32WithM.filter(col("__m") === q32Months.last),
           Seq("event_type"), col("__c")).count()
       }
       q32View.unpersist(blocking = false)
-    } else println("q32 incremental refresh                       skipped (filter)")
+    } else println(f"$q32Label%-42s   skipped (filter)")
     timed("q31 hybrid RRF (bm25 + dense over the corpus)") {
       val lex = graft.query.Rank.globalRowNumber(
         graft.text.Bm25.score(corpus, col("text"), terms, 30),
@@ -499,8 +518,9 @@ object ScaleEvidence {
         max(unix_micros(col("ts")))).head()
       (tBounds.getLong(0), tBounds.getLong(1))
     }
-    if (wanted("z-order write")) { val _ = (tmin, tmax) } // off-clock
-    timed(s"z-order write (${reps/10.0}M rows, 256-cell grid)") {
+    val zLabel = s"z-order write (${reps/10.0}M rows, 256-cell grid)"
+    if (stageSelected(zLabel)) { val _ = (tmin, tmax) } // off-clock
+    timed(zLabel) {
       // quantize (user_id, ts) onto a 2^10 grid, p=4 → 256 cells
       val g = ev.select(col("event_id"),
         pmod(col("user_id"), lit(1024L)).as("x"),
@@ -522,13 +542,14 @@ object ScaleEvidence {
     // partitions). Fragmentation setup (50 appended micro-batches)
     // happens off the clock; the timed work is the bin-pack itself.
     val frag = s"$work/appendlog"
-    if (wanted("compact a 50-trigger"))
+    val compactLabel = "compact a 50-trigger append-fragmented table"
+    if (stageSelected(compactLabel))
       (0 until 50).foreach { i =>
         ev.filter(pmod(col("event_id"), lit(50L)) === i)
           .coalesce(1).write.mode(if (i == 0) "overwrite" else "append")
           .parquet(frag)
       }
-    timed("compact a 50-trigger append-fragmented table") {
+    timed(compactLabel) {
       val (b, a) = graft.state.Layout.compact(spark, frag,
         targetBytes = 128L * 1024 * 1024)
       println(f"   files: $b -> $a")
@@ -1066,7 +1087,8 @@ object ScaleEvidence {
     //    time work and stays off the clock. ─────────────────────────
     println("== integrated streaming freshness (merge + view + feed) ==")
     val viewDir = s"$work/author_view"
-    if (wanted("e2e freshness")) {
+    val freshLabel = s"e2e freshness: 20-op batch vs $nPosts stored"
+    if (stageSelected(freshLabel)) {
       val vPath = new org.apache.hadoop.fs.Path(viewDir)
       val vfs = vPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       vfs.delete(vPath, true)
@@ -1075,7 +1097,7 @@ object ScaleEvidence {
         Seq("author"), lit(1L))(
         spark.read.parquet(postsDir).select("author"), 0L)
     }
-    timed(s"e2e freshness: 20-op batch vs $nPosts stored") {
+    timed(freshLabel) {
       val blocks = blocksFor(1200, 20, nPosts * 3,
         lit("fresh body text"), stride = 6)
       // 1. merge the batch into the bucketed posts store
