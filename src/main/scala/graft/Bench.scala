@@ -52,15 +52,11 @@ object Bench {
         finally CacheTracker.releaseAll()
       name -> ((System.nanoTime() - t0) / 1e9, err)
     }
-    // Printed line stays PARSEABLE at 140+ queries: r4's official
-    // artifact came back `parsed: null` because full double reprs +
-    // an all-null errors map pushed the line past the driver's tail
-    // capture and truncated the JSON. Millisecond precision and
-    // errors-only-when-present keep the line ~4 KB; the full-precision
-    // per-query profile goes to a committed self-record file.
+    // Printed line stays PARSEABLE at 140+ queries: millisecond
+    // precision, errors-only-when-present, and a 36-query-only map
+    // keep the single metric line ~1.2 KB; the full-precision
+    // per-query profile goes to the committed self-record file.
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + r3(v) }
-      .mkString("{", ",", "}")
     // Apples-to-apples contract number: BASELINE was recorded over the
     // 36-query round-1 catalog (BENCH_r01: 48.196 s); the catalog has
     // since more than tripled, so the all-queries total is not
@@ -92,7 +88,6 @@ object Bench {
       s"\"" + k + "\":\"" + e + "\""
     }.mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"baseline36_total":${r3(baseTotal)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // Self-record (VERDICT r4 #1): the official BENCH artifact only
     // keeps what the driver's tail capture catches, so ALSO write the
     // profile — full precision, one query per line for readable
@@ -109,18 +104,17 @@ object Bench {
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable =>
       System.err.println(s"bench self-record write failed: $e") }
-    println(line)
-    // The driver keeps only the LAST 2000 chars of output (measured
-    // from BENCH_r05.json's tail field) — a 140-query map is ~3.6 KB
-    // and can NEVER fit, which is why every round's `parsed` came
-    // back null. Print a COMPACT metric line LAST (~1.1 KB: summary
-    // totals + just the 36 contract queries; the full per-query
-    // profile is the committed BENCH_SELF.json) so a complete,
-    // parseable JSON line always survives the tail capture.
+    // Exactly ONE metric line (ADVICE r6): the compact form — summary
+    // totals, error map, and just the 36 contract queries (~1.2 KB),
+    // sized for the driver's 2000-char tail capture; a 140-query map
+    // is ~3.6 KB and can never fit (that was why `parsed` came back
+    // null for four rounds). The full per-query profile lives in the
+    // committed BENCH_SELF.json. A second "metric":"total" line with
+    // a different shape would also trap first-match parsers.
     val qs36 = results.collect { case (k, (v, _)) if baseline36(k) =>
       s"\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"baseline36_total":${r3(baseTotal)},"n_errors":${results.values.count(_._2.isDefined)},"queries":$qs36,"queries_full":"BENCH_SELF.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"baseline36_total":${r3(baseTotal)},"n_errors":${results.values.count(_._2.isDefined)},"errors":$errs,"queries":$qs36,"queries_full":"BENCH_SELF.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }

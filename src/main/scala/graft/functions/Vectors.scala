@@ -602,7 +602,13 @@ object Vectors {
         import org.apache.spark.sql.execution.columnar.InMemoryRelation
         val p = df.queryExecution.optimizedPlan
         val exactLeaf = p match {
-          case _: LocalRelation | _: LRange | _: InMemoryRelation => true
+          case _: LocalRelation | _: LRange => true
+          // A cache is exact only once its buffers are materialized;
+          // before that, stats come from statsOfPlanToCache — under
+          // CBO that is the child plan's selectivity ESTIMATE, the
+          // very number this guard exists to distrust (ADVICE r6).
+          case r: InMemoryRelation =>
+            r.cacheBuilder.isCachedColumnBuffersLoaded
           case _ => false
         }
         (if (exactLeaf) p.stats.rowCount else None)

@@ -402,7 +402,14 @@ object Multimodal {
     * so 2^W ≫ n.
     *
     * Output: (id_a, id_b, hamming), id_a < id_b, undecoded rows
-    * excluded. */
+    * excluded.
+    *
+    * Caching contract: the slim per-image hash table is persisted via
+    * [[graft.CacheTracker]] (read 3× — banding plus both verify-join
+    * sides — decoded 1×); the CALLER releases it after consuming the
+    * result, via `CacheTracker.releaseAll()` (what the
+    * harness/bench/verify mains do) — otherwise the persist pins
+    * executor storage for the session. */
   def imageNeardupPairs(media: Dataset[MediaRow], maxHamming: Int,
                         gridW: Int = 8, gridH: Int = 8)
       (implicit spark: SparkSession): DataFrame = {

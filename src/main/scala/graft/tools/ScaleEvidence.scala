@@ -171,21 +171,26 @@ object ScaleEvidence {
     // explicit off-clock force when a consumer stage is selected, so
     // a filtered run that skips all search stages never resolves the
     // postings table (which a skipped index build never registered).
+    val idxSearchLabel = "indexed search (2 terms, top-20)"
+    val bruteSearchLabel = "brute-force search (2 terms, top-20)"
+    val q31Label = "q31 hybrid RRF (bm25 + dense over the corpus)"
     lazy val terms = spark.table(idxTable)
       .filter(col("term").startsWith("r0_"))
       .groupBy("term")
       .agg(sum("tf").as("n")).orderBy(col("n").desc).limit(2)
       .collect().map(_.getString(0)).toSeq
-    if (Seq("indexed search (2 terms, top-20)",
-        "brute-force search (2 terms, top-20)",
-        "q31 hybrid RRF (bm25 + dense over the corpus)")
+    // Labels bound ONCE and shared by the off-clock gate and the
+    // timed() calls (the q32Label pattern) — a drifting literal would
+    // silently move the postings-table collect inside the timed
+    // window (ADVICE r6).
+    if (Seq(idxSearchLabel, bruteSearchLabel, q31Label)
         .exists(stageSelected))
       println(s"   query terms: ${terms.mkString(", ")}")
-    timed("indexed search (2 terms, top-20)") {
+    timed(idxSearchLabel) {
       graft.text.InvertedIndex.search(spark.table(idxTable),
         terms, k = 20).count()
     }
-    timed("brute-force search (2 terms, top-20)") {
+    timed(bruteSearchLabel) {
       graft.query.Feeds.search(corpus, col("text"),
         terms, requireAll = true)
         .orderBy(col("score").desc, col("doc_id").asc).limit(20)
@@ -482,7 +487,7 @@ object ScaleEvidence {
       }
       q32View.unpersist(blocking = false)
     } else println(f"$q32Label%-42s   skipped (filter)")
-    timed("q31 hybrid RRF (bm25 + dense over the corpus)") {
+    timed(q31Label) {
       val lex = graft.query.Rank.globalRowNumber(
         graft.text.Bm25.score(corpus, col("text"), terms, 30),
         Seq(col("score").desc, col("doc_id").asc))
