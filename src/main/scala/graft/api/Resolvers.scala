@@ -1,0 +1,441 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, JsonNodeFactory, ObjectNode}
+import graft.query.{ArgsJson, FeedArgs, PostProjections, PostQueries}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** The entity tables the query plane serves (the reference's Mongo
+  * collections, as DataFrames — SURVEY.md §3.1 declared boundary).
+  * Optional tables correspond to resolvers a deployment may not wire
+  * (Ceramic, communities, the stats singleton); querying an unwired
+  * resolver is a field-level GraphQL error, not a crash. */
+final case class ApiTables(
+    posts: DataFrame,
+    follows: DataFrame,
+    profiles: DataFrame,
+    ceramicProfiles: Option[DataFrame] = None,
+    communities: Option[DataFrame] = None,
+    socialConnections: Option[DataFrame] = None,
+    /** One row shaped like `SyncMetrics.syncStateFromLog` output
+      * (block_lag, sync_eta_seconds, block_lag_diff). */
+    syncStats: Option[DataFrame] = None)
+
+/** GraphQL executor over the engine's query surface — the reference's
+  * eleven Query-type resolvers (`graphql-v2/resolvers/index.ts`,
+  * `schema.ts:308-327`) re-expressed as thin arg-compile → DataFrame
+  * dispatch. The HEAVY side of every field stays the oracle-gated
+  * engine pipeline (PostQueries / Feeds / PostProjections); this
+  * class only (1) compiles GraphQL arguments to [[FeedArgs]] via the
+  * same ArgsJson compiler the argument objects already pass through,
+  * (2) prunes the DataFrame's columns to the requested selection
+  * BEFORE collect — so a GraphQL selection drives Catalyst column
+  * pruning all the way to the parquet scan — and (3) shapes the
+  * bounded page of collected rows to the selection (aliases, nested
+  * selections, inline fragments matched on `__typename`).
+  *
+  * Scale shape: resolvers return pages (`limit`-bounded), so the
+  * driver-side collect is O(page), never O(table); everything before
+  * it is a distributed plan. Fields selected but not wired to a
+  * column serialize as JSON null (the subset does no schema
+  * validation — documented divergence from graphql-yoga, which
+  * rejects unknown fields at validation time).
+  *
+  * `now`: trendingTags' 14-day window anchor — wall clock in the
+  * reference (`resolvers/index.ts:368`); injectable here so tests and
+  * replays are deterministic. */
+final class GraftApi(spark: SparkSession, tables: ApiTables,
+                     now: () => Column = () => current_timestamp(),
+                     sampleSeed: Long = 42L) {
+  import GraphQL._
+
+  private val mapper = new ObjectMapper()
+  private val nf = JsonNodeFactory.instance
+
+  /** Post view with all computed projections attached (P1–P6 +
+    * __typename) — built once; Catalyst prunes unrequested ones per
+    * query. */
+  private val projectedPosts = PostProjections.project(tables.posts)
+  private val profileView = PostProjections.profileView(tables.profiles)
+  private val ceramicView =
+    tables.ceramicProfiles.map(PostProjections.ceramicProfileView)
+
+  /** Execute a GraphQL request; returns the standard response object
+    * ({"data": ...} / {"errors": [...]}; field failures yield a null
+    * field plus an errors entry — GraphQL partial-result semantics).
+    */
+  def execute(query: String, variablesJson: Option[String] = None)
+      : ObjectNode = {
+    val out = nf.objectNode()
+    val op =
+      try GraphQL.parse(query)
+      catch {
+        case e: ParseError =>
+          out.set[ObjectNode]("errors", errorArr(e.getMessage)); return out
+      }
+    val vars: Map[String, JsonNode] =
+      try buildVars(op, variablesJson)
+      catch {
+        case e: IllegalArgumentException =>
+          out.set[ObjectNode]("errors", errorArr(e.getMessage)); return out
+      }
+    val data = nf.objectNode()
+    val errors = nf.arrayNode()
+    GraphQL.applicable(op.selections, None).foreach { f =>
+      try data.set[ObjectNode](f.alias, resolveField(f, vars))
+      catch {
+        case e: Exception =>
+          data.set[ObjectNode](f.alias, nf.nullNode())
+          val err = nf.objectNode()
+          err.put("message", Option(e.getMessage).getOrElse(e.toString))
+          err.set[ObjectNode]("path",
+            nf.arrayNode().add(f.alias))
+          errors.add(err)
+      }
+    }
+    out.set[ObjectNode]("data", data)
+    if (errors.size() > 0) out.set[ObjectNode]("errors", errors)
+    out
+  }
+
+  def executeJson(query: String, variablesJson: Option[String] = None)
+      : String = mapper.writeValueAsString(execute(query, variablesJson))
+
+  // ── field dispatch ─────────────────────────────────────────────────
+  private def resolveField(f: Field, vars: Map[String, JsonNode])
+      : JsonNode = {
+    val args = argsNode(f.args, vars)
+    def str(n: String): Option[String] =
+      Option(args.get(n)).filterNot(_.isNull).map(_.asText())
+    f.name match {
+      case "socialPost" =>
+        single(PostQueries.socialPost(projectedPosts,
+          str("author").getOrElse(""), str("permlink").getOrElse("")),
+          f.selections)
+      case "socialFeed" =>
+        feedOutput(PostQueries.socialFeed(projectedPosts,
+          tables.follows, feedArgs(args)), f.selections)
+      case "trendingFeed" =>
+        val by =
+          if (str("trendingBy").contains("PAYOUT")) PostQueries.ByPayout
+          else PostQueries.ByComments
+        feedOutput(PostQueries.trendingFeed(projectedPosts,
+          tables.follows, feedArgs(args), by), f.selections)
+      case "searchFeed" =>
+        feedOutput(PostQueries.searchFeed(projectedPosts,
+          tables.follows, feedArgs(args),
+          str("searchTerm").getOrElse("")), f.selections)
+      case "relatedFeed" =>
+        feedOutput(PostQueries.relatedFeed(projectedPosts,
+          tables.follows, feedArgs(args),
+          str("author").getOrElse(""), str("permlink").getOrElse(""),
+          sampleSeed), f.selections)
+      case "profile" =>
+        val id = str("id").orElse(str("username")).getOrElse("")
+        if (id.startsWith("did:"))
+          single(ceramicView.getOrElse(
+            sys.error("ceramic profiles not configured"))
+            .filter(col("did") === id), f.selections)
+        else single(profileView.filter(col("username") === id),
+          f.selections)
+      case "follows" => followsField(str("id").getOrElse(""), f)
+      case "leaderBoard" => leaderBoardField(f)
+      case "syncState" =>
+        val stats = tables.syncStats
+          .getOrElse(sys.error("sync stats not configured"))
+          .select(col("block_lag").as("blockLag"),
+            col("sync_eta_seconds").as("syncEtaSeconds"),
+            col("block_lag_diff").as("latestBlockLagDiff"))
+        single(stats, f.selections)
+      case "trendingTags" =>
+        val k = Option(args.get("limit")).filterNot(_.isNull)
+          .map(_.asInt()).filter(_ > 0).getOrElse(5)
+        val tags = PostQueries.trendingTags(tables.posts, now(), k)
+        val obj = nf.objectNode()
+        GraphQL.applicable(f.selections, None).foreach { sub =>
+          sub.name match {
+            case "tags" =>
+              obj.set[ObjectNode](sub.alias,
+                arrayOf(tags, sub.selections))
+            case "__typename" =>
+              obj.put(sub.alias, "TrendingTags")
+            case _ => obj.set[ObjectNode](sub.alias, nf.nullNode())
+          }
+        }
+        obj
+      case "community" => communityField(str("id").getOrElse(""), f, vars)
+      case other => sys.error(s"unknown query field '$other'")
+    }
+  }
+
+  /** FeedOutput { items: [MergedPost] } — items computed once, other
+    * selected fields null. */
+  private def feedOutput(df: DataFrame, sels: Seq[Selection])
+      : JsonNode = {
+    val obj = nf.objectNode()
+    GraphQL.applicable(sels, None).foreach { sub =>
+      sub.name match {
+        case "items" =>
+          obj.set[ObjectNode](sub.alias, arrayOf(df, sub.selections))
+        case "__typename" => obj.put(sub.alias, "FeedOutput")
+        case _ => obj.set[ObjectNode](sub.alias, nf.nullNode())
+      }
+    }
+    obj
+  }
+
+  /** Q12 follows(id): both edge lists from ONE scan
+    * (PostQueries.followEdges), counts from one aggregate — computed
+    * only when the selection asks (the reference defers them behind
+    * async thunks for the same reason; resolvers/index.ts:322-351).
+    */
+  private def followsField(id: String, f: Field): JsonNode = {
+    val sels = GraphQL.applicable(f.selections, None)
+    val obj = nf.objectNode()
+    lazy val edges = rowsOf(
+      PostQueries.followEdges(tables.follows, tables.profiles, id),
+      Nil) // full rows; per-list selection pruning happens in shape()
+    lazy val counts = PostQueries.followCounts(tables.follows, id)
+      .collect().head
+    sels.foreach { sub =>
+      sub.name match {
+        case "followers" | "followings" =>
+          val arr = nf.arrayNode()
+          edges.filter(_.path("list").asText() == sub.name)
+            .foreach(n => arr.add(shape(n, sub.selections)))
+          obj.set[ObjectNode](sub.alias, arr)
+        case "followers_count" =>
+          obj.put(sub.alias, counts.getAs[Long]("follower_count"))
+        case "followings_count" =>
+          obj.put(sub.alias, counts.getAs[Long]("following_count"))
+        case "__typename" => obj.put(sub.alias, "FollowOverview")
+        case _ => obj.set[ObjectNode](sub.alias, nf.nullNode())
+      }
+    }
+    obj
+  }
+
+  /** Q13 leaderBoard: items ranked by score (distributed rank — no
+    * single-partition window), total = item count
+    * (resolvers/index.ts:455-476). */
+  private def leaderBoardField(f: Field): JsonNode = {
+    val sels = GraphQL.applicable(f.selections, None)
+    val ranked = PostQueries.leaderBoard(profileView)
+    val obj = nf.objectNode()
+    lazy val itemSel = sels.find(_.name == "items")
+      .map(_.selections).getOrElse(Nil)
+    lazy val items = rowsOf(ranked, itemSel)
+    sels.foreach { sub =>
+      sub.name match {
+        case "items" =>
+          val arr = nf.arrayNode()
+          items.foreach(n => arr.add(shape(n, sub.selections)))
+          obj.set[ObjectNode](sub.alias, arr)
+        case "total_active_creators" =>
+          if (sels.exists(_.name == "items"))
+            obj.put(sub.alias, items.size)
+          else obj.put(sub.alias, ranked.count())
+        case "__typename" => obj.put(sub.alias, "LeaderBoard")
+        case _ => obj.set[ObjectNode](sub.alias, nf.nullNode())
+      }
+    }
+    obj
+  }
+
+  /** Q4 community(id): point row + two nested feeds with byCommunity
+    * forced into whatever feed args the NESTED field carries
+    * (resolvers/index.ts:406-453) — each feed built only if selected.
+    */
+  private def communityField(id: String, f: Field,
+                             vars: Map[String, JsonNode]): JsonNode = {
+    val comms = tables.communities
+      .getOrElse(sys.error("communities not configured"))
+    val (row, _, _) = PostProjections.community(
+      comms, projectedPosts, tables.follows, id)
+    val rows = rowsOf(row, Nil)
+    if (rows.isEmpty) return nf.nullNode()
+    val node = rows.head
+    val obj = nf.objectNode()
+    GraphQL.applicable(f.selections, None).foreach { sub =>
+      sub.name match {
+        case "latestFeed" | "trendingFeed" =>
+          val args = argsNode(sub.args, vars)
+          val fa0 = feedArgs(args)
+          val fa = fa0.copy(byCommunity =
+            Some(graft.query.Where(eq = Some(id))))
+          val df =
+            if (sub.name == "latestFeed")
+              PostQueries.socialFeed(projectedPosts, tables.follows, fa)
+            else PostQueries.trendingFeed(projectedPosts,
+              tables.follows, fa)
+          obj.set[ObjectNode](sub.alias, feedOutput(df, sub.selections))
+        case "roles" =>
+          // unpacked [[username, role, title]] structs (P8)
+          obj.set[ObjectNode](sub.alias,
+            shapeValue(node.path("roles_unpacked"), sub.selections))
+        case "created_at" =>
+          obj.set[ObjectNode](sub.alias, node.path("created_at_iso"))
+        case "__typename" => obj.put(sub.alias, "CommunityOutput")
+        case nm =>
+          obj.set[ObjectNode](sub.alias,
+            shapeValue(node.path(nm), sub.selections))
+      }
+    }
+    obj
+  }
+
+  // ── GraphQL args → FeedArgs ────────────────────────────────────────
+  /** The schema splits feed arguments across `spkvideo`, `pagination`
+    * and `feedOptions` (schema.ts:308-316) while the resolver reads
+    * them back as one query (TransformFeedArgs,
+    * resolvers/index.ts:58-149) — and `_or` is an OBJECT of named
+    * filters there (FeedOptinsOR) where ArgsJson's combined shape
+    * takes an array of branches. Merge + convert here; `apps` is
+    * accepted and ignored exactly like the reference (declared in the
+    * schema, never read by TransformFeedArgs). */
+  private def feedArgs(args: ObjectNode): FeedArgs = {
+    val merged = nf.objectNode()
+    Option(args.get("feedOptions")).filterNot(_.isNull).foreach { fo =>
+      fo.fieldNames().asScala
+        .foreach(k => merged.set[ObjectNode](k, fo.get(k)))
+    }
+    Option(args.get("spkvideo")).filterNot(_.isNull)
+      .foreach(merged.set[ObjectNode]("spkvideo", _))
+    Option(args.get("pagination")).filterNot(_.isNull)
+      .foreach(merged.set[ObjectNode]("pagination", _))
+    Option(merged.get("_or")).filterNot(_.isNull).foreach { or =>
+      if (or.isObject) {
+        val arr = nf.arrayNode()
+        or.fieldNames().asScala.foreach { k =>
+          val branch = nf.objectNode()
+          branch.set[ObjectNode](k, or.get(k))
+          arr.add(branch)
+        }
+        merged.set[ObjectNode]("_or", arr)
+      }
+    }
+    ArgsJson.parse(mapper.writeValueAsString(merged))
+  }
+
+  // ── variables ──────────────────────────────────────────────────────
+  private def buildVars(op: Operation, variablesJson: Option[String])
+      : Map[String, JsonNode] = {
+    val provided: Map[String, JsonNode] = variablesJson
+      .map(mapper.readTree).filter(_.isObject)
+      .map(o => o.fieldNames().asScala.map(k => k -> o.get(k)).toMap)
+      .getOrElse(Map.empty)
+    op.variables.map { case (nm, tp, dflt) =>
+      val v = provided.get(nm)
+        .orElse(dflt.map(valueToNode(_, Map.empty)))
+        .getOrElse {
+          if (tp.endsWith("!"))
+            throw new IllegalArgumentException(
+              s"missing required variable $$$nm: $tp")
+          nf.nullNode()
+        }
+      nm -> v
+    }.toMap
+  }
+
+  private def argsNode(args: Seq[(String, Value)],
+                       vars: Map[String, JsonNode]): ObjectNode = {
+    val o = nf.objectNode()
+    args.foreach { case (k, v) =>
+      o.set[ObjectNode](k, valueToNode(v, vars))
+    }
+    o
+  }
+
+  private def valueToNode(v: Value, vars: Map[String, JsonNode])
+      : JsonNode = v match {
+    case VInt(x) => nf.numberNode(x)
+    case VFloat(x) => nf.numberNode(x)
+    case VString(x) => nf.textNode(x)
+    case VBool(x) => nf.booleanNode(x)
+    case VNull => nf.nullNode()
+    case VEnum(x) => nf.textNode(x)
+    case VList(xs) =>
+      val a = nf.arrayNode(); xs.foreach(x => a.add(valueToNode(x, vars))); a
+    case VObj(fs) =>
+      val o = nf.objectNode()
+      fs.foreach { case (k, x) =>
+        o.set[ObjectNode](k, valueToNode(x, vars))
+      }
+      o
+    case VVar(nm) => vars.getOrElse(nm,
+      throw new IllegalArgumentException(s"undefined variable $$$nm"))
+  }
+
+  // ── DataFrame → shaped JSON ────────────────────────────────────────
+  /** Collect a (page-bounded) DataFrame as Jackson rows, pruning the
+    * plan's columns to the selection FIRST — the GraphQL selection
+    * becomes a Project that Catalyst pushes into the scan. Passing
+    * empty selections skips pruning (caller shapes later). */
+  private def rowsOf(df: DataFrame, sels: Seq[Selection])
+      : Seq[JsonNode] = {
+    val pruned =
+      if (sels.isEmpty) df
+      else {
+        // union over fragment branches + __typename (needed both as a
+        // selectable meta field and to match fragment conditions)
+        val want = GraphQL.allFieldNames(sels) + "__typename"
+        val keep = df.columns.filter(want.contains)
+        if (keep.isEmpty) df.select(df.columns.head)
+        else df.select(keep.map(c => col(s"`$c`")).toSeq: _*)
+      }
+    pruned.toJSON.collect().toSeq.map(mapper.readTree)
+  }
+
+  private def arrayOf(df: DataFrame, sels: Seq[Selection]): ArrayNode = {
+    val arr = nf.arrayNode()
+    rowsOf(df, sels).foreach(n => arr.add(shape(n, sels)))
+    arr
+  }
+
+  /** First row shaped to the selection, or JSON null (socialPost /
+    * profile return null for a miss, resolvers/index.ts:159-162). */
+  private def single(df: DataFrame, sels: Seq[Selection]): JsonNode =
+    rowsOf(df.limit(1), sels).headOption
+      .map(shape(_, sels)).getOrElse(nf.nullNode())
+
+  /** Shape one object node to a selection: aliases applied, inline
+    * fragments matched on the row's __typename, nested selections
+    * recursing into objects and arrays of objects. Selected fields the
+    * row doesn't carry become explicit JSON nulls (toJSON also drops
+    * null-valued columns — both land as null here). */
+  private def shape(node: JsonNode, sels: Seq[Selection]): JsonNode = {
+    if (sels.isEmpty) return node
+    val tn = Option(node.get("__typename")).filterNot(_.isNull)
+      .map(_.asText())
+    val out = nf.objectNode()
+    GraphQL.applicable(sels, tn).foreach { f =>
+      if (f.name == "__typename" && !node.has("__typename"))
+        out.set[ObjectNode](f.alias, nf.nullNode())
+      else
+        out.set[ObjectNode](f.alias,
+          shapeValue(node.path(f.name), f.selections))
+    }
+    out
+  }
+
+  private def shapeValue(v: JsonNode, sels: Seq[Selection]): JsonNode =
+    if (v.isMissingNode) nf.nullNode()
+    else if (sels.isEmpty) v
+    else if (v.isArray) {
+      val arr = nf.arrayNode()
+      v.elements().asScala.foreach(e => arr.add(shapeValue(e, sels)))
+      arr
+    } else if (v.isObject) shape(v, sels)
+    else v
+
+  private def errorArr(msg: String): ArrayNode = {
+    val arr = nf.arrayNode()
+    val err = nf.objectNode()
+    err.put("message", msg)
+    arr.add(err)
+    arr
+  }
+}

@@ -1,0 +1,147 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Grammar coverage for the GraphQL executable-document subset —
+  * pinned against documents the reference's clients actually send
+  * (its GraphiQL default query, feed queries with nested argument
+  * objects, variable-parameterized lookups). */
+class GraphQLParserSpec extends AnyFunSuite {
+  import GraphQL._
+
+  private def fields(sels: Seq[Selection]): Seq[Field] =
+    GraphQL.applicable(sels, None)
+
+  test("bare selection set, arguments of every value kind") {
+    val op = parse(
+      """{
+        |  socialFeed(
+        |    spkvideo: {only: true, isShort: false},
+        |    pagination: {limit: 10, skip: 0},
+        |    feedOptions: {byTag: {_in: ["spark", "scala"]}, byLang: null},
+        |    score: 1.5, note: "hi \n \"there\"", mode: PAYOUT
+        |  ) { items { author permlink } }
+        |}""".stripMargin)
+    assert(op.name.isEmpty && op.variables.isEmpty)
+    val f = fields(op.selections).head
+    assert(f.name == "socialFeed")
+    val args = f.args.toMap
+    assert(args("spkvideo") == VObj(Seq(
+      "only" -> VBool(true), "isShort" -> VBool(false))))
+    assert(args("pagination") == VObj(Seq(
+      "limit" -> VInt(10), "skip" -> VInt(0))))
+    assert(args("feedOptions") == VObj(Seq(
+      "byTag" -> VObj(Seq("_in" -> VList(Seq(
+        VString("spark"), VString("scala"))))),
+      "byLang" -> VNull)))
+    assert(args("score") == VFloat(1.5))
+    assert(args("note") == VString("hi \n \"there\""))
+    assert(args("mode") == VEnum("PAYOUT"))
+    val items = fields(f.selections).head
+    assert(fields(items.selections).map(_.name) ==
+      Seq("author", "permlink"))
+  }
+
+  test("named operation with variables, defaults, and aliases") {
+    val op = parse(
+      """query Lookup($author: String!, $lim: Int = 25) {
+        |  post: socialPost(author: $author, permlink: "v1") {
+        |    who: author
+        |  }
+        |}""".stripMargin)
+    assert(op.name.contains("Lookup"))
+    assert(op.variables == Seq(
+      ("author", "String!", None), ("lim", "Int", Some(VInt(25)))))
+    val f = fields(op.selections).head
+    assert(f.alias == "post" && f.name == "socialPost")
+    assert(f.args.toMap.apply("author") == VVar("author"))
+    assert(fields(f.selections).head.alias == "who")
+  }
+
+  test("the reference's GraphiQL default query parses (inline " +
+    "fragment on HivePost; api/index.ts:60-72)") {
+    val op = parse(
+      """query MyQuery {
+        | latestFeed(limit: 10) {
+        |   items {
+        |      ... on HivePost {
+        |        parent_permlink
+        |        parent_author
+        |        title
+        |        body
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin)
+    val items = fields(fields(op.selections).head.selections).head
+    // no flattening for a non-matching typename…
+    assert(GraphQL.applicable(items.selections,
+      Some("CeramicPost")).isEmpty)
+    // …full flattening for the matching one (and for unknown)
+    assert(GraphQL.applicable(items.selections, Some("HivePost"))
+      .map(_.name) ==
+      Seq("parent_permlink", "parent_author", "title", "body"))
+    assert(GraphQL.allFieldNames(items.selections) ==
+      Set("parent_permlink", "parent_author", "title", "body"))
+  }
+
+  test("named fragments: forward reference, nesting, cycle error") {
+    val op = parse(
+      """query { socialFeed { items { ...core } } }
+        |fragment core on HivePost { author ...extra }
+        |fragment extra on HivePost { permlink }
+        |""".stripMargin)
+    val items = fields(fields(op.selections).head.selections).head
+    assert(GraphQL.applicable(items.selections, Some("HivePost"))
+      .map(_.name) == Seq("author", "permlink"))
+    val cyc = intercept[ParseError](parse(
+      "query { f { ...a } } fragment a on T { ...b } " +
+        "fragment b on T { ...a }"))
+    assert(cyc.getMessage.contains("cycle"))
+  }
+
+  test("comments, commas-as-whitespace, block strings") {
+    val tq = "\"\"\""
+    val op = parse(
+      "# leading comment\n" +
+      "query {\n" +
+      s"  searchFeed(searchTerm: $tq\n" +
+      "    multi\n" +
+      "    line\n" +
+      s"  $tq, extra: [1,2,3,]) { items { author } } # trailing\n" +
+      "}")
+    val f = fields(op.selections).head
+    assert(f.args.toMap.apply("searchTerm") == VString("multi\nline"))
+    assert(f.args.toMap.apply("extra") ==
+      VList(Seq(VInt(1), VInt(2), VInt(3))))
+  }
+
+  test("rejections: mutations, directives, undefined fragments, " +
+    "multiple operations") {
+    assert(intercept[ParseError](parse("mutation { x { y } }"))
+      .getMessage.contains("not supported"))
+    assert(intercept[ParseError](
+      parse("query { f @skip(if: true) { y } }"))
+      .getMessage.contains("directives"))
+    assert(intercept[ParseError](parse("query { f { ...nope } }"))
+      .getMessage.contains("undefined fragment"))
+    assert(intercept[ParseError](
+      parse("query A { f { x } } query B { g { y } }"))
+      .getMessage.contains("one operation"))
+    assert(intercept[ParseError](parse("query { }"))
+      .getMessage.contains("empty selection"))
+  }
+
+  test("escapes (incl. \\uXXXX) and negative/exponent numbers") {
+    // é = é; written split so Scala's own unicode-escape pass
+    // can't pre-substitute it
+    val op = parse(
+      "{ f(s: \"caf\\" + "u00e9 a\\tb\", a: -42, b: 6.02e23, " +
+        "c: -1.5E-3) { x } }")
+    val args = fields(op.selections).head.args.toMap
+    assert(args("s") == VString("café a\tb"))
+    assert(args("a") == VInt(-42))
+    assert(args("b") == VFloat(6.02e23))
+    assert(args("c") == VFloat(-1.5e-3))
+  }
+}

@@ -1,0 +1,284 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.SparkSpec
+import graft.ingest.{Fixtures, GraphIngest, PostsIngest}
+import org.apache.spark.sql.functions._
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import scala.jdk.CollectionConverters._
+
+/** End-to-end transport: a real HTTP server on an ephemeral port, a
+  * real java.net.http client, reference-shaped GraphQL documents —
+  * the full front door (parse → args → engine pipeline → selection-
+  * shaped JSON) over the same ingest fixture PostQueriesSpec uses. */
+class HttpApiSpec extends SparkSpec {
+  import Fixtures._
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private lazy val tables: ApiTables = {
+    val ops = toOps(spark,
+      block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("comment", comment("alice", "v1", "spark video one",
+          jsonMeta = videoMeta)))),
+        ("t2", Seq(("comment", comment("bob", "b1", "hello world",
+          jsonMeta = """{"app":"dBuzz/1.0","tags":["chat"]}""")))),
+        ("t3", Seq(("custom_json",
+          s"""{"id":"follow","required_posting_auths":["carol"],""" +
+            s""""json":${js("""["follow",{"follower":"carol","following":"alice","what":["blog"]}]""")}}""")))),
+      block(101, "2024-05-01T12:00:03",
+        ("t4", Seq(("comment", comment("alice", "v2", "spark video two",
+          jsonMeta = videoMeta)))),
+        ("t5", Seq(("comment", comment("dave", "r1", "a reply",
+          parentAuthor = "alice", parentPermlink = "v1"))))))
+    val posts = PostsIngest.ingest(ops)(spark).cache()
+    val follows = GraphIngest.follows(ops).cache()
+    val profiles = Seq(
+      ("hive/alice", "alice", "Alice A", "about alice", 30.0),
+      ("hive/bob", "bob", null: String, "", 10.0),
+      ("hive/zed", "zed", "Zed", "", 0.0))
+      .toDF("_id", "username", "displayName", "about", "score")
+      .withColumn("location", lit(null).cast("string"))
+      .withColumn("website", lit(null).cast("string"))
+      .withColumn("did", lit(null).cast("string"))
+      .withColumn("images", struct(lit("av.png").as("avatar"),
+        lit(null).cast("string").as("cover")))
+      .withColumn("extra",
+        struct(lit(null).cast("string").as("pinned_post")))
+    val stats = Seq((12L, 34L, -2L))
+      .toDF("block_lag", "sync_eta_seconds", "block_lag_diff")
+    ApiTables(posts, follows, profiles, syncStats = Some(stats))
+  }
+
+  private lazy val api = new GraftApi(spark, tables,
+    now = () => lit("2024-05-02 00:00:00").cast("timestamp"))
+  private lazy val server = new HttpApi(api).start()
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(body: String): (Int, JsonNode) = {
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(
+        s"http://127.0.0.1:${server.boundPort}/api/v2/graphql"))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), mapper.readTree(r.body()))
+  }
+
+  private def gql(query: String, variables: String = null): JsonNode = {
+    val b = mapper.createObjectNode()
+    b.put("query", query)
+    if (variables != null) b.set[JsonNode]("variables",
+      mapper.readTree(variables))
+    val (code, node) = post(mapper.writeValueAsString(b))
+    assert(code == 200, node.toString)
+    node
+  }
+
+  test("socialFeed over HTTP: feedOptions + pagination + selection " +
+    "shaping with aliases and __typename") {
+    val node = gql(
+      """query {
+        |  feed: socialFeed(
+        |    feedOptions: {byCreator: {_eq: "alice"}},
+        |    pagination: {limit: 10}
+        |  ) { items { who: author permlink __typename } }
+        |}""".stripMargin)
+    assert(!node.has("errors"), node.toString)
+    val items = node.path("data").path("feed").path("items")
+    assert(items.size() == 2)
+    val perms = items.elements().asScala
+      .map(_.path("permlink").asText()).toSet
+    assert(perms == Set("v1", "v2"))
+    val first = items.get(0)
+    assert(first.path("who").asText() == "alice")   // alias applied
+    assert(first.path("__typename").asText() == "HivePost")
+    // selection shaping: ONLY the requested keys appear
+    assert(first.fieldNames().asScala.toSet ==
+      Set("who", "permlink", "__typename"))
+  }
+
+  test("variables + socialPost point lookup; explicit null variable " +
+    "for an optional arg") {
+    val node = gql(
+      """query Lookup($a: String!, $p: String!) {
+        |  socialPost(author: $a, permlink: $p) { author permlink title }
+        |}""".stripMargin,
+      """{"a": "bob", "p": "b1"}""")
+    val post = node.path("data").path("socialPost")
+    assert(post.path("author").asText() == "bob")
+    // miss → JSON null, no error (resolvers/index.ts:159-162)
+    val miss = gql(
+      """query { socialPost(author: "nope", permlink: "x") { author } }""")
+    assert(miss.path("data").path("socialPost").isNull)
+    assert(!miss.has("errors"))
+  }
+
+  test("inline fragment on HivePost (the reference's GraphiQL " +
+    "default-query shape)") {
+    val node = gql(
+      """{ socialFeed(pagination: {limit: 3}) { items {
+        |  ... on HivePost { author }
+        |  ... on CeramicPost { streamId: permlink }
+        |} } }""".stripMargin)
+    val items = node.path("data").path("socialFeed").path("items")
+    assert(items.size() == 3)
+    items.elements().asScala.foreach { it =>
+      assert(it.has("author"))          // HivePost branch applied
+      assert(!it.has("streamId"))       // CeramicPost branch skipped
+    }
+  }
+
+  test("searchFeed any-term match over HTTP") {
+    val node = gql(
+      """{ searchFeed(searchTerm: "spark") { items { permlink } } }""")
+    val perms = node.path("data").path("searchFeed").path("items")
+      .elements().asScala.map(_.path("permlink").asText()).toSet
+    assert(perms == Set("v1", "v2"))
+  }
+
+  test("profile: HiveProfile view with falsy-to-null getters") {
+    val node = gql(
+      """{ profile(id: "bob") { id username name about __typename } }""")
+    val p = node.path("data").path("profile")
+    assert(p.path("id").asText() == "hive/bob")
+    assert(p.path("name").isNull)    // displayName null
+    assert(p.path("about").isNull)   // empty string collapses (|| null)
+    assert(p.path("__typename").asText() == "HiveProfile")
+  }
+
+  test("follows: both lists + counts from one fixture follow edge") {
+    val node = gql(
+      """{ follows(id: "carol") {
+        |  followings_count followers_count
+        |  followings { following follower }
+        |} }""".stripMargin)
+    val f = node.path("data").path("follows")
+    assert(f.path("followings_count").asLong() == 1L)
+    assert(f.path("followers_count").asLong() == 0L)
+    assert(f.path("followings").get(0).path("following").asText()
+      == "alice")
+  }
+
+  test("leaderBoard: ranked items + total_active_creators " +
+    "(score>0 only)") {
+    val node = gql(
+      """{ leaderBoard {
+        |  items { rank author score }
+        |  total_active_creators
+        |} }""".stripMargin)
+    val lb = node.path("data").path("leaderBoard")
+    assert(lb.path("total_active_creators").asInt() == 2) // zed: score 0
+    val items = lb.path("items")
+    assert(items.get(0).path("author").asText() == "alice")
+    assert(items.get(0).path("rank").asLong() == 1L)
+    assert(items.get(1).path("author").asText() == "bob")
+  }
+
+  test("syncState maps the stats singleton to the schema's field " +
+    "names") {
+    val node = gql(
+      "{ syncState { blockLag syncEtaSeconds latestBlockLagDiff } }")
+    val s = node.path("data").path("syncState")
+    assert(s.path("blockLag").asLong() == 12L)
+    assert(s.path("syncEtaSeconds").asLong() == 34L)
+    assert(s.path("latestBlockLagDiff").asLong() == -2L)
+  }
+
+  test("trendingTags: 14-day window, top-k, injected clock") {
+    val node = gql(
+      """{ trendingTags(limit: 2) { tags { tag score } } }""")
+    val tags = node.path("data").path("trendingTags").path("tags")
+    assert(tags.size() == 2)
+    // videoMeta carries tags; both alice posts share them
+    assert(tags.get(0).path("score").asLong() >=
+      tags.get(1).path("score").asLong())
+  }
+
+  test("field-level error: missing relatedFeed anchor → null field " +
+    "+ errors entry (GraphQL partial results)") {
+    val node = gql(
+      """{ relatedFeed(author: "ghost", permlink: "gone") {
+        |  items { author } } }""".stripMargin)
+    assert(node.path("data").path("relatedFeed").isNull)
+    assert(node.path("errors").get(0).path("message").asText()
+      .contains("not found"))
+    val unknown = gql("{ nosuchop { x } }")
+    assert(unknown.path("errors").get(0).path("message").asText()
+      .contains("unknown query field"))
+  }
+
+  test("transport errors: malformed JSON → 400; parse error → " +
+    "errors; GET works; OPTIONS preflight + CORS") {
+    val (code, node) = post("{not json")
+    assert(code == 400 && node.has("errors"))
+    val bad = gql("query {{{")
+    assert(bad.path("errors").get(0).path("message").asText().nonEmpty)
+    // GET
+    val q = java.net.URLEncoder.encode(
+      """{ profile(id: "alice") { username } }""", "UTF-8")
+    val req = HttpRequest.newBuilder()
+      .uri(URI.create(
+        s"http://127.0.0.1:${server.boundPort}/graphql?query=$q"))
+      .GET().build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    assert(r.statusCode() == 200)
+    assert(mapper.readTree(r.body()).path("data").path("profile")
+      .path("username").asText() == "alice")
+    assert(r.headers().firstValue("Access-Control-Allow-Origin")
+      .orElse("") == "*")
+    val pre = client.send(HttpRequest.newBuilder()
+      .uri(URI.create(
+        s"http://127.0.0.1:${server.boundPort}/api/v2/graphql"))
+      .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+      HttpResponse.BodyHandlers.ofString())
+    assert(pre.statusCode() == 204)
+  }
+
+  test("community: point row, unpacked roles, nested feed with " +
+    "byCommunity forced and nested-field pagination") {
+    import spark.implicits._
+    val comms = Seq(("hive/hive-101", "Spark Fans"))
+      .toDF("_id", "title")
+      .withColumn("roles", array(
+        array(lit("alice"), lit("admin"), lit("boss"))))
+    val api2 = new GraftApi(spark, tables.copy(communities = Some(comms)))
+    val node = api2.execute(
+      """{ community(id: "hive-101") {
+        |  title
+        |  roles { username role }
+        |  latestFeed(pagination: {limit: 1}) { items { permlink } }
+        |} }""".stripMargin)
+    val c = node.path("data").path("community")
+    assert(c.path("title").asText() == "Spark Fans")
+    assert(c.path("roles").get(0).path("username").asText() == "alice")
+    assert(c.path("roles").get(0).path("role").asText() == "admin")
+    // nested feed: byCommunity=hive-101 matches nothing in this
+    // fixture (parent_permlink is the community key) → empty items,
+    // shaped, no error
+    assert(c.path("latestFeed").path("items").size() == 0)
+    assert(!node.has("errors"), node.toString)
+    // missing community → null (resolvers/index.ts:409-411)
+    assert(api2.execute("""{ community(id: "nope") { title } }""")
+      .path("data").path("community").isNull)
+  }
+
+  test("ArgsJson compatibility: the reference argument object sent " +
+    "as a variable reaches the same FeedArgs compiler") {
+    val node = gql(
+      """query F($fo: FeedOptions) {
+        |  socialFeed(feedOptions: $fo) { items { permlink } }
+        |}""".stripMargin,
+      """{"fo": {"_or": {"byCreator": {"_eq": "bob"},
+        |               "byTag": {"_eq": "spark"}}}}""".stripMargin)
+    val perms = node.path("data").path("socialFeed").path("items")
+      .elements().asScala.map(_.path("permlink").asText()).toSet
+    // _or OBJECT form (schema.ts FeedOptinsOR) → branches: bob's post
+    // OR spark-tagged posts
+    assert(perms.contains("b1"))
+  }
+}
