@@ -267,6 +267,26 @@ class HttpApiSpec extends SparkSpec {
       .path("data").path("community").isNull)
   }
 
+  test("Serve.tables: boots the API from a parquet entity store; " +
+    "absent optional tables degrade to field-level errors") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-store").toString
+    tables.posts.write.parquet(s"$dir/posts")
+    tables.follows.write.parquet(s"$dir/follows")
+    tables.profiles.write.parquet(s"$dir/profiles")
+    val loaded = graft.tools.Serve.tables(spark, dir + "/")
+    assert(loaded.communities.isEmpty && loaded.syncStats.isEmpty)
+    val api2 = new GraftApi(spark, loaded)
+    val ok = api2.execute(
+      """{ profile(id: "alice") { username name } }""")
+    assert(ok.path("data").path("profile").path("name").asText()
+      == "Alice A")
+    val missing = api2.execute("{ syncState { blockLag } }")
+    assert(missing.path("data").path("syncState").isNull)
+    assert(missing.path("errors").get(0).path("message").asText()
+      .contains("not configured"))
+  }
+
   test("ArgsJson compatibility: the reference argument object sent " +
     "as a variable reaches the same FeedArgs compiler") {
     val node = gql(

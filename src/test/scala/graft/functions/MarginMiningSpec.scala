@@ -59,4 +59,28 @@ class MarginMiningSpec extends SparkSpec {
     assert(Set(10L, 11L)(byId(1L)._1))        // x1's cluster only
     assert(Set(20L, 21L)(byId(2L)._1))        // x2's cluster only
   }
+
+  test("quadratic-pair guard: refuses past maxExactPairs, allowExact " +
+    "bypasses, unmaterialized caches fall back to a real count") {
+    val a = emb((1L to 10L).map(i => i -> Seq(i.toFloat, 1f)): _*)
+    val b = emb((1L to 10L).map(i => (100 + i) -> Seq(1f, i.toFloat)): _*)
+    val e = intercept[IllegalArgumentException](
+      Vectors.marginMining(a, b, "embedding", "vec_id", k = 2,
+        maxExactPairs = 99L))
+    assert(e.getMessage.contains("marginMiningIvf"))
+    // deliberate opt-in still runs
+    assert(Vectors.marginMining(a, b, "embedding", "vec_id", k = 2,
+      allowExact = true, maxExactPairs = 99L).count() == 10L)
+    // a cached-but-NOT-materialized input must not be trusted as an
+    // exact stats leaf (ADVICE r6: pre-materialization stats are the
+    // child plan's estimate under CBO) — the guard still fires via
+    // the count() fallback
+    val ac = a.cache()
+    try {
+      val e2 = intercept[IllegalArgumentException](
+        Vectors.marginMining(ac, b, "embedding", "vec_id", k = 2,
+          maxExactPairs = 99L))
+      assert(e2.getMessage.contains("100 candidate pairs"))
+    } finally ac.unpersist(blocking = true)
+  }
 }
