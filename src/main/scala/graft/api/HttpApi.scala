@@ -83,6 +83,30 @@ final class HttpApi(api: GraftApi, port: Int = 0, threads: Int = 4) {
   }
   server.createContext("/api/v2/graphql", handler)
   server.createContext("/graphql", handler)
+  // the reference's one REST route (api/controller.ts:8-39) — the
+  // read half; see GraftApi.streamIdLookup for the scope note
+  server.createContext("/api/v1/create_stream_id", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      try {
+        ex.getResponseHeaders.add("Access-Control-Allow-Origin", "*")
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"errors":[{"message":"use POST"}]}""")
+        else {
+          val body = mapper.readTree(new String(
+            ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+          respond(ex, 200, mapper.writeValueAsString(
+            api.streamIdLookup(
+              body.path("author").asText(""),
+              body.path("permlink").asText(""))))
+        }
+      } catch {
+        case e: Exception =>
+          val msg = mapper.writeValueAsString(
+            Option(e.getMessage).getOrElse(e.toString))
+          respond(ex, 400, s"""{"errors":[{"message":$msg}]}""")
+      } finally ex.close()
+    }
+  })
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)

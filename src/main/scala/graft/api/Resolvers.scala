@@ -73,8 +73,13 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     val op =
       try GraphQL.parse(query)
       catch {
-        case e: ParseError =>
-          out.set[ObjectNode]("errors", errorArr(e.getMessage)); return out
+        // ParseError carries position; anything else a hostile
+        // document provokes (number overflow, truncated \u escape)
+        // is still a request error, not a server fault
+        case e: Exception =>
+          out.set[ObjectNode]("errors", errorArr(
+            Option(e.getMessage).getOrElse(e.toString)))
+          return out
       }
     val vars: Map[String, JsonNode] =
       try buildVars(op, variablesJson)
@@ -103,6 +108,26 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
 
   def executeJson(query: String, variablesJson: Option[String] = None)
       : String = mapper.writeValueAsString(execute(query, variablesJson))
+
+  /** The REST half of the reference's API: `POST /api/v1/
+    * create_stream_id` (`api/controller.ts:8-39`) — returns the
+    * post's existing stream id, `{stream_id: null}` for an unknown
+    * post. The CREATE branch (a side-effecting Ceramic bridge RPC +
+    * upsert) is out of engine scope per the declared boundary
+    * (COVERAGE.md Q7): grant application is the batch operator
+    * `Enrich.applyStreamIds`; a post with no grant yet answers null
+    * here too. */
+  def streamIdLookup(author: String, permlink: String): ObjectNode = {
+    val out = nf.objectNode()
+    val row = tables.posts
+      .filter(col("author") === author && col("permlink") === permlink)
+      .select(col("off_chain_id")).limit(1).collect()
+    row.headOption.flatMap(r => Option(r.getString(0))) match {
+      case Some(sid) => out.put("stream_id", sid)
+      case None => out.set[ObjectNode]("stream_id", nf.nullNode())
+    }
+    out
+  }
 
   // ── field dispatch ─────────────────────────────────────────────────
   private def resolveField(f: Field, vars: Map[String, JsonNode])

@@ -1123,6 +1123,27 @@ object ScaleEvidence {
       graft.CacheTracker.releaseAll()
       topAuthors + freshFeed
     }
+
+    // ── GraphQL transport over the merged store: the front door's
+    //    claim is O(page) driver cost — parse + arg-compile + the
+    //    same TakeOrderedAndProject feed plan + shaping 100 rows of
+    //    JSON. Timed end-to-end (HTTP framing excluded; it is
+    //    byte-copy). Depends on the catch-up merge stage's store,
+    //    like the freshness stage above. ───────────────────────────
+    println("== graphql transport ==")
+    timed(s"graphql socialFeed page (limit 100) vs $nPosts stored") {
+      def empty(st: org.apache.spark.sql.types.StructType) =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      val api = new graft.api.GraftApi(spark, graft.api.ApiTables(
+        posts = spark.read.parquet(postsDir),
+        follows = empty(graft.domain.Schemas.follow),
+        profiles = empty(graft.domain.Schemas.profile)))
+      val resp = api.execute("{ socialFeed(pagination: {limit: 100})" +
+        " { items { author permlink created_at } } }")
+      require(!resp.has("errors"), resp.toString)
+      resp.path("data").path("socialFeed").path("items").size().toLong
+    }
     spark.stop()
   }
 }

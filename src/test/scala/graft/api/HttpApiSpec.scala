@@ -267,6 +267,33 @@ class HttpApiSpec extends SparkSpec {
       .path("data").path("community").isNull)
   }
 
+  test("REST create_stream_id: existing-id read; unknown post and " +
+    "ungranted post answer null (controller.ts:8-39 read half)") {
+    def rest(body: String) = {
+      val req = HttpRequest.newBuilder()
+        .uri(URI.create(s"http://127.0.0.1:${server.boundPort}" +
+          "/api/v1/create_stream_id"))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), mapper.readTree(r.body()))
+    }
+    // fixture posts carry no grant yet → stream_id null, 200
+    val (c1, n1) = rest("""{"author":"alice","permlink":"v1"}""")
+    assert(c1 == 200 && n1.path("stream_id").isNull)
+    val (c2, n2) = rest("""{"author":"nope","permlink":"x"}""")
+    assert(c2 == 200 && n2.path("stream_id").isNull)
+    // a granted post answers its id
+    val granted = tables.copy(posts = tables.posts
+      .withColumn("off_chain_id",
+        when(col("permlink") === "v1", "kjz-stream-1")))
+    val api2 = new GraftApi(spark, granted)
+    assert(api2.streamIdLookup("alice", "v1")
+      .path("stream_id").asText() == "kjz-stream-1")
+    val (c3, n3) = rest("not json")
+    assert(c3 == 400 && n3.has("errors"))
+  }
+
   test("Serve.tables: boots the API from a parquet entity store; " +
     "absent optional tables degrade to field-level errors") {
     val dir = java.nio.file.Files
