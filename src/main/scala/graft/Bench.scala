@@ -84,9 +84,13 @@ object Bench {
     }.sum
     // zero-error runs print "errors":{} — null entries added ~3 KB of
     // dead weight to the one line that must survive tail capture
+    // errors map CAPPED at 3 entries (n_errors carries the full
+    // count): unbounded, a many-failure run would push the single
+    // metric line past the driver's 2000-char tail capture — the
+    // exact truncation failure the compact line exists to prevent
     val errs = results.collect { case (k, (_, Some(e))) =>
       s"\"" + k + "\":\"" + e + "\""
-    }.mkString("{", ",", "}")
+    }.take(3).mkString("{", ",", "}")
     val total = results.values.map(_._1).sum
     // Self-record (VERDICT r4 #1): the official BENCH artifact only
     // keeps what the driver's tail capture catches, so ALSO write the

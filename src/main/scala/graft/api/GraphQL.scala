@@ -76,6 +76,29 @@ object GraphQL {
         else Nil
     }
 
+  /** Spec CollectFields: [[applicable]] fields grouped by response
+    * key (alias) in first-seen order, duplicate keys MERGING their
+    * selection sets — `{ a { x } a { y } }` selects x AND y, and the
+    * field resolves ONCE (graphql-js executes one merged field, not
+    * two overwrites). Args come from the first occurrence (the spec
+    * only allows merging when arguments are identical); a same-alias/
+    * different-field collision keeps the first (it is a validation
+    * error upstream). */
+  def collectFields(sels: Seq[Selection],
+                    typename: Option[String]): Seq[Field] = {
+    val out = scala.collection.mutable.LinkedHashMap[String, Field]()
+    applicable(sels, typename).foreach { f =>
+      out.get(f.alias) match {
+        case Some(prev) if prev.name == f.name =>
+          out(f.alias) =
+            prev.copy(selections = prev.selections ++ f.selections)
+        case Some(_) => ()
+        case None => out(f.alias) = f
+      }
+    }
+    out.values.toSeq
+  }
+
   /** Every field name any branch of the selection could need — the
     * union over fragment alternatives, used to prune the DataFrame's
     * columns BEFORE collect (so GraphQL selection drives Catalyst
@@ -291,10 +314,14 @@ object GraphQL {
     }
 
     private def stringValue(): String = {
-      // block string: """...""" with common-indent stripping
+      // block string: """...""" with common-indent stripping; the
+      // terminator is the first UNESCAPED triple quote (the only
+      // escape block strings have is \""" — spec BlockStringValue)
       if (src.startsWith("\"\"\"", i)) {
         i += 3
-        val end = src.indexOf("\"\"\"", i)
+        var end = src.indexOf("\"\"\"", i)
+        while (end > 0 && src.charAt(end - 1) == '\\')
+          end = src.indexOf("\"\"\"", end + 1)
         if (end < 0) fail("unterminated block string")
         val raw = src.substring(i, end).replace("\\\"\"\"", "\"\"\"")
         i = end + 3

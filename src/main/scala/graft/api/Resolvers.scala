@@ -46,10 +46,19 @@ final case class ApiTables(
   *
   * `now`: trendingTags' 14-day window anchor — wall clock in the
   * reference (`resolvers/index.ts:368`); injectable here so tests and
-  * replays are deterministic. */
+  * replays are deterministic.
+  *
+  * `maxPage` caps the two resolvers whose reference form returns
+  * UNBOUNDED arrays (leaderBoard items, follows edge lists —
+  * `resolvers/index.ts:322-351,455-476` collect whole collections):
+  * a deliberate divergence, because an uncapped collect of a
+  * production-sized table onto the driver is exactly the failure the
+  * O(page) contract above exists to prevent. Counts stay exact
+  * (distributed aggregates, not capped). */
 final class GraftApi(spark: SparkSession, tables: ApiTables,
                      now: () => Column = () => current_timestamp(),
-                     sampleSeed: Long = 42L) {
+                     sampleSeed: Long = 42L,
+                     maxPage: Int = 10000) {
   import GraphQL._
 
   private val mapper = new ObjectMapper()
@@ -84,12 +93,17 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     val vars: Map[String, JsonNode] =
       try buildVars(op, variablesJson)
       catch {
-        case e: IllegalArgumentException =>
-          out.set[ObjectNode]("errors", errorArr(e.getMessage)); return out
+        // covers missing required variables AND malformed variables
+        // JSON (Jackson throws JsonProcessingException, an
+        // IOException) — both are request errors, never a 500
+        case e: Exception =>
+          out.set[ObjectNode]("errors", errorArr(
+            Option(e.getMessage).getOrElse(e.toString)))
+          return out
       }
     val data = nf.objectNode()
     val errors = nf.arrayNode()
-    GraphQL.applicable(op.selections, None).foreach { f =>
+    GraphQL.collectFields(op.selections, None).foreach { f =>
       try data.set[ObjectNode](f.alias, resolveField(f, vars))
       catch {
         case e: Exception =>
@@ -180,7 +194,7 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
           .map(_.asInt()).filter(_ > 0).getOrElse(5)
         val tags = PostQueries.trendingTags(tables.posts, now(), k)
         val obj = nf.objectNode()
-        GraphQL.applicable(f.selections, None).foreach { sub =>
+        GraphQL.collectFields(f.selections, None).foreach { sub =>
           sub.name match {
             case "tags" =>
               obj.set[ObjectNode](sub.alias,
@@ -201,7 +215,7 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
   private def feedOutput(df: DataFrame, sels: Seq[Selection])
       : JsonNode = {
     val obj = nf.objectNode()
-    GraphQL.applicable(sels, None).foreach { sub =>
+    GraphQL.collectFields(sels, None).foreach { sub =>
       sub.name match {
         case "items" =>
           obj.set[ObjectNode](sub.alias, arrayOf(df, sub.selections))
@@ -218,18 +232,22 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     * async thunks for the same reason; resolvers/index.ts:322-351).
     */
   private def followsField(id: String, f: Field): JsonNode = {
-    val sels = GraphQL.applicable(f.selections, None)
+    val sels = GraphQL.collectFields(f.selections, None)
     val obj = nf.objectNode()
-    lazy val edges = rowsOf(
-      PostQueries.followEdges(tables.follows, tables.profiles, id),
-      Nil) // full rows; per-list selection pruning happens in shape()
+    // one followEdges PLAN; each selected list is its own bounded,
+    // column-pruned collect (the list filter + selection pruning
+    // reach the scan — collecting both lists fully hydrated for a
+    // high-degree account would be an unbounded driver pull)
+    lazy val edgesPlan =
+      PostQueries.followEdges(tables.follows, tables.profiles, id)
     lazy val counts = PostQueries.followCounts(tables.follows, id)
       .collect().head
     sels.foreach { sub =>
       sub.name match {
         case "followers" | "followings" =>
           val arr = nf.arrayNode()
-          edges.filter(_.path("list").asText() == sub.name)
+          rowsOf(edgesPlan.filter(col("list") === sub.name)
+              .limit(maxPage), sub.selections)
             .foreach(n => arr.add(shape(n, sub.selections)))
           obj.set[ObjectNode](sub.alias, arr)
         case "followers_count" =>
@@ -244,25 +262,23 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
   }
 
   /** Q13 leaderBoard: items ranked by score (distributed rank — no
-    * single-partition window), total = item count
-    * (resolvers/index.ts:455-476). */
+    * single-partition window), capped at maxPage (the reference
+    * collects EVERY score>0 profile — resolvers/index.ts:455-476 —
+    * which does not survive a production store); the total stays the
+    * exact distributed count. */
   private def leaderBoardField(f: Field): JsonNode = {
-    val sels = GraphQL.applicable(f.selections, None)
+    val sels = GraphQL.collectFields(f.selections, None)
     val ranked = PostQueries.leaderBoard(profileView)
     val obj = nf.objectNode()
-    lazy val itemSel = sels.find(_.name == "items")
-      .map(_.selections).getOrElse(Nil)
-    lazy val items = rowsOf(ranked, itemSel)
     sels.foreach { sub =>
       sub.name match {
         case "items" =>
           val arr = nf.arrayNode()
-          items.foreach(n => arr.add(shape(n, sub.selections)))
+          rowsOf(ranked.limit(maxPage), sub.selections)
+            .foreach(n => arr.add(shape(n, sub.selections)))
           obj.set[ObjectNode](sub.alias, arr)
         case "total_active_creators" =>
-          if (sels.exists(_.name == "items"))
-            obj.put(sub.alias, items.size)
-          else obj.put(sub.alias, ranked.count())
+          obj.put(sub.alias, ranked.count())
         case "__typename" => obj.put(sub.alias, "LeaderBoard")
         case _ => obj.set[ObjectNode](sub.alias, nf.nullNode())
       }
@@ -278,13 +294,11 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
                              vars: Map[String, JsonNode]): JsonNode = {
     val comms = tables.communities
       .getOrElse(sys.error("communities not configured"))
-    val (row, _, _) = PostProjections.community(
-      comms, projectedPosts, tables.follows, id)
-    val rows = rowsOf(row, Nil)
+    val rows = rowsOf(PostProjections.communityRow(comms, id), Nil)
     if (rows.isEmpty) return nf.nullNode()
     val node = rows.head
     val obj = nf.objectNode()
-    GraphQL.applicable(f.selections, None).foreach { sub =>
+    GraphQL.collectFields(f.selections, None).foreach { sub =>
       sub.name match {
         case "latestFeed" | "trendingFeed" =>
           val args = argsNode(sub.args, vars)
@@ -436,7 +450,7 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     val tn = Option(node.get("__typename")).filterNot(_.isNull)
       .map(_.asText())
     val out = nf.objectNode()
-    GraphQL.applicable(sels, tn).foreach { f =>
+    GraphQL.collectFields(sels, tn).foreach { f =>
       if (f.name == "__typename" && !node.has("__typename"))
         out.set[ObjectNode](f.alias, nf.nullNode())
       else

@@ -139,6 +139,21 @@ object PostProjections {
       r.getItem(1).as("role"),
       r.getItem(2).as("title")))
 
+  /** Q4 community(id) point row: `hive/`-prefixed key lookup with
+    * unpacked roles (resolvers/index.ts:406-424) — the half shared by
+    * [[community]] and the GraphQL resolver (which builds the nested
+    * feeds itself from the nested field's own arguments). */
+  def communityRow(communities: DataFrame, id: String): DataFrame = {
+    val base = communities.filter(col("_id") === s"hive/$id")
+      .withColumn("roles_unpacked", rolesUnpacked)
+    // created_at?.toISOString() (resolvers/index.ts:424) — optional
+    // chaining: a document without the field serializes nothing
+    (if (communities.columns.contains("created_at"))
+      base.withColumn("created_at_iso",
+        date_format(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+    else base).limit(1)
+  }
+
   /** Q4 community(id): point lookup + two nested feeds with
     * byCommunity forced (resolvers/index.ts:406-453). Returns
     * (community row with unpacked roles, trending feed, new feed). */
@@ -146,14 +161,7 @@ object PostProjections {
                 follows: DataFrame, id: String,
                 feedLimit: Int = 100)
       : (DataFrame, DataFrame, DataFrame) = {
-    val base = communities.filter(col("_id") === s"hive/$id")
-      .withColumn("roles_unpacked", rolesUnpacked)
-    // created_at?.toISOString() (resolvers/index.ts:424) — optional
-    // chaining: a document without the field serializes nothing
-    val row = (if (communities.columns.contains("created_at"))
-      base.withColumn("created_at_iso",
-        date_format(col("created_at"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
-    else base).limit(1)
+    val row = communityRow(communities, id)
     val forced = FeedArgs(
       byCommunity = Some(Where(eq = Some(id))), limit = feedLimit)
     val trending = PostQueries.trendingFeed(posts, follows, forced)

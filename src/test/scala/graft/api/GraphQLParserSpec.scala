@@ -116,6 +116,28 @@ class GraphQLParserSpec extends AnyFunSuite {
       VList(Seq(VInt(1), VInt(2), VInt(3))))
   }
 
+  test("block string containing an escaped triple quote does not " +
+    "terminate early") {
+    val tq = "\"\"\""
+    val op = parse(s"""{ f(s: ${tq}a\\${tq} b$tq) { x } }""")
+    assert(fields(op.selections).head.args.toMap.apply("s") ==
+      VString(s"a$tq b"))
+  }
+
+  test("collectFields merges duplicate response keys (spec " +
+    "CollectFields: { a { x } a { y } } selects x AND y, once)") {
+    val op = parse("{ feed { items { author } } feed { items { permlink } } }")
+    val top = GraphQL.collectFields(op.selections, None)
+    assert(top.size == 1 && top.head.name == "feed")
+    val items = GraphQL.collectFields(top.head.selections, None)
+    assert(items.size == 1)
+    assert(GraphQL.collectFields(items.head.selections, None)
+      .map(_.name) == Seq("author", "permlink"))
+    // different aliases stay separate fields
+    val op2 = parse("{ a: feed { items { author } } b: feed { items { author } } }")
+    assert(GraphQL.collectFields(op2.selections, None).size == 2)
+  }
+
   test("rejections: mutations, directives, undefined fragments, " +
     "multiple operations") {
     assert(intercept[ParseError](parse("mutation { x { y } }"))

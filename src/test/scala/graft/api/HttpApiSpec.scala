@@ -267,6 +267,29 @@ class HttpApiSpec extends SparkSpec {
       .path("data").path("community").isNull)
   }
 
+  test("duplicate fields merge per CollectFields and resolve once; " +
+    "capped leaderBoard keeps the exact total; bad variables JSON " +
+    "is a request error") {
+    val node = gql(
+      """{ socialFeed(pagination: {limit: 2}) { items { author } }
+        |  socialFeed(pagination: {limit: 2}) { items { permlink } } }"""
+        .stripMargin)
+    val items = node.path("data").path("socialFeed").path("items")
+    assert(items.size() == 2)
+    assert(items.get(0).has("author") && items.get(0).has("permlink"))
+    // maxPage caps items; total_active_creators stays the exact count
+    val capped = new GraftApi(spark, tables, maxPage = 1)
+    val lb = capped.execute(
+      "{ leaderBoard { items { author } total_active_creators } }")
+      .path("data").path("leaderBoard")
+    assert(lb.path("items").size() == 1)
+    assert(lb.path("total_active_creators").asInt() == 2)
+    // malformed variables JSON → errors array, not an exception/500
+    val bad = api.execute("query($x: Int) { socialFeed { items { author } } }",
+      Some("{not json"))
+    assert(bad.has("errors") && !bad.has("data"))
+  }
+
   test("REST create_stream_id: existing-id read; unknown post and " +
     "ungranted post answer null (controller.ts:8-39 read half)") {
     def rest(body: String) = {
