@@ -151,27 +151,27 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
       Option(args.get(n)).filterNot(_.isNull).map(_.asText())
     f.name match {
       case "socialPost" =>
-        single(PostQueries.socialPost(projectedPosts,
+        single(hydratePosts(PostQueries.socialPost(projectedPosts,
           str("author").getOrElse(""), str("permlink").getOrElse("")),
-          f.selections)
+          f.selections, vars), f.selections)
       case "socialFeed" =>
         feedOutput(PostQueries.socialFeed(projectedPosts,
-          tables.follows, feedArgs(args)), f.selections)
+          tables.follows, feedArgs(args)), f.selections, vars)
       case "trendingFeed" =>
         val by =
           if (str("trendingBy").contains("PAYOUT")) PostQueries.ByPayout
           else PostQueries.ByComments
         feedOutput(PostQueries.trendingFeed(projectedPosts,
-          tables.follows, feedArgs(args), by), f.selections)
+          tables.follows, feedArgs(args), by), f.selections, vars)
       case "searchFeed" =>
         feedOutput(PostQueries.searchFeed(projectedPosts,
           tables.follows, feedArgs(args),
-          str("searchTerm").getOrElse("")), f.selections)
+          str("searchTerm").getOrElse("")), f.selections, vars)
       case "relatedFeed" =>
         feedOutput(PostQueries.relatedFeed(projectedPosts,
           tables.follows, feedArgs(args),
           str("author").getOrElse(""), str("permlink").getOrElse(""),
-          sampleSeed), f.selections)
+          sampleSeed), f.selections, vars)
       case "profile" =>
         val id = str("id").orElse(str("username")).getOrElse("")
         if (id.startsWith("did:"))
@@ -212,18 +212,75 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
 
   /** FeedOutput { items: [MergedPost] } — items computed once, other
     * selected fields null. */
-  private def feedOutput(df: DataFrame, sels: Seq[Selection])
-      : JsonNode = {
+  private def feedOutput(df: DataFrame, sels: Seq[Selection],
+                         vars: Map[String, JsonNode]): JsonNode = {
     val obj = nf.objectNode()
     GraphQL.collectFields(sels, None).foreach { sub =>
       sub.name match {
         case "items" =>
-          obj.set[ObjectNode](sub.alias, arrayOf(df, sub.selections))
+          obj.set[ObjectNode](sub.alias,
+            arrayOf(hydratePosts(df, sub.selections, vars),
+              sub.selections))
         case "__typename" => obj.put(sub.alias, "FeedOutput")
         case _ => obj.set[ObjectNode](sub.alias, nf.nullNode())
       }
     }
     obj
+  }
+
+  /** The SocialPost interface's RELATIONAL fields, attached to the
+    * page only when selected (posts.ts field resolvers — each is a
+    * per-post Mongo find there, N+1; here one batched join per
+    * selected field, page-key semi-join first so nothing full-table
+    * ever shuffles against the page):
+    *   - `parent_post` (posts.ts:233-244) → [[PostQueries.withParentFrom]]
+    *   - `children(limit, skip)` (posts.ts:161-231) →
+    *     [[PostQueries.childrenFor]] (per-parent windowed page)
+    *   - `author { id username profile }` (posts.ts:140-155) →
+    *     broadcast profile hydration; the profile branch serves the
+    *     Hive view (a Ceramic-authored row's profile resolves via the
+    *     top-level `profile(id:)` — documented subset divergence)
+    *   - `community` (posts.ts:245-258) → broadcast communities join
+    *     on `hive/<parent_permlink>`
+    * One hydration level per query (the reference recurses thunks to
+    * any depth; nested posts here carry their scalar columns, and a
+    * deeper level is one more query). */
+  private def hydratePosts(df: DataFrame, sels: Seq[Selection],
+                           vars: Map[String, JsonNode]): DataFrame = {
+    val fields = GraphQL.collectFields(sels, None)
+    var out = df
+    if (fields.exists(_.name == "parent_post"))
+      out = PostQueries.withParentFrom(out, projectedPosts)
+    fields.find(_.name == "children").foreach { ch =>
+      val a = argsNode(ch.args, vars)
+      def i(n: String, d: Int) = Option(a.get(n)).filterNot(_.isNull)
+        .map(_.asInt()).filter(_ > 0).getOrElse(d)
+      out = PostQueries.childrenFor(out, projectedPosts,
+        limit = i("limit", 100), skip = Option(a.get("skip"))
+          .filterNot(_.isNull).map(_.asInt()).getOrElse(0))
+    }
+    if (fields.exists(f => f.name == "author" && f.selections.nonEmpty)) {
+      val prof = profileView.select(col("username").as("_au"),
+        struct(profileView.columns.map(col).toSeq: _*).as("_aprof"))
+        .join(broadcast(out.select(col("author").as("_au")).distinct()),
+          Seq("_au"), "left_semi")
+      out = out.join(broadcast(prof), out("author") === prof("_au"),
+          "left")
+        .withColumn("author", struct(
+          col("author").as("id"), col("author").as("username"),
+          col("_aprof").as("profile")))
+        .drop("_au", "_aprof")
+    }
+    if (fields.exists(_.name == "community")) {
+      val comms = tables.communities.getOrElse(
+        sys.error("communities not configured"))
+      val c = comms.select(col("_id").as("_cid"),
+        struct(comms.columns.map(col).toSeq: _*).as("community"))
+      out = out.join(broadcast(c),
+        concat(lit("hive/"), out("parent_permlink")) === c("_cid"),
+        "left").drop("_cid")
+    }
+    out
   }
 
   /** Q12 follows(id): both edge lists from ONE scan
@@ -310,7 +367,8 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
               PostQueries.socialFeed(projectedPosts, tables.follows, fa)
             else PostQueries.trendingFeed(projectedPosts,
               tables.follows, fa)
-          obj.set[ObjectNode](sub.alias, feedOutput(df, sub.selections))
+          obj.set[ObjectNode](sub.alias,
+            feedOutput(df, sub.selections, vars))
         case "roles" =>
           // unpacked [[username, role, title]] structs (P8)
           obj.set[ObjectNode](sub.alias,

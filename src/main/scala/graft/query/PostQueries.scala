@@ -221,14 +221,63 @@ object PostQueries {
 
   /** Q2 parent_post hydration for a set of posts: one self-join
     * replacing the reference's per-row findOne. */
-  def withParent(posts: DataFrame): DataFrame = {
-    val parents = posts.select(
+  def withParent(posts: DataFrame): DataFrame =
+    withParentFrom(posts, posts)
+
+  /** Q2, page form: hydrate `parent_post` onto a (small) page from a
+    * (large) posts source. Scale shape: the source is first
+    * semi-joined down to the page's parent keys (broadcast of ≤page
+    * keys), so the final left join broadcasts a ≤page-sized matched
+    * set — no full-table shuffle ever touches the page
+    * (posts.ts:233-244 resolves this per post, N+1). */
+  def withParentFrom(page: DataFrame, source: DataFrame): DataFrame = {
+    val keys = page.select(col("parent_author").as("_pa"),
+      col("parent_permlink").as("_pp")).distinct()
+    val parents = source.select(
       col("author").as("_pa"), col("permlink").as("_pp"),
-      struct(posts.columns.map(col).toSeq: _*).as("parent_post"))
-    posts.join(parents,
-      col("parent_author") === col("_pa") &&
-        col("parent_permlink") === col("_pp"), "left")
+      struct(source.columns.map(col).toSeq: _*).as("parent_post"))
+      .join(broadcast(keys), Seq("_pa", "_pp"), "left_semi")
+    page.join(broadcast(parents),
+      page("parent_author") === parents("_pa") &&
+        page("parent_permlink") === parents("_pp"), "left")
       .drop("_pa", "_pp")
+  }
+
+  /** Q3, page form: attach each page post's `children` array (its
+    * one-level reply page, ordered like [[children]]: created_at,
+    * author, permlink; `skip`/`limit` applied PER PARENT). The
+    * reference runs one find per post (posts.ts:161-231 — N+1); here
+    * one window partitioned by parent key ranks every child of the
+    * page's posts in a single pass — and the window input is first
+    * semi-joined down to the page's keys, so the rank never runs
+    * over the full table. Posts with no children get []. */
+  def childrenFor(page: DataFrame, source: DataFrame,
+                  limit: Int = 100, skip: Int = 0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_ca", "_cp")
+      .orderBy(col("_ct").asc, col("_ka").asc, col("_kp").asc)
+    val keys = page.select(col("author").as("_ca"),
+      col("permlink").as("_cp")).distinct()
+    val kids = source.select(
+      col("parent_author").as("_ca"), col("parent_permlink").as("_cp"),
+      col("created_at").as("_ct"), col("author").as("_ka"),
+      col("permlink").as("_kp"),
+      struct(source.columns.map(col).toSeq: _*).as("_kid"))
+      .join(broadcast(keys), Seq("_ca", "_cp"), "left_semi")
+    val grouped = kids.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > skip && col("_rk") <= skip.toLong + limit)
+      .groupBy("_ca", "_cp")
+      .agg(transform(
+        array_sort(collect_list(struct(col("_rk"), col("_kid")))),
+        x => x.getField("_kid")).as("children"))
+    val emptyKids = array().cast(
+      org.apache.spark.sql.types.ArrayType(
+        kids.schema("_kid").dataType))
+    page.join(broadcast(grouped),
+      page("author") === grouped("_ca") &&
+        page("permlink") === grouped("_cp"), "left")
+      .drop("_ca", "_cp")
+      .withColumn("children", coalesce(col("children"), emptyKids))
   }
 
   /** J6 profile hydration: batched broadcast join, not N+1. */

@@ -267,6 +267,48 @@ class HttpApiSpec extends SparkSpec {
       .path("data").path("community").isNull)
   }
 
+  test("nested post hydration: parent_post, children(limit), " +
+    "author{profile} — batched joins, selection-driven") {
+    val node = gql(
+      """query K($n: Int!) { socialPost(author: "alice", permlink: "v1") {
+        |  permlink
+        |  parent_post { author }
+        |  children(limit: $n) { author permlink }
+        |  author { id username profile { name __typename } }
+        |} }""".stripMargin,
+      """{"n": 5}""")
+    assert(!node.has("errors"), node.toString)
+    val p = node.path("data").path("socialPost")
+    assert(p.path("parent_post").isNull)        // v1 is top-level
+    val kids = p.path("children")
+    assert(kids.size() == 1)                    // dave's reply r1
+    assert(kids.get(0).path("author").asText() == "dave")
+    assert(kids.get(0).path("permlink").asText() == "r1")
+    val a = p.path("author")
+    assert(a.path("id").asText() == "alice")
+    assert(a.path("username").asText() == "alice")
+    assert(a.path("profile").path("name").asText() == "Alice A")
+    assert(a.path("profile").path("__typename").asText()
+      == "HiveProfile")
+    // the reply's parent_post hydrates back to v1; empty children []
+    val r = gql(
+      """{ socialPost(author: "dave", permlink: "r1") {
+        |  parent_post { permlink } children { permlink } } }"""
+        .stripMargin).path("data").path("socialPost")
+    assert(r.path("parent_post").path("permlink").asText() == "v1")
+    assert(r.path("children").isArray && r.path("children").size() == 0)
+    // feeds hydrate items the same way (one windowed join per page,
+    // not per post)
+    val feed = gql(
+      """{ socialFeed(feedOptions: {byCreator: {_eq: "alice"}}) {
+        |  items { permlink children { permlink } } } }""".stripMargin)
+      .path("data").path("socialFeed").path("items")
+    val byPerm = feed.elements().asScala
+      .map(n => n.path("permlink").asText() ->
+        n.path("children").size()).toMap
+    assert(byPerm == Map("v1" -> 1, "v2" -> 0))
+  }
+
   test("duplicate fields merge per CollectFields and resolve once; " +
     "capped leaderBoard keeps the exact total; bad variables JSON " +
     "is a request error") {
