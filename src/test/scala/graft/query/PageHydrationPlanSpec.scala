@@ -1,0 +1,92 @@
+package graft.query
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.functions._
+
+/** Plan contract for the page-hydration operators behind the GraphQL
+  * SocialPost fields (the same no-unpartitioned-window /
+  * broadcast-the-small-side rules PlanAuditSpec enforces on the
+  * catalog): childrenFor's per-parent rank must be a PARTITIONED
+  * window, and both hydrations must broadcast the page-derived side,
+  * never shuffle the full posts source against a page. */
+class PageHydrationPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  // assertions read the COMPILED physical plan (sparkPlan): over the
+  // tiny LocalRelation fixtures AQE executes broadcast stages eagerly
+  // and the final adaptive plan collapses to a LocalTableScan of the
+  // result, hiding the join/window nodes under audit
+  private def nodes(df: DataFrame): Seq[SparkPlan] = {
+    val out = scala.collection.mutable.ArrayBuffer[SparkPlan]()
+    def go(n: SparkPlan): Unit = n.foreach {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        out += s; go(s.plan)
+      case x => out += x
+    }
+    go(df.queryExecution.sparkPlan); out.toSeq
+  }
+
+  // child pK (K % 3 == 0) replies to p(K-1), whose author is
+  // user((K-1) % 7) — parent_author must be the PARENT's author
+  private lazy val posts = (1L to 200L).map { i =>
+    val parent = if (i % 3 == 0) s"user${(i - 1) % 7}" else ""
+    val parentPerm = if (i % 3 == 0) s"p${i - 1}" else "hive-110011"
+    (s"user${i % 7}", s"p$i", parent, parentPerm,
+      java.sql.Timestamp.valueOf(s"2024-05-01 12:00:${i % 60}"))
+  }.toDF("author", "permlink", "parent_author", "parent_permlink",
+    "created_at")
+
+  test("childrenFor: window is partitioned by parent key; page side " +
+    "broadcasts; per-parent skip/limit paging holds") {
+    val page = posts.filter(col("permlink").isin("p2", "p5"))
+    val out = PostQueries.childrenFor(page, posts, limit = 2, skip = 0)
+    val ns = nodes(out)
+    val unpartitioned = ns.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      "childrenFor must never rank through a single partition")
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "page-derived sides must broadcast")
+    // semantic check: p2's children are p3..p? with parent p2 — the
+    // fixture gives child pK parent p(K-1) for K % 3 == 0
+    val rows = out.filter(col("permlink") === "p2")
+      .select(size(col("children"))).as[Int].collect()
+    assert(rows.head == 1)   // only p3 has parent p2
+    // limit honored per parent: a parent with many children caps at 2
+    val many = posts.withColumn("parent_author", lit("user1"))
+      .withColumn("parent_permlink", lit("pX"))
+    val page2 = Seq(("user1", "pX", "", "", java.sql.Timestamp
+      .valueOf("2024-05-01 12:00:00")))
+      .toDF("author", "permlink", "parent_author", "parent_permlink",
+        "created_at")
+    val capped = PostQueries.childrenFor(page2, many, limit = 2,
+      skip = 1)
+    val kid = capped.select(
+      transform(col("children"), k => k.getField("permlink"))
+        .as("ps")).as[Seq[String]].collect().head
+    assert(kid.size == 2)
+    // second==0 rows: p120 (user1) < p60 (user4) < p180 (user5) by
+    // (created_at, author, permlink); skip=1 drops p120
+    assert(kid == Seq("p60", "p180"))
+  }
+
+  test("withParentFrom: no full-table shuffle against the page — " +
+    "broadcast joins only; missing parents stay null") {
+    val page = posts.filter(col("permlink").isin("p3", "p4"))
+    val out = PostQueries.withParentFrom(page, posts)
+    val ns = nodes(out)
+    assert(ns.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+    val got = out.select(col("permlink"),
+      col("parent_post.permlink").as("pp")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("p3").contains("p2"))  // p3 is a reply to p2
+    assert(got("p4").isEmpty)         // p4 is top-level
+  }
+}
