@@ -118,9 +118,23 @@ object GraphQL {
       sels: Seq[RawSel]) extends RawSel
   private final case class RSpread(name: String) extends RawSel
 
+  /** Nesting bound for selection sets, lists, and objects combined —
+    * the parser is recursive-descent, so without a bound a hostile
+    * `[[[[…` document overflows the stack, and StackOverflowError is
+    * an Error the HTTP layer's Exception handling would not convert
+    * to a request error. 200 is far past any real query (the
+    * reference schema bottoms out around depth 6). */
+  val MaxDepth = 200
+
   // ── Lexer + recursive descent ──────────────────────────────────────
   private final class Parser(src: String) {
     private var i = 0
+    private var depth = 0
+    private def descend[A](f: => A): A = {
+      depth += 1
+      if (depth > MaxDepth) fail(s"nesting deeper than $MaxDepth")
+      try f finally depth -= 1
+    }
     // fragments stored UNRESOLVED and substituted at document end —
     // a spread may reference a fragment defined later in the document
     private val frags =
@@ -152,6 +166,11 @@ object GraphQL {
           InlineFragment(on, ss.map(resolve(_, seen)))
         case RSpread(name) =>
           if (seen(name)) fail(s"fragment cycle through '$name'")
+          // chains bound like nesting: resolve recurses once per
+          // spread link, so an unbounded f1→f2→…→fN chain would
+          // overflow the stack the same way deep nesting would
+          if (seen.size >= MaxDepth)
+            fail(s"fragment chain deeper than $MaxDepth")
           val (on, body) = frags.getOrElse(name,
             fail(s"undefined fragment '$name'"))
           InlineFragment(on, body.map(resolve(_, seen + name)))
@@ -202,7 +221,7 @@ object GraphQL {
       out.toSeq
     }
 
-    private def typeRef(): String = {
+    private def typeRef(): String = descend {
       skip()
       val sb = new StringBuilder
       if (peek() == '[') {
@@ -213,7 +232,7 @@ object GraphQL {
       sb.toString
     }
 
-    private def selectionSet(): Seq[RawSel] = {
+    private def selectionSet(): Seq[RawSel] = descend {
       skip(); expect('{')
       val out = ArrayBuffer[RawSel]()
       skip()
@@ -263,7 +282,7 @@ object GraphQL {
       out.toSeq
     }
 
-    private def value(): Value = {
+    private def value(): Value = descend {
       skip()
       peek() match {
         case '$' => i += 1; VVar(name0())
@@ -310,7 +329,13 @@ object GraphQL {
         while (i < src.length && src.charAt(i).isDigit) i += 1
       }
       val tok = src.substring(start, i)
-      if (isFloat) VFloat(tok.toDouble) else VInt(tok.toLong)
+      try if (isFloat) VFloat(tok.toDouble) else VInt(tok.toLong)
+      catch { case _: NumberFormatException =>
+        // e.g. an int literal past Long range — keep the "parse
+        // failures are always ParseError" contract the HTTP layer's
+        // error classification relies on
+        fail(s"number out of range: $tok")
+      }
     }
 
     private def stringValue(): String = {
