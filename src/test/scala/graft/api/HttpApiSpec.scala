@@ -267,6 +267,40 @@ class HttpApiSpec extends SparkSpec {
       .path("data").path("community").isNull)
   }
 
+  test("concurrent requests: 16 parallel mixed queries all answer " +
+    "correctly (Spark actions are thread-safe across the pool)") {
+    import java.util.concurrent.CompletableFuture
+    val bodies = (0 until 16).map { i =>
+      val q =
+        if (i % 3 == 0) """{ profile(id: "alice") { username } }"""
+        else if (i % 3 == 1)
+          """{ socialFeed(feedOptions: {byCreator: {_eq: "bob"}}) {
+            | items { permlink } } }""".stripMargin
+        else """{ syncState { blockLag } }"""
+      val b = mapper.createObjectNode(); b.put("query", q)
+      mapper.writeValueAsString(b)
+    }
+    val futures: Seq[CompletableFuture[HttpResponse[String]]] =
+      bodies.map { b =>
+        client.sendAsync(HttpRequest.newBuilder()
+          .uri(URI.create(s"http://127.0.0.1:${server.boundPort}" +
+            "/api/v2/graphql"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(b)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+    futures.zipWithIndex.foreach { case (fut, i) =>
+      val r = fut.get(120, java.util.concurrent.TimeUnit.SECONDS)
+      assert(r.statusCode() == 200, s"req $i: ${r.body()}")
+      val d = mapper.readTree(r.body()).path("data")
+      if (i % 3 == 0)
+        assert(d.path("profile").path("username").asText() == "alice")
+      else if (i % 3 == 1)
+        assert(d.path("socialFeed").path("items").size() == 1)
+      else assert(d.path("syncState").path("blockLag").asLong() == 12L)
+    }
+  }
+
   test("nested post hydration: parent_post, children(limit), " +
     "author{profile} — batched joins, selection-driven") {
     val node = gql(
