@@ -156,22 +156,30 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
           f.selections, vars), f.selections)
       case "socialFeed" =>
         feedOutput(PostQueries.socialFeed(projectedPosts,
-          tables.follows, feedArgs(args)), f.selections, vars)
+          tables.follows, feedArgs(args),
+          socialConnections = tables.socialConnections),
+          f.selections, vars)
       case "trendingFeed" =>
         val by =
           if (str("trendingBy").contains("PAYOUT")) PostQueries.ByPayout
           else PostQueries.ByComments
         feedOutput(PostQueries.trendingFeed(projectedPosts,
-          tables.follows, feedArgs(args), by), f.selections, vars)
+          tables.follows, feedArgs(args), by,
+          socialConnections = tables.socialConnections),
+          f.selections, vars)
       case "searchFeed" =>
         feedOutput(PostQueries.searchFeed(projectedPosts,
           tables.follows, feedArgs(args),
-          str("searchTerm").getOrElse("")), f.selections, vars)
+          str("searchTerm").getOrElse(""),
+          socialConnections = tables.socialConnections),
+          f.selections, vars)
       case "relatedFeed" =>
         feedOutput(PostQueries.relatedFeed(projectedPosts,
           tables.follows, feedArgs(args),
           str("author").getOrElse(""), str("permlink").getOrElse(""),
-          sampleSeed), f.selections, vars)
+          sampleSeed,
+          socialConnections = tables.socialConnections),
+          f.selections, vars)
       case "profile" =>
         val id = str("id").orElse(str("username")).getOrElse("")
         if (id.startsWith("did:"))
@@ -364,9 +372,11 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
             Some(graft.query.Where(eq = Some(id))))
           val df =
             if (sub.name == "latestFeed")
-              PostQueries.socialFeed(projectedPosts, tables.follows, fa)
+              PostQueries.socialFeed(projectedPosts, tables.follows,
+                fa, socialConnections = tables.socialConnections)
             else PostQueries.trendingFeed(projectedPosts,
-              tables.follows, fa)
+              tables.follows, fa,
+              socialConnections = tables.socialConnections)
           obj.set[ObjectNode](sub.alias,
             feedOutput(df, sub.selections, vars))
         case "roles" =>

@@ -117,10 +117,15 @@ object PostQueries {
       applyFollower(base, follows, f, socialConnections))
   }
 
-  /** Q8 socialFeed: newest-first page. */
+  /** Q8 socialFeed: newest-first page. `socialConnections` routes a
+    * `did:` byFollower to the Ceramic social graph instead of the
+    * Hive follows table (resolvers/index.ts:126-146). */
   def socialFeed(posts: DataFrame, follows: DataFrame,
-                 a: FeedArgs): DataFrame =
-    Feeds.page(filtered(posts, follows, a), lit(true),
+                 a: FeedArgs,
+                 socialConnections: Option[DataFrame] = None)
+      : DataFrame =
+    Feeds.page(filtered(posts, follows, a, socialConnections),
+      lit(true),
       Seq(col("created_at").desc, col("author").asc,
         col("permlink").asc),
       a.skip, a.limitOr(100))
@@ -131,9 +136,12 @@ object PostQueries {
     * (resolvers/index.ts:200-214; stemming is a documented
     * divergence, SURVEY.md §7.4). */
   def searchFeed(posts: DataFrame, follows: DataFrame, a: FeedArgs,
-                 term: String): DataFrame = {
+                 term: String,
+                 socialConnections: Option[DataFrame] = None)
+      : DataFrame = {
     val terms = term.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
-    Feeds.search(filtered(posts, follows, a), col("body"), terms,
+    Feeds.search(filtered(posts, follows, a, socialConnections),
+      col("body"), terms,
         requireAll = false)
       .orderBy(col("created_at").desc, col("author").asc,
         col("permlink").asc)
@@ -148,12 +156,15 @@ object PostQueries {
     * post, ranked by comments or payout (resolvers/index.ts:224-267).
     */
   def trendingFeed(posts: DataFrame, follows: DataFrame, a: FeedArgs,
-                   by: TrendingBy = ByComments): DataFrame = {
+                   by: TrendingBy = ByComments,
+                   socialConnections: Option[DataFrame] = None)
+      : DataFrame = {
     val metric = by match {
       case ByComments => col("stats.num_comments")
       case ByPayout   => col("stats.total_hive_reward")
     }
-    Feeds.trending(filtered(posts, follows, a), lit(true),
+    Feeds.trending(filtered(posts, follows, a, socialConnections),
+      lit(true),
       col("created_at"), expr("INTERVAL 3 DAYS"),
       Seq(metric.desc, col("author").asc, col("permlink").asc),
       a.limitOr(100), a.skip)
@@ -165,7 +176,9 @@ object PostQueries {
     * a one-row broadcast, not a driver lookup. */
   def relatedFeed(posts: DataFrame, follows: DataFrame, a: FeedArgs,
                   author: String, permlink: String,
-                  seed: Long = 42L): DataFrame = {
+                  seed: Long = 42L,
+                  socialConnections: Option[DataFrame] = None)
+      : DataFrame = {
     // Eager 1-row anchor lookup: the reference throws `Post not
     // found` on a missing anchor (resolvers/index.ts:276-278) — fail
     // fast the same way rather than silently returning an empty feed.
@@ -191,7 +204,7 @@ object PostQueries {
     // NB: the reference does NOT exclude the anchor post itself —
     // it matches its own tags and can appear in the sample
     // (resolvers/index.ts:279-296)
-    val related = filtered(posts, follows, a)
+    val related = filtered(posts, follows, a, socialConnections)
       .filter(
         arrays_overlap(col("tags"), aTagsLit) ||
           (lit(r.getAs[String]("parent_author") == "") &&

@@ -267,6 +267,28 @@ class HttpApiSpec extends SparkSpec {
       .path("data").path("community").isNull)
   }
 
+  test("byFollower did: routes through socialConnections, not " +
+    "follows (resolvers/index.ts:126-146)") {
+    import spark.implicits._
+    val social = Seq(("did:key:z6MkX", "bob"))
+      .toDF("follower", "following")
+    val api2 = new GraftApi(spark,
+      tables.copy(socialConnections = Some(social)))
+    val viaDid = api2.execute(
+      """{ socialFeed(feedOptions: {byFollower: "did:key:z6MkX"}) {
+        | items { author } } }""".stripMargin)
+    val authors = viaDid.path("data").path("socialFeed").path("items")
+      .elements().asScala.map(_.path("author").asText()).toSet
+    assert(authors == Set("bob"))   // the Ceramic graph, not follows
+    // a non-did follower still reads the Hive follows table
+    val viaName = api2.execute(
+      """{ socialFeed(feedOptions: {byFollower: "carol"}) {
+        | items { author } } }""".stripMargin)
+    val a2 = viaName.path("data").path("socialFeed").path("items")
+      .elements().asScala.map(_.path("author").asText()).toSet
+    assert(a2 == Set("alice"))      // carol follows alice on Hive
+  }
+
   test("concurrent requests: 16 parallel mixed queries all answer " +
     "correctly (Spark actions are thread-safe across the pool)") {
     import java.util.concurrent.CompletableFuture
