@@ -256,14 +256,27 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
   private def hydratePosts(df: DataFrame, sels: Seq[Selection],
                            vars: Map[String, JsonNode]): DataFrame = {
     val fields = GraphQL.collectFields(sels, None)
+    // the hydration SOURCE pruned to the nested selection (plus the
+    // join/order keys the operators need): without this, the struct
+    // the join builds carries every store column and the hydration
+    // pays a full-width scan for a { permlink }-only selection —
+    // measured 3.5x the slim form on a 500k store (BENCH_NOTES r7)
+    def pruned(nested: Seq[Selection]): DataFrame = {
+      val want = GraphQL.allFieldNames(nested) ++ Set("__typename",
+        "author", "permlink", "parent_author", "parent_permlink",
+        "created_at")
+      projectedPosts.select(projectedPosts.columns
+        .filter(want.contains).map(c => col(s"`$c`")).toSeq: _*)
+    }
     var out = df
-    if (fields.exists(_.name == "parent_post"))
-      out = PostQueries.withParentFrom(out, projectedPosts)
+    fields.find(_.name == "parent_post").foreach { pp =>
+      out = PostQueries.withParentFrom(out, pruned(pp.selections))
+    }
     fields.find(_.name == "children").foreach { ch =>
       val a = argsNode(ch.args, vars)
       def i(n: String, d: Int) = Option(a.get(n)).filterNot(_.isNull)
         .map(_.asInt()).filter(_ > 0).getOrElse(d)
-      out = PostQueries.childrenFor(out, projectedPosts,
+      out = PostQueries.childrenFor(out, pruned(ch.selections),
         limit = i("limit", 100), skip = Option(a.get("skip"))
           .filterNot(_.isNull).map(_.asInt()).getOrElse(0))
     }

@@ -1144,6 +1144,24 @@ object ScaleEvidence {
       require(!resp.has("errors"), resp.toString)
       resp.path("data").path("socialFeed").path("items").size().toLong
     }
+    // nested hydration at scale: children(limit) adds ONE windowed
+    // join (page-key semi-join first) — the reference would issue 100
+    // finds. The fixture store's posts are all top-level, so child
+    // counts are 0; the COST being measured (semi-join + window over
+    // the store) is the same either way.
+    timed(s"graphql feed page + children hydration vs $nPosts stored") {
+      def empty(st: org.apache.spark.sql.types.StructType) =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      val api = new graft.api.GraftApi(spark, graft.api.ApiTables(
+        posts = spark.read.parquet(postsDir),
+        follows = empty(graft.domain.Schemas.follow),
+        profiles = empty(graft.domain.Schemas.profile)))
+      val resp = api.execute("{ socialFeed(pagination: {limit: 100})" +
+        " { items { permlink children(limit: 5) { permlink } } } }")
+      require(!resp.has("errors"), resp.toString)
+      resp.path("data").path("socialFeed").path("items").size().toLong
+    }
     spark.stop()
   }
 }
