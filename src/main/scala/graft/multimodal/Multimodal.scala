@@ -29,6 +29,12 @@ final case class VideoMeta(
     media_id: Long, ok: Boolean, brand: String, duration_ms: Long,
     width: Int, height: Int)
 
+/** One demuxed-and-decoded video frame ([[Multimodal.videoFrames]]).
+  */
+final case class FrameRow(
+    media_id: Long, frame_idx: Int, decoded: Boolean, width: Int,
+    height: Int, mean_luma: Double)
+
 /** Multimodal-column operators for the training-data pipeline.
   *
   * The Spark-side plumbing is real — schemas, partitioning, batch
@@ -38,10 +44,12 @@ final case class VideoMeta(
   * [[decodeImages]]/[[decodeAudios]] and the corresponding branches
   * of [[extractFeatures]] read true pixel/sample data, with the
   * deterministic stub as the fallback for undecodable payloads.
-  * VIDEO remains a STUB (the JDK has no video codec; no codec
-  * libraries in this container) — swap it for a real codec
-  * (JNI/ffmpeg) without touching the pipeline: everything else is
-  * codec-agnostic.
+  * VIDEO decodes for real for Motion-JPEG: [[videoFrames]] demuxes
+  * the MP4 sample table (stsz/stco) and decodes each sampled frame
+  * through the JDK's real JPEG codec. Inter-frame codecs (H.264 …)
+  * have no JDK decoder — [[frameSampleStub]] keeps that path's batch
+  * shape so a JNI/ffmpeg codec can slot in without touching the
+  * pipeline: everything else is codec-agnostic.
   *
   * Scale notes: media bytes never shuffle — features are extracted in
   * the scan stage (mapPartitions over the storage partitioning) and
@@ -689,6 +697,182 @@ object Multimodal {
             VideoMeta(m.media_id, ok = true, brand, durMs, w, h)
           case None =>
             VideoMeta(m.media_id, ok = false, "", 0L, 0, 0)
+        }
+      }
+    }
+  }
+
+  // ── Motion-JPEG-in-MP4: sample-table demux + REAL frame decode ──
+  // The frame path follows the mm03/mm04 proof shape one level
+  // deeper: the writer lays REAL JPEG frames (ImageIO-encoded) into
+  // mdat and describes them with a proper sample table
+  // (stsd/stts/stsc/stsz/stco — ISO/IEC 14496-12 §8.5-8.7), and the
+  // reader does what an MP4 demuxer does — walk moov›trak›mdia›minf›
+  // stbl, read per-sample sizes (stsz) and absolute offsets (stco,
+  // one chunk per sample), slice mdat, and hand each sample to the
+  // real JPEG codec. Dimensions/frame counts are id formulas (oracle-
+  // predictable); pixel content survives only approximately (JPEG is
+  // lossy), so luma is spec-checked with tolerance, never oracled.
+
+  private def jpegFrame(id: Long, f: Int, w: Int, h: Int)
+      : Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // frame-shifted gradient: frames of one video differ, and the
+        // mean luma is a closed-form target for the roundtrip spec
+        val v = ((x + y + f * 16 + (id % 7)) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic MJPEG/MP4: `3 + id mod 5` real JPEG frames of
+    * `160 + id mod 4 · 16` × `96 + id mod 3 · 16`, 40 ms apart,
+    * addressed by a real sample table. */
+  private[multimodal] def syntheticMjpegMp4(id: Long): Array[Byte] = {
+    val w = 160 + (id % 4).toInt * 16
+    val h = 96 + (id % 3).toInt * 16
+    val n = 3 + (id % 5).toInt
+    val frames = (0 until n).map(f => jpegFrame(id, f, w, h))
+    val stsd = mp4Box("stsd", be32(0) ++ be32(1) ++
+      mp4Box("jpeg", new Array[Byte](6) ++ Array[Byte](0, 1) ++
+        new Array[Byte](16) ++
+        Array(((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+          ((h >> 8) & 0xff).toByte, (h & 0xff).toByte) ++
+        new Array[Byte](50)))
+    val stts = mp4Box("stts", be32(0) ++ be32(1) ++
+      be32(n) ++ be32(40))                      // n samples, 40 ticks
+    val stsc = mp4Box("stsc", be32(0) ++ be32(1) ++
+      be32(1) ++ be32(1) ++ be32(1))            // 1 sample per chunk
+    val stsz = mp4Box("stsz", be32(0) ++ be32(0) ++ be32(n) ++
+      frames.flatMap(f => be32(f.length)).toArray)
+    // stco carries ABSOLUTE file offsets — moov's size depends only
+    // on n, so lay moov out once with zeroed offsets to measure it,
+    // then rebuild with the real ones
+    def buildMoov(offsets: Seq[Int]): Array[Byte] = {
+      val stco = mp4Box("stco", be32(0) ++ be32(n) ++
+        offsets.flatMap(be32).toArray)
+      val stbl = mp4Box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val mdhd = mp4Box("mdhd", be32(0) ++ be32(0) ++ be32(0) ++
+        be32(1000) ++ be32(n * 40) ++ Array[Byte](0x55, (0xC4).toByte,
+          0, 0))
+      val tkhd = mp4Box("tkhd",
+        be32(7) ++ be32(0) ++ be32(0) ++
+          be32(1) ++ be32(0) ++ be32(n * 40) ++
+          new Array[Byte](16) ++
+          (be32(0x00010000) ++ be32(0) ++ be32(0) ++
+            be32(0) ++ be32(0x00010000) ++ be32(0) ++
+            be32(0) ++ be32(0) ++ be32(0x40000000)) ++
+          be32(w << 16) ++ be32(h << 16))
+      val mvhd = mp4Box("mvhd",
+        be32(0) ++ be32(0) ++ be32(0) ++
+          be32(1000) ++ be32(n * 40) ++
+          be32(0x00010000) ++ Array[Byte](0x01, 0x00, 0, 0) ++
+          new Array[Byte](8) ++
+          (be32(0x00010000) ++ be32(0) ++ be32(0) ++
+            be32(0) ++ be32(0x00010000) ++ be32(0) ++
+            be32(0) ++ be32(0) ++ be32(0x40000000)) ++
+          new Array[Byte](24) ++ be32(2))
+      mp4Box("moov", mvhd ++ mp4Box("trak",
+        tkhd ++ mp4Box("mdia", mdhd ++ mp4Box("minf", stbl))))
+    }
+    val ftyp = mp4Box("ftyp",
+      "isom".getBytes("US-ASCII") ++ be32(512) ++
+        "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+    val moovLen = buildMoov(Seq.fill(n)(0)).length
+    val mdatStart = ftyp.length + moovLen + 8
+    val offsets = frames.scanLeft(mdatStart)(_ + _.length).init
+    val moov = buildMoov(offsets)
+    val mdat = mp4Box("mdat", frames.flatten.toArray)
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Fixture/bench source: MJPEG/MP4 media rows, generated executor-
+    * side. */
+  def syntheticMjpegMedia(ids: DataFrame, idCol: String = "doc_id")
+      (implicit spark: SparkSession): Dataset[MediaRow] = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        MediaRow(id, "video", syntheticMjpegMp4(id), "video/mp4",
+          0, 0, 0L)
+      }
+    }
+  }
+
+  /** Demux the sample table: (sizes from stsz, absolute offsets from
+    * stco — one chunk per sample, the layout [[syntheticMjpegMp4]]
+    * writes and the common layout for small progressive files). */
+  private[multimodal] def sampleTable(b: Array[Byte])
+      : Option[Seq[(Int, Int)]] =
+    for {
+      (ms, me) <- findMp4Box(b, 0, b.length, "moov")
+      (ts, te) <- findMp4Box(b, ms, me, "trak")
+      (ds, de) <- findMp4Box(b, ts, te, "mdia")
+      (ns, ne) <- findMp4Box(b, ds, de, "minf")
+      (ss, se) <- findMp4Box(b, ns, ne, "stbl")
+      (zs, ze) <- findMp4Box(b, ss, se, "stsz")
+      if ze - zs >= 12 && readBe32(b, zs + 4) == 0 // per-sample sizes
+      nz = readBe32(b, zs + 8).toInt
+      if ze - zs >= 12 + 4 * nz
+      (cs, ce) <- findMp4Box(b, ss, se, "stco")
+      if ce - cs >= 8 && readBe32(b, cs + 4).toInt == nz
+      if ce - cs >= 8 + 4 * nz
+    } yield (0 until nz).map(i =>
+      (readBe32(b, cs + 8 + 4 * i).toInt,
+        readBe32(b, zs + 12 + 4 * i).toInt))
+
+  /** Every `every`-th frame of each video, demuxed via the sample
+    * table and decoded through the REAL JPEG codec — per-frame rows
+    * with true decoded dimensions and mean luma. Partition-local;
+    * bytes never shuffle; undecodable/non-MP4 payloads yield zero
+    * rows (a filter, like decodeImages' decoded=false, but per
+    * frame). */
+  def videoFrames(media: Dataset[MediaRow], every: Int = 1)
+      (implicit spark: SparkSession): Dataset[FrameRow] = {
+    import spark.implicits._
+    require(every >= 1, "every must be >= 1")
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        sampleTable(m.bytes).toSeq.flatMap { samples =>
+          samples.zipWithIndex.collect {
+            case ((off, len), idx)
+                if idx % every == 0 &&
+                  off >= 0 && len > 0 && off + len <= m.bytes.length =>
+              val bytes =
+                java.util.Arrays.copyOfRange(m.bytes, off, off + len)
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))) match {
+                case Some(img) =>
+                  var sum = 0.0
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val rgb = img.getRGB(x, y)
+                      sum += (((rgb >> 16) & 0xff) * 299 +
+                        ((rgb >> 8) & 0xff) * 587 +
+                        (rgb & 0xff) * 114) / 1000.0
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  FrameRow(m.media_id, idx, decoded = true,
+                    img.getWidth, img.getHeight,
+                    sum / (img.getWidth.toLong * img.getHeight))
+                case None =>
+                  FrameRow(m.media_id, idx, decoded = false, 0, 0, 0.0)
+              }
+          }
         }
       }
     }

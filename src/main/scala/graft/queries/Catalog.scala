@@ -4737,6 +4737,37 @@ object Catalog {
                 - chunk_idx * 100) * 8 AS BIGINT) AS n_frames
         FROM f ORDER BY media_id, chunk_idx""")),
 
+    // ── §7.5 multimodal: REAL video frame decode — MJPEG/MP4 demux
+    //    via the sample table (stsz sizes + stco offsets, the demux
+    //    walk ISO/IEC 14496-12 defines) and every-2nd-frame decode
+    //    through the real JPEG codec. Same proof shape as mm03/mm04:
+    //    genuine bytes from formulas, genuinely demuxed and decoded
+    //    back; the oracle predicts the formulas (frame grid, true
+    //    decoded dimensions). Mean luma exists engine-side but is
+    //    NOT oracled — JPEG is lossy. Partition-local, zero shuffle;
+    //    pixels never leave the executor. ───────────────────────────
+    Q("mm10_video_frames",
+      (s, d) => {
+        val media = graft.multimodal.Multimodal.syntheticMjpegMedia(
+          Tables.documents(s, d).select("doc_id"))(s)
+        graft.multimodal.Multimodal.videoFrames(media, every = 2)(s)
+          .toDF()
+          .select(col("media_id"),
+            col("frame_idx").cast("long").as("frame_idx"),
+            col("decoded"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""WITH f AS (SELECT doc_id AS media_id,
+            unnest(range(0, CAST(3 + doc_id % 5 AS BIGINT), 2))
+              AS frame_idx
+          FROM documents)
+        SELECT media_id, frame_idx, true AS decoded,
+          CAST(160 + media_id % 4 * 16 AS BIGINT) AS width,
+          CAST(96 + media_id % 3 * 16 AS BIGINT) AS height
+        FROM f ORDER BY media_id, frame_idx""")),
+
     // ── §2.7 HOPPING time window (slide < length): each event lands
     //    in length/slide windows. Spark's native TimeWindow expands
     //    rows into their windows INSIDE the scan stage (a bounded

