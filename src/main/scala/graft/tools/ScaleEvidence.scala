@@ -819,6 +819,15 @@ object ScaleEvidence {
           corpus.select("doc_id"))(spark))(spark)
         .filter(col("ok")).count()
     }
+    // real MJPEG demux + JPEG frame decode, every-2nd frame: encode
+    // and decode costs scale with FRAMES (≈2/video here) and stay on
+    // the executor — zero shuffle, like every media stage
+    timed(s"mm10 video frame decode (${reps*5}k videos, ~2 fr each)") {
+      graft.multimodal.Multimodal.videoFrames(
+        graft.multimodal.Multimodal.syntheticMjpegMedia(
+          corpus.select("doc_id"))(spark), every = 2)(spark)
+        .filter(col("decoded")).count()
+    }
     timed(s"d49 KMV distinct sketch (${reps*5}k docs, k=64)") {
       import org.apache.spark.sql.expressions.Window
       // the replicated corpus carries no source column — derive one
