@@ -102,9 +102,11 @@ object GraphQL {
   /** Every field name any branch of the selection could need — the
     * union over fragment alternatives, used to prune the DataFrame's
     * columns BEFORE collect (so GraphQL selection drives Catalyst
-    * column pruning down to the parquet scan). */
+    * column pruning down to the parquet scan). Aliases are included
+    * because hydration materializes aliased relational fields as
+    * alias-named columns. */
   def allFieldNames(sels: Seq[Selection]): Set[String] = sels.flatMap {
-    case f: Field => Seq(f.name)
+    case f: Field => Seq(f.name, f.alias)
     case InlineFragment(_, inner) => allFieldNames(inner)
   }.toSet
 
@@ -125,6 +127,14 @@ object GraphQL {
     * to a request error. 200 is far past any real query (the
     * reference schema bottoms out around depth 6). */
   val MaxDepth = 200
+
+  /** Budget on RESOLVED selection nodes. The depth bound alone does
+    * not stop a fragment bomb: sibling spreads of the same fragment
+    * each re-expand it (`seen` is path-scoped), so a ~1.5 KB document
+    * of 40 fragments each spreading the next TWICE resolves to 2^40
+    * nodes while every individual chain stays short. Count every node
+    * materialized during resolution and refuse past the budget. */
+  val MaxResolvedNodes = 100000
 
   // ── Lexer + recursive descent ──────────────────────────────────────
   private final class Parser(src: String) {
@@ -158,7 +168,12 @@ object GraphQL {
       Operation(name, vars, raw.map(resolve(_, Set.empty)))
     }
 
-    private def resolve(s: RawSel, seen: Set[String]): Selection =
+    private var resolvedNodes = 0
+    private def resolve(s: RawSel, seen: Set[String]): Selection = {
+      resolvedNodes += 1
+      if (resolvedNodes > MaxResolvedNodes)
+        fail(s"document resolves to more than $MaxResolvedNodes " +
+          "selection nodes (fragment expansion bomb?)")
       s match {
         case RField(a, n, ar, ss) =>
           Field(a, n, ar, ss.map(resolve(_, seen)))
@@ -175,6 +190,7 @@ object GraphQL {
             fail(s"undefined fragment '$name'"))
           InlineFragment(on, body.map(resolve(_, seen + name)))
       }
+    }
 
     private def fragmentDef(): Unit = {
       expectName("fragment")

@@ -151,9 +151,9 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
       Option(args.get(n)).filterNot(_.isNull).map(_.asText())
     f.name match {
       case "socialPost" =>
-        single(hydratePosts(PostQueries.socialPost(projectedPosts,
+        withHydrated(PostQueries.socialPost(projectedPosts,
           str("author").getOrElse(""), str("permlink").getOrElse("")),
-          f.selections, vars), f.selections)
+          f.selections, vars)(h => single(h, f.selections))
       case "socialFeed" =>
         feedOutput(PostQueries.socialFeed(projectedPosts,
           tables.follows, feedArgs(args),
@@ -227,14 +227,36 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
       sub.name match {
         case "items" =>
           obj.set[ObjectNode](sub.alias,
-            arrayOf(hydratePosts(df, sub.selections, vars),
-              sub.selections))
+            withHydrated(df, sub.selections, vars)(h =>
+              arrayOf(h, sub.selections)))
         case "__typename" => obj.put(sub.alias, "FeedOutput")
         case _ => obj.set[ObjectNode](sub.alias, nf.nullNode())
       }
     }
     obj
   }
+
+  private val relationalFields = Set("parent_post", "children",
+    "community")
+  private def needsHydration(sels: Seq[Selection]): Boolean =
+    GraphQL.collectFields(sels, None).exists(f =>
+      relationalFields(f.name) ||
+        (f.name == "author" && f.selections.nonEmpty))
+
+  /** Persist the page ONCE when relational hydration will re-read it:
+    * every hydration join derives its broadcast keys from the page
+    * subplan, and without the persist each derivation independently
+    * re-executes the full scan+sort+limit feed plan (review r7) — a
+    * fully-hydrated page was re-running the store query 4-6 times.
+    * The page is <= limit rows; unpersist after the collect. */
+  private def withHydrated[A](df: DataFrame, sels: Seq[Selection],
+      vars: Map[String, JsonNode])(k: DataFrame => A): A =
+    if (!needsHydration(sels)) k(df)
+    else {
+      val page = df.persist()
+      try k(hydratePosts(page, sels, vars))
+      finally page.unpersist(blocking = false)
+    }
 
   /** The SocialPost interface's RELATIONAL fields, attached to the
     * page only when selected (posts.ts field resolvers — each is a
@@ -269,16 +291,27 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
         .filter(want.contains).map(c => col(s"`$c`")).toSeq: _*)
     }
     var out = df
-    fields.find(_.name == "parent_post").foreach { pp =>
-      out = PostQueries.withParentFrom(out, pruned(pp.selections))
+    // PER-ALIAS hydration: collectFields merges same-alias duplicates,
+    // so distinct occurrences here carry distinct aliases — each with
+    // its own args/sub-selection (e.g. a: children(limit:1) alongside
+    // b: children(limit:10)) and therefore its own alias-named column
+    // (shape() reads the alias column first)
+    fields.filter(_.name == "parent_post").foreach { pp =>
+      var h = PostQueries.withParentFrom(out, pruned(pp.selections))
+      if (pp.alias != "parent_post")
+        h = h.withColumnRenamed("parent_post", pp.alias)
+      out = h
     }
-    fields.find(_.name == "children").foreach { ch =>
+    fields.filter(_.name == "children").foreach { ch =>
       val a = argsNode(ch.args, vars)
       def i(n: String, d: Int) = Option(a.get(n)).filterNot(_.isNull)
         .map(_.asInt()).filter(_ > 0).getOrElse(d)
-      out = PostQueries.childrenFor(out, pruned(ch.selections),
+      var h = PostQueries.childrenFor(out, pruned(ch.selections),
         limit = i("limit", 100), skip = Option(a.get("skip"))
           .filterNot(_.isNull).map(_.asInt()).getOrElse(0))
+      if (ch.alias != "children")
+        h = h.withColumnRenamed("children", ch.alias)
+      out = h
     }
     if (fields.exists(f => f.name == "author" && f.selections.nonEmpty)) {
       val prof = profileView.select(col("username").as("_au"),
@@ -417,6 +450,20 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     * accepted and ignored exactly like the reference (declared in the
     * schema, never read by TransformFeedArgs). */
   private def feedArgs(args: ObjectNode): FeedArgs = {
+    // fail loudly, like any unwired resolver: engine-level
+    // applyFollower deliberately answers a did: follower with an
+    // empty set when no Ceramic graph is wired (spec-pinned library
+    // semantics), but at the API an empty feed would silently
+    // masquerade as "follows nobody" — the client must learn the
+    // table is not configured
+    def didFollower(n: JsonNode): Boolean =
+      Option(n.get("byFollower")).filterNot(_.isNull)
+        .exists(_.asText("").startsWith("did:"))
+    if (tables.socialConnections.isEmpty &&
+        (didFollower(args) || Option(args.get("feedOptions"))
+          .filterNot(_.isNull).exists(didFollower)))
+      sys.error("social connections not configured " +
+        "(did: byFollower needs the Ceramic social graph)")
     val merged = nf.objectNode()
     Option(args.get("feedOptions")).filterNot(_.isNull).foreach { fo =>
       fo.fieldNames().asScala
@@ -534,9 +581,13 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     GraphQL.collectFields(sels, tn).foreach { f =>
       if (f.name == "__typename" && !node.has("__typename"))
         out.set[ObjectNode](f.alias, nf.nullNode())
-      else
-        out.set[ObjectNode](f.alias,
-          shapeValue(node.path(f.name), f.selections))
+      else {
+        // hydration materializes aliased relational fields under
+        // their ALIAS; everything else lives under the field name
+        val v = if (f.alias != f.name && node.has(f.alias))
+          node.path(f.alias) else node.path(f.name)
+        out.set[ObjectNode](f.alias, shapeValue(v, f.selections))
+      }
     }
     out
   }

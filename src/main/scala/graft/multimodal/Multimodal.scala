@@ -822,11 +822,16 @@ object Multimodal {
       (ss, se) <- findMp4Box(b, ns, ne, "stbl")
       (zs, ze) <- findMp4Box(b, ss, se, "stsz")
       if ze - zs >= 12 && readBe32(b, zs + 4) == 0 // per-sample sizes
-      nz = readBe32(b, zs + 8).toInt
-      if ze - zs >= 12 + 4 * nz
+      // Long arithmetic + a non-negative read: a hostile/corrupt
+      // sample_count near 2^29 would wrap `12 + 4*nz` negative in Int
+      // and sail past the bounds check into out-of-range reads —
+      // corrupt media must yield zero rows, never a task crash
+      nzL = readBe32(b, zs + 8)
+      if nzL >= 0 && (ze - zs).toLong >= 12L + 4L * nzL
+      nz = nzL.toInt
       (cs, ce) <- findMp4Box(b, ss, se, "stco")
-      if ce - cs >= 8 && readBe32(b, cs + 4).toInt == nz
-      if ce - cs >= 8 + 4 * nz
+      if ce - cs >= 8 && readBe32(b, cs + 4) == nzL
+      if (ce - cs).toLong >= 8L + 4L * nzL
     } yield (0 until nz).map(i =>
       (readBe32(b, cs + 8 + 4 * i).toInt,
         readBe32(b, zs + 12 + 4 * i).toInt))
@@ -846,8 +851,10 @@ object Multimodal {
         sampleTable(m.bytes).toSeq.flatMap { samples =>
           samples.zipWithIndex.collect {
             case ((off, len), idx)
-                if idx % every == 0 &&
-                  off >= 0 && len > 0 && off + len <= m.bytes.length =>
+                if idx % every == 0 && off >= 0 && len > 0 &&
+                  // Long sum: hostile stco/stsz values can wrap
+                  // off + len negative in Int and pass the bound
+                  off.toLong + len <= m.bytes.length =>
               val bytes =
                 java.util.Arrays.copyOfRange(m.bytes, off, off + len)
               Option(javax.imageio.ImageIO.read(

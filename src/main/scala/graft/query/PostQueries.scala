@@ -232,10 +232,21 @@ object PostQueries {
         col("permlink").asc)
       .offset(skip).limit(limit)
 
-  /** Q2 parent_post hydration for a set of posts: one self-join
-    * replacing the reference's per-row findOne. */
-  def withParent(posts: DataFrame): DataFrame =
-    withParentFrom(posts, posts)
+  /** Q2 parent_post hydration for a set of posts: one SHUFFLE
+    * self-join replacing the reference's per-row findOne. This is the
+    * full-table form — both sides are table-sized, so forcing the
+    * broadcast plan of [[withParentFrom]] here would materialize a
+    * table-proportional hash relation on the driver; keep the shuffle
+    * and let AQE downgrade it when the input happens to be small. */
+  def withParent(posts: DataFrame): DataFrame = {
+    val parents = posts.select(
+      col("author").as("_pa"), col("permlink").as("_pp"),
+      struct(posts.columns.map(col).toSeq: _*).as("parent_post"))
+    posts.join(parents,
+      col("parent_author") === col("_pa") &&
+        col("parent_permlink") === col("_pp"), "left")
+      .drop("_pa", "_pp")
+  }
 
   /** Q2, page form: hydrate `parent_post` onto a (small) page from a
     * (large) posts source. Scale shape: the source is first
@@ -266,6 +277,10 @@ object PostQueries {
     * over the full table. Posts with no children get []. */
   def childrenFor(page: DataFrame, source: DataFrame,
                   limit: Int = 100, skip: Int = 0): DataFrame = {
+    // negative skip behaves like 0 (JS `args.skip` undefined/negative
+    // both page from the start) — unclamped, `_rk > -1` would keep
+    // ranks 1..limit-1 and silently shorten the page by one
+    val sk = math.max(0, skip)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("_ca", "_cp")
       .orderBy(col("_ct").asc, col("_ka").asc, col("_kp").asc)
@@ -278,7 +293,7 @@ object PostQueries {
       struct(source.columns.map(col).toSeq: _*).as("_kid"))
       .join(broadcast(keys), Seq("_ca", "_cp"), "left_semi")
     val grouped = kids.withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") > skip && col("_rk") <= skip.toLong + limit)
+      .filter(col("_rk") > sk && col("_rk") <= sk.toLong + limit)
       .groupBy("_ca", "_cp")
       .agg(transform(
         array_sort(collect_list(struct(col("_rk"), col("_kid")))),

@@ -267,6 +267,48 @@ class HttpApiSpec extends SparkSpec {
       .path("data").path("community").isNull)
   }
 
+  test("aliased duplicates of relational fields hydrate " +
+    "independently (own args, own sub-selection)") {
+    val node = gql(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  one: children(limit: 1) { permlink }
+        |  all: children(limit: 10) { permlink author }
+        |} }""".stripMargin)
+    assert(!node.has("errors"), node.toString)
+    val p = node.path("data").path("socialPost")
+    assert(p.path("one").size() == 1)
+    assert(p.path("all").size() == 1)   // v1 has one reply total
+    assert(p.path("all").get(0).has("author"))
+    assert(!p.path("one").get(0).has("author")) // own sub-selection
+    // negative skip behaves like 0
+    val neg = gql(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  children(limit: 5, skip: -1) { permlink } } }""".stripMargin)
+    assert(neg.path("data").path("socialPost")
+      .path("children").size() == 1)
+  }
+
+  test("did: byFollower without a wired Ceramic graph is a " +
+    "field-level error, not a silently empty feed") {
+    val node = gql(
+      """{ socialFeed(feedOptions: {byFollower: "did:key:z6MkX"}) {
+        | items { author } } }""".stripMargin)
+    assert(node.path("data").path("socialFeed").isNull)
+    assert(node.path("errors").get(0).path("message").asText()
+      .contains("social connections not configured"))
+  }
+
+  test("fragment-bomb documents are rejected by the resolution " +
+    "budget, not expanded") {
+    val bomb = "query { q { ...f0 } } " + (0 until 40).map(i =>
+      s"fragment f$i on T { ...f${i + 1} ...f${i + 1} }")
+      .mkString(" ") + " fragment f40 on T { x }"
+    val t0 = System.nanoTime()
+    val e = intercept[GraphQL.ParseError](GraphQL.parse(bomb))
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "must fail fast")
+    assert(e.getMessage.contains("selection nodes"))
+  }
+
   test("byFollower did: routes through socialConnections, not " +
     "follows (resolvers/index.ts:126-146)") {
     import spark.implicits._
