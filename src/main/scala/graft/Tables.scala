@@ -28,6 +28,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Document ids spread across the session's cores — the id column
+    * feeding synthetic-media generation. The sf-dir parquet reads as
+    * ONE split at small SFs, and media encode/decode is partition-
+    * local heavy work: on a single core the mm rows ran 10-20x their
+    * 32-way cost (mm10 measured 52 s serial vs 3.9 s spread). The
+    * shuffle moves slim longs; the codec loops it unlocks dwarf it. */
+  def mediaIds(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select("doc_id")
+      .repartition(s.sparkContext.defaultParallelism)
+
   /** `events.ts` normalization — schema-adaptive because the driver
     * has shipped the column two ways across data generations:
     *

@@ -1012,7 +1012,7 @@ object Catalog {
     Q("mm03_image_decode",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticPngMedia(
-          Tables.documents(s, d).select("doc_id"))(s)
+          Tables.mediaIds(s, d))(s)
         graft.multimodal.Multimodal.decodeImages(media)(s)
           .toDF()
           .select(col("media_id"), col("decoded"),
@@ -1031,6 +1031,10 @@ object Catalog {
     //    decoded back; the oracle predicts rate/frames/duration. ────
     Q("mm04_audio_decode",
       (s, d) => {
+        // NOT mediaIds: javax.sound's provider registry synchronizes
+        // getAudioInputStream, so 32-way WAV decode CONTENDS — spread
+        // measured 3.6 s vs 1.9 s serial (images/video scale fine;
+        // ImageIO decoders don't share a lock on this path)
         val media = graft.multimodal.Multimodal.syntheticWavMedia(
           Tables.documents(s, d).select("doc_id"))(s)
         graft.multimodal.Multimodal.decodeAudios(media)(s)
@@ -2685,7 +2689,7 @@ object Catalog {
     Q("mm05_image_ahash",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticPngMedia(
-          Tables.documents(s, d).select("doc_id"))(s)
+          Tables.mediaIds(s, d))(s)
         graft.multimodal.Multimodal.imageAHash(media)(s)
           .orderBy("media_id")
       },
@@ -3223,7 +3227,7 @@ object Catalog {
     Q("mm06_image_neardup",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticPngMedia(
-          Tables.documents(s, d).select("doc_id"))(s)
+          Tables.mediaIds(s, d))(s)
         // the production banded near-dup operator (pigeonhole recall,
         // 4 bands over the 8×8 hash); the 16×16 form is the corpus-
         // scale path past the measured ~1M-image band-keyspace floor
@@ -3799,7 +3803,7 @@ object Catalog {
     Q("mm07_video_meta",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticMp4Media(
-          Tables.documents(s, d).select("doc_id"))(s)
+          Tables.mediaIds(s, d))(s)
         graft.multimodal.Multimodal.videoMeta(media)(s)
           .toDF()
           .select(col("media_id"), col("ok"), col("brand"),
@@ -4650,7 +4654,7 @@ object Catalog {
     Q("mm08_frame_sample",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticMp4Media(
-          Tables.documents(s, d).select("doc_id"))(s)
+          Tables.mediaIds(s, d))(s)
         graft.multimodal.Multimodal.frameSamplePlan(
           graft.multimodal.Multimodal.videoMeta(media)(s),
           fps = 1, maxFrames = 8)
@@ -4715,6 +4719,10 @@ object Catalog {
     //    Metadata-only, bounded explode, zero shuffle. ───────────────
     Q("mm09_audio_chunks",
       (s, d) => {
+        // NOT mediaIds: javax.sound's provider registry synchronizes
+        // getAudioInputStream, so 32-way WAV decode CONTENDS — spread
+        // measured 3.6 s vs 1.9 s serial (images/video scale fine;
+        // ImageIO decoders don't share a lock on this path)
         val media = graft.multimodal.Multimodal.syntheticWavMedia(
           Tables.documents(s, d).select("doc_id"))(s)
         graft.multimodal.Multimodal.audioChunkPlan(
@@ -4749,7 +4757,7 @@ object Catalog {
     Q("mm10_video_frames",
       (s, d) => {
         val media = graft.multimodal.Multimodal.syntheticMjpegMedia(
-          Tables.documents(s, d).select("doc_id"))(s)
+          Tables.mediaIds(s, d))(s)
         graft.multimodal.Multimodal.videoFrames(media, every = 2)(s)
           .toDF()
           .select(col("media_id"),
