@@ -3,7 +3,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // default 32 = the driver's setting (VERDICT r7 #2): a lower
+    // default made every self-recorded number non-comparable to the
+    // official artifact — set the env var explicitly to deviate
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -118,7 +121,21 @@ object Bench {
     val qs36 = results.collect { case (k, (v, _)) if baseline36(k) =>
       s"\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"baseline36_total":${r3(baseTotal)},"n_errors":${results.values.count(_._2.isDefined)},"errors":$errs,"queries":$qs36,"queries_full":"BENCH_SELF.json","sf":"$sfDir"}""")
+    // ambient-load evidence INSIDE the metric line (VERDICT r7 #1):
+    // 1/5-minute load averages at run end, so every artifact carries
+    // its own record of whether the box was idle or taxed — artifact
+    // vs self-record comparisons stop needing forensics
+    val load =
+      try {
+        val parts = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")
+        s"[${parts(0)},${parts(1)}]"
+      } catch { case _: Throwable =>
+        val l1 = java.lang.management.ManagementFactory
+          .getOperatingSystemMXBean.getSystemLoadAverage
+        s"[${r3(l1)},null]"
+      }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"baseline36_total":${r3(baseTotal)},"n_errors":${results.values.count(_._2.isDefined)},"errors":$errs,"loadavg_1m_5m":$load,"cpus":"$cpus","queries":$qs36,"queries_full":"BENCH_SELF.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }

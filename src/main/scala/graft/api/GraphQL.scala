@@ -16,11 +16,14 @@ import scala.collection.mutable.ArrayBuffer
   * block string, boolean, null, enum, list, object, variable), nested
   * selection sets, inline fragments with type conditions (the
   * reference's own GraphiQL default query uses `... on HivePost`;
-  * `api/index.ts:60-72`), and named fragment definitions + spreads.
-  * Not supported (documented, rejected with a clear error): mutations
-  * and subscriptions (the reference's Query type is the entire
-  * surface — `schema.ts:308-327` defines no Mutation), and directives
-  * (`@skip`/`@include` — the reference schema declares none).
+  * `api/index.ts:60-72`), named fragment definitions + spreads, and
+  * directives on fields/spreads/inline fragments — the two
+  * spec-mandated execution builtins `@skip`/`@include` are honored
+  * (with variable `if:` arguments; [[applyDirectives]]), every other
+  * directive name is rejected with an error naming it. Not supported
+  * (documented, rejected with a clear error): mutations and
+  * subscriptions (the reference's Query type is the entire surface —
+  * `schema.ts:308-327` defines no Mutation).
   *
   * No external parser dependency: hand-rolled lexer + recursive
   * descent over the GraphQL October-2021 grammar productions listed
@@ -41,15 +44,26 @@ object GraphQL {
   final case class VObj(fields: Seq[(String, Value)]) extends Value
   final case class VVar(name: String) extends Value
 
+  /** A directive occurrence (`@skip(if: ...)`). Only the two
+    * spec-mandated execution builtins are honored ([[applyDirectives]]
+    * — GraphQL Oct-2021 §5.7.1: every compliant server provides
+    * `@skip`/`@include` regardless of what the schema declares, and
+    * codegen'd clients emit them routinely); any other name is an
+    * error at directive-application time. */
+  final case class Directive(name: String, args: Seq[(String, Value)])
+
   sealed trait Selection
   final case class Field(alias: String, name: String,
                          args: Seq[(String, Value)],
-                         selections: Seq[Selection]) extends Selection
+                         selections: Seq[Selection],
+                         directives: Seq[Directive] = Nil)
+      extends Selection
   /** Inline fragment (or a resolved named-fragment spread): its
     * selections apply only to rows whose `__typename` matches the
     * type condition (None = no condition). */
   final case class InlineFragment(onType: Option[String],
-                                  selections: Seq[Selection])
+                                  selections: Seq[Selection],
+                                  directives: Seq[Directive] = Nil)
       extends Selection
 
   /** One parsed operation: variable definitions are
@@ -70,11 +84,60 @@ object GraphQL {
                  typename: Option[String]): Seq[Field] =
     sels.flatMap {
       case f: Field => Seq(f)
-      case InlineFragment(cond, inner) =>
+      case InlineFragment(cond, inner, _) =>
         if (cond.isEmpty || typename.isEmpty || cond == typename)
           applicable(inner, typename)
         else Nil
     }
+
+  /** Evaluate `@skip`/`@include` against the request's variables and
+    * return the selection tree with excluded branches dropped and
+    * directive info consumed (spec §5.7.1: excluded when `@skip(if:)`
+    * is true OR `@include(if:)` is false; both present → included only
+    * when include=true AND skip=false). Runs ONCE per request, before
+    * field collection — the rest of the executor sees a plain tree.
+    * Any other directive name is rejected (the served schema declares
+    * none). `boolVar` resolves a `$variable` used as an `if:` argument
+    * to its boolean value (None = absent or non-boolean → error, per
+    * spec the argument is a non-null Boolean!). */
+  def applyDirectives(sels: Seq[Selection],
+                      boolVar: String => Option[Boolean])
+      : Seq[Selection] = {
+    def cond(d: Directive): Boolean = {
+      val arg = d.args.collectFirst { case ("if", v) => v }
+        .getOrElse(throw new IllegalArgumentException(
+          s"directive @${d.name} requires an 'if' argument"))
+      arg match {
+        case VBool(b) => b
+        case VVar(n) => boolVar(n).getOrElse(
+          throw new IllegalArgumentException(
+            s"@${d.name}(if: $$$n): variable must be a Boolean"))
+        case other => throw new IllegalArgumentException(
+          s"@${d.name}(if:) must be a Boolean, got $other")
+      }
+    }
+    def included(dirs: Seq[Directive]): Boolean = dirs.forall { d =>
+      d.name match {
+        case "skip" => !cond(d)
+        case "include" => cond(d)
+        case other => throw new IllegalArgumentException(
+          s"unknown directive '@$other' (only the execution builtins " +
+            "@skip/@include are supported)")
+      }
+    }
+    sels.flatMap {
+      case f: Field =>
+        if (!included(f.directives)) Nil
+        else Seq(f.copy(
+          selections = applyDirectives(f.selections, boolVar),
+          directives = Nil))
+      case fr: InlineFragment =>
+        if (!included(fr.directives)) Nil
+        else Seq(fr.copy(
+          selections = applyDirectives(fr.selections, boolVar),
+          directives = Nil))
+    }
+  }
 
   /** Spec CollectFields: [[applicable]] fields grouped by response
     * key (alias) in first-seen order, duplicate keys MERGING their
@@ -107,7 +170,7 @@ object GraphQL {
     * alias-named columns. */
   def allFieldNames(sels: Seq[Selection]): Set[String] = sels.flatMap {
     case f: Field => Seq(f.name, f.alias)
-    case InlineFragment(_, inner) => allFieldNames(inner)
+    case InlineFragment(_, inner, _) => allFieldNames(inner)
   }.toSet
 
   // selections parsed with fragment spreads still symbolic, resolved
@@ -115,10 +178,12 @@ object GraphQL {
   // definition in the document)
   private sealed trait RawSel
   private final case class RField(alias: String, name: String,
-      args: Seq[(String, Value)], sels: Seq[RawSel]) extends RawSel
+      args: Seq[(String, Value)], sels: Seq[RawSel],
+      dirs: Seq[Directive]) extends RawSel
   private final case class RInline(on: Option[String],
-      sels: Seq[RawSel]) extends RawSel
-  private final case class RSpread(name: String) extends RawSel
+      sels: Seq[RawSel], dirs: Seq[Directive]) extends RawSel
+  private final case class RSpread(name: String,
+      dirs: Seq[Directive]) extends RawSel
 
   /** Nesting bound for selection sets, lists, and objects combined —
     * the parser is recursive-descent, so without a bound a hostile
@@ -165,30 +230,38 @@ object GraphQL {
       }
       val (name, vars, raw) =
         op.getOrElse(fail("empty document"))
-      Operation(name, vars, raw.map(resolve(_, Set.empty)))
+      Operation(name, vars, raw.map(resolve(_, Set.empty, 0)))
     }
 
     private var resolvedNodes = 0
-    private def resolve(s: RawSel, seen: Set[String]): Selection = {
+    /** `d` is the COMBINED structural depth: one unit per nesting
+      * level AND per fragment-chain link, in a single counter. The two
+      * bounds used to be separate, and they compose multiplicatively —
+      * a ~200-link fragment chain whose bodies each nest ~200 sets
+      * passed both checks yet drove resolve() to ~40k stack frames
+      * (StackOverflowError is an Error, which would escape the HTTP
+      * layer's Exception handling). One counter caps the stack at
+      * MaxDepth frames outright. */
+    private def resolve(s: RawSel, seen: Set[String], d: Int)
+        : Selection = {
       resolvedNodes += 1
       if (resolvedNodes > MaxResolvedNodes)
         fail(s"document resolves to more than $MaxResolvedNodes " +
           "selection nodes (fragment expansion bomb?)")
+      if (d >= MaxDepth)
+        fail(s"resolved structure deeper than $MaxDepth " +
+          "(selection nesting + fragment chain combined)")
       s match {
-        case RField(a, n, ar, ss) =>
-          Field(a, n, ar, ss.map(resolve(_, seen)))
-        case RInline(on, ss) =>
-          InlineFragment(on, ss.map(resolve(_, seen)))
-        case RSpread(name) =>
+        case RField(a, n, ar, ss, dr) =>
+          Field(a, n, ar, ss.map(resolve(_, seen, d + 1)), dr)
+        case RInline(on, ss, dr) =>
+          InlineFragment(on, ss.map(resolve(_, seen, d + 1)), dr)
+        case RSpread(name, dr) =>
           if (seen(name)) fail(s"fragment cycle through '$name'")
-          // chains bound like nesting: resolve recurses once per
-          // spread link, so an unbounded f1→f2→…→fN chain would
-          // overflow the stack the same way deep nesting would
-          if (seen.size >= MaxDepth)
-            fail(s"fragment chain deeper than $MaxDepth")
           val (on, body) = frags.getOrElse(name,
             fail(s"undefined fragment '$name'"))
-          InlineFragment(on, body.map(resolve(_, seen + name)))
+          InlineFragment(on,
+            body.map(resolve(_, seen + name, d + 1)), dr)
       }
     }
 
@@ -264,11 +337,17 @@ object GraphQL {
       skip()
       if (peek() == '.') {
         expect('.'); expect('.'); expect('.'); skip()
-        if (peek() == '{') RInline(None, selectionSet())
-        else {
+        if (peek() == '{' || peek() == '@') {
+          // anonymous inline fragment, optionally with directives
+          val dirs = directives()
+          RInline(None, selectionSet(), dirs)
+        } else {
           val nm = name0()
-          if (nm == "on") { val cond = name0(); RInline(Some(cond), selectionSet()) }
-          else RSpread(nm)
+          if (nm == "on") {
+            val cond = name0(); skip()
+            val dirs = directives()
+            RInline(Some(cond), selectionSet(), dirs)
+          } else RSpread(nm, { skip(); directives() })
         }
       } else {
         val first = name0(); skip()
@@ -276,15 +355,33 @@ object GraphQL {
           if (peek() == ':') { i += 1; val n = name0(); (first, n) }
           else (first, first)
         skip()
-        if (peek() == '@')
-          fail("directives are not supported (none in the reference schema)")
         val args = if (peek() == '(') { i += 1; arguments() } else Nil
         skip()
-        if (peek() == '@')
-          fail("directives are not supported (none in the reference schema)")
-        val sels = if (peek() == '{') selectionSet() else Nil
-        RField(alias, nm, args, sels)
+        val dirs = directives()
+        skip()
+        val sels =
+          if (i < src.length && peek() == '{') selectionSet() else Nil
+        RField(alias, nm, args, sels, dirs)
       }
+    }
+
+    /** Zero or more `@name(args)?` occurrences. Names are not
+      * restricted here — [[applyDirectives]] rejects anything beyond
+      * the two execution builtins, with a message naming the
+      * directive. */
+    private def directives(): Seq[Directive] = {
+      val out = ArrayBuffer[Directive]()
+      skip()
+      while (i < src.length && peek() == '@') {
+        i += 1
+        val nm = name0(); skip()
+        val args = if (i < src.length && peek() == '(') {
+          i += 1; arguments()
+        } else Nil
+        out += Directive(nm, args)
+        skip()
+      }
+      out.toSeq
     }
 
     private def arguments(): Seq[(String, Value)] = {
@@ -355,18 +452,24 @@ object GraphQL {
     }
 
     private def stringValue(): String = {
-      // block string: """...""" with common-indent stripping; the
-      // terminator is the first UNESCAPED triple quote (the only
-      // escape block strings have is \""" — spec BlockStringValue)
+      // block string: """...""" with common-indent stripping. The only
+      // escape is the exact 4-char sequence \""" (spec
+      // BlockStringCharacter) — scanned LEFT-TO-RIGHT like graphql-js,
+      // so a preceding literal backslash never masks a terminator and
+      // \\""" reads as literal-\ then escaped-""" (a look-one-behind
+      // indexOf scan got that wrong: it skipped genuine terminators
+      // whenever ANY backslash preceded them)
       if (src.startsWith("\"\"\"", i)) {
         i += 3
-        var end = src.indexOf("\"\"\"", i)
-        while (end > 0 && src.charAt(end - 1) == '\\')
-          end = src.indexOf("\"\"\"", end + 1)
-        if (end < 0) fail("unterminated block string")
-        val raw = src.substring(i, end).replace("\\\"\"\"", "\"\"\"")
-        i = end + 3
-        stripBlockIndent(raw)
+        val sb = new StringBuilder
+        var closed = false
+        while (!closed) {
+          if (i >= src.length) fail("unterminated block string")
+          if (src.startsWith("\\\"\"\"", i)) { sb ++= "\"\"\""; i += 4 }
+          else if (src.startsWith("\"\"\"", i)) { closed = true; i += 3 }
+          else { sb += src.charAt(i); i += 1 }
+        }
+        stripBlockIndent(sb.toString)
       } else {
         i += 1
         val sb = new StringBuilder

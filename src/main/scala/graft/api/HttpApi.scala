@@ -74,7 +74,11 @@ final class HttpApi(api: GraftApi, port: Int = 0, threads: Int = 4) {
               """{"errors":[{"message":"use GET or POST"}]}""")
         }
       } catch {
-        case e: Exception =>
+        // StackOverflowError included: it is an Error, so a plain
+        // Exception handler would drop the request with no response —
+        // and a crafted document is exactly what provokes it
+        case e: Throwable if scala.util.control.NonFatal(e) ||
+            e.isInstanceOf[StackOverflowError] =>
           val msg = mapper.writeValueAsString(
             Option(e.getMessage).getOrElse(e.toString))
           respond(ex, 500, s"""{"errors":[{"message":$msg}]}""")

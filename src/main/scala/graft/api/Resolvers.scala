@@ -39,10 +39,7 @@ final case class ApiTables(
   *
   * Scale shape: resolvers return pages (`limit`-bounded), so the
   * driver-side collect is O(page), never O(table); everything before
-  * it is a distributed plan. Fields selected but not wired to a
-  * column serialize as JSON null (the subset does no schema
-  * validation — documented divergence from graphql-yoga, which
-  * rejects unknown fields at validation time).
+  * it is a distributed plan.
   *
   * `now`: trendingTags' 14-day window anchor — wall clock in the
   * reference (`resolvers/index.ts:368`); injectable here so tests and
@@ -54,12 +51,21 @@ final case class ApiTables(
   * a deliberate divergence, because an uncapped collect of a
   * production-sized table onto the driver is exactly the failure the
   * O(page) contract above exists to prevent. Counts stay exact
-  * (distributed aggregates, not capped). */
+  * (distributed aggregates, not capped).
+  *
+  * `validateDocuments` (default on, yoga parity): selections and
+  * argument names are validated against the SERVED schema shape
+  * ([[SchemaShape]], derived from the entity DataFrames + resolver
+  * fields) before execution — a typo'd field is a named request
+  * error, not a silent null. Off = the permissive pre-validation
+  * behavior (unknown selected fields serialize as JSON null). */
 final class GraftApi(spark: SparkSession, tables: ApiTables,
                      now: () => Column = () => current_timestamp(),
                      sampleSeed: Long = 42L,
-                     maxPage: Int = 10000) {
+                     maxPage: Int = 10000,
+                     validateDocuments: Boolean = true) {
   import GraphQL._
+  import SchemaShape.{FieldShape, TypeShape}
 
   private val mapper = new ObjectMapper()
   private val nf = JsonNodeFactory.instance
@@ -71,6 +77,92 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
   private val profileView = PostProjections.profileView(tables.profiles)
   private val ceramicView =
     tables.ceramicProfiles.map(PostProjections.ceramicProfileView)
+
+  // ── served schema shape (document validation) ──────────────────────
+  // built lazily ONCE from the entity DataFrames' schemas + the
+  // resolver-level fields; thunks tie the post type's recursive knot
+  // (parent_post/children are posts). Derivations that need a plan
+  // (followEdges, leaderBoard, trendingTags output schemas) fall back
+  // to unvalidated leaves on any analysis failure — validation must
+  // never be the thing that breaks a working store.
+  private def tryShape(nm: String, df: => DataFrame): Option[TypeShape] =
+    try Some(SchemaShape.fromFrame(nm, df))
+    catch { case _: Exception => None }
+  private lazy val profileShape: TypeShape = {
+    val hive = SchemaShape.fromFrame("Profile", profileView)
+    // the served profile is the Hive/Ceramic union; a field of either
+    // view is queryable (yoga's MergedProfile)
+    hive.copy(fields = hive.fields ++
+      ceramicView.map(SchemaShape.fromFrame("Profile", _).fields)
+        .getOrElse(Map.empty))
+  }
+  private lazy val authorShape = TypeShape("Author", Map(
+    "id" -> FieldShape(), "username" -> FieldShape(),
+    "profile" -> FieldShape(tpe = () => Some(profileShape))))
+  private lazy val communityShape: Option[TypeShape] =
+    tables.communities.map { comms =>
+      val base = SchemaShape.fromFrame("CommunityOutput", comms)
+      base.copy(fields = base.fields ++ Map(
+        "roles" -> FieldShape(tpe = () => Some(TypeShape("CommunityRole",
+          Map("username" -> FieldShape(), "role" -> FieldShape(),
+            "title" -> FieldShape())))),
+        "latestFeed" -> FieldShape(feedArgNames,
+          () => Some(feedOutputShape)),
+        "trendingFeed" -> FieldShape(feedArgNames,
+          () => Some(feedOutputShape))))
+    }
+  private lazy val postShape: TypeShape = {
+    val base = SchemaShape.fromFrame("SocialPost", projectedPosts)
+    base.copy(fields = base.fields ++ Map(
+      "parent_post" -> FieldShape(tpe = () => Some(postShape)),
+      "children" -> FieldShape(Set("limit", "skip"),
+        () => Some(postShape)),
+      "author" -> FieldShape(tpe = () => Some(authorShape)),
+      "community" -> FieldShape(tpe = () => communityShape)))
+  }
+  private lazy val feedOutputShape = TypeShape("FeedOutput",
+    Map("items" -> FieldShape(tpe = () => Some(postShape))))
+  private lazy val followEdgeShape =
+    tryShape("Follow",
+      PostQueries.followEdges(tables.follows, tables.profiles, ""))
+  private lazy val followsShape = TypeShape("FollowOverview", Map(
+    "followers" -> FieldShape(tpe = () => followEdgeShape),
+    "followings" -> FieldShape(tpe = () => followEdgeShape),
+    "followers_count" -> FieldShape(),
+    "followings_count" -> FieldShape()))
+  private lazy val leaderBoardShape = TypeShape("LeaderBoard", Map(
+    "items" -> FieldShape(tpe = () =>
+      tryShape("LeaderBoardItem", PostQueries.leaderBoard(profileView))),
+    "total_active_creators" -> FieldShape()))
+  private lazy val syncStateShape = TypeShape("SyncState", Map(
+    "blockLag" -> FieldShape(), "syncEtaSeconds" -> FieldShape(),
+    "latestBlockLagDiff" -> FieldShape()))
+  private lazy val trendingTagsShape = TypeShape("TrendingTags", Map(
+    "tags" -> FieldShape(tpe = () =>
+      tryShape("TrendingTag",
+        PostQueries.trendingTags(tables.posts, now(), 1)))))
+  // exact argument names from the reference Query type
+  // (schema.ts:308-327)
+  private val feedArgNames =
+    Set("spkvideo", "apps", "pagination", "feedOptions")
+  private lazy val queryShape = TypeShape("Query", Map(
+    "socialPost" -> FieldShape(Set("author", "permlink"),
+      () => Some(postShape)),
+    "socialFeed" -> FieldShape(feedArgNames, () => Some(feedOutputShape)),
+    "trendingFeed" -> FieldShape(feedArgNames + "trendingBy",
+      () => Some(feedOutputShape)),
+    "searchFeed" -> FieldShape(
+      feedArgNames - "apps" + "searchTerm", () => Some(feedOutputShape)),
+    "relatedFeed" -> FieldShape(
+      feedArgNames - "apps" ++ Set("author", "permlink"),
+      () => Some(feedOutputShape)),
+    "profile" -> FieldShape(Set("id"), () => Some(profileShape)),
+    "follows" -> FieldShape(Set("id"), () => Some(followsShape)),
+    "leaderBoard" -> FieldShape(tpe = () => Some(leaderBoardShape)),
+    "syncState" -> FieldShape(tpe = () => Some(syncStateShape)),
+    "trendingTags" -> FieldShape(Set("limit"),
+      () => Some(trendingTagsShape)),
+    "community" -> FieldShape(Set("id"), () => communityShape)))
 
   /** Execute a GraphQL request; returns the standard response object
     * ({"data": ...} / {"errors": [...]}; field failures yield a null
@@ -84,12 +176,30 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
       catch {
         // ParseError carries position; anything else a hostile
         // document provokes (number overflow, truncated \u escape)
-        // is still a request error, not a server fault
-        case e: Exception =>
+        // is still a request error, not a server fault.
+        // StackOverflowError too (an Error, so `Exception` alone lets
+        // it escape): the combined-depth bound should make it
+        // unreachable, but a parser hole must degrade to a request
+        // error, not a dropped response.
+        case e: Throwable if scala.util.control.NonFatal(e) ||
+            e.isInstanceOf[StackOverflowError] =>
           out.set[ObjectNode]("errors", errorArr(
             Option(e.getMessage).getOrElse(e.toString)))
           return out
       }
+    // static validation BEFORE execution (yoga parity): every unknown
+    // field/argument reported at once, as a request error
+    if (validateDocuments) {
+      val verrs = SchemaShape.validate(op.selections, queryShape)
+      if (verrs.nonEmpty) {
+        val arr = nf.arrayNode()
+        verrs.foreach { m =>
+          val e = nf.objectNode(); e.put("message", m); arr.add(e)
+        }
+        out.set[ObjectNode]("errors", arr)
+        return out
+      }
+    }
     val vars: Map[String, JsonNode] =
       try buildVars(op, variablesJson)
       catch {
@@ -101,9 +211,20 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
             Option(e.getMessage).getOrElse(e.toString)))
           return out
       }
+    // @skip/@include consume their directives here, once, with the
+    // request's variables; unknown directive names error
+    val sels =
+      try GraphQL.applyDirectives(op.selections,
+        nm => vars.get(nm).filter(_.isBoolean).map(_.asBoolean))
+      catch {
+        case e: Exception =>
+          out.set[ObjectNode]("errors", errorArr(
+            Option(e.getMessage).getOrElse(e.toString)))
+          return out
+      }
     val data = nf.objectNode()
     val errors = nf.arrayNode()
-    GraphQL.collectFields(op.selections, None).foreach { f =>
+    GraphQL.collectFields(sels, None).foreach { f =>
       try data.set[ObjectNode](f.alias, resolveField(f, vars))
       catch {
         case e: Exception =>
@@ -243,40 +364,81 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
       relationalFields(f.name) ||
         (f.name == "author" && f.selections.nonEmpty))
 
+  /** Hydrated fields materialize under a RESERVED column name —
+    * `__hyd:<alias>` — never under the alias or field name itself.
+    * `:` cannot appear in a GraphQL name, so the key can't collide
+    * with any real column or any alias a client could write (an alias
+    * shadowing a real column, e.g. `title: children`, used to leave
+    * two same-named columns in the frame / serve the wrong value).
+    * shape() reads `__hyd:<alias>` when present, the plain field name
+    * otherwise. */
+  private val HydPrefix = "__hyd:"
+
+  /** Relational hydration recursion cap: levels past this return
+    * scalar columns only (a deeper level is one more query). Each
+    * `children` level multiplies the collected page by its `limit`,
+    * so the cap also bounds the driver-side response size — 4 covers
+    * every shape the reference's own clients issue
+    * (`children { author { profile } }` is depth 2). */
+  private val MaxHydrationDepth = 4
+
   /** Persist the page ONCE when relational hydration will re-read it:
     * every hydration join derives its broadcast keys from the page
     * subplan, and without the persist each derivation independently
     * re-executes the full scan+sort+limit feed plan (review r7) — a
     * fully-hydrated page was re-running the store query 4-6 times.
-    * The page is <= limit rows; unpersist after the collect. */
+    * Nested levels pin their (page-bounded) matched frames the same
+    * way; everything unpersists after the collect. */
   private def withHydrated[A](df: DataFrame, sels: Seq[Selection],
       vars: Map[String, JsonNode])(k: DataFrame => A): A =
     if (!needsHydration(sels)) k(df)
     else {
+      val pins = scala.collection.mutable.ArrayBuffer[DataFrame]()
       val page = df.persist()
-      try k(hydratePosts(page, sels, vars))
-      finally page.unpersist(blocking = false)
+      pins += page
+      try k(hydratePosts(page, sels, vars, 1, pins))
+      finally pins.foreach(_.unpersist(blocking = false))
     }
+
+  /** The nested-level hook passed into the page operators: runs on the
+    * MATCHED (already page-bounded) parents/children, attaching THEIR
+    * relational fields — so `children { author { profile } }` and
+    * `children { children }` hydrate to any depth (graphql-yoga
+    * recurses field thunks, posts.ts:140-258), each level one batched
+    * join over a bounded frame. */
+  private def hydrateNested(nested: Seq[Selection],
+      vars: Map[String, JsonNode], depth: Int,
+      pins: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : DataFrame => DataFrame =
+    matched =>
+      if (depth > MaxHydrationDepth || !needsHydration(nested)) matched
+      else {
+        val m = matched.persist()
+        pins += m
+        hydratePosts(m, nested, vars, depth, pins)
+      }
 
   /** The SocialPost interface's RELATIONAL fields, attached to the
     * page only when selected (posts.ts field resolvers — each is a
-    * per-post Mongo find there, N+1; here one batched join per
-    * selected field, page-key semi-join first so nothing full-table
-    * ever shuffles against the page):
+    * per-post Mongo find there, N+1, re-fired per level; here one
+    * batched join per selected field per level, page-key semi-join
+    * first so nothing full-table ever shuffles against the page):
     *   - `parent_post` (posts.ts:233-244) → [[PostQueries.withParentFrom]]
     *   - `children(limit, skip)` (posts.ts:161-231) →
     *     [[PostQueries.childrenFor]] (per-parent windowed page)
     *   - `author { id username profile }` (posts.ts:140-155) →
-    *     broadcast profile hydration; the profile branch serves the
-    *     Hive view (a Ceramic-authored row's profile resolves via the
-    *     top-level `profile(id:)` — documented subset divergence)
+    *     broadcast profile hydration, routed per row: a CeramicPost's
+    *     profile comes from the Ceramic view when one is wired
+    *     (posts.ts:146-152 dispatches on `__t === 'post_ceramic'`),
+    *     every other row from the Hive view
     *   - `community` (posts.ts:245-258) → broadcast communities join
     *     on `hive/<parent_permlink>`
-    * One hydration level per query (the reference recurses thunks to
-    * any depth; nested posts here carry their scalar columns, and a
-    * deeper level is one more query). */
+    * Nested post selections recurse via [[hydrateNested]] up to
+    * [[MaxHydrationDepth]]. */
   private def hydratePosts(df: DataFrame, sels: Seq[Selection],
-                           vars: Map[String, JsonNode]): DataFrame = {
+      vars: Map[String, JsonNode], depth: Int,
+      pins: scala.collection.mutable.ArrayBuffer[DataFrame])
+      : DataFrame = {
     val fields = GraphQL.collectFields(sels, None)
     // the hydration SOURCE pruned to the nested selection (plus the
     // join/order keys the operators need): without this, the struct
@@ -294,47 +456,98 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     // PER-ALIAS hydration: collectFields merges same-alias duplicates,
     // so distinct occurrences here carry distinct aliases — each with
     // its own args/sub-selection (e.g. a: children(limit:1) alongside
-    // b: children(limit:10)) and therefore its own alias-named column
-    // (shape() reads the alias column first)
+    // b: children(limit:10)) and therefore its own reserved column
     fields.filter(_.name == "parent_post").foreach { pp =>
-      var h = PostQueries.withParentFrom(out, pruned(pp.selections))
-      if (pp.alias != "parent_post")
-        h = h.withColumnRenamed("parent_post", pp.alias)
-      out = h
+      out = PostQueries.withParentFrom(out, pruned(pp.selections),
+        outCol = HydPrefix + pp.alias,
+        hydrate = hydrateNested(pp.selections, vars, depth + 1, pins))
     }
     fields.filter(_.name == "children").foreach { ch =>
       val a = argsNode(ch.args, vars)
       def i(n: String, d: Int) = Option(a.get(n)).filterNot(_.isNull)
         .map(_.asInt()).filter(_ > 0).getOrElse(d)
-      var h = PostQueries.childrenFor(out, pruned(ch.selections),
+      out = PostQueries.childrenFor(out, pruned(ch.selections),
         limit = i("limit", 100), skip = Option(a.get("skip"))
-          .filterNot(_.isNull).map(_.asInt()).getOrElse(0))
-      if (ch.alias != "children")
-        h = h.withColumnRenamed("children", ch.alias)
-      out = h
+          .filterNot(_.isNull).map(_.asInt()).getOrElse(0),
+        outCol = HydPrefix + ch.alias,
+        hydrate = hydrateNested(ch.selections, vars, depth + 1, pins))
     }
-    if (fields.exists(f => f.name == "author" && f.selections.nonEmpty)) {
-      val prof = profileView.select(col("username").as("_au"),
-        struct(profileView.columns.map(col).toSeq: _*).as("_aprof"))
-        .join(broadcast(out.select(col("author").as("_au")).distinct()),
-          Seq("_au"), "left_semi")
-      out = out.join(broadcast(prof), out("author") === prof("_au"),
-          "left")
-        .withColumn("author", struct(
-          col("author").as("id"), col("author").as("username"),
-          col("_aprof").as("profile")))
-        .drop("_au", "_aprof")
+    val authorFields =
+      fields.filter(f => f.name == "author" && f.selections.nonEmpty)
+    if (authorFields.nonEmpty) {
+      // key sets derive from the PERSISTED input frame, not the
+      // join-extended `out` — each derivation would otherwise re-run
+      // the hydration joins added above just to project one column
+      val authorKeys = df.select(col("author")).distinct()
+      val hive = profileView.select(col("username").as("_hu"),
+        unifiedProfileStruct(profileView).as("_hprof"))
+        .join(broadcast(authorKeys.select(col("author").as("_hu"))),
+          Seq("_hu"), "left_semi")
+      var h = out.join(broadcast(hive), out("author") === hive("_hu"),
+        "left")
+      // per-row Ceramic routing needs the page's __typename (always in
+      // the pruned want-set) AND a wired Ceramic table; without one,
+      // every row serves the Hive view (a did: author simply misses)
+      val cer =
+        if (out.columns.contains("__typename")) ceramicView.map { cv =>
+          cv.select(col("did").as("_cdu"),
+            unifiedProfileStruct(cv).as("_cprof"))
+            .join(broadcast(
+              authorKeys.select(col("author").as("_cdu"))),
+              Seq("_cdu"), "left_semi")
+        } else None
+      cer.foreach { cp =>
+        h = h.join(broadcast(cp), h("author") === cp("_cdu"), "left")
+      }
+      val prof =
+        if (cer.isDefined)
+          when(col("__typename") === "CeramicPost", col("_cprof"))
+            .otherwise(col("_hprof"))
+        else col("_hprof")
+      val authorStruct = struct(col("author").as("id"),
+        col("author").as("username"), prof.as("profile"))
+      authorFields.foreach { af =>
+        h = h.withColumn(HydPrefix + af.alias, authorStruct)
+      }
+      out = h.drop("_hu", "_hprof", "_cdu", "_cprof")
     }
-    if (fields.exists(_.name == "community")) {
+    val commFields = fields.filter(_.name == "community")
+    if (commFields.nonEmpty) {
       val comms = tables.communities.getOrElse(
         sys.error("communities not configured"))
       val c = comms.select(col("_id").as("_cid"),
-        struct(comms.columns.map(col).toSeq: _*).as("community"))
-      out = out.join(broadcast(c),
+        struct(comms.columns.map(col).toSeq: _*).as("_comm"))
+      var h = out.join(broadcast(c),
         concat(lit("hive/"), out("parent_permlink")) === c("_cid"),
-        "left").drop("_cid")
+        "left")
+      commFields.foreach { cf =>
+        h = h.withColumn(HydPrefix + cf.alias, col("_comm"))
+      }
+      out = h.drop("_cid", "_comm")
     }
     out
+  }
+
+  /** One struct shape covering BOTH profile views — the union of their
+    * fields, absent ones typed nulls — so the per-row Hive/Ceramic
+    * dispatch can be a single WHEN over two broadcast joins (the
+    * reference branches per post inside the profile thunk,
+    * posts.ts:146-152). */
+  private def unifiedProfileStruct(v: DataFrame): Column = {
+    val imgFields = v.schema("images").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSet
+    def img(n: String) =
+      (if (imgFields(n)) col(s"images.$n").cast("string")
+       else lit(null).cast("string")).as(n)
+    def f(n: String, t: String = "string") =
+      (if (v.columns.contains(n)) col(s"`$n`").cast(t)
+       else lit(null).cast(t)).as(n)
+    struct(f("id"), f("username"), f("name"), f("about"),
+      f("location"), f("website"), f("did"),
+      struct(img("avatar"), img("cover"), img("background"))
+        .as("images"),
+      f("pinned_post"), f("score", "double"), f("__typename"))
   }
 
   /** Q12 follows(id): both edge lists from ONE scan
@@ -547,9 +760,11 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
       if (sels.isEmpty) df
       else {
         // union over fragment branches + __typename (needed both as a
-        // selectable meta field and to match fragment conditions)
+        // selectable meta field and to match fragment conditions) +
+        // every reserved hydration column (only created when selected)
         val want = GraphQL.allFieldNames(sels) + "__typename"
-        val keep = df.columns.filter(want.contains)
+        val keep = df.columns.filter(c =>
+          want.contains(c) || c.startsWith(HydPrefix))
         if (keep.isEmpty) df.select(df.columns.head)
         else df.select(keep.map(c => col(s"`$c`")).toSeq: _*)
       }
@@ -582,10 +797,12 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
       if (f.name == "__typename" && !node.has("__typename"))
         out.set[ObjectNode](f.alias, nf.nullNode())
       else {
-        // hydration materializes aliased relational fields under
-        // their ALIAS; everything else lives under the field name
-        val v = if (f.alias != f.name && node.has(f.alias))
-          node.path(f.alias) else node.path(f.name)
+        // hydration materializes each occurrence under its RESERVED
+        // `__hyd:<alias>` key (':' can't appear in a GraphQL name, so
+        // no client alias can shadow it and no alias can be shadowed
+        // by a real column); everything else reads the field name
+        val hk = HydPrefix + f.alias
+        val v = if (node.has(hk)) node.path(hk) else node.path(f.name)
         out.set[ObjectNode](f.alias, shapeValue(v, f.selections))
       }
     }

@@ -248,19 +248,33 @@ object PostQueries {
       .drop("_pa", "_pp")
   }
 
-  /** Q2, page form: hydrate `parent_post` onto a (small) page from a
+  /** Q2, page form: hydrate the parent post onto a (small) page from a
     * (large) posts source. Scale shape: the source is first
     * semi-joined down to the page's parent keys (broadcast of ≤page
     * keys), so the final left join broadcasts a ≤page-sized matched
     * set — no full-table shuffle ever touches the page
-    * (posts.ts:233-244 resolves this per post, N+1). */
-  def withParentFrom(page: DataFrame, source: DataFrame): DataFrame = {
+    * (posts.ts:233-244 resolves this per post, N+1).
+    *
+    * `outCol` names the struct column (each aliased GraphQL occurrence
+    * materializes under its own name — never two columns with a shared
+    * default). `hydrate` runs on the MATCHED parents AFTER the
+    * semi-join pares them down to ≤page rows — the hook nested
+    * (multi-level) hydration attaches the parents' own relational
+    * fields through, so a deeper level only ever joins against a
+    * page-bounded frame, never the full table. */
+  def withParentFrom(page: DataFrame, source: DataFrame,
+                     outCol: String = "parent_post",
+                     hydrate: DataFrame => DataFrame = identity)
+      : DataFrame = {
     val keys = page.select(col("parent_author").as("_pa"),
       col("parent_permlink").as("_pp")).distinct()
-    val parents = source.select(
-      col("author").as("_pa"), col("permlink").as("_pp"),
-      struct(source.columns.map(col).toSeq: _*).as("parent_post"))
-      .join(broadcast(keys), Seq("_pa", "_pp"), "left_semi")
+    val matched = source.join(broadcast(keys),
+      source("author") === keys("_pa") &&
+        source("permlink") === keys("_pp"), "left_semi")
+    val h = hydrate(matched)
+    val parents = h.select(col("author").as("_pa"),
+      col("permlink").as("_pp"),
+      struct(h.columns.map(c => col(s"`$c`")).toSeq: _*).as(outCol))
     page.join(broadcast(parents),
       page("parent_author") === parents("_pa") &&
         page("parent_permlink") === parents("_pp"), "left")
@@ -276,36 +290,46 @@ object PostQueries {
     * semi-joined down to the page's keys, so the rank never runs
     * over the full table. Posts with no children get []. */
   def childrenFor(page: DataFrame, source: DataFrame,
-                  limit: Int = 100, skip: Int = 0): DataFrame = {
+                  limit: Int = 100, skip: Int = 0,
+                  outCol: String = "children",
+                  hydrate: DataFrame => DataFrame = identity)
+      : DataFrame = {
     // negative skip behaves like 0 (JS `args.skip` undefined/negative
     // both page from the start) — unclamped, `_rk > -1` would keep
     // ranks 1..limit-1 and silently shorten the page by one
     val sk = math.max(0, skip)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("_ca", "_cp")
-      .orderBy(col("_ct").asc, col("_ka").asc, col("_kp").asc)
     val keys = page.select(col("author").as("_ca"),
       col("permlink").as("_cp")).distinct()
-    val kids = source.select(
-      col("parent_author").as("_ca"), col("parent_permlink").as("_cp"),
-      col("created_at").as("_ct"), col("author").as("_ka"),
-      col("permlink").as("_kp"),
-      struct(source.columns.map(col).toSeq: _*).as("_kid"))
-      .join(broadcast(keys), Seq("_ca", "_cp"), "left_semi")
-    val grouped = kids.withColumn("_rk", row_number().over(w))
+    val matched = source.join(broadcast(keys),
+      source("parent_author") === keys("_ca") &&
+        source("parent_permlink") === keys("_cp"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("parent_author", "parent_permlink")
+      .orderBy(col("created_at").asc, col("author").asc,
+        col("permlink").asc)
+    // rank + page BEFORE `hydrate`: nested (multi-level) hydration then
+    // joins against at most page×limit rows, never every child row
+    val paged = matched.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") > sk && col("_rk") <= sk.toLong + limit)
-      .groupBy("_ca", "_cp")
+    val h = hydrate(paged)
+    val kidCols = h.columns.filterNot(_ == "_rk")
+    val grouped = h
+      .groupBy(col("parent_author").as("_ca"),
+        col("parent_permlink").as("_cp"))
       .agg(transform(
-        array_sort(collect_list(struct(col("_rk"), col("_kid")))),
-        x => x.getField("_kid")).as("children"))
+        array_sort(collect_list(struct(col("_rk"),
+          struct(kidCols.map(c => col(s"`$c`")).toSeq: _*).as("_kid")))),
+        x => x.getField("_kid")).as(outCol))
     val emptyKids = array().cast(
       org.apache.spark.sql.types.ArrayType(
-        kids.schema("_kid").dataType))
+        grouped.schema(outCol).dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType))
     page.join(broadcast(grouped),
       page("author") === grouped("_ca") &&
         page("permlink") === grouped("_cp"), "left")
       .drop("_ca", "_cp")
-      .withColumn("children", coalesce(col("children"), emptyKids))
+      .withColumn(outCol, coalesce(col(s"`$outCol`"), emptyKids))
   }
 
   /** J6 profile hydration: batched broadcast join, not N+1. */
@@ -320,11 +344,14 @@ object PostQueries {
   /** Q12 follows: both directions + counts (A9) in two aggregations.
     */
   def followCounts(follows: DataFrame, id: String): DataFrame =
+    // coalesce: sum() over an EMPTY follows table is NULL, and the
+    // reference's countDocuments answers 0 there — without it a store
+    // with no follow edges turns the counts into field-level errors
     follows.agg(
-      sum(when(col("follower") === id, 1).otherwise(0))
-        .as("following_count"),
-      sum(when(col("following") === id, 1).otherwise(0))
-        .as("follower_count"))
+      coalesce(sum(when(col("follower") === id, 1).otherwise(0)),
+        lit(0L)).as("following_count"),
+      coalesce(sum(when(col("following") === id, 1).otherwise(0)),
+        lit(0L)).as("follower_count"))
 
   /** Q12 follows(id) edge lists: the reference returns BOTH
     * directions — `followings` (follower = id) and `followers`

@@ -138,13 +138,10 @@ class GraphQLParserSpec extends AnyFunSuite {
     assert(GraphQL.collectFields(op2.selections, None).size == 2)
   }
 
-  test("rejections: mutations, directives, undefined fragments, " +
-    "multiple operations") {
+  test("rejections: mutations, undefined fragments, multiple " +
+    "operations") {
     assert(intercept[ParseError](parse("mutation { x { y } }"))
       .getMessage.contains("not supported"))
-    assert(intercept[ParseError](
-      parse("query { f @skip(if: true) { y } }"))
-      .getMessage.contains("directives"))
     assert(intercept[ParseError](parse("query { f { ...nope } }"))
       .getMessage.contains("undefined fragment"))
     assert(intercept[ParseError](
@@ -152,6 +149,64 @@ class GraphQLParserSpec extends AnyFunSuite {
       .getMessage.contains("one operation"))
     assert(intercept[ParseError](parse("query { }"))
       .getMessage.contains("empty selection"))
+  }
+
+  test("directives parse on fields, spreads, and inline fragments; " +
+    "@skip/@include evaluate per spec §5.7.1, others are named " +
+    "errors") {
+    val op = parse(
+      """query Q($v: Boolean!) {
+        |  a @skip(if: true) { x }
+        |  b @include(if: $v)
+        |  c @skip(if: false) @include(if: true)
+        |  ... on HivePost @include(if: false) { d }
+        |  ...f @skip(if: $v)
+        |}
+        |fragment f on HivePost { e }""".stripMargin)
+    val byAlias = fields(op.selections).map(f => f.alias -> f).toMap
+    assert(byAlias("a").directives ==
+      Seq(Directive("skip", Seq(("if", VBool(true))))))
+    assert(byAlias("b").directives.head.args ==
+      Seq(("if", VVar("v"))))
+    assert(byAlias("c").directives.map(_.name) ==
+      Seq("skip", "include"))
+    // evaluation: $v = true
+    val t = GraphQL.applyDirectives(op.selections,
+      n => Some(n == "v"))
+    val tNames = GraphQL.collectFields(t, None).map(_.alias)
+    // a skipped, d excluded, spread f skipped (if: $v = true)
+    assert(tNames == Seq("b", "c"))
+    // evaluation: $v = false → the @skip(if:$v) spread SURVIVES
+    val fSel = GraphQL.applyDirectives(op.selections, _ => Some(false))
+    assert(GraphQL.collectFields(fSel, None).map(_.alias) ==
+      Seq("c", "e"))
+    // directives consumed: the surviving tree carries none
+    assert(GraphQL.collectFields(t, None).forall(_.directives.isEmpty))
+    // unknown directive name → error naming it
+    val e1 = intercept[IllegalArgumentException](
+      GraphQL.applyDirectives(
+        parse("{ x @defer { y } }").selections, _ => None))
+    assert(e1.getMessage.contains("@defer"))
+    // non-boolean variable for if: → error
+    val e2 = intercept[IllegalArgumentException](
+      GraphQL.applyDirectives(
+        parse("{ x @skip(if: $q) { y } }").selections, _ => None))
+    assert(e2.getMessage.contains("Boolean"))
+    // missing if: argument → error
+    assert(intercept[IllegalArgumentException](
+      GraphQL.applyDirectives(
+        parse("{ x @skip { y } }").selections, _ => None))
+      .getMessage.contains("'if'"))
+  }
+
+  test("block-string terminator: a literal backslash does not mask " +
+    "the close (left-to-right scan, spec BlockStringCharacter)") {
+    // content `a\` + escape + terminator: \""" is ALWAYS the escape,
+    // so a\\\"\"\"\"\"\" reads: literal a, literal \, escaped """,
+    // then the real terminator
+    val op = parse("{ f(s: \"\"\"a\\\\\"\"\"\"\"\") { x } }")
+    val s = fields(op.selections).head.args.toMap.apply("s")
+    assert(s == VString("a\\\"\"\""))
   }
 
   test("escapes (incl. \\uXXXX) and negative/exponent numbers") {

@@ -33,7 +33,9 @@ class HttpApiSpec extends SparkSpec {
         ("t4", Seq(("comment", comment("alice", "v2", "spark video two",
           jsonMeta = videoMeta)))),
         ("t5", Seq(("comment", comment("dave", "r1", "a reply",
-          parentAuthor = "alice", parentPermlink = "v1"))))))
+          parentAuthor = "alice", parentPermlink = "v1")))),
+        ("t6", Seq(("comment", comment("erin", "rr1", "a grandchild",
+          parentAuthor = "dave", parentPermlink = "r1"))))))
     val posts = PostsIngest.ingest(ops)(spark).cache()
     val follows = GraphIngest.follows(ops).cache()
     val profiles = Seq(
@@ -209,7 +211,7 @@ class HttpApiSpec extends SparkSpec {
       .contains("not found"))
     val unknown = gql("{ nosuchop { x } }")
     assert(unknown.path("errors").get(0).path("message").asText()
-      .contains("unknown query field"))
+      .contains("""Cannot query field "nosuchop" on type "Query""""))
   }
 
   test("transport errors: malformed JSON → 400; parse error → " +
@@ -388,13 +390,19 @@ class HttpApiSpec extends SparkSpec {
     assert(a.path("profile").path("name").asText() == "Alice A")
     assert(a.path("profile").path("__typename").asText()
       == "HiveProfile")
-    // the reply's parent_post hydrates back to v1; empty children []
+    // the reply's parent_post hydrates back to v1; leaf posts get []
     val r = gql(
       """{ socialPost(author: "dave", permlink: "r1") {
         |  parent_post { permlink } children { permlink } } }"""
         .stripMargin).path("data").path("socialPost")
     assert(r.path("parent_post").path("permlink").asText() == "v1")
-    assert(r.path("children").isArray && r.path("children").size() == 0)
+    assert(r.path("children").size() == 1)   // erin's rr1
+    val leaf = gql(
+      """{ socialPost(author: "erin", permlink: "rr1") {
+        |  children { permlink } } }""".stripMargin)
+      .path("data").path("socialPost")
+    assert(leaf.path("children").isArray &&
+      leaf.path("children").size() == 0)
     // feeds hydrate items the same way (one windowed join per page,
     // not per post)
     val feed = gql(
@@ -475,6 +483,201 @@ class HttpApiSpec extends SparkSpec {
     assert(missing.path("data").path("syncState").isNull)
     assert(missing.path("errors").get(0).path("message").asText()
       .contains("not configured"))
+  }
+
+  test("multi-level hydration: children { author { profile } }, " +
+    "children { parent_post }, children { children } recurse like " +
+    "the reference's field thunks (posts.ts:140-258)") {
+    val node = gql(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  children {
+        |    permlink
+        |    author { id profile { name __typename } }
+        |    parent_post { permlink author }
+        |    children { permlink author { username } }
+        |  }
+        |} }""".stripMargin)
+    assert(!node.has("errors"), node.toString)
+    val kid = node.path("data").path("socialPost").path("children").get(0)
+    assert(kid.path("permlink").asText() == "r1")
+    // level-2 author: dave has no profile row → profile null, id set
+    assert(kid.path("author").path("id").asText() == "dave")
+    assert(kid.path("author").path("profile").isNull)
+    // level-2 parent_post points back UP to v1
+    assert(kid.path("parent_post").path("permlink").asText() == "v1")
+    assert(kid.path("parent_post").path("author").asText() == "alice")
+    // level-2 children: the grandchild rr1, with ITS author hydrated
+    val gk = kid.path("children")
+    assert(gk.size() == 1)
+    assert(gk.get(0).path("permlink").asText() == "rr1")
+    assert(gk.get(0).path("author").path("username").asText() == "erin")
+    // level-2 author with a REAL profile resolves through the view
+    val v = gql(
+      """{ socialPost(author: "dave", permlink: "r1") {
+        |  parent_post { permlink author { profile { name } } }
+        |} }""".stripMargin)
+      .path("data").path("socialPost").path("parent_post")
+    assert(v.path("permlink").asText() == "v1")
+    assert(v.path("author").path("profile").path("name").asText()
+      == "Alice A")
+  }
+
+  test("an UNALIASED relational field coexists with aliased " +
+    "duplicates (each occurrence owns a reserved column)") {
+    val node = gql(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  parent_post { author }
+        |  pp: parent_post { permlink }
+        |  children { permlink }
+        |  one: children(limit: 1) { author }
+        |} }""".stripMargin)
+    assert(!node.has("errors"), node.toString)
+    val p = node.path("data").path("socialPost")
+    assert(p.path("parent_post").isNull && p.path("pp").isNull)
+    assert(p.path("children").size() == 1)
+    assert(p.path("one").get(0).path("author").asText() == "dave")
+  }
+
+  test("an alias that collides with a real column serves the " +
+    "SELECTED field's value, not the column's") {
+    // { author: permlink } must answer the permlink under key
+    // "author" (hydration keys are reserved __hyd:* names, so no
+    // heuristic can misroute this)
+    val node = gql(
+      """{ socialPost(author: "bob", permlink: "b1") {
+        |  author: permlink } }""".stripMargin)
+    assert(node.path("data").path("socialPost")
+      .path("author").asText() == "b1")
+  }
+
+  test("@skip/@include execute with variables over HTTP; unknown " +
+    "directives are named errors") {
+    val q =
+      """query P($all: Boolean!) {
+        |  socialPost(author: "bob", permlink: "b1") {
+        |    permlink
+        |    title @include(if: $all)
+        |    author @skip(if: $all)
+        |  }
+        |}""".stripMargin
+    val on = gql(q, """{"all": true}""")
+      .path("data").path("socialPost")
+    assert(on.has("title") && !on.has("author"))
+    val off = gql(q, """{"all": false}""")
+      .path("data").path("socialPost")
+    assert(!off.has("title") && off.path("author").asText() == "bob")
+    // a whole top-level field skipped: resolver never fires
+    val skipped = gql(
+      """{ syncState @skip(if: true) { blockLag }
+        |  profile(id: "alice") { username } }""".stripMargin)
+    assert(!skipped.path("data").has("syncState"))
+    assert(skipped.path("data").path("profile").path("username")
+      .asText() == "alice")
+    val bad = gql("""{ profile(id: "alice") @defer { username } }""")
+    assert(bad.path("errors").get(0).path("message").asText()
+      .contains("@defer"))
+  }
+
+  test("document validation: unknown fields and arguments are " +
+    "yoga-style named request errors; opt-out restores nulls") {
+    val node = gql(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  permlinkz
+        |  author { profilez { name } }
+        |} }""".stripMargin)
+    assert(!node.has("data"))
+    val msgs = node.path("errors").elements().asScala
+      .map(_.path("message").asText()).toSeq
+    assert(msgs.exists(_.contains(
+      """Cannot query field "permlinkz" on type "SocialPost"""")),
+      msgs.toString)
+    assert(msgs.exists(_.contains(
+      """Cannot query field "profilez" on type "Author"""")),
+      msgs.toString)   // ALL errors reported at once
+    val badArg = gql(
+      """{ socialFeed(fooOptions: {x: 1}) { items { permlink } } }""")
+    assert(badArg.path("errors").get(0).path("message").asText()
+      .contains("""Unknown argument "fooOptions" on field """ +
+        """"Query.socialFeed""""))
+    // nested argument names validate too
+    val badNested = gql(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  children(limitz: 3) { permlink } } }""".stripMargin)
+    assert(badNested.path("errors").get(0).path("message").asText()
+      .contains("""Unknown argument "limitz""""))
+    // valid documents are unaffected (struct interiors validate;
+    // map/opaque columns pass anything)
+    val ok = gql(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  json_metadata { app } spkvideo { play_url } } }"""
+        .stripMargin)
+    assert(!ok.has("errors"), ok.toString)
+    // ...and struct interiors reject typos like top-level fields do
+    val badStruct = gql(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  spkvideo { play_urlz } } }""".stripMargin)
+    assert(badStruct.path("errors").get(0).path("message").asText()
+      .contains(""""play_urlz""""))
+    // opt-out: the permissive pre-validation contract
+    val loose = new GraftApi(spark, tables, validateDocuments = false)
+    val n2 = loose.execute(
+      """{ socialPost(author: "alice", permlink: "v1") { permlinkz } }""")
+    assert(!n2.has("errors") &&
+      n2.path("data").path("socialPost").path("permlinkz").isNull)
+  }
+
+  test("Ceramic-authored rows hydrate author.profile from the " +
+    "Ceramic view; Hive rows from the Hive view (posts.ts:146-152)") {
+    import spark.implicits._
+    // rewrite bob's row as Ceramic-authored by a did
+    val mixed = tables.posts
+      .withColumn("__t", when(col("author") === "bob",
+        lit("post_ceramic")).otherwise(col("__t")))
+      .withColumn("TYPE", when(col("author") === "bob",
+        lit("CERAMIC")).otherwise(col("TYPE")))
+      .withColumn("author", when(col("author") === "bob",
+        lit("did:key:zBob")).otherwise(col("author")))
+    val cer = Seq(("did:key:zBob", "Bobby C", "on ceramic", "moon",
+      "https://b.example"))
+      .toDF("did", "name", "description", "location", "url")
+      .withColumn("image",
+        struct(struct(lit("ava.png").as("src")).as("original")))
+      .withColumn("background", struct(
+        struct(lit(null).cast("string").as("src")).as("original")))
+    val api3 = new GraftApi(spark,
+      tables.copy(posts = mixed, ceramicProfiles = Some(cer)))
+    val items = api3.execute(
+      """{ socialFeed(feedOptions: {includeCeramic: true},
+        |             pagination: {limit: 10}) { items {
+        |  permlink author { id profile { name about __typename } }
+        |} } }""".stripMargin)
+      .path("data").path("socialFeed").path("items")
+    val byPerm = items.elements().asScala
+      .map(n => n.path("permlink").asText() -> n.path("author")).toMap
+    // the Ceramic row routed to the Ceramic view (about←description)
+    val bob = byPerm("b1")
+    assert(bob.path("id").asText() == "did:key:zBob")
+    assert(bob.path("profile").path("name").asText() == "Bobby C")
+    assert(bob.path("profile").path("about").asText() == "on ceramic")
+    assert(bob.path("profile").path("__typename").asText()
+      == "CeramicProfile")
+    // a Hive row in the SAME page still serves the Hive view
+    assert(byPerm("v1").path("profile").path("name").asText()
+      == "Alice A")
+    assert(byPerm("v1").path("profile").path("__typename").asText()
+      == "HiveProfile")
+  }
+
+  test("followCounts answer 0 (not an error) over a store with no " +
+    "follow edges") {
+    val api4 = new GraftApi(spark,
+      tables.copy(follows = tables.follows.filter(lit(false))))
+    val node = api4.execute(
+      """{ follows(id: "carol") { followers_count followings_count } }""")
+    assert(!node.has("errors"), node.toString)
+    val f = node.path("data").path("follows")
+    assert(f.path("followers_count").asLong() == 0L)
+    assert(f.path("followings_count").asLong() == 0L)
   }
 
   test("ArgsJson compatibility: the reference argument object sent " +
