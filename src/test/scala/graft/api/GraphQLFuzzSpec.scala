@@ -121,5 +121,16 @@ class GraphQLFuzzSpec extends AnyFunSuite {
       s"query { q { ...f1 } } $chain fragment f501 on T { x }"))
     assert(e3.getMessage.contains("chain") ||
       e3.getMessage.contains("nesting"))
+    // nesting and chain links must share ONE combined bound: 100
+    // chain links × ~3 nesting levels per fragment body stays under
+    // both bounds separately yet would stack ~400 resolve frames —
+    // exactly the multiplicative composition that once reached
+    // StackOverflowError (an Error the HTTP layer can't classify)
+    val mulChain = (1 to 100).map(i =>
+      s"fragment g$i on T { a { b { ...g${i + 1} } } }").mkString(" ")
+    val e4 = intercept[ParseError](GraphQL.parse(
+      s"query { q { ...g1 } } $mulChain fragment g101 on T { x }"))
+    assert(e4.getMessage.contains("deeper than") ||
+      e4.getMessage.contains("nesting"))
   }
 }

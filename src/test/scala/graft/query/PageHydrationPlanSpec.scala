@@ -77,6 +77,50 @@ class PageHydrationPlanSpec extends SparkSpec {
     assert(kid == Seq("p60", "p180"))
   }
 
+  test("level-2 hydration keeps the contract: nested hydrate hooks " +
+    "run on the page-bounded matched frame, windows stay partitioned, " +
+    "page-derived sides broadcast") {
+    val page = posts.filter(col("permlink").isin("p2", "p5"))
+    // children { parent_post, children } — the nested hook is exactly
+    // what the GraphQL executor passes at depth 2
+    val out = PostQueries.childrenFor(page, posts, limit = 2, skip = 0,
+      outCol = "children",
+      hydrate = m => PostQueries.childrenFor(
+        PostQueries.withParentFrom(m, posts, outCol = "pp2"),
+        posts, limit = 1, skip = 0, outCol = "kids2"))
+    val ns = nodes(out)
+    val unpartitioned = ns.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      "no hydration level may rank through a single partition")
+    assert(!ns.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]) &&
+      !ns.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "page-derived sides must broadcast at every level — a shuffled " +
+        "join means a full-table side reached a page join")
+    // semantics: p2's child is p3; p3's parent_post is p2 and p3's
+    // own children page (limit 1) contains p4-with-parent-p3? —
+    // fixture: child pK (K%3==0) has parent p(K-1), so p3's children
+    // are none (p6's parent is p5) → kids2 empty, pp2 = p2
+    val row = out.filter(col("permlink") === "p2")
+      .select(col("children").getItem(0).getField("pp2")
+          .getField("permlink").as("pp"),
+        size(col("children").getItem(0).getField("kids2")).as("nk"))
+      .collect().head
+    assert(row.getString(0) == "p2")
+    assert(row.getInt(1) == 0)
+    // a parent whose child HAS children: p5 → child p6 → p6's
+    // children page: fixture gives p6 no children (p9's parent is
+    // p8) — instead check p5's child list is keyed correctly
+    val p5kids = out.filter(col("permlink") === "p5")
+      .select(transform(col("children"),
+        k => k.getField("permlink")).as("ks"))
+      .as[Seq[String]].collect().head
+    assert(p5kids == Seq("p6"))
+  }
+
   test("withParentFrom: no full-table shuffle against the page — " +
     "broadcast joins only; missing parents stay null") {
     val page = posts.filter(col("permlink").isin("p3", "p4"))
