@@ -65,6 +65,17 @@ object GraphQL {
                                   selections: Seq[Selection],
                                   directives: Seq[Directive] = Nil)
       extends Selection
+  /** Left behind by [[applyDirectives]] when a field's selection set
+    * was non-empty in the document but every selection was excluded
+    * by @skip/@include: per spec execution the field then resolves to
+    * an EMPTY OBJECT — whereas a genuinely selection-less Seq means
+    * "leaf field, serialize the value". Without the marker the two
+    * are indistinguishable downstream, and the executor's
+    * empty-equals-passthrough contract would dump the raw row (every
+    * store column, unpruned) for `{ x { y @skip(if: true) } }`.
+    * Resolves to no fields; [[applicable]]/[[allFieldNames]] skip it.
+    */
+  case object Excluded extends Selection
 
   /** One parsed operation: variable definitions are
     * (name, declared type string, default value). */
@@ -88,6 +99,7 @@ object GraphQL {
         if (cond.isEmpty || typename.isEmpty || cond == typename)
           applicable(inner, typename)
         else Nil
+      case Excluded => Nil
     }
 
   /** Evaluate `@skip`/`@include` against the request's variables and
@@ -116,7 +128,11 @@ object GraphQL {
           s"@${d.name}(if:) must be a Boolean, got $other")
       }
     }
-    def included(dirs: Seq[Directive]): Boolean = dirs.forall { d =>
+    // map-then-forall (not forall alone): EVERY directive must be
+    // inspected, or an unknown name after an excluding @skip would be
+    // silently accepted — whether '@defer' errors must not depend on
+    // the runtime value of a neighboring directive's variable
+    def included(dirs: Seq[Directive]): Boolean = dirs.map { d =>
       d.name match {
         case "skip" => !cond(d)
         case "include" => cond(d)
@@ -124,18 +140,25 @@ object GraphQL {
           s"unknown directive '@$other' (only the execution builtins " +
             "@skip/@include are supported)")
       }
-    }
+    }.forall(identity)
     sels.flatMap {
       case f: Field =>
         if (!included(f.directives)) Nil
-        else Seq(f.copy(
-          selections = applyDirectives(f.selections, boolVar),
-          directives = Nil))
+        else {
+          val inner = applyDirectives(f.selections, boolVar)
+          // see [[Excluded]]: a selection set emptied by directives
+          // must stay distinguishable from no-selection-set
+          val kept =
+            if (f.selections.nonEmpty && inner.isEmpty) Seq(Excluded)
+            else inner
+          Seq(f.copy(selections = kept, directives = Nil))
+        }
       case fr: InlineFragment =>
         if (!included(fr.directives)) Nil
         else Seq(fr.copy(
           selections = applyDirectives(fr.selections, boolVar),
           directives = Nil))
+      case Excluded => Seq(Excluded)
     }
   }
 
@@ -171,6 +194,7 @@ object GraphQL {
   def allFieldNames(sels: Seq[Selection]): Set[String] = sels.flatMap {
     case f: Field => Seq(f.name, f.alias)
     case InlineFragment(_, inner, _) => allFieldNames(inner)
+    case Excluded => Nil
   }.toSet
 
   // selections parsed with fragment spreads still symbolic, resolved
@@ -212,8 +236,8 @@ object GraphQL {
     }
     // fragments stored UNRESOLVED and substituted at document end —
     // a spread may reference a fragment defined later in the document
-    private val frags =
-      scala.collection.mutable.Map[String, (Option[String], Seq[RawSel])]()
+    private val frags = scala.collection.mutable
+      .Map[String, (Option[String], Seq[RawSel], Seq[Directive])]()
 
     def document(): Operation = {
       skip()
@@ -258,10 +282,14 @@ object GraphQL {
           InlineFragment(on, ss.map(resolve(_, seen, d + 1)), dr)
         case RSpread(name, dr) =>
           if (seen(name)) fail(s"fragment cycle through '$name'")
-          val (on, body) = frags.getOrElse(name,
+          val (on, body, defDirs) = frags.getOrElse(name,
             fail(s"undefined fragment '$name'"))
+          // definition-level directives ride along with each spread's
+          // own (the grammar allows them on FragmentDefinition; there
+          // is no location validation here, so builtins evaluate and
+          // unknown names error with the directive named)
           InlineFragment(on,
-            body.map(resolve(_, seen + name, d + 1)), dr)
+            body.map(resolve(_, seen + name, d + 1)), dr ++ defDirs)
       }
     }
 
@@ -271,7 +299,9 @@ object GraphQL {
       if (name == "on") fail("fragment name must not be 'on'")
       expectName("on")
       val cond = name0()
-      frags(name) = (Some(cond), selectionSet())
+      skip()
+      val dirs = directives()
+      frags(name) = (Some(cond), selectionSet(), dirs)
     }
 
     private def operation()

@@ -88,14 +88,16 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
   private def tryShape(nm: String, df: => DataFrame): Option[TypeShape] =
     try Some(SchemaShape.fromFrame(nm, df))
     catch { case _: Exception => None }
-  private lazy val profileShape: TypeShape = {
-    val hive = SchemaShape.fromFrame("Profile", profileView)
-    // the served profile is the Hive/Ceramic union; a field of either
-    // view is queryable (yoga's MergedProfile)
-    hive.copy(fields = hive.fields ++
-      ceramicView.map(SchemaShape.fromFrame("Profile", _).fields)
-        .getOrElse(Map.empty))
-  }
+  private lazy val profileShape: TypeShape =
+    // the served profile is the Hive/Ceramic UNION (yoga's
+    // MergedProfile) — derived from the unified struct both views
+    // cast to, not by concatenating the two field maps: a map concat
+    // is last-wins on nested structs, so the Ceramic `images`
+    // interior {avatar, background} would silently replace the Hive
+    // {avatar, cover} and reject valid `images { cover }` selections
+    SchemaShape.fromFrame("Profile", profileView
+      .select(unifiedProfileStruct(profileView).as("_p"))
+      .select("_p.*"))
   private lazy val authorShape = TypeShape("Author", Map(
     "id" -> FieldShape(), "username" -> FieldShape(),
     "profile" -> FieldShape(tpe = () => Some(profileShape))))
@@ -130,17 +132,22 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     "followings" -> FieldShape(tpe = () => followEdgeShape),
     "followers_count" -> FieldShape(),
     "followings_count" -> FieldShape()))
+  // memoized like followEdgeShape: each derivation builds + analyzes
+  // a full Catalyst plan just to read its schema — once, not per
+  // request
+  private lazy val leaderBoardItemShape =
+    tryShape("LeaderBoardItem", PostQueries.leaderBoard(profileView))
+  private lazy val trendingTagShape =
+    tryShape("TrendingTag",
+      PostQueries.trendingTags(tables.posts, now(), 1))
   private lazy val leaderBoardShape = TypeShape("LeaderBoard", Map(
-    "items" -> FieldShape(tpe = () =>
-      tryShape("LeaderBoardItem", PostQueries.leaderBoard(profileView))),
+    "items" -> FieldShape(tpe = () => leaderBoardItemShape),
     "total_active_creators" -> FieldShape()))
   private lazy val syncStateShape = TypeShape("SyncState", Map(
     "blockLag" -> FieldShape(), "syncEtaSeconds" -> FieldShape(),
     "latestBlockLagDiff" -> FieldShape()))
   private lazy val trendingTagsShape = TypeShape("TrendingTags", Map(
-    "tags" -> FieldShape(tpe = () =>
-      tryShape("TrendingTag",
-        PostQueries.trendingTags(tables.posts, now(), 1)))))
+    "tags" -> FieldShape(tpe = () => trendingTagShape)))
   // exact argument names from the reference Query type
   // (schema.ts:308-327)
   private val feedArgNames =
@@ -156,7 +163,11 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     "relatedFeed" -> FieldShape(
       feedArgNames - "apps" ++ Set("author", "permlink"),
       () => Some(feedOutputShape)),
-    "profile" -> FieldShape(Set("id"), () => Some(profileShape)),
+    // the validator accepts what the EXECUTOR accepts: the resolver
+    // reads id-else-username, so both names are the served surface
+    // (the reference schema declares only id)
+    "profile" -> FieldShape(Set("id", "username"),
+      () => Some(profileShape)),
     "follows" -> FieldShape(Set("id"), () => Some(followsShape)),
     "leaderBoard" -> FieldShape(tpe = () => Some(leaderBoardShape)),
     "syncState" -> FieldShape(tpe = () => Some(syncStateShape)),

@@ -75,6 +75,9 @@ object SchemaShape {
               fs.tpe().foreach(t => go(f.selections, t))
           }
         case GraphQL.InlineFragment(_, inner, _) => go(inner, shape)
+        // only applyDirectives produces Excluded, and validation runs
+        // before it — handled for exhaustiveness
+        case GraphQL.Excluded => ()
       }
     go(sels, shape)
     errs.toSeq

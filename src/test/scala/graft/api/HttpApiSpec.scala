@@ -576,6 +576,60 @@ class HttpApiSpec extends SparkSpec {
     val bad = gql("""{ profile(id: "alice") @defer { username } }""")
     assert(bad.path("errors").get(0).path("message").asText()
       .contains("@defer"))
+    // an unknown directive errors even when a PRECEDING @skip already
+    // excludes the field — whether '@defer' is rejected must not
+    // depend on a neighboring directive's runtime value
+    val bad2 = gql(
+      """{ profile(id: "alice") @skip(if: true) @defer { username } }""")
+    assert(bad2.path("errors").get(0).path("message").asText()
+      .contains("@defer"))
+  }
+
+  test("a selection set emptied by directives resolves to an empty " +
+    "object — never the raw unpruned row") {
+    val node = gql(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  permlink @skip(if: true) } }""".stripMargin)
+    assert(!node.has("errors"), node.toString)
+    val p = node.path("data").path("socialPost")
+    assert(p.isObject && p.size() == 0, p.toString)
+    // same through a feed page: items become empty objects, and no
+    // store column (author, body, TYPE, ...) leaks into them
+    val items = gql(
+      """{ socialFeed(pagination: {limit: 2}) {
+        |  items { permlink @include(if: false) } } }""".stripMargin)
+      .path("data").path("socialFeed").path("items")
+    assert(items.size() == 2)
+    items.elements().asScala.foreach(it =>
+      assert(it.isObject && it.size() == 0, it.toString))
+  }
+
+  test("validation accepts the full unified profile images struct " +
+    "and profile(username:); fragment-definition directives parse") {
+    // Hive-only deployment still validates cover AND background (the
+    // unified struct serves both; a field-map concat used to let one
+    // view's images interior clobber the other's)
+    val node = gql(
+      """{ profile(id: "alice") {
+        |  images { avatar cover background } } }""".stripMargin)
+    assert(!node.has("errors"), node.toString)
+    val img = node.path("data").path("profile").path("images")
+    assert(img.path("avatar").asText() == "av.png")
+    assert(img.path("background").isNull)   // Hive view: no background
+    // the executor accepts username, so the validator must too
+    val byName = gql("""{ profile(username: "alice") { name } }""")
+    assert(!byName.has("errors"), byName.toString)
+    assert(byName.path("data").path("profile").path("name").asText()
+      == "Alice A")
+    // directives on a FRAGMENT DEFINITION are grammar-legal: they
+    // parse, ride along with each spread, builtins evaluate
+    val fd = gql(
+      """query { socialPost(author: "bob", permlink: "b1") { ...f } }
+        |fragment f on HivePost @include(if: true) { permlink }"""
+        .stripMargin)
+    assert(!fd.has("errors"), fd.toString)
+    assert(fd.path("data").path("socialPost").path("permlink")
+      .asText() == "b1")
   }
 
   test("document validation: unknown fields and arguments are " +
