@@ -86,7 +86,11 @@ object GraphQL {
   final case class ParseError(msg: String, pos: Int)
       extends RuntimeException(s"$msg (at offset $pos)")
 
-  def parse(doc: String): Operation = new Parser(doc).document()
+  /** Parse + select one operation. Multi-operation documents (what
+    * GraphiQL and persisted-query clients send) need `operationName`
+    * to pick one, exactly like yoga's GetOperation (spec §6.1). */
+  def parse(doc: String, operationName: Option[String] = None)
+      : Operation = new Parser(doc).document(operationName)
 
   /** The selections that apply to a row of the given `__typename`:
     * fields pass through; inline fragments flatten when their type
@@ -239,21 +243,34 @@ object GraphQL {
     private val frags = scala.collection.mutable
       .Map[String, (Option[String], Seq[RawSel], Seq[Directive])]()
 
-    def document(): Operation = {
+    def document(operationName: Option[String]): Operation = {
       skip()
-      var op: Option[(Option[String],
-        Seq[(String, String, Option[Value])], Seq[RawSel])] = None
+      val ops = ArrayBuffer[(Option[String],
+        Seq[(String, String, Option[Value])], Seq[RawSel])]()
       while (i < src.length) {
         if (peekIs("fragment")) fragmentDef()
-        else {
-          if (op.isDefined)
-            fail("only one operation per document is supported")
-          op = Some(operation())
-        }
+        else ops += operation()
         skip()
       }
-      val (name, vars, raw) =
-        op.getOrElse(fail("empty document"))
+      if (ops.isEmpty) fail("empty document")
+      // GetOperation (spec §6.1): a multi-operation document needs
+      // operationName to pick one; anonymous (shorthand) operations
+      // are only legal when the document holds exactly one operation
+      if (ops.size > 1 && ops.exists(_._1.isEmpty))
+        fail("an anonymous operation must be the only operation " +
+          "in the document")
+      val picked = operationName match {
+        case None =>
+          if (ops.size > 1)
+            fail(s"document defines ${ops.size} operations " +
+              s"(${ops.flatMap(_._1).mkString(", ")}) — pass " +
+              "operationName to select one")
+          ops.head
+        case Some(nm) => ops.find(_._1.contains(nm)).getOrElse(
+          fail(s"unknown operation '$nm' (document defines: " +
+            s"${ops.flatMap(_._1).mkString(", ")})"))
+      }
+      val (name, vars, raw) = picked
       Operation(name, vars, raw.map(resolve(_, Set.empty, 0)))
     }
 

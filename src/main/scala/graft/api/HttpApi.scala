@@ -53,8 +53,12 @@ final class HttpApi(api: GraftApi, port: Int = 0, threads: Int = 4) {
                 val vars = Option(req.get("variables"))
                   .filterNot(_.isNull)
                   .map(mapper.writeValueAsString)
+                val opName = Option(req.get("operationName"))
+                  .filterNot(_.isNull).map(_.asText())
+                  .filter(_.nonEmpty)
                 respond(ex, 200,
-                  api.executeJson(req.get("query").asText(), vars))
+                  api.executeJson(req.get("query").asText(), vars,
+                    opName))
               case _ =>
                 respond(ex, 400,
                   """{"errors":[{"message":"body must be JSON with a 'query' string"}]}""")
@@ -64,7 +68,8 @@ final class HttpApi(api: GraftApi, port: Int = 0, threads: Int = 4) {
             params.get("query") match {
               case Some(q) =>
                 respond(ex, 200, api.executeJson(q,
-                  params.get("variables")))
+                  params.get("variables"),
+                  params.get("operationName").filter(_.nonEmpty)))
               case None =>
                 respond(ex, 400,
                   """{"errors":[{"message":"missing ?query="}]}""")

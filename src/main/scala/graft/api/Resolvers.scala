@@ -179,11 +179,11 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     * ({"data": ...} / {"errors": [...]}; field failures yield a null
     * field plus an errors entry — GraphQL partial-result semantics).
     */
-  def execute(query: String, variablesJson: Option[String] = None)
-      : ObjectNode = {
+  def execute(query: String, variablesJson: Option[String] = None,
+              operationName: Option[String] = None): ObjectNode = {
     val out = nf.objectNode()
     val op =
-      try GraphQL.parse(query)
+      try GraphQL.parse(query, operationName)
       catch {
         // ParseError carries position; anything else a hostile
         // document provokes (number overflow, truncated \u escape)
@@ -252,8 +252,10 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     out
   }
 
-  def executeJson(query: String, variablesJson: Option[String] = None)
-      : String = mapper.writeValueAsString(execute(query, variablesJson))
+  def executeJson(query: String, variablesJson: Option[String] = None,
+                  operationName: Option[String] = None): String =
+    mapper.writeValueAsString(
+      execute(query, variablesJson, operationName))
 
   /** The REST half of the reference's API: `POST /api/v1/
     * create_stream_id` (`api/controller.ts:8-39`) — returns the

@@ -138,7 +138,7 @@ class GraphQLParserSpec extends AnyFunSuite {
     assert(GraphQL.collectFields(op2.selections, None).size == 2)
   }
 
-  test("rejections: mutations, undefined fragments, multiple " +
+  test("rejections: mutations, undefined fragments, ambiguous " +
     "operations") {
     assert(intercept[ParseError](parse("mutation { x { y } }"))
       .getMessage.contains("not supported"))
@@ -146,9 +146,29 @@ class GraphQLParserSpec extends AnyFunSuite {
       .getMessage.contains("undefined fragment"))
     assert(intercept[ParseError](
       parse("query A { f { x } } query B { g { y } }"))
-      .getMessage.contains("one operation"))
+      .getMessage.contains("operationName"))
     assert(intercept[ParseError](parse("query { }"))
       .getMessage.contains("empty selection"))
+  }
+
+  test("multi-operation documents select by operationName (spec " +
+    "§6.1 GetOperation)") {
+    val doc = """query A { f { x } } query B($v: Int) { g(n: $v) { y } }
+                |fragment unused on T { z }""".stripMargin
+    val a = GraphQL.parse(doc, Some("A"))
+    assert(a.name.contains("A") &&
+      fields(a.selections).head.name == "f")
+    val b = GraphQL.parse(doc, Some("B"))
+    assert(b.name.contains("B") && b.variables.map(_._1) == Seq("v"))
+    // unknown name → error listing what the document defines
+    val e = intercept[ParseError](GraphQL.parse(doc, Some("C")))
+    assert(e.getMessage.contains("'C'") && e.getMessage.contains("A"))
+    // a single-operation document ignores no name / matches its name
+    assert(GraphQL.parse("query A { f { x } }").name.contains("A"))
+    // an anonymous operation cannot share a document
+    assert(intercept[ParseError](
+      GraphQL.parse("{ f { x } } query B { g { y } }", Some("B")))
+      .getMessage.contains("anonymous"))
   }
 
   test("directives parse on fields, spreads, and inline fragments; " +

@@ -734,6 +734,29 @@ class HttpApiSpec extends SparkSpec {
     assert(f.path("followings_count").asLong() == 0L)
   }
 
+  test("operationName selects one operation of a multi-operation " +
+    "document over HTTP (what GraphiQL sends)") {
+    val doc =
+      """query Who { profile(id: "alice") { username } }
+        |query Lag { syncState { blockLag } }""".stripMargin
+    val b = mapper.createObjectNode()
+    b.put("query", doc); b.put("operationName", "Lag")
+    val (code, node) = post(mapper.writeValueAsString(b))
+    assert(code == 200, node.toString)
+    assert(node.path("data").path("syncState").path("blockLag")
+      .asLong() == 12L)
+    assert(!node.path("data").has("profile"))
+    b.put("operationName", "Who")
+    val (_, n2) = post(mapper.writeValueAsString(b))
+    assert(n2.path("data").path("profile").path("username").asText()
+      == "alice")
+    // no operationName on an ambiguous document → request error
+    b.remove("operationName")
+    val (_, n3) = post(mapper.writeValueAsString(b))
+    assert(n3.path("errors").get(0).path("message").asText()
+      .contains("operationName"))
+  }
+
   test("ArgsJson compatibility: the reference argument object sent " +
     "as a variable reaches the same FeedArgs compiler") {
     val node = gql(
