@@ -1171,6 +1171,62 @@ object ScaleEvidence {
       require(!resp.has("errors"), resp.toString)
       resp.path("data").path("socialFeed").path("items").size().toLong
     }
+    // LEVEL-2 hydration: children { parent_post, author{profile},
+    // children } — each nested field is one more batched join whose
+    // probe side is the store and whose build side is the PAGE-BOUNDED
+    // matched frame (broadcast). The number to watch is the marginal
+    // cost of the extra level: a constant number of store probes per
+    // level, independent of store size beyond the scan itself. The
+    // stored posts are all top-level, so a reply FOREST is derived on
+    // the fly (no files touched): post k with k%10 in 1..8 replies to
+    // its decade leader post (k - k%10); k%10 == 9 replies to post
+    // k-8 — so every leader has 8 children and its first child has a
+    // child, giving both hydration levels real rows.
+    timed(s"graphql level-2 hydration (3 nested fields) vs $nPosts " +
+      "stored") {
+      def empty(st: org.apache.spark.sql.types.StructType) =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      val pid = regexp_extract(col("permlink"), "post(\\d+)", 1)
+        .cast("long")
+      val m = pmod(pid, lit(10L))
+      val parentId = when(m === 9, pid - 8).otherwise(pid - m)
+      val forest = spark.read.parquet(postsDir)
+        .withColumn("parent_author", when(m =!= 0,
+          concat(lit("user"), pmod(parentId, lit(50000L))))
+          .otherwise(col("parent_author")))
+        .withColumn("parent_permlink", when(m =!= 0,
+          concat(lit("post"), parentId))
+          .otherwise(col("parent_permlink")))
+        // replies must carry the ingest-time comment flag, or the
+        // feed's F4 filter (flags ∌ 'comment') keeps them in the page
+        .withColumn("flags", when(m =!= 0,
+          array_union(coalesce(col("flags"),
+            array().cast("array<string>")), array(lit("comment"))))
+          .otherwise(col("flags")))
+      val api = new graft.api.GraftApi(spark, graft.api.ApiTables(
+        posts = forest,
+        follows = empty(graft.domain.Schemas.follow),
+        profiles = empty(graft.domain.Schemas.profile)))
+      val resp = api.execute("{ socialFeed(pagination: {limit: 100})" +
+        " { items { permlink children(limit: 8) {" +
+        " permlink parent_post { permlink }" +
+        " author { profile { name } }" +
+        " children(limit: 3) { permlink } } } } }")
+      require(!resp.has("errors"), resp.toString)
+      val items = resp.path("data").path("socialFeed").path("items")
+      // prove the levels actually carried rows
+      var kids = 0L; var grandkids = 0L
+      items.elements().forEachRemaining { it =>
+        val ch = it.path("children")
+        kids += ch.size()
+        ch.elements().forEachRemaining(k =>
+          grandkids += k.path("children").size())
+      }
+      require(kids > 0 && grandkids > 0,
+        s"forest must populate both levels (kids=$kids grand=$grandkids)")
+      items.size().toLong + kids + grandkids
+    }
     spark.stop()
   }
 }
