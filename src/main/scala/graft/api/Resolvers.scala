@@ -95,9 +95,11 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     // is last-wins on nested structs, so the Ceramic `images`
     // interior {avatar, background} would silently replace the Hive
     // {avatar, cover} and reject valid `images { cover }` selections
-    SchemaShape.fromFrame("Profile", profileView
-      .select(unifiedProfileStruct(profileView).as("_p"))
-      .select("_p.*"))
+    withDeclared(
+      SchemaShape.fromFrame("Profile", profileView
+        .select(unifiedProfileStruct(profileView).as("_p"))
+        .select("_p.*")),
+      declaredProfileFields)
   private lazy val authorShape = TypeShape("Author", Map(
     "id" -> FieldShape(), "username" -> FieldShape(),
     "profile" -> FieldShape(tpe = () => Some(profileShape))))
@@ -113,14 +115,36 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
         "trendingFeed" -> FieldShape(feedArgNames,
           () => Some(feedOutputShape))))
     }
+  /** Every field the reference schema DECLARES on HivePost ∪
+    * CeramicPost (schema.ts:44-138). Names the store doesn't carry
+    * merge into the served shape as unvalidated leaves, so a
+    * schema-legal client document never fails validation — the absent
+    * field serializes as JSON null, exactly like yoga resolving a
+    * missing Mongo key. */
+  private val declaredPostFields = Set("parent_author",
+    "parent_permlink", "permlink", "title", "body", "tags",
+    "created_at", "updated_at", "spkvideo", "lang", "app_metadata",
+    "post_type", "flags", "refs", "stats", "hive_rewards",
+    "off_chain_id", "debug_metadata", "stream_id", "state_control",
+    "parent_id", "original_content", "json_metadata")
+  /** HiveProfile ∪ CeramicProfile declared fields
+    * (schema.ts:142-182). */
+  private val declaredProfileFields =
+    Set("id", "username", "name", "about", "images", "json_metadata",
+      "website", "location", "did", "src")
+  private def withDeclared(t: TypeShape, declared: Set[String])
+      : TypeShape =
+    t.copy(fields = t.fields ++ declared.diff(t.fields.keySet)
+      .map(_ -> FieldShape()))
   private lazy val postShape: TypeShape = {
     val base = SchemaShape.fromFrame("SocialPost", projectedPosts)
-    base.copy(fields = base.fields ++ Map(
+    withDeclared(base.copy(fields = base.fields ++ Map(
       "parent_post" -> FieldShape(tpe = () => Some(postShape)),
       "children" -> FieldShape(Set("limit", "skip"),
         () => Some(postShape)),
       "author" -> FieldShape(tpe = () => Some(authorShape)),
-      "community" -> FieldShape(tpe = () => communityShape)))
+      "community" -> FieldShape(tpe = () => communityShape))),
+      declaredPostFields)
   }
   private lazy val feedOutputShape = TypeShape("FeedOutput",
     Map("items" -> FieldShape(tpe = () => Some(postShape))))

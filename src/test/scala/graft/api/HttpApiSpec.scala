@@ -734,6 +734,27 @@ class HttpApiSpec extends SparkSpec {
     assert(f.path("followings_count").asLong() == 0L)
   }
 
+  test("every field the reference schema declares validates, even " +
+    "when this store lacks it (absent → null, like yoga on a " +
+    "missing Mongo key)") {
+    val node = gql(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  permlink title body tags lang flags refs post_type
+        |  created_at updated_at off_chain_id hive_rewards
+        |  stream_id state_control parent_id original_content
+        |  debug_metadata app_metadata
+        |  author { profile { src json_metadata about } }
+        |} }""".stripMargin)
+    assert(!node.has("errors"), node.toString)
+    val p = node.path("data").path("socialPost")
+    assert(p.path("permlink").asText() == "v1")
+    assert(p.path("hive_rewards").isNull)       // declared, not stored
+    assert(p.path("original_content").isNull)   // declared, not stored
+    assert(p.path("author").path("profile").path("src").isNull)
+    assert(p.path("author").path("profile").path("about").asText()
+      == "about alice")
+  }
+
   test("operationName selects one operation of a multi-operation " +
     "document over HTTP (what GraphiQL sends)") {
     val doc =
