@@ -90,7 +90,15 @@ object GraphQL {
     * GraphiQL and persisted-query clients send) need `operationName`
     * to pick one, exactly like yoga's GetOperation (spec §6.1). */
   def parse(doc: String, operationName: Option[String] = None)
-      : Operation = new Parser(doc).document(operationName)
+      : Operation = parseDocument(doc, operationName)._1
+
+  /** [[parse]], but ALSO returning every operation the document
+    * defines (fragments resolved, shared node budget) — yoga
+    * validates the WHOLE document before executing any operation, so
+    * the validator needs the unselected operations too. */
+  def parseDocument(doc: String, operationName: Option[String] = None)
+      : (Operation, Seq[Operation]) =
+    new Parser(doc).document(operationName)
 
   /** The selections that apply to a row of the given `__typename`:
     * fields pass through; inline fragments flatten when their type
@@ -243,7 +251,8 @@ object GraphQL {
     private val frags = scala.collection.mutable
       .Map[String, (Option[String], Seq[RawSel], Seq[Directive])]()
 
-    def document(operationName: Option[String]): Operation = {
+    def document(operationName: Option[String])
+        : (Operation, Seq[Operation]) = {
       skip()
       val ops = ArrayBuffer[(Option[String],
         Seq[(String, String, Option[Value])], Seq[RawSel])]()
@@ -255,10 +264,17 @@ object GraphQL {
       if (ops.isEmpty) fail("empty document")
       // GetOperation (spec §6.1): a multi-operation document needs
       // operationName to pick one; anonymous (shorthand) operations
-      // are only legal when the document holds exactly one operation
+      // are only legal when the document holds exactly one operation;
+      // operation names must be unique (§5.2.1.1 — graphql-js rejects
+      // the document; find-first would execute whichever A comes
+      // first, silently order-dependent)
       if (ops.size > 1 && ops.exists(_._1.isEmpty))
         fail("an anonymous operation must be the only operation " +
           "in the document")
+      ops.flatMap(_._1).groupBy(identity).collectFirst {
+        case (nm, dup) if dup.size > 1 => nm
+      }.foreach(nm =>
+        fail(s"there can be only one operation named '$nm'"))
       val picked = operationName match {
         case None =>
           if (ops.size > 1)
@@ -270,8 +286,13 @@ object GraphQL {
           fail(s"unknown operation '$nm' (document defines: " +
             s"${ops.flatMap(_._1).mkString(", ")})"))
       }
-      val (name, vars, raw) = picked
-      Operation(name, vars, raw.map(resolve(_, Set.empty, 0)))
+      // resolve EVERY operation (shared resolvedNodes budget) — the
+      // executor runs only the picked one, but the validator covers
+      // the whole document like yoga's validate()
+      val all = ops.map { case (name, vars, raw) =>
+        Operation(name, vars, raw.map(resolve(_, Set.empty, 0)))
+      }.toSeq
+      (all(ops.indexOf(picked)), all)
     }
 
     private var resolvedNodes = 0

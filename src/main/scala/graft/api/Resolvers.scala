@@ -95,11 +95,11 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     // is last-wins on nested structs, so the Ceramic `images`
     // interior {avatar, background} would silently replace the Hive
     // {avatar, cover} and reject valid `images { cover }` selections
-    withDeclared(
+    SchemaShape.union(
       SchemaShape.fromFrame("Profile", profileView
         .select(unifiedProfileStruct(profileView).as("_p"))
         .select("_p.*")),
-      declaredProfileFields)
+      declaredProfileShape)
   private lazy val authorShape = TypeShape("Author", Map(
     "id" -> FieldShape(), "username" -> FieldShape(),
     "profile" -> FieldShape(tpe = () => Some(profileShape))))
@@ -115,36 +115,51 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
         "trendingFeed" -> FieldShape(feedArgNames,
           () => Some(feedOutputShape))))
     }
-  /** Every field the reference schema DECLARES on HivePost ∪
-    * CeramicPost (schema.ts:44-138). Names the store doesn't carry
-    * merge into the served shape as unvalidated leaves, so a
-    * schema-legal client document never fails validation — the absent
-    * field serializes as JSON null, exactly like yoga resolving a
-    * missing Mongo key. */
-  private val declaredPostFields = Set("parent_author",
-    "parent_permlink", "permlink", "title", "body", "tags",
-    "created_at", "updated_at", "spkvideo", "lang", "app_metadata",
-    "post_type", "flags", "refs", "stats", "hive_rewards",
-    "off_chain_id", "debug_metadata", "stream_id", "state_control",
-    "parent_id", "original_content", "json_metadata")
-  /** HiveProfile ∪ CeramicProfile declared fields
-    * (schema.ts:142-182). */
-  private val declaredProfileFields =
-    Set("id", "username", "name", "about", "images", "json_metadata",
-      "website", "location", "did", "src")
-  private def withDeclared(t: TypeShape, declared: Set[String])
-      : TypeShape =
-    t.copy(fields = t.fields ++ declared.diff(t.fields.keySet)
-      .map(_ -> FieldShape()))
+  /** Everything the reference schema DECLARES (schema.ts:9-182),
+    * including struct INTERIORS (PostStats, JsonMetadata,
+    * StateControl, ProfileImages) — unioned RECURSIVELY into the
+    * store-derived shapes, so a schema-legal client document never
+    * fails validation even when this store carries a struct
+    * partially (e.g. a stats column without total_hive_reward); the
+    * absent field serializes as JSON null, exactly like yoga
+    * resolving a missing Mongo key. */
+  private def leaves(ns: String*): Map[String, FieldShape] =
+    ns.map(_ -> FieldShape()).toMap
+  private lazy val declaredPostShape: TypeShape = {
+    val voter = TypeShape("Voter",
+      leaves("voter", "rshares", "percent", "weight"))
+    val stats = TypeShape("PostStats",
+      leaves("num_comments", "num_votes", "total_hive_reward") +
+        ("active_voters" -> FieldShape(tpe = () => Some(voter))))
+    val jsonMeta = TypeShape("JsonMetadata",
+      leaves("image", "app", "raw"))
+    val stateControl = TypeShape("StateControl",
+      leaves("version_id", "height"))
+    TypeShape("SocialPost",
+      leaves("parent_author", "parent_permlink", "permlink", "title",
+        "body", "tags", "created_at", "updated_at", "spkvideo",
+        "lang", "app_metadata", "post_type", "flags", "refs",
+        "hive_rewards", "off_chain_id", "debug_metadata", "stream_id",
+        "parent_id", "original_content") ++ Map(
+        "stats" -> FieldShape(tpe = () => Some(stats)),
+        "json_metadata" -> FieldShape(tpe = () => Some(jsonMeta)),
+        "state_control" -> FieldShape(tpe = () => Some(stateControl))))
+  }
+  private lazy val declaredProfileShape: TypeShape =
+    TypeShape("Profile",
+      leaves("id", "username", "name", "about", "json_metadata",
+        "website", "location", "did", "src") +
+        ("images" -> FieldShape(tpe = () => Some(TypeShape(
+          "ProfileImages", leaves("avatar", "cover"))))))
   private lazy val postShape: TypeShape = {
     val base = SchemaShape.fromFrame("SocialPost", projectedPosts)
-    withDeclared(base.copy(fields = base.fields ++ Map(
+    SchemaShape.union(base.copy(fields = base.fields ++ Map(
       "parent_post" -> FieldShape(tpe = () => Some(postShape)),
       "children" -> FieldShape(Set("limit", "skip"),
         () => Some(postShape)),
       "author" -> FieldShape(tpe = () => Some(authorShape)),
       "community" -> FieldShape(tpe = () => communityShape))),
-      declaredPostFields)
+      declaredPostShape)
   }
   private lazy val feedOutputShape = TypeShape("FeedOutput",
     Map("items" -> FieldShape(tpe = () => Some(postShape))))
@@ -206,8 +221,8 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
   def execute(query: String, variablesJson: Option[String] = None,
               operationName: Option[String] = None): ObjectNode = {
     val out = nf.objectNode()
-    val op =
-      try GraphQL.parse(query, operationName)
+    val (op, allOps) =
+      try GraphQL.parseDocument(query, operationName)
       catch {
         // ParseError carries position; anything else a hostile
         // document provokes (number overflow, truncated \u escape)
@@ -222,10 +237,13 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
             Option(e.getMessage).getOrElse(e.toString)))
           return out
       }
-    // static validation BEFORE execution (yoga parity): every unknown
-    // field/argument reported at once, as a request error
+    // static validation BEFORE execution (yoga parity): the WHOLE
+    // document — unselected operations included, like graphql-js
+    // validate() — every unknown field/argument reported at once, as
+    // a request error
     if (validateDocuments) {
-      val verrs = SchemaShape.validate(op.selections, queryShape)
+      val verrs = allOps.flatMap(o =>
+        SchemaShape.validate(o.selections, queryShape)).distinct
       if (verrs.nonEmpty) {
         val arr = nf.arrayNode()
         verrs.foreach { m =>

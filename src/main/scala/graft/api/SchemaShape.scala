@@ -51,6 +51,27 @@ object SchemaShape {
     fromDataType(name, df.schema).getOrElse(
       TypeShape(name, Map.empty, opaque = true))
 
+  /** Union two shapes RECURSIVELY: a field of either side validates,
+    * and a common field's interior is the union of both interiors.
+    * Used to overlay the reference's DECLARED schema onto the
+    * store-derived one — a top-level-only merge would still reject a
+    * declared SUBFIELD of a struct the store carries partially (e.g.
+    * a stats column missing total_hive_reward). Keeps `a`'s name;
+    * either side opaque → opaque (anything inside passes). */
+  def union(a: TypeShape, b: TypeShape): TypeShape =
+    if (a.opaque || b.opaque) a.copy(opaque = true)
+    else TypeShape(a.name,
+      (a.fields.keySet ++ b.fields.keySet).map { k =>
+        k -> ((a.fields.get(k), b.fields.get(k)) match {
+          case (Some(fa), Some(fb)) => FieldShape(fa.args ++ fb.args,
+            () => (fa.tpe(), fb.tpe()) match {
+              case (Some(ta), Some(tb)) => Some(union(ta, tb))
+              case (ta, tb) => ta.orElse(tb)
+            })
+          case (fa, fb) => fa.orElse(fb).get
+        })
+      }.toMap)
+
   /** Walk a selection tree against a shape; yoga-style messages for
     * every unknown field / unknown argument (all collected, not
     * first-error — a client fixes one round trip, not N).

@@ -1187,6 +1187,21 @@ object ScaleEvidence {
       def empty(st: org.apache.spark.sql.types.StructType) =
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      // a REAL profiles table (one row per distinct author), so the
+      // author{profile} leg joins against a populated store — an
+      // empty frame would measure that probe as free
+      val profiles = spark.range(50000).select(
+        concat(lit("hive/user"), col("id")).as("_id"),
+        concat(lit("user"), col("id")).as("username"),
+        concat(lit("User "), col("id")).as("displayName"),
+        lit("about text").as("about"),
+        lit(null).cast("string").as("location"),
+        lit(null).cast("string").as("website"),
+        lit(null).cast("string").as("did"),
+        struct(lit("a.png").as("avatar"),
+          lit(null).cast("string").as("cover")).as("images"),
+        struct(lit(null).cast("string").as("pinned_post")).as("extra"),
+        (col("id") % 100).cast("double").as("score"))
       val pid = regexp_extract(col("permlink"), "post(\\d+)", 1)
         .cast("long")
       val m = pmod(pid, lit(10L))
@@ -1207,7 +1222,7 @@ object ScaleEvidence {
       val api = new graft.api.GraftApi(spark, graft.api.ApiTables(
         posts = forest,
         follows = empty(graft.domain.Schemas.follow),
-        profiles = empty(graft.domain.Schemas.profile)))
+        profiles = profiles))
       val resp = api.execute("{ socialFeed(pagination: {limit: 100})" +
         " { items { permlink children(limit: 8) {" +
         " permlink parent_post { permlink }" +
@@ -1216,15 +1231,19 @@ object ScaleEvidence {
       require(!resp.has("errors"), resp.toString)
       val items = resp.path("data").path("socialFeed").path("items")
       // prove the levels actually carried rows
-      var kids = 0L; var grandkids = 0L
+      var kids = 0L; var grandkids = 0L; var profiled = 0L
       items.elements().forEachRemaining { it =>
         val ch = it.path("children")
         kids += ch.size()
-        ch.elements().forEachRemaining(k =>
-          grandkids += k.path("children").size())
+        ch.elements().forEachRemaining { k =>
+          grandkids += k.path("children").size()
+          if (!k.path("author").path("profile").path("name").isNull)
+            profiled += 1
+        }
       }
-      require(kids > 0 && grandkids > 0,
-        s"forest must populate both levels (kids=$kids grand=$grandkids)")
+      require(kids > 0 && grandkids > 0 && profiled > 0,
+        s"forest must populate both levels + profiles " +
+          s"(kids=$kids grand=$grandkids profiled=$profiled)")
       items.size().toLong + kids + grandkids
     }
     spark.stop()

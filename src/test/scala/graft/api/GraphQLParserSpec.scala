@@ -169,6 +169,16 @@ class GraphQLParserSpec extends AnyFunSuite {
     assert(intercept[ParseError](
       GraphQL.parse("{ f { x } } query B { g { y } }", Some("B")))
       .getMessage.contains("anonymous"))
+    // duplicate operation names are a document error (§5.2.1.1), not
+    // a silent first-match execution
+    assert(intercept[ParseError](GraphQL.parse(
+      "query A { f { x } } query A { g { y } }", Some("A")))
+      .getMessage.contains("only one operation named 'A'"))
+    // parseDocument returns EVERY operation for whole-document
+    // validation
+    val (picked, all) = GraphQL.parseDocument(doc, Some("A"))
+    assert(picked.name.contains("A") && all.size == 2)
+    assert(all.map(_.name.get) == Seq("A", "B"))
   }
 
   test("directives parse on fields, spreads, and inline fragments; " +

@@ -776,6 +776,18 @@ class HttpApiSpec extends SparkSpec {
     val (_, n3) = post(mapper.writeValueAsString(b))
     assert(n3.path("errors").get(0).path("message").asText()
       .contains("operationName"))
+    // the WHOLE document validates before anything executes: a typo
+    // in the UNSELECTED operation rejects the request (yoga validates
+    // every definition)
+    val b2 = mapper.createObjectNode()
+    b2.put("query",
+      """query Good { syncState { blockLag } }
+        |query Bad { nosuchField { x } }""".stripMargin)
+    b2.put("operationName", "Good")
+    val (_, n4) = post(mapper.writeValueAsString(b2))
+    assert(n4.path("errors").get(0).path("message").asText()
+      .contains("nosuchField"), n4.toString)
+    assert(!n4.has("data"))
   }
 
   test("ArgsJson compatibility: the reference argument object sent " +
