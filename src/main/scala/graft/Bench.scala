@@ -1,7 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** "[l1,l5]" from /proc/loadavg (JVM fallback: 1-min only). */
+  private def readLoad(): String =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")
+      s"[${parts(0)},${parts(1)}]"
+    } catch { case _: Throwable =>
+      val l1 = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      "[%.2f,null]".formatLocal(java.util.Locale.ROOT, l1)
+    }
+
   def main(args: Array[String]): Unit = {
+    // ambient-load snapshot BEFORE any work: the end-of-run averages
+    // include the bench's own 32-thread load, so only the launch
+    // snapshot evidences whether the box was idle
+    val loadAtStart = readLoad()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default 32 = the driver's setting (VERDICT r7 #2): a lower
     // default made every self-recorded number non-comparable to the
@@ -122,20 +138,11 @@ object Bench {
       s"\"" + k + "\":" + r3(v)
     }.mkString("{", ",", "}")
     // ambient-load evidence INSIDE the metric line (VERDICT r7 #1):
-    // 1/5-minute load averages at run end, so every artifact carries
-    // its own record of whether the box was idle or taxed — artifact
-    // vs self-record comparisons stop needing forensics
-    val load =
-      try {
-        val parts = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")
-        s"[${parts(0)},${parts(1)}]"
-      } catch { case _: Throwable =>
-        val l1 = java.lang.management.ManagementFactory
-          .getOperatingSystemMXBean.getSystemLoadAverage
-        s"[${r3(l1)},null]"
-      }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"baseline36_total":${r3(baseTotal)},"n_errors":${results.values.count(_._2.isDefined)},"errors":$errs,"loadavg_1m_5m":$load,"cpus":"$cpus","queries":$qs36,"queries_full":"BENCH_SELF.json","sf":"$sfDir"}""")
+    // 1/5-minute load averages at LAUNCH (ambient — was the box
+    // idle?) and at END (sanity: bench's own load + anything that
+    // arrived mid-run), so every artifact carries its own record and
+    // artifact vs self-record comparisons stop needing forensics
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"baseline36_total":${r3(baseTotal)},"n_errors":${results.values.count(_._2.isDefined)},"errors":$errs,"load_1m_5m_start":$loadAtStart,"load_1m_5m_end":${readLoad()},"cpus":"$cpus","queries":$qs36,"queries_full":"BENCH_SELF.json","sf":"$sfDir"}""")
     spark.stop()
     if (results.values.exists(_._2.isDefined)) sys.exit(1)
   }
