@@ -22,7 +22,13 @@ final case class ApiTables(
     socialConnections: Option[DataFrame] = None,
     /** One row shaped like `SyncMetrics.syncStateFromLog` output
       * (block_lag, sync_eta_seconds, block_lag_diff). */
-    syncStats: Option[DataFrame] = None)
+    syncStats: Option[DataFrame] = None,
+    /** The posts store's graft-layout bucket modulus
+      * (`_graft_layout.json`, `state.Layout.keyBucket`) when the
+      * table carries a `key_bucket` partition column — point lookups
+      * and parent_post hydration then PARTITION-PRUNE their store
+      * probes (Serve.tables reads the marker automatically). */
+    keyBuckets: Option[Int] = None)
 
 /** GraphQL executor over the engine's query surface — the reference's
   * eleven Query-type resolvers (`graphql-v2/resolvers/index.ts`,
@@ -309,7 +315,8 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     * here too. */
   def streamIdLookup(author: String, permlink: String): ObjectNode = {
     val out = nf.objectNode()
-    val row = tables.posts
+    val row = PostQueries.bucketPointPruned(tables.posts, author,
+        permlink, tables.keyBuckets)
       .filter(col("author") === author && col("permlink") === permlink)
       .select(col("off_chain_id")).limit(1).collect()
     row.headOption.flatMap(r => Option(r.getString(0))) match {
@@ -328,7 +335,8 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     f.name match {
       case "socialPost" =>
         withHydrated(PostQueries.socialPost(projectedPosts,
-          str("author").getOrElse(""), str("permlink").getOrElse("")),
+          str("author").getOrElse(""), str("permlink").getOrElse(""),
+          tables.keyBuckets),
           f.selections, vars)(h => single(h, f.selections))
       case "socialFeed" =>
         feedOutput(PostQueries.socialFeed(projectedPosts,
@@ -500,20 +508,31 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     // the join builds carries every store column and the hydration
     // pays a full-width scan for a { permlink }-only selection —
     // measured 3.5x the slim form on a 500k store (BENCH_NOTES r7)
-    def pruned(nested: Seq[Selection]): DataFrame = {
+    def prunedFrom(base: DataFrame, nested: Seq[Selection])
+        : DataFrame = {
       val want = GraphQL.allFieldNames(nested) ++ Set("__typename",
         "author", "permlink", "parent_author", "parent_permlink",
         "created_at")
-      projectedPosts.select(projectedPosts.columns
+      base.select(base.columns
         .filter(want.contains).map(c => col(s"`$c`")).toSeq: _*)
     }
+    def pruned(nested: Seq[Selection]): DataFrame =
+      prunedFrom(projectedPosts, nested)
     var out = df
     // PER-ALIAS hydration: collectFields merges same-alias duplicates,
     // so distinct occurrences here carry distinct aliases — each with
     // its own args/sub-selection (e.g. a: children(limit:1) alongside
     // b: children(limit:10)) and therefore its own reserved column
     fields.filter(_.name == "parent_post").foreach { pp =>
-      out = PostQueries.withParentFrom(out, pruned(pp.selections),
+      // parent-key bucket pruning (graft-layout stores): the bucket
+      // filter sits BELOW the column projection (key_bucket is a
+      // partition column, not part of the selection), derived from
+      // the PERSISTED page frame — one bounded collect per occurrence
+      val base = tables.keyBuckets
+        .map(n => PostQueries.parentPruned(df, projectedPosts, n))
+        .getOrElse(projectedPosts)
+      out = PostQueries.withParentFrom(out,
+        prunedFrom(base, pp.selections),
         outCol = HydPrefix + pp.alias,
         hydrate = hydrateNested(pp.selections, vars, depth + 1, pins))
     }

@@ -218,9 +218,49 @@ object PostQueries {
 
   /** Q1 socialPost: point lookup. */
   def socialPost(posts: DataFrame, author: String,
-                 permlink: String): DataFrame =
-    posts.filter(col("author") === author &&
-      col("permlink") === permlink).limit(1)
+                 permlink: String,
+                 keyBuckets: Option[Int] = None): DataFrame =
+    bucketPointPruned(posts, author, permlink, keyBuckets)
+      .filter(col("author") === author &&
+        col("permlink") === permlink).limit(1)
+
+  /** Point-lookup partition pruning for a graft-layout store
+    * (`created_month / key_bucket = H(author, permlink) mod n`,
+    * `state.Layout.keyBucket` — the layout StreamIngest merges
+    * into): the key's bucket is a CONSTANT-FOLDABLE expression over
+    * literals, so Catalyst turns it into a partition filter and the
+    * scan touches 1/n of the store instead of all of it. Sources
+    * without the layout pass through unchanged. */
+  def bucketPointPruned(posts: DataFrame, author: String,
+                        permlink: String,
+                        keyBuckets: Option[Int]): DataFrame =
+    keyBuckets.filter(_ => posts.columns.contains("key_bucket"))
+      .map(n => posts.filter(col("key_bucket") ===
+        graft.state.Layout.keyBucket(lit(author), lit(permlink), n)))
+      .getOrElse(posts)
+
+  /** Partition-prune a graft-layout posts source to the key buckets
+    * the page's parent refs can hash into — the hydration-side twin
+    * of `StreamIngest.prunedExisting` (same keyBucket contract, same
+    * bounded discovery collect: ≤ min(page, n) ints). The win scales
+    * with n / |page keys| — a point page touches 1 bucket of n, a
+    * 100-row page on a 4096-bucket production store ~2.5%. `children`
+    * CANNOT prune on this layout (rows bucket by their OWN key, not
+    * their parent's) — that probe stays a scan unless the deployment
+    * adds a reply-keyed layout. Top-level rows' empty ("","") parent
+    * ref is excluded like prunedExisting. Sources without the layout
+    * pass through. */
+  def parentPruned(page: DataFrame, source: DataFrame,
+                   keyBuckets: Int): DataFrame =
+    if (!source.columns.contains("key_bucket")) source
+    else {
+      val buckets = page
+        .filter(col("parent_author") =!= "")
+        .select(graft.state.Layout.keyBucket(col("parent_author"),
+          col("parent_permlink"), keyBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      source.filter(col("key_bucket").isin(buckets: _*))
+    }
 
   /** Q3 children: one level of the reply tree with skip/limit
     * (posts.ts:161-231). */

@@ -238,7 +238,7 @@ object StreamIngest {
   /** Bucket modulus the table at `table` was written with, recorded
     * by [[writeLayoutMarker]]. Underscore-prefixed, so parquet
     * partition discovery ignores it. */
-  private[streaming] def storedKeyBuckets(
+  private[graft] def storedKeyBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(table, LayoutMarkerFile)

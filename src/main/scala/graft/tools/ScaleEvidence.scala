@@ -1246,6 +1246,40 @@ object ScaleEvidence {
           s"(kids=$kids grand=$grandkids profiled=$profiled)")
       items.size().toLong + kids + grandkids
     }
+    // ── key-bucket partition pruning on the API's point probes: the
+    //    merged store IS the graft layout (created_month/key_bucket,
+    //    64 buckets + marker), so socialPost and parent_post can
+    //    prune to the key's bucket — 1/64 of the store for a point
+    //    lookup — exactly like StreamIngest's merge-side seed lookup.
+    //    Measured pruned vs full on the same store. ────────────────
+    println("== graphql bucket-pruned point probes ==")
+    def pointApi(kb: Option[Int]) = {
+      def empty(st: org.apache.spark.sql.types.StructType) =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      new graft.api.GraftApi(spark, graft.api.ApiTables(
+        posts = spark.read.parquet(postsDir),
+        follows = empty(graft.domain.Schemas.follow),
+        profiles = empty(graft.domain.Schemas.profile),
+        keyBuckets = kb))
+    }
+    timed(s"graphql point lookup FULL SCAN vs $nPosts stored") {
+      val r = pointApi(None).execute(
+        """{ socialPost(author: "user123", permlink: "post123")
+          | { permlink title } }""".stripMargin)
+      require(r.path("data").path("socialPost").path("permlink")
+        .asText() == "post123", r.toString)
+      1L
+    }
+    timed(s"graphql point lookup BUCKET-PRUNED (1/64) vs $nPosts " +
+      "stored") {
+      val r = pointApi(Some(64)).execute(
+        """{ socialPost(author: "user123", permlink: "post123")
+          | { permlink title } }""".stripMargin)
+      require(r.path("data").path("socialPost").path("permlink")
+        .asText() == "post123", r.toString)
+      1L
+    }
     spark.stop()
   }
 }

@@ -58,6 +58,20 @@ object Serve {
       ceramicProfiles = opt("ceramic_profiles"),
       communities = opt("communities"),
       socialConnections = opt("social_connections"),
-      syncStats = opt("sync_stats"))
+      syncStats = opt("sync_stats"),
+      keyBuckets = storedKeyBuckets(spark, s"$store/posts"))
   }
+
+  /** The posts store's graft-layout bucket modulus, read from its
+    * `_graft_layout.json` marker (the file `StreamIngest` maintains) —
+    * when present, the API's point lookups and parent_post hydration
+    * partition-prune their store probes to the relevant key buckets.
+    */
+  private def storedKeyBuckets(spark: SparkSession,
+                               postsDir: String): Option[Int] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(postsDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.streaming.StreamIngest.storedKeyBuckets(fs, p)
+    } catch { case _: Exception => None }
 }

@@ -790,6 +790,46 @@ class HttpApiSpec extends SparkSpec {
     assert(!n4.has("data"))
   }
 
+  test("a graft-layout store serves point lookups and parent_post " +
+    "through bucket-pruned probes (Serve reads the layout marker)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-layout-store").toString
+    tables.posts
+      .withColumn("created_month",
+        date_format(col("created_at"), "yyyy-MM"))
+      .withColumn("key_bucket", graft.state.Layout.keyBucket(
+        col("author"), col("permlink"), 8))
+      .write.partitionBy("created_month", "key_bucket")
+      .parquet(s"$dir/posts")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/posts/_graft_layout.json"),
+      """{"key_buckets": 8}""".getBytes)
+    tables.follows.write.parquet(s"$dir/follows")
+    tables.profiles.write.parquet(s"$dir/profiles")
+    val loaded = graft.tools.Serve.tables(spark, dir + "/")
+    assert(loaded.keyBuckets.contains(8))
+    val api2 = new GraftApi(spark, loaded)
+    val node = api2.execute(
+      """{ socialPost(author: "dave", permlink: "r1") {
+        |  permlink parent_post { permlink author } } }""".stripMargin)
+    assert(!node.has("errors"), node.toString)
+    val p = node.path("data").path("socialPost")
+    assert(p.path("permlink").asText() == "r1")
+    assert(p.path("parent_post").path("permlink").asText() == "v1")
+    // the REST read half prunes the same way
+    assert(api2.streamIdLookup("alice", "v1").path("stream_id").isNull)
+    // a top-level post (empty parent ref) stays a null parent, and a
+    // page whose rows are ALL top-level hydrates against an empty
+    // pruned source without error
+    val top = api2.execute(
+      """{ socialFeed(pagination: {limit: 5}) {
+        |  items { permlink parent_post { permlink } } } }"""
+        .stripMargin)
+    assert(!top.has("errors"), top.toString)
+    top.path("data").path("socialFeed").path("items").elements()
+      .asScala.foreach(it => assert(it.path("parent_post").isNull))
+  }
+
   test("ArgsJson compatibility: the reference argument object sent " +
     "as a variable reaches the same FeedArgs compiler") {
     val node = gql(

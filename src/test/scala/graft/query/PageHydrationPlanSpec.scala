@@ -121,6 +121,48 @@ class PageHydrationPlanSpec extends SparkSpec {
     assert(p5kids == Seq("p6"))
   }
 
+  test("graft-layout bucket pruning: point lookup and parent-key " +
+    "hydration probes carry key_bucket PARTITION filters") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bucketed").toString + "/posts"
+    posts
+      .withColumn("created_month",
+        date_format(col("created_at"), "yyyy-MM"))
+      .withColumn("key_bucket", graft.state.Layout.keyBucket(
+        col("author"), col("permlink"), 8))
+      .write.partitionBy("created_month", "key_bucket")
+      .parquet(dir)
+    val stored = spark.read.parquet(dir)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      nodes(df).collectFirst { case f: FileSourceScanExec => f }.get
+    // point lookup: the bucket expression over literals constant-folds
+    // into a partition filter — 1 bucket of 8 scanned
+    val point = PostQueries.socialPost(stored, "user1", "p1",
+      keyBuckets = Some(8))
+    val pScan = scanOf(point)
+    assert(pScan.partitionFilters.exists(
+      _.references.exists(_.name == "key_bucket")),
+      pScan.partitionFilters.toString)
+    assert(point.collect().map(_.getAs[String]("permlink")).toSeq
+      == Seq("p1"))
+    // parent-key pruning: the page's parent buckets become an isin
+    // partition filter on the hydration source
+    val page = stored.filter(col("permlink").isin("p3", "p6"))
+    val srcPruned = PostQueries.parentPruned(page, stored, 8)
+    val out = PostQueries.withParentFrom(page, srcPruned)
+    val sScans = nodes(out).collect { case f: FileSourceScanExec => f }
+    assert(sScans.exists(_.partitionFilters.exists(
+      _.references.exists(_.name == "key_bucket"))),
+      sScans.map(_.partitionFilters).toString)
+    val got = out.select(col("permlink"),
+      col("parent_post.permlink").as("pp")).collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got("p3").contains("p2") && got("p6").contains("p5"))
+    // a source without the layout passes through untouched
+    assert(PostQueries.parentPruned(page, posts, 8) eq posts)
+  }
+
   test("withParentFrom: no full-table shuffle against the page — " +
     "broadcast joins only; missing parents stay null") {
     val page = posts.filter(col("permlink").isin("p3", "p4"))
