@@ -28,7 +28,14 @@ final case class ApiTables(
       * table carries a `key_bucket` partition column — point lookups
       * and parent_post hydration then PARTITION-PRUNE their store
       * probes (Serve.tables reads the marker automatically). */
-    keyBuckets: Option[Int] = None)
+    keyBuckets: Option[Int] = None,
+    /** A reply-index table ([[graft.state.Layout.writeReplyIndex]])
+      * with its bucket modulus — `children` hydration then ranks on
+      * the slim parent-bucketed index and fetches only the paged
+      * child rows, instead of scanning the whole store (the one probe
+      * `key_bucket` cannot prune). Serve loads `reply_index/` when
+      * present. */
+    replyIndex: Option[(DataFrame, Int)] = None)
 
 /** GraphQL executor over the engine's query surface — the reference's
   * eleven Query-type resolvers (`graphql-v2/resolvers/index.ts`,
@@ -508,11 +515,11 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
     // the join builds carries every store column and the hydration
     // pays a full-width scan for a { permlink }-only selection —
     // measured 3.5x the slim form on a 500k store (BENCH_NOTES r7)
-    def prunedFrom(base: DataFrame, nested: Seq[Selection])
-        : DataFrame = {
+    def prunedFrom(base: DataFrame, nested: Seq[Selection],
+                   extra: Set[String] = Set.empty): DataFrame = {
       val want = GraphQL.allFieldNames(nested) ++ Set("__typename",
         "author", "permlink", "parent_author", "parent_permlink",
-        "created_at")
+        "created_at") ++ extra
       base.select(base.columns
         .filter(want.contains).map(c => col(s"`$c`")).toSeq: _*)
     }
@@ -540,11 +547,27 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
       val a = argsNode(ch.args, vars)
       def i(n: String, d: Int) = Option(a.get(n)).filterNot(_.isNull)
         .map(_.asInt()).filter(_ > 0).getOrElse(d)
-      out = PostQueries.childrenFor(out, pruned(ch.selections),
-        limit = i("limit", 100), skip = Option(a.get("skip"))
-          .filterNot(_.isNull).map(_.asInt()).getOrElse(0),
-        outCol = HydPrefix + ch.alias,
-        hydrate = hydrateNested(ch.selections, vars, depth + 1, pins))
+      val limit = i("limit", 100)
+      val skip = Option(a.get("skip"))
+        .filterNot(_.isNull).map(_.asInt()).getOrElse(0)
+      val outCol = HydPrefix + ch.alias
+      val hyd = hydrateNested(ch.selections, vars, depth + 1, pins)
+      out = tables.replyIndex match {
+        case Some((idx, n)) =>
+          // rank on the slim parent-bucketed index, fetch only the
+          // paged child rows (key-bucket pruned when the store has
+          // the layout — keep the partition column through the
+          // projection for that filter)
+          PostQueries.childrenForIndexed(out,
+            prunedFrom(projectedPosts, ch.selections,
+              extra = if (tables.keyBuckets.isDefined)
+                Set("key_bucket") else Set.empty),
+            idx, n, limit, skip, outCol, hyd,
+            sourceKeyBuckets = tables.keyBuckets)
+        case None =>
+          PostQueries.childrenFor(out, pruned(ch.selections),
+            limit, skip, outCol, hyd)
+      }
     }
     val authorFields =
       fields.filter(f => f.name == "author" && f.selections.nonEmpty)

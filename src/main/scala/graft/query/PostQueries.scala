@@ -351,7 +351,77 @@ object PostQueries {
     // joins against at most page×limit rows, never every child row
     val paged = matched.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") > sk && col("_rk") <= sk.toLong + limit)
-    val h = hydrate(paged)
+    assembleChildren(page, paged, outCol, hydrate)
+  }
+
+  /** Q3 page form, served through a REPLY-INDEX layout
+    * ([[graft.state.Layout.writeReplyIndex]]) — the scale path for
+    * the one API probe the key-bucketed store cannot prune (rows
+    * bucket by their own key, children look up by their PARENT's).
+    * Same results as [[childrenFor]]; different plan:
+    *   1. the page's parent keys prune the slim index to ≤|page keys|
+    *      `reply_bucket` partitions (bounded discovery collect),
+    *   2. the per-parent rank/skip/limit window runs on the INDEX
+    *      (5 narrow columns), never the full-width store,
+    *   3. only the ≤ page×limit SURVIVING child keys fetch their full
+    *      rows from the store — key-bucket pruned in turn when the
+    *      store has the graft layout (`sourceKeyBuckets`).
+    * Pruning scales with n/|keys| (a 4096-bucket production index
+    * prunes a 100-key page to ~2.5% of files); the window input drops
+    * from every child of the page's posts at store width to the same
+    * rows at index width regardless. The slim index probe executes
+    * twice (bucket discovery + the fetch join's build side) — both
+    * executions are the pruned slim scan, cheaper than persisting
+    * through the caller's collect. */
+  def childrenForIndexed(page: DataFrame, source: DataFrame,
+                         replyIndex: DataFrame, indexBuckets: Int,
+                         limit: Int = 100, skip: Int = 0,
+                         outCol: String = "children",
+                         hydrate: DataFrame => DataFrame = identity,
+                         sourceKeyBuckets: Option[Int] = None)
+      : DataFrame = {
+    val sk = math.max(0, skip)
+    val pb = page.select(graft.state.Layout.keyBucket(col("author"),
+        col("permlink"), indexBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val keys = page.select(col("author").as("_ca"),
+      col("permlink").as("_cp")).distinct()
+    val cand = replyIndex.filter(col("reply_bucket").isin(pb: _*))
+      .join(broadcast(keys),
+        replyIndex("parent_author") === keys("_ca") &&
+          replyIndex("parent_permlink") === keys("_cp"), "left_semi")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("parent_author", "parent_permlink")
+      .orderBy(col("created_at").asc, col("author").asc,
+        col("permlink").asc)
+    val pagedKeys = cand.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > sk && col("_rk") <= sk.toLong + limit)
+      .select(col("author").as("_ka"), col("permlink").as("_kp"),
+        col("_rk"))
+    val fetchBase = sourceKeyBuckets
+      .filter(_ => source.columns.contains("key_bucket"))
+      .map { n =>
+        val kb = pagedKeys.select(graft.state.Layout.keyBucket(
+            col("_ka"), col("_kp"), n).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        source.filter(col("key_bucket").isin(kb: _*))
+      }.getOrElse(source)
+    val ranked = fetchBase.join(broadcast(pagedKeys),
+      fetchBase("author") === pagedKeys("_ka") &&
+        fetchBase("permlink") === pagedKeys("_kp"), "inner")
+      .drop("_ka", "_kp")
+    assembleChildren(page, ranked, outCol, hydrate)
+  }
+
+  /** Shared tail of the children operators: hydrate the ranked child
+    * rows (`_rk` present), collect each parent's page into an
+    * `_rk`-ordered struct array, left-join onto the page, [] for
+    * childless posts. */
+  private def assembleChildren(page: DataFrame, ranked: DataFrame,
+                               outCol: String,
+                               hydrate: DataFrame => DataFrame)
+      : DataFrame = {
+    val h = hydrate(ranked)
     val kidCols = h.columns.filterNot(_ == "_rk")
     val grouped = h
       .groupBy(col("parent_author").as("_ca"),

@@ -38,6 +38,62 @@ object Layout {
   def keyBucket(author: Column, permlink: Column, n: Int): Column =
     pmod(xxhash64(author, permlink), lit(n.toLong)).cast("int")
 
+  /** The reply-tree access path's OWN layout — the secondary-index
+    * analogue of the reference's `{parent_permlink, parent_author}`
+    * Mongo index (it declares one for exactly this query). The posts
+    * store buckets rows by their own key, so a `children(of: key)`
+    * probe cannot prune there; this slim projection (parent key,
+    * child key, the child-page ordering column) is bucketed by the
+    * PARENT key instead: a children page then reads ≤|page keys|
+    * buckets of a table that is a few % of the store's width, ranks
+    * on it, and fetches only the ≤ page×limit surviving child rows
+    * from the main store (key-bucket pruned in turn). Refresh like
+    * any derived view — full rewrite here; a deployment maintains it
+    * incrementally exactly like the Incremental.maintainParquetView
+    * aggregates (the index rows of a micro-batch are the batch's own
+    * replies, so the delta is batch-sized). */
+  def writeReplyIndex(posts: DataFrame, dir: String, n: Int): Unit = {
+    posts
+      .filter(col("parent_author") =!= "" &&
+        col("parent_author").isNotNull)
+      .select(col("parent_author"), col("parent_permlink"),
+        col("author"), col("permlink"), col("created_at"))
+      .withColumn("reply_bucket",
+        keyBucket(col("parent_author"), col("parent_permlink"), n))
+      .repartition(col("reply_bucket"))
+      .sortWithinPartitions("parent_author", "parent_permlink",
+        "created_at")
+      .write
+      .partitionBy("reply_bucket")
+      .mode("overwrite")
+      .parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "_graft_layout.json")
+    val fs = p.getFileSystem(
+      posts.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"""{"reply_buckets": $n}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The reply index's bucket modulus from its layout marker (None =
+    * no marker / unreadable → treat the table as un-indexed). */
+  def replyIndexBuckets(spark: SparkSession, dir: String)
+      : Option[Int] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, "_graft_layout.json")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try "\"reply_buckets\"\\s*:\\s*(\\d+)".r
+          .findFirstMatchIn(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .map(_.group(1).toInt)
+        finally in.close()
+      }
+    } catch { case _: Exception => None }
+
   /** Write an entity table with the feed-serving layout. */
   def writePosts(posts: DataFrame, dir: String): Unit =
     posts

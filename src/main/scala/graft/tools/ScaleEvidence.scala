@@ -1171,6 +1171,29 @@ object ScaleEvidence {
       require(!resp.has("errors"), resp.toString)
       resp.path("data").path("socialFeed").path("items").size().toLong
     }
+    // reply FOREST derived on the fly from the flat store (no files
+    // touched): post k with k%10 in 1..8 replies to its decade leader
+    // (k - k%10); k%10 == 9 replies to post k-8 — every leader has 8
+    // children and its first child has a child. Replies must carry
+    // the ingest-time comment flag, or the feed's F4 filter
+    // (flags ∌ 'comment') keeps them in the page.
+    def replyForest(): org.apache.spark.sql.DataFrame = {
+      val pid = regexp_extract(col("permlink"), "post(\\d+)", 1)
+        .cast("long")
+      val m = pmod(pid, lit(10L))
+      val parentId = when(m === 9, pid - 8).otherwise(pid - m)
+      spark.read.parquet(postsDir)
+        .withColumn("parent_author", when(m =!= 0,
+          concat(lit("user"), pmod(parentId, lit(50000L))))
+          .otherwise(col("parent_author")))
+        .withColumn("parent_permlink", when(m =!= 0,
+          concat(lit("post"), parentId))
+          .otherwise(col("parent_permlink")))
+        .withColumn("flags", when(m =!= 0,
+          array_union(coalesce(col("flags"),
+            array().cast("array<string>")), array(lit("comment"))))
+          .otherwise(col("flags")))
+    }
     // LEVEL-2 hydration: children { parent_post, author{profile},
     // children } — each nested field is one more batched join whose
     // probe side is the store and whose build side is the PAGE-BOUNDED
@@ -1202,25 +1225,8 @@ object ScaleEvidence {
           lit(null).cast("string").as("cover")).as("images"),
         struct(lit(null).cast("string").as("pinned_post")).as("extra"),
         (col("id") % 100).cast("double").as("score"))
-      val pid = regexp_extract(col("permlink"), "post(\\d+)", 1)
-        .cast("long")
-      val m = pmod(pid, lit(10L))
-      val parentId = when(m === 9, pid - 8).otherwise(pid - m)
-      val forest = spark.read.parquet(postsDir)
-        .withColumn("parent_author", when(m =!= 0,
-          concat(lit("user"), pmod(parentId, lit(50000L))))
-          .otherwise(col("parent_author")))
-        .withColumn("parent_permlink", when(m =!= 0,
-          concat(lit("post"), parentId))
-          .otherwise(col("parent_permlink")))
-        // replies must carry the ingest-time comment flag, or the
-        // feed's F4 filter (flags ∌ 'comment') keeps them in the page
-        .withColumn("flags", when(m =!= 0,
-          array_union(coalesce(col("flags"),
-            array().cast("array<string>")), array(lit("comment"))))
-          .otherwise(col("flags")))
       val api = new graft.api.GraftApi(spark, graft.api.ApiTables(
-        posts = forest,
+        posts = replyForest(),
         follows = empty(graft.domain.Schemas.follow),
         profiles = profiles))
       val resp = api.execute("{ socialFeed(pagination: {limit: 100})" +
@@ -1279,6 +1285,63 @@ object ScaleEvidence {
       require(r.path("data").path("socialPost").path("permlink")
         .asText() == "post123", r.toString)
       1L
+    }
+    // ── children through the REPLY INDEX (the one probe key_bucket
+    //    cannot serve): rank on the slim parent-bucketed index, fetch
+    //    only the paged child rows. Index build is a one-time/
+    //    incremental artifact — timed separately from the query. ───
+    println("== graphql children via reply index ==")
+    val replyIdxDir = s"$work/reply_index"
+    timed(s"reply index build (one-time) vs $nPosts stored") {
+      graft.state.Layout.writeReplyIndex(replyForest(), replyIdxDir, 64)
+      spark.read.parquet(replyIdxDir).count()
+    }
+    def childApi(idx: Option[(org.apache.spark.sql.DataFrame, Int)]) = {
+      def empty(st: org.apache.spark.sql.types.StructType) =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      new graft.api.GraftApi(spark, graft.api.ApiTables(
+        posts = replyForest(),
+        follows = empty(graft.domain.Schemas.follow),
+        profiles = empty(graft.domain.Schemas.profile),
+        keyBuckets = Some(64), replyIndex = idx))
+    }
+    def childQuery(api: graft.api.GraftApi, nItems: Int): Long = {
+      val r = api.execute("{ socialFeed(pagination: {limit: " +
+        nItems + "}) { items { permlink children(limit: 8) " +
+        "{ permlink } } } }")
+      val items = r.path("data").path("socialFeed").path("items")
+      var kids = 0L
+      items.elements().forEachRemaining(it =>
+        kids += it.path("children").size())
+      require(items.size() == nItems && kids > 0,
+        s"items=${items.size()} kids=$kids ${r.toString.take(200)}")
+      kids
+    }
+    timed(s"children page(100) VIA STORE SCAN vs $nPosts stored") {
+      childQuery(childApi(None), 100)
+    }
+    timed(s"children page(100) VIA REPLY INDEX vs $nPosts stored") {
+      childQuery(childApi(Some((
+        spark.read.parquet(replyIdxDir), 64))), 100)
+    }
+    // the point form (one post's replies) — where pruning bites
+    // hardest: 1 index bucket + ≤8 fetch keys
+    def childPoint(api: graft.api.GraftApi): Long = {
+      val r = api.execute("""{ socialPost(author: "user120", permlink:
+          | "post120") { children(limit: 8) { permlink } } }"""
+          .stripMargin)
+      val kids = r.path("data").path("socialPost").path("children")
+      require(kids.size() == 8, r.toString.take(300))
+      kids.size().toLong
+    }
+    timed(s"children POINT (1 post) VIA STORE SCAN vs $nPosts " +
+      "stored") {
+      childPoint(childApi(None))
+    }
+    timed(s"children POINT (1 post) VIA REPLY INDEX vs $nPosts " +
+      "stored") {
+      childPoint(childApi(Some((spark.read.parquet(replyIdxDir), 64))))
     }
     spark.stop()
   }

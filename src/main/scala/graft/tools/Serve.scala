@@ -59,7 +59,12 @@ object Serve {
       communities = opt("communities"),
       socialConnections = opt("social_connections"),
       syncStats = opt("sync_stats"),
-      keyBuckets = storedKeyBuckets(spark, s"$store/posts"))
+      keyBuckets = storedKeyBuckets(spark, s"$store/posts"),
+      replyIndex = for {
+        df <- opt("reply_index")
+        n <- graft.state.Layout.replyIndexBuckets(spark,
+          s"$store/reply_index")
+      } yield (df, n))
   }
 
   /** The posts store's graft-layout bucket modulus, read from its

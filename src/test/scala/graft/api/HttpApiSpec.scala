@@ -818,6 +818,31 @@ class HttpApiSpec extends SparkSpec {
     assert(p.path("parent_post").path("permlink").asText() == "v1")
     // the REST read half prunes the same way
     assert(api2.streamIdLookup("alice", "v1").path("stream_id").isNull)
+    // with a reply index alongside, children hydration serves through
+    // it (rank on the slim index, fetch only the paged rows) — same
+    // answers, including the multi-level shapes
+    graft.state.Layout.writeReplyIndex(
+      spark.read.parquet(s"$dir/posts"), s"$dir/reply_index", 8)
+    val indexed = graft.tools.Serve.tables(spark, dir + "/")
+    assert(indexed.replyIndex.exists(_._2 == 8))
+    val api3 = new GraftApi(spark, indexed)
+    val deep = api3.execute(
+      """{ socialPost(author: "alice", permlink: "v1") {
+        |  children { permlink author { username }
+        |             children { permlink } }
+        |} }""".stripMargin)
+    assert(!deep.has("errors"), deep.toString)
+    val kid = deep.path("data").path("socialPost").path("children")
+      .get(0)
+    assert(kid.path("permlink").asText() == "r1")
+    assert(kid.path("author").path("username").asText() == "dave")
+    assert(kid.path("children").get(0).path("permlink").asText()
+      == "rr1")
+    val none = api3.execute(
+      """{ socialPost(author: "erin", permlink: "rr1") {
+        |  children { permlink } } }""".stripMargin)
+      .path("data").path("socialPost").path("children")
+    assert(none.isArray && none.size() == 0)
     // a top-level post (empty parent ref) stays a null parent, and a
     // page whose rows are ALL top-level hydrates against an empty
     // pruned source without error

@@ -163,6 +163,75 @@ class PageHydrationPlanSpec extends SparkSpec {
     assert(PostQueries.parentPruned(page, posts, 8) eq posts)
   }
 
+  test("childrenForIndexed: identical results to childrenFor, " +
+    "reply_bucket + key_bucket partition filters on the probes, " +
+    "window stays partitioned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-replyidx").toString
+    posts
+      .withColumn("created_month",
+        date_format(col("created_at"), "yyyy-MM"))
+      .withColumn("key_bucket", graft.state.Layout.keyBucket(
+        col("author"), col("permlink"), 8))
+      .write.partitionBy("created_month", "key_bucket")
+      .parquet(s"$base/posts")
+    val stored = spark.read.parquet(s"$base/posts")
+    graft.state.Layout.writeReplyIndex(stored, s"$base/reply_index", 8)
+    assert(graft.state.Layout
+      .replyIndexBuckets(spark, s"$base/reply_index").contains(8))
+    val idx = spark.read.parquet(s"$base/reply_index")
+    val page = stored.filter(col("permlink").isin("p2", "p5", "p7"))
+    val viaIndex = PostQueries.childrenForIndexed(page, stored, idx, 8,
+      limit = 2, skip = 0, sourceKeyBuckets = Some(8))
+    val viaScan = PostQueries.childrenFor(page, stored, limit = 2,
+      skip = 0)
+    def kidsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("permlink"), transform(col("children"),
+          k => k.getField("permlink")).as("ks"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1))
+        .toMap
+    assert(kidsOf(viaIndex) == kidsOf(viaScan))
+    assert(kidsOf(viaIndex)("p2") == Seq("p3"))  // p3 replies to p2
+    assert(kidsOf(viaIndex)("p7").isEmpty)       // no replies → []
+    // both partition filters reach their scans
+    val scans = nodes(viaIndex).collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.exists(
+      _.references.exists(_.name == "reply_bucket"))),
+      scans.map(_.partitionFilters).toString)
+    assert(scans.exists(_.partitionFilters.exists(
+      _.references.exists(_.name == "key_bucket"))),
+      scans.map(_.partitionFilters).toString)
+    val unpartitioned = nodes(viaIndex).collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty)
+    // per-parent skip/limit paging matches the scan path on a parent
+    // with many children
+    val many = posts.withColumn("parent_author", lit("user1"))
+      .withColumn("parent_permlink", lit("pX"))
+      .withColumn("created_month", lit("2024-05"))
+      .withColumn("key_bucket", graft.state.Layout.keyBucket(
+        col("author"), col("permlink"), 8))
+    many.write.partitionBy("created_month", "key_bucket")
+      .parquet(s"$base/many")
+    val manyStored = spark.read.parquet(s"$base/many")
+    graft.state.Layout.writeReplyIndex(manyStored, s"$base/many_idx", 8)
+    val manyIdx = spark.read.parquet(s"$base/many_idx")
+    val page2 = Seq(("user1", "pX", "", "", java.sql.Timestamp
+      .valueOf("2024-05-01 12:00:00")))
+      .toDF("author", "permlink", "parent_author", "parent_permlink",
+        "created_at")
+    val capped = PostQueries.childrenForIndexed(page2, manyStored,
+      manyIdx, 8, limit = 2, skip = 1, sourceKeyBuckets = Some(8))
+    val kid = capped.select(
+      transform(col("children"), k => k.getField("permlink"))
+        .as("ps")).as[Seq[String]].collect().head
+    assert(kid == Seq("p60", "p180"))  // same page as childrenFor's
+  }
+
   test("withParentFrom: no full-table shuffle against the page — " +
     "broadcast joins only; missing parents stay null") {
     val page = posts.filter(col("permlink").isin("p3", "p4"))
