@@ -556,14 +556,21 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
         case Some((idx, n)) =>
           // rank on the slim parent-bucketed index, fetch only the
           // paged child rows (key-bucket pruned when the store has
-          // the layout — keep the partition column through the
-          // projection for that filter)
+          // the layout — the partition column rides through the
+          // projection for that filter, then drops before the struct
+          // unless the client actually selected it). Discovery keys
+          // derive from the PERSISTED page frame, not the
+          // join-extended `out`.
+          val needExtra = tables.keyBuckets.isDefined &&
+            !GraphQL.allFieldNames(ch.selections).contains("key_bucket")
           PostQueries.childrenForIndexed(out,
             prunedFrom(projectedPosts, ch.selections,
-              extra = if (tables.keyBuckets.isDefined)
-                Set("key_bucket") else Set.empty),
-            idx, n, limit, skip, outCol, hyd,
-            sourceKeyBuckets = tables.keyBuckets)
+              extra = if (needExtra) Set("key_bucket") else Set.empty),
+            idx, n, limit, skip, outCol,
+            hydrate = m =>
+              hyd(if (needExtra) m.drop("key_bucket") else m),
+            sourceKeyBuckets = tables.keyBuckets,
+            keysFrom = Some(df))
         case None =>
           PostQueries.childrenFor(out, pruned(ch.selections),
             limit, skip, outCol, hyd)

@@ -372,19 +372,31 @@ object PostQueries {
     * rows at index width regardless. The slim index probe executes
     * twice (bucket discovery + the fetch join's build side) — both
     * executions are the pruned slim scan, cheaper than persisting
-    * through the caller's collect. */
+    * through the caller's collect.
+    *
+    * `keysFrom`: the frame to derive the page's keys from when `page`
+    * carries extra plan weight (e.g. earlier hydration joins) — must
+    * hold the same (author, permlink) rows; the two eager discovery
+    * collects then run the slim plan instead of re-executing the
+    * joins. A store violating the unique-(author, permlink) invariant
+    * (Merge.latestWins guarantees it) serves ONE row per child key
+    * here where the scan path would serve each duplicate — the fetch
+    * is a key join, so duplicates are deduped rather than
+    * cross-multiplied past `limit`. */
   def childrenForIndexed(page: DataFrame, source: DataFrame,
                          replyIndex: DataFrame, indexBuckets: Int,
                          limit: Int = 100, skip: Int = 0,
                          outCol: String = "children",
                          hydrate: DataFrame => DataFrame = identity,
-                         sourceKeyBuckets: Option[Int] = None)
+                         sourceKeyBuckets: Option[Int] = None,
+                         keysFrom: Option[DataFrame] = None)
       : DataFrame = {
     val sk = math.max(0, skip)
-    val pb = page.select(graft.state.Layout.keyBucket(col("author"),
+    val kf = keysFrom.getOrElse(page)
+    val pb = kf.select(graft.state.Layout.keyBucket(col("author"),
         col("permlink"), indexBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val keys = page.select(col("author").as("_ca"),
+    val keys = kf.select(col("author").as("_ca"),
       col("permlink").as("_cp")).distinct()
     val cand = replyIndex.filter(col("reply_bucket").isin(pb: _*))
       .join(broadcast(keys),
@@ -398,6 +410,8 @@ object PostQueries {
       .filter(col("_rk") > sk && col("_rk") <= sk.toLong + limit)
       .select(col("author").as("_ka"), col("permlink").as("_kp"),
         col("_rk"))
+      // one row per child key (see scaladoc: dup-store divergence)
+      .dropDuplicates("_ka", "_kp")
     val fetchBase = sourceKeyBuckets
       .filter(_ => source.columns.contains("key_bucket"))
       .map { n =>
@@ -410,6 +424,9 @@ object PostQueries {
       fetchBase("author") === pagedKeys("_ka") &&
         fetchBase("permlink") === pagedKeys("_kp"), "inner")
       .drop("_ka", "_kp")
+      // no-op on a latest-wins store; bounds a duplicate-key store to
+      // one fetched row per key instead of multiplying past limit
+      .dropDuplicates("author", "permlink")
     assembleChildren(page, ranked, outCol, hydrate)
   }
 

@@ -67,13 +67,10 @@ object Layout {
       .partitionBy("reply_bucket")
       .mode("overwrite")
       .parquet(dir)
-    val p = new org.apache.hadoop.fs.Path(dir, "_graft_layout.json")
-    val fs = p.getFileSystem(
-      posts.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"""{"reply_buckets": $n}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val table = new org.apache.hadoop.fs.Path(dir)
+    writeLayoutMarker(table.getFileSystem(
+      posts.sparkSession.sparkContext.hadoopConfiguration),
+      table, "reply_buckets", n)
   }
 
   /** The reply index's bucket modulus from its layout marker (None =
@@ -81,18 +78,48 @@ object Layout {
   def replyIndexBuckets(spark: SparkSession, dir: String)
       : Option[Int] =
     try {
-      val p = new org.apache.hadoop.fs.Path(dir, "_graft_layout.json")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) None
-      else {
-        val in = fs.open(p)
-        try "\"reply_buckets\"\\s*:\\s*(\\d+)".r
-          .findFirstMatchIn(new String(in.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8))
-          .map(_.group(1).toInt)
-        finally in.close()
-      }
+      val p = new org.apache.hadoop.fs.Path(dir)
+      layoutMarker(p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration), p, "reply_buckets")
     } catch { case _: Exception => None }
+
+  private val LayoutMarkerFile = "_graft_layout.json"
+
+  /** Read `"<key>": n` from `<table>/_graft_layout.json` — the ONE
+    * marker reader every layout shares (posts stores carry
+    * `key_buckets`, reply indexes `reply_buckets`). None = no marker.
+    * `strict` = a PRESENT but unparseable marker throws instead of
+    * answering None: the merge path must refuse rather than prune
+    * with a guessed modulus (that silently splits keys); read-side
+    * consumers degrade to unpruned instead. */
+  def layoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+                   table: org.apache.hadoop.fs.Path, key: String,
+                   strict: Boolean = false): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(table, LayoutMarkerFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val n = ("\"" + key + "\"\\s*:\\s*(\\d+)").r
+        .findFirstMatchIn(s).map(_.group(1).toInt)
+      if (n.isEmpty && strict) throw new IllegalStateException(
+        s"corrupt layout marker at $p: $s")
+      n
+    }
+  }
+
+  def writeLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
+                        table: org.apache.hadoop.fs.Path, key: String,
+                        n: Int): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(table, LayoutMarkerFile), true)
+    try out.write(s"""{"$key": $n}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** Write an entity table with the feed-serving layout. */
   def writePosts(posts: DataFrame, dir: String): Unit =

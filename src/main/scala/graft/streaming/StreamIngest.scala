@@ -138,7 +138,7 @@ object StreamIngest {
       else existing match {
         case Some(_) => storedKeyBuckets(fs, tablePath).getOrElse(
           throw new IllegalStateException(
-            s"bucketed table at $postsDir has no $LayoutMarkerFile; " +
+            s"bucketed table at $postsDir has no _graft_layout.json; " +
               "cannot infer its bucket modulus — restore the marker " +
               "or migrate the table"))
         case None => keyBuckets
@@ -233,42 +233,22 @@ object StreamIngest {
     }
   }
 
-  private val LayoutMarkerFile = "_graft_layout.json"
-
   /** Bucket modulus the table at `table` was written with, recorded
-    * by [[writeLayoutMarker]]. Underscore-prefixed, so parquet
-    * partition discovery ignores it. */
+    * by [[writeLayoutMarker]] (delegates to the shared
+    * [[graft.state.Layout.layoutMarker]]; strict — a present but
+    * unreadable marker must REFUSE the merge: falling back to the
+    * caller's modulus could prune the wrong buckets and silently
+    * split keys). */
   private[graft] def storedKeyBuckets(
       fs: org.apache.hadoop.fs.FileSystem,
-      table: org.apache.hadoop.fs.Path): Option[Int] = {
-    val p = new org.apache.hadoop.fs.Path(table, LayoutMarkerFile)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val s = new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        val n = "\"key_buckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(s)
-          .map(_.group(1).toInt)
-        // a PRESENT but unreadable marker must refuse the merge:
-        // falling back to the caller's modulus could prune the wrong
-        // buckets and silently split keys
-        if (n.isEmpty) throw new IllegalStateException(
-          s"corrupt layout marker at $p: $s")
-        n
-      } finally in.close()
-    }
-  }
+      table: org.apache.hadoop.fs.Path): Option[Int] =
+    graft.state.Layout.layoutMarker(fs, table, "key_buckets",
+      strict = true)
 
   private[streaming] def writeLayoutMarker(
       fs: org.apache.hadoop.fs.FileSystem,
-      table: org.apache.hadoop.fs.Path, n: Int): Unit = {
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(table, LayoutMarkerFile), true)
-    try out.write(s"""{"key_buckets": $n}"""
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+      table: org.apache.hadoop.fs.Path, n: Int): Unit =
+    graft.state.Layout.writeLayoutMarker(fs, table, "key_buckets", n)
 
   /** The existing-table view the seed lookups read: partition-pruned
     * to the key buckets this batch can possibly match — the batch's

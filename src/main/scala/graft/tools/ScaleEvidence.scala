@@ -1259,6 +1259,16 @@ object ScaleEvidence {
     //    lookup — exactly like StreamIngest's merge-side seed lookup.
     //    Measured pruned vs full on the same store. ────────────────
     println("== graphql bucket-pruned point probes ==")
+    // the modulus is the STORE's, from its marker — hardcoding the
+    // default would prune the wrong bucket on a store merged with a
+    // different n (the exact mismatch the marker exists to prevent)
+    lazy val storeBuckets: Int = {
+      val p = new org.apache.hadoop.fs.Path(postsDir)
+      graft.state.Layout.layoutMarker(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        p, "key_buckets").getOrElse(
+        sys.error(s"no layout marker at $postsDir"))
+    }
     def pointApi(kb: Option[Int]) = {
       def empty(st: org.apache.spark.sql.types.StructType) =
         spark.createDataFrame(
@@ -1277,9 +1287,10 @@ object ScaleEvidence {
         .asText() == "post123", r.toString)
       1L
     }
-    timed(s"graphql point lookup BUCKET-PRUNED (1/64) vs $nPosts " +
+    timed(s"graphql point lookup BUCKET-PRUNED (1/$storeBuckets) " +
+      s"vs $nPosts " +
       "stored") {
-      val r = pointApi(Some(64)).execute(
+      val r = pointApi(Some(storeBuckets)).execute(
         """{ socialPost(author: "user123", permlink: "post123")
           | { permlink title } }""".stripMargin)
       require(r.path("data").path("socialPost").path("permlink")
@@ -1292,10 +1303,22 @@ object ScaleEvidence {
     //    incremental artifact — timed separately from the query. ───
     println("== graphql children via reply index ==")
     val replyIdxDir = s"$work/reply_index"
-    timed(s"reply index build (one-time) vs $nPosts stored") {
-      graft.state.Layout.writeReplyIndex(replyForest(), replyIdxDir, 64)
+    val idxBuildLabel = s"reply index build (one-time) vs $nPosts stored"
+    timed(idxBuildLabel) {
+      graft.state.Layout.writeReplyIndex(replyForest(), replyIdxDir,
+        storeBuckets)
       spark.read.parquet(replyIdxDir).count()
     }
+    // off-clock fallback: a filter selecting only the query stages
+    // still needs a FRESH index (a leftover from a different-decade
+    // run would silently measure stale data — rebuild, untimed)
+    if (!stageSelected(idxBuildLabel) &&
+        (stageSelected(s"children page(100) VIA REPLY INDEX vs " +
+          s"$nPosts stored") ||
+         stageSelected(s"children POINT (1 post) VIA REPLY INDEX " +
+           s"vs $nPosts stored")))
+      graft.state.Layout.writeReplyIndex(replyForest(), replyIdxDir,
+        storeBuckets)
     def childApi(idx: Option[(org.apache.spark.sql.DataFrame, Int)]) = {
       def empty(st: org.apache.spark.sql.types.StructType) =
         spark.createDataFrame(
@@ -1304,7 +1327,7 @@ object ScaleEvidence {
         posts = replyForest(),
         follows = empty(graft.domain.Schemas.follow),
         profiles = empty(graft.domain.Schemas.profile),
-        keyBuckets = Some(64), replyIndex = idx))
+        keyBuckets = Some(storeBuckets), replyIndex = idx))
     }
     def childQuery(api: graft.api.GraftApi, nItems: Int): Long = {
       val r = api.execute("{ socialFeed(pagination: {limit: " +
@@ -1323,7 +1346,7 @@ object ScaleEvidence {
     }
     timed(s"children page(100) VIA REPLY INDEX vs $nPosts stored") {
       childQuery(childApi(Some((
-        spark.read.parquet(replyIdxDir), 64))), 100)
+        spark.read.parquet(replyIdxDir), storeBuckets))), 100)
     }
     // the point form (one post's replies) — where pruning bites
     // hardest: 1 index bucket + ≤8 fetch keys
@@ -1341,7 +1364,7 @@ object ScaleEvidence {
     }
     timed(s"children POINT (1 post) VIA REPLY INDEX vs $nPosts " +
       "stored") {
-      childPoint(childApi(Some((spark.read.parquet(replyIdxDir), 64))))
+      childPoint(childApi(Some((spark.read.parquet(replyIdxDir), storeBuckets))))
     }
     spark.stop()
   }
