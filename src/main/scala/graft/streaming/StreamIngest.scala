@@ -68,7 +68,8 @@ object StreamIngest {
     * column) merge month-scoped in their own layout. */
   def mergeBlocksBatch(spark: SparkSession, blocks: DataFrame,
                        postsDir: String,
-                       keyBuckets: Int = 64): Unit = {
+                       keyBuckets: Int = 64,
+                       replyIndexDir: Option[String] = None): Unit = {
     implicit val s: SparkSession = spark
     // AQE materializes every shuffle stage as its own job to re-plan —
     // the right trade for big queries, pure fixed overhead for a
@@ -87,14 +88,17 @@ object StreamIngest {
     val aqeBefore = sessions.map(s =>
       s -> s.conf.get("spark.sql.adaptive.enabled", "true"))
     sessions.foreach(_.conf.set("spark.sql.adaptive.enabled", "false"))
-    try mergeBlocksBatchImpl(spark, blocks, postsDir, keyBuckets)
+    try mergeBlocksBatchImpl(spark, blocks, postsDir, keyBuckets,
+      replyIndexDir)
     finally aqeBefore.foreach { case (s, v) =>
       s.conf.set("spark.sql.adaptive.enabled", v) }
   }
 
   private def mergeBlocksBatchImpl(spark: SparkSession,
                                    blocks: DataFrame, postsDir: String,
-                                   keyBuckets: Int): Unit = {
+                                   keyBuckets: Int,
+                                   replyIndexDir: Option[String])
+      : Unit = {
     implicit val s: SparkSession = spark
     val monthCol = graft.state.Layout.monthBucket(col("created_at"))
     val ops = OpExtract.ops(blocks)
@@ -224,6 +228,12 @@ object StreamIngest {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCols: _*)
         .parquet(postsDir)
+      // maintained alongside, AFTER the store write (a crash between
+      // the two leaves the index one batch stale; the replayed batch
+      // repairs both idempotently). `fresh` is still persisted here —
+      // the index delta is exactly the batch's ingested rows.
+      replyIndexDir.foreach(d =>
+        refreshReplyIndex(spark, fresh, d, keyBuckets))
     } finally {
       fresh.unpersist(blocking = false)
       // the ingest pipeline registers per-batch caches (gate fixpoint
@@ -231,6 +241,71 @@ object StreamIngest {
       // stream pins one cached table per micro-batch forever
       graft.CacheTracker.releaseAll()
     }
+  }
+
+  /** Incrementally maintain a reply index
+    * ([[graft.state.Layout.writeReplyIndex]]) alongside a merged
+    * store: the DELTA is the micro-batch's own ingested rows (their
+    * replies touch ≤|batch| reply buckets), so the refresh unions the
+    * touched buckets' existing rows with the batch's index rows,
+    * dedupes per document key, and dynamic-partition-overwrites ONLY
+    * those buckets — O(batch · index/n) per trigger, the same scaling
+    * contract as the posts merge itself. Replay-idempotent: a
+    * re-delivered batch rewrites the same buckets to the same bytes
+    * (index rows are immutable projections — the fold preserves
+    * stored created_at on edits — and the existing side wins ties).
+    * Run AFTER the posts write: a crash between the two leaves the
+    * index one batch stale, and the replayed batch repairs both. */
+  def refreshReplyIndex(spark: SparkSession, freshPosts: DataFrame,
+                        idxDir: String, keyBuckets: Int = 64): Unit = {
+    val p = new org.apache.hadoop.fs.Path(idxDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
+      val nm = st.getPath.getName
+      !nm.startsWith("_") && !nm.startsWith(".")
+    }
+    // like the posts merge: an EXISTING index's recorded modulus wins
+    // (pruning/writing with a different n silently splits keys);
+    // marker-before-data on create
+    val n =
+      if (hasData)
+        graft.state.Layout.layoutMarker(fs, p, "reply_buckets",
+          strict = true).getOrElse(throw new IllegalStateException(
+          s"reply index at $idxDir has no layout marker"))
+      else keyBuckets
+    val delta = freshPosts
+      .filter(col("parent_author") =!= "" &&
+        col("parent_author").isNotNull)
+      .select(col("parent_author"), col("parent_permlink"),
+        col("author"), col("permlink"), col("created_at"))
+      .withColumn("reply_bucket", graft.state.Layout.keyBucket(
+        col("parent_author"), col("parent_permlink"), n))
+    val merged =
+      if (!hasData) delta
+      else {
+        val touched = delta.select("reply_bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (touched.isEmpty) return
+        val existing = spark.read.parquet(idxDir)
+          .filter(col("reply_bucket").isin(touched: _*))
+        Merge.latestWins(
+          existing.withColumn("__src", lit(1))
+            .unionByName(delta.withColumn("__src", lit(0))),
+          Seq("parent_author", "parent_permlink", "author",
+            "permlink"),
+          lit(0), ties = Seq(col("__src"))).drop("__src")
+      }
+    if (!hasData)
+      graft.state.Layout.writeLayoutMarker(fs, p, "reply_buckets", n)
+    merged
+      .repartition(col("reply_bucket"))
+      .sortWithinPartitions("parent_author", "parent_permlink",
+        "created_at")
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("reply_bucket")
+      .parquet(idxDir)
   }
 
   /** Bucket modulus the table at `table` was written with, recorded
@@ -279,14 +354,16 @@ object StreamIngest {
     * exactly-once via checkpoint. */
   def run(spark: SparkSession, inDir: String, postsDir: String,
           checkpointDir: String,
-          trigger: Trigger = Trigger.ProcessingTime("2 seconds"))
+          trigger: Trigger = Trigger.ProcessingTime("2 seconds"),
+          replyIndexDir: Option[String] = None)
       : StreamingQuery =
     blockStream(spark, inDir)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeBlocksBatch(spark, batch, postsDir)
+        mergeBlocksBatch(spark, batch, postsDir,
+          replyIndexDir = replyIndexDir)
       }
       .start()
 

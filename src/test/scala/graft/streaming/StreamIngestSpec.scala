@@ -54,6 +54,60 @@ class StreamIngestSpec extends SparkSpec {
       .getAs[String]("body") == "v2 body")
   }
 
+  test("reply index maintained alongside the merge: split batches == " +
+    "single batch == full rebuild; replay idempotent; serves " +
+    "childrenForIndexed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-replymaint").toString
+    val postsDir = s"$dir/posts"
+    val idxDir = s"$dir/reply_index"
+    def blocksDf(s: String) = spark.read
+      .schema(graft.domain.Schemas.block)
+      .json(spark.createDataset(Seq(s))(
+        org.apache.spark.sql.Encoders.STRING))
+    val b1 = block(100, "2024-05-01T12:00:00",
+      ("t1", Seq(("comment", comment("alice", "p1", "root")))),
+      ("t2", Seq(("comment", comment("bob", "r1", "re one",
+        parentAuthor = "alice", parentPermlink = "p1")))))
+    val b2 = block(101, "2024-05-01T12:00:03",
+      ("t3", Seq(("comment", comment("carol", "r2", "re two",
+        parentAuthor = "alice", parentPermlink = "p1")))),
+      ("t4", Seq(("comment", comment("dave", "rr1", "re reply",
+        parentAuthor = "bob", parentPermlink = "r1")))))
+    StreamIngest.mergeBlocksBatch(spark, blocksDf(b1), postsDir,
+      keyBuckets = 4, replyIndexDir = Some(idxDir))
+    StreamIngest.mergeBlocksBatch(spark, blocksDf(b2), postsDir,
+      keyBuckets = 4, replyIndexDir = Some(idxDir))
+    def rowsOf(d: String) = spark.read.parquet(d)
+      .select("parent_author", "parent_permlink", "author",
+        "permlink", "reply_bucket")
+      .collect().map(_.toSeq).toSet
+    val maintained = rowsOf(idxDir)
+    assert(maintained.size == 3)   // r1, r2, rr1
+    // == a from-scratch rebuild of the merged store
+    graft.state.Layout.writeReplyIndex(
+      spark.read.parquet(postsDir), s"$dir/rebuilt", 4)
+    assert(maintained == rowsOf(s"$dir/rebuilt"))
+    // replaying batch 1 changes nothing (latest-wins + immutable rows)
+    StreamIngest.mergeBlocksBatch(spark, blocksDf(b1), postsDir,
+      keyBuckets = 4, replyIndexDir = Some(idxDir))
+    assert(rowsOf(idxDir) == maintained)
+    // the maintained index serves the indexed children path with the
+    // same answers as the scan path
+    val stored = spark.read.parquet(postsDir)
+    val page = stored.filter(col("permlink") === "p1")
+    val idx = spark.read.parquet(idxDir)
+    val viaIdx = graft.query.PostQueries.childrenForIndexed(
+      page, stored, idx, 4, limit = 10)
+      .select(org.apache.spark.sql.functions.transform(col("children"),
+        k => k.getField("permlink")).as("ks"))
+      .as[Seq[String]].collect().head
+    assert(viaIdx == Seq("r1", "r2"))
+    // marker pins the index modulus
+    assert(graft.state.Layout.replyIndexBuckets(spark, idxDir)
+      .contains(4))
+  }
+
   test("two documents sharing (author, permlink) under different " +
     "parents BOTH survive the merge (4-tuple identity)") {
     import spark.implicits._
