@@ -47,11 +47,11 @@ object Layout {
     * PARENT key instead: a children page then reads ≤|page keys|
     * buckets of a table that is a few % of the store's width, ranks
     * on it, and fetches only the ≤ page×limit surviving child rows
-    * from the main store (key-bucket pruned in turn). Refresh like
-    * any derived view — full rewrite here; a deployment maintains it
-    * incrementally exactly like the Incremental.maintainParquetView
-    * aggregates (the index rows of a micro-batch are the batch's own
-    * replies, so the delta is batch-sized). */
+    * from the main store (key-bucket pruned in turn). This is the
+    * full-rebuild form; the streaming merge maintains the same index
+    * incrementally per micro-batch
+    * ([[graft.streaming.StreamIngest.refreshReplyIndex]] — the delta
+    * is the batch's own replies, so the refresh is batch-sized). */
   def writeReplyIndex(posts: DataFrame, dir: String, n: Int): Unit = {
     posts
       .filter(col("parent_author") =!= "" &&
