@@ -378,11 +378,13 @@ object PostQueries {
     * carries extra plan weight (e.g. earlier hydration joins) — must
     * hold the same (author, permlink) rows; the two eager discovery
     * collects then run the slim plan instead of re-executing the
-    * joins. A store violating the unique-(author, permlink) invariant
-    * (Merge.latestWins guarantees it) serves ONE row per child key
-    * here where the scan path would serve each duplicate — the fetch
-    * is a key join, so duplicates are deduped rather than
-    * cross-multiplied past `limit`. */
+    * joins. Document identity is the FULL 4-tuple
+    * (parent_author, parent_permlink, author, permlink) — the same
+    * key the merge and the index rows preserve (two documents sharing
+    * (author, permlink) under different parents BOTH survive) — so
+    * the fetch joins and dedupes on all four; a store whose index
+    * holds duplicate 4-tuples (a violated invariant) serves one row
+    * per key instead of cross-multiplying past `limit`. */
   def childrenForIndexed(page: DataFrame, source: DataFrame,
                          replyIndex: DataFrame, indexBuckets: Int,
                          limit: Int = 100, skip: Int = 0,
@@ -408,10 +410,12 @@ object PostQueries {
         col("permlink").asc)
     val pagedKeys = cand.withColumn("_rk", row_number().over(w))
       .filter(col("_rk") > sk && col("_rk") <= sk.toLong + limit)
-      .select(col("author").as("_ka"), col("permlink").as("_kp"),
+      .select(col("parent_author").as("_pa"),
+        col("parent_permlink").as("_pp"),
+        col("author").as("_ka"), col("permlink").as("_kp"),
         col("_rk"))
-      // one row per child key (see scaladoc: dup-store divergence)
-      .dropDuplicates("_ka", "_kp")
+      // one row per document key (see scaladoc)
+      .dropDuplicates("_pa", "_pp", "_ka", "_kp")
     val fetchBase = sourceKeyBuckets
       .filter(_ => source.columns.contains("key_bucket"))
       .map { n =>
@@ -421,12 +425,15 @@ object PostQueries {
         source.filter(col("key_bucket").isin(kb: _*))
       }.getOrElse(source)
     val ranked = fetchBase.join(broadcast(pagedKeys),
-      fetchBase("author") === pagedKeys("_ka") &&
+      fetchBase("parent_author") === pagedKeys("_pa") &&
+        fetchBase("parent_permlink") === pagedKeys("_pp") &&
+        fetchBase("author") === pagedKeys("_ka") &&
         fetchBase("permlink") === pagedKeys("_kp"), "inner")
-      .drop("_ka", "_kp")
+      .drop("_pa", "_pp", "_ka", "_kp")
       // no-op on a latest-wins store; bounds a duplicate-key store to
-      // one fetched row per key instead of multiplying past limit
-      .dropDuplicates("author", "permlink")
+      // one fetched row per document instead of multiplying past limit
+      .dropDuplicates("parent_author", "parent_permlink", "author",
+        "permlink")
     assembleChildren(page, ranked, outCol, hydrate)
   }
 

@@ -53,6 +53,23 @@ object Layout {
     * ([[graft.streaming.StreamIngest.refreshReplyIndex]] — the delta
     * is the batch's own replies, so the refresh is batch-sized). */
   def writeReplyIndex(posts: DataFrame, dir: String, n: Int): Unit = {
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(
+      posts.sparkSession.sparkContext.hadoopConfiguration)
+    // full rebuild: clear any previous generation, then marker BEFORE
+    // data (same crash-window rule as the posts-store create — data
+    // without its modulus wedges every strict consumer), then a
+    // dynamic-mode write so the fresh marker survives the overwrite
+    fs.delete(table, true)
+    writeLayoutMarker(fs, table, "reply_buckets", n)
+    writeReplyIndexRows(replyIndexRows(posts, n), dir)
+  }
+
+  /** The index's row projection — shared by the full rebuild above
+    * and the incremental per-batch refresh
+    * ([[graft.streaming.StreamIngest.refreshReplyIndex]]) so the two
+    * forms cannot drift. */
+  def replyIndexRows(posts: DataFrame, n: Int): DataFrame =
     posts
       .filter(col("parent_author") =!= "" &&
         col("parent_author").isNotNull)
@@ -60,18 +77,30 @@ object Layout {
         col("author"), col("permlink"), col("created_at"))
       .withColumn("reply_bucket",
         keyBucket(col("parent_author"), col("parent_permlink"), n))
+
+  /** Shared physical write: bucket-partitioned, parent-key sorted,
+    * dynamic overwrite (replaces only the buckets present in `rows` —
+    * everything for a rebuild, the touched set for a refresh — and
+    * never deletes the layout marker). */
+  def writeReplyIndexRows(rows: DataFrame, dir: String): Unit =
+    rows
       .repartition(col("reply_bucket"))
       .sortWithinPartitions("parent_author", "parent_permlink",
         "created_at")
       .write
-      .partitionBy("reply_bucket")
       .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("reply_bucket")
       .parquet(dir)
-    val table = new org.apache.hadoop.fs.Path(dir)
-    writeLayoutMarker(table.getFileSystem(
-      posts.sparkSession.sparkContext.hadoopConfiguration),
-      table, "reply_buckets", n)
-  }
+
+  /** Does the table dir hold DATA (any non-underscore/dot entry)? A
+    * dir holding only a layout marker is a crashed create. */
+  def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                   table: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(table) && fs.listStatus(table).exists { st =>
+      val nm = st.getPath.getName
+      !nm.startsWith("_") && !nm.startsWith(".")
+    }
 
   /** The reply index's bucket modulus from its layout marker (None =
     * no marker / unreadable → treat the table as un-indexed). */

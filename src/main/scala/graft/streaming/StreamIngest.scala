@@ -113,11 +113,7 @@ object StreamIngest {
     // only the layout marker is a crashed first create — the marker
     // is written before the data (see below), so this is the
     // recovery path and the merge restarts as a fresh create
-    val hasData = fs.exists(tablePath) &&
-      fs.listStatus(tablePath).exists { st =>
-        val nm = st.getPath.getName
-        !nm.startsWith("_") && !nm.startsWith(".")
-      }
+    val hasData = graft.state.Layout.hasDataFiles(fs, tablePath)
     val existing =
       if (hasData) Some(spark.read.parquet(postsDir))
       else None
@@ -231,9 +227,14 @@ object StreamIngest {
       // maintained alongside, AFTER the store write (a crash between
       // the two leaves the index one batch stale; the replayed batch
       // repairs both idempotently). `fresh` is still persisted here —
-      // the index delta is exactly the batch's ingested rows.
+      // the index delta is exactly the batch's ingested rows. A store
+      // that PRE-DATES the index triggers a one-time full bootstrap
+      // from the merged table instead (the delta is not the history).
       replyIndexDir.foreach(d =>
-        refreshReplyIndex(spark, fresh, d, keyBuckets))
+        refreshReplyIndex(spark, fresh, d, keyBuckets,
+          bootstrapFrom =
+            if (existing.isDefined) Some(spark.read.parquet(postsDir))
+            else None))
     } finally {
       fresh.unpersist(blocking = false)
       // the ingest pipeline registers per-batch caches (gate fixpoint
@@ -257,55 +258,50 @@ object StreamIngest {
     * Run AFTER the posts write: a crash between the two leaves the
     * index one batch stale, and the replayed batch repairs both. */
   def refreshReplyIndex(spark: SparkSession, freshPosts: DataFrame,
-                        idxDir: String, keyBuckets: Int = 64): Unit = {
+                        idxDir: String, keyBuckets: Int = 64,
+                        bootstrapFrom: Option[DataFrame] = None)
+      : Unit = {
     val p = new org.apache.hadoop.fs.Path(idxDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(p) && fs.listStatus(p).exists { st =>
-      val nm = st.getPath.getName
-      !nm.startsWith("_") && !nm.startsWith(".")
-    }
-    // like the posts merge: an EXISTING index's recorded modulus wins
-    // (pruning/writing with a different n silently splits keys);
-    // marker-before-data on create
-    val n =
-      if (hasData)
-        graft.state.Layout.layoutMarker(fs, p, "reply_buckets",
-          strict = true).getOrElse(throw new IllegalStateException(
-          s"reply index at $idxDir has no layout marker"))
-      else keyBuckets
-    val delta = freshPosts
-      .filter(col("parent_author") =!= "" &&
-        col("parent_author").isNotNull)
-      .select(col("parent_author"), col("parent_permlink"),
-        col("author"), col("permlink"), col("created_at"))
-      .withColumn("reply_bucket", graft.state.Layout.keyBucket(
-        col("parent_author"), col("parent_permlink"), n))
-    val merged =
-      if (!hasData) delta
-      else {
-        val touched = delta.select("reply_bucket").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        if (touched.isEmpty) return
-        val existing = spark.read.parquet(idxDir)
-          .filter(col("reply_bucket").isin(touched: _*))
-        Merge.latestWins(
-          existing.withColumn("__src", lit(1))
-            .unionByName(delta.withColumn("__src", lit(0))),
-          Seq("parent_author", "parent_permlink", "author",
-            "permlink"),
-          lit(0), ties = Seq(col("__src"))).drop("__src")
+    if (!graft.state.Layout.hasDataFiles(fs, p)) {
+      // no index yet. If the posts store PRE-DATES it, the delta is
+      // NOT the whole history — an incremental create would silently
+      // serve an index missing every earlier reply; bootstrap with
+      // the full rebuild (marker-before-data inside) over the
+      // just-merged store instead.
+      bootstrapFrom match {
+        case Some(full) =>
+          graft.state.Layout.writeReplyIndex(full, idxDir, keyBuckets)
+        case None =>
+          val delta = graft.state.Layout.replyIndexRows(freshPosts,
+            keyBuckets)
+          // a reply-less head-of-archive batch must not churn the
+          // marker + an empty write job every trigger
+          if (!delta.isEmpty) {
+            graft.state.Layout.writeLayoutMarker(fs, p,
+              "reply_buckets", keyBuckets)
+            graft.state.Layout.writeReplyIndexRows(delta, idxDir)
+          }
       }
-    if (!hasData)
-      graft.state.Layout.writeLayoutMarker(fs, p, "reply_buckets", n)
-    merged
-      .repartition(col("reply_bucket"))
-      .sortWithinPartitions("parent_author", "parent_permlink",
-        "created_at")
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("reply_bucket")
-      .parquet(idxDir)
+      return
+    }
+    // an EXISTING index's recorded modulus wins (pruning/writing with
+    // a different n silently splits keys)
+    val n = graft.state.Layout.layoutMarker(fs, p, "reply_buckets",
+      strict = true).getOrElse(throw new IllegalStateException(
+      s"reply index at $idxDir has no layout marker"))
+    val delta = graft.state.Layout.replyIndexRows(freshPosts, n)
+    val touched = delta.select("reply_bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(idxDir)
+      .filter(col("reply_bucket").isin(touched: _*))
+    val merged = Merge.latestWins(
+      existing.withColumn("__src", lit(1))
+        .unionByName(delta.withColumn("__src", lit(0))),
+      Seq("parent_author", "parent_permlink", "author", "permlink"),
+      lit(0), ties = Seq(col("__src"))).drop("__src")
+    graft.state.Layout.writeReplyIndexRows(merged, idxDir)
   }
 
   /** Bucket modulus the table at `table` was written with, recorded

@@ -78,9 +78,11 @@ class StreamIngestSpec extends SparkSpec {
       keyBuckets = 4, replyIndexDir = Some(idxDir))
     StreamIngest.mergeBlocksBatch(spark, blocksDf(b2), postsDir,
       keyBuckets = 4, replyIndexDir = Some(idxDir))
+    // created_at included: it is the column children rank on — the
+    // maintained and rebuilt forms must agree on it, not just on keys
     def rowsOf(d: String) = spark.read.parquet(d)
       .select("parent_author", "parent_permlink", "author",
-        "permlink", "reply_bucket")
+        "permlink", "created_at", "reply_bucket")
       .collect().map(_.toSeq).toSet
     val maintained = rowsOf(idxDir)
     assert(maintained.size == 3)   // r1, r2, rr1
@@ -106,6 +108,18 @@ class StreamIngestSpec extends SparkSpec {
     // marker pins the index modulus
     assert(graft.state.Layout.replyIndexBuckets(spark, idxDir)
       .contains(4))
+    // enabling the index against a PRE-EXISTING store bootstraps the
+    // full history (an incremental create would miss every reply
+    // merged before the flag was turned on)
+    val late = s"$dir/late_index"
+    StreamIngest.mergeBlocksBatch(spark,
+      blocksDf(block(102, "2024-05-01T12:00:06",
+        ("t5", Seq(("comment", comment("erin", "r3", "re three",
+          parentAuthor = "alice", parentPermlink = "p1")))))),
+      postsDir, keyBuckets = 4, replyIndexDir = Some(late))
+    assert(rowsOf(late).map(_.take(4)) ==
+      rowsOf(idxDir).map(_.take(4)) +
+        Seq("alice", "p1", "erin", "r3"))
   }
 
   test("two documents sharing (author, permlink) under different " +
