@@ -249,7 +249,7 @@ object GraphQL {
     // fragments stored UNRESOLVED and substituted at document end —
     // a spread may reference a fragment defined later in the document
     private val frags = scala.collection.mutable
-      .Map[String, (Option[String], Seq[RawSel], Seq[Directive])]()
+      .Map[String, (Option[String], Seq[RawSel])]()
 
     def document(operationName: Option[String])
         : (Operation, Seq[Operation]) = {
@@ -320,14 +320,10 @@ object GraphQL {
           InlineFragment(on, ss.map(resolve(_, seen, d + 1)), dr)
         case RSpread(name, dr) =>
           if (seen(name)) fail(s"fragment cycle through '$name'")
-          val (on, body, defDirs) = frags.getOrElse(name,
+          val (on, body) = frags.getOrElse(name,
             fail(s"undefined fragment '$name'"))
-          // definition-level directives ride along with each spread's
-          // own (the grammar allows them on FragmentDefinition; there
-          // is no location validation here, so builtins evaluate and
-          // unknown names error with the directive named)
           InlineFragment(on,
-            body.map(resolve(_, seen + name, d + 1)), dr ++ defDirs)
+            body.map(resolve(_, seen + name, d + 1)), dr)
       }
     }
 
@@ -338,8 +334,18 @@ object GraphQL {
       expectName("on")
       val cond = name0()
       skip()
+      // the grammar allows directives here, but the execution builtins
+      // @skip/@include are valid ONLY on fields, fragment spreads and
+      // inline fragments (spec §5.7.1) and the served schema declares
+      // no FRAGMENT_DEFINITION directives — graphql-js rejects such a
+      // document at validation, so accepting (or worse, evaluating)
+      // them here would execute documents yoga errors on (ADVICE r8)
       val dirs = directives()
-      frags(name) = (Some(cond), selectionSet(), dirs)
+      dirs.headOption.foreach(d => fail(
+        s"directive '@${d.name}' is not allowed on a fragment " +
+          "definition (@skip/@include apply to fields, fragment " +
+          "spreads and inline fragments only)"))
+      frags(name) = (Some(cond), selectionSet())
     }
 
     private def operation()

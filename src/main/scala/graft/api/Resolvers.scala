@@ -71,12 +71,19 @@ final case class ApiTables(
   * ([[SchemaShape]], derived from the entity DataFrames + resolver
   * fields) before execution — a typo'd field is a named request
   * error, not a silent null. Off = the permissive pre-validation
-  * behavior (unknown selected fields serialize as JSON null). */
+  * behavior (unknown selected fields serialize as JSON null).
+  *
+  * `stemSearch` (default off): searchFeed stems query terms and
+  * corpus tokens with the Porter stemmer — the reference's Mongo
+  * `$text` english-analyzer behavior ("running" matches "run",
+  * db.ts:61-63). Off = the token-exact contract the catalog's DuckDB
+  * oracle verifies. */
 final class GraftApi(spark: SparkSession, tables: ApiTables,
                      now: () => Column = () => current_timestamp(),
                      sampleSeed: Long = 42L,
                      maxPage: Int = 10000,
-                     validateDocuments: Boolean = true) {
+                     validateDocuments: Boolean = true,
+                     stemSearch: Boolean = false) {
   import GraphQL._
   import SchemaShape.{FieldShape, TypeShape}
 
@@ -362,7 +369,8 @@ final class GraftApi(spark: SparkSession, tables: ApiTables,
         feedOutput(PostQueries.searchFeed(projectedPosts,
           tables.follows, feedArgs(args),
           str("searchTerm").getOrElse(""),
-          socialConnections = tables.socialConnections),
+          socialConnections = tables.socialConnections,
+          stem = stemSearch),
           f.selections, vars)
       case "relatedFeed" =>
         feedOutput(PostQueries.relatedFeed(projectedPosts,

@@ -75,16 +75,23 @@ object SchemaShape {
   /** Walk a selection tree against a shape; yoga-style messages for
     * every unknown field / unknown argument (all collected, not
     * first-error — a client fixes one round trip, not N).
-    * `__typename` is the spec meta-field, valid on every type; inline
+    * `__typename` is the spec meta-field, valid on every type;
+    * `__schema`/`__type` are the spec meta-fields of the ROOT query
+    * type — validated as opaque there (sub-selections pass) so an
+    * introspecting client (GraphiQL's first request, reference
+    * api/index.ts:57) degrades to the executor's field-level
+    * null/error answer instead of hard-failing validation. Inline
     * fragments validate against the enclosing shape (the served post
     * type is the HivePost/CeramicPost union). */
   def validate(sels: Seq[GraphQL.Selection], shape: TypeShape)
       : Seq[String] = {
     val errs = ArrayBuffer[String]()
-    def go(sels: Seq[GraphQL.Selection], shape: TypeShape): Unit =
+    def go(sels: Seq[GraphQL.Selection], shape: TypeShape,
+           root: Boolean): Unit =
       sels.foreach {
         case f: GraphQL.Field =>
-          if (f.name == "__typename" || shape.opaque) ()
+          if (f.name == "__typename" || shape.opaque ||
+              (root && (f.name == "__schema" || f.name == "__type"))) ()
           else shape.fields.get(f.name) match {
             case None => errs +=
               s"""Cannot query field "${f.name}" on type "${shape.name}"."""
@@ -93,14 +100,14 @@ object SchemaShape {
                 errs += s"""Unknown argument "$a" on field """ +
                   s""""${shape.name}.${f.name}"."""
               }
-              fs.tpe().foreach(t => go(f.selections, t))
+              fs.tpe().foreach(t => go(f.selections, t, root = false))
           }
-        case GraphQL.InlineFragment(_, inner, _) => go(inner, shape)
+        case GraphQL.InlineFragment(_, inner, _) => go(inner, shape, root)
         // only applyDirectives produces Excluded, and validation runs
         // before it — handled for exhaustiveness
         case GraphQL.Excluded => ()
       }
-    go(sels, shape)
+    go(sels, shape, root = true)
     errs.toSeq
   }
 }

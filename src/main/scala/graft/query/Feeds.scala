@@ -88,20 +88,33 @@ object Feeds {
   /** searchFeed (resolvers/index.ts:193-223; Mongo $text index
     * db.ts:61-63): token match with a term-frequency score. Mongo's
     * $text matches documents containing ANY search term
-    * (`requireAll = false`, the reference-parity mode; stemming is a
-    * documented divergence, SURVEY.md §7.4); `requireAll = true`
-    * gives the stricter conjunctive contract some catalog queries
-    * declare. Pure builtins ⇒ whole-stage codegen.
+    * (`requireAll = false`, the reference-parity mode); `requireAll =
+    * true` gives the stricter conjunctive contract some catalog
+    * queries declare. Pure builtins ⇒ whole-stage codegen.
+    *
+    * `stem = true` is the Mongo-analyzer parity mode: the Porter
+    * stemmer ([[graft.functions.PorterStem]], one native codegen pass
+    * over the token array) applies to BOTH the corpus tokens and the
+    * query terms, so "running" matches a document containing "run" —
+    * the reference's $text behavior. Default FALSE: the token-exact
+    * contract is what the DuckDB oracle verifies (stemming is not
+    * SQL-expressible there), and the two modes must not silently mix
+    * with a differently-built index (build and query the inverted
+    * index with the same flag).
     *
     * score = Σ_t (occurrences of t in text).
     */
   def search(df: DataFrame, textCol: Column, terms: Seq[String],
              scoreName: String = "score",
-             requireAll: Boolean = true): DataFrame = {
+             requireAll: Boolean = true,
+             stem: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
     // normalize exactly like InvertedIndex.search (lowercase +
     // distinct) so the brute-force and index paths are one contract
-    val uniq = terms.map(_.toLowerCase).distinct
+    val uniq0 = terms.map(_.toLowerCase).distinct
+    val uniq =
+      if (stem) uniq0.map(graft.functions.PorterStem.stem).distinct
+      else uniq0
     // Two-phase cost shape, measured deliberately (q06 RowTime):
     //  - the FILTER runs on every row, so it stays the composed
     //    short-circuiting array_contains chain (codegen'd; a
@@ -125,8 +138,13 @@ object Feeds {
       array_contains(toks, t)
     }.reduce(combine)
     // the SHARED tokenizer (Text.tokens): brute-force, inverted-index
-    // and oracle tokenizations are literally one expression
-    df.withColumn("__toks", graft.functions.Text.tokens(textCol))
+    // and oracle tokenizations are literally one expression; the stem
+    // mode wraps it in the same one expression both paths share
+    val tokenized = graft.functions.Text.tokens(textCol)
+    val tokExpr =
+      if (stem) graft.functions.PorterStem.stemTokens(tokenized)
+      else tokenized
+    df.withColumn("__toks", tokExpr)
       .filter(matches).withColumn(scoreName, tf)
       .drop("__toks")
   }

@@ -133,16 +133,20 @@ object PostQueries {
   /** Q9 searchFeed: any-term token match + tf score, newest-first —
     * Mongo $text matches documents containing ANY search term and the
     * resolver sorts by created_at, not relevance
-    * (resolvers/index.ts:200-214; stemming is a documented
-    * divergence, SURVEY.md §7.4). */
+    * (resolvers/index.ts:200-214). `stem = true` is the Mongo-analyzer
+    * parity mode ("running" matches "run"; Porter at tokenize time,
+    * [[graft.functions.PorterStem]]); default off = the token-exact
+    * oracle contract (the remaining documented divergence,
+    * SURVEY.md §7.4, now opt-in-closable). */
   def searchFeed(posts: DataFrame, follows: DataFrame, a: FeedArgs,
                  term: String,
-                 socialConnections: Option[DataFrame] = None)
+                 socialConnections: Option[DataFrame] = None,
+                 stem: Boolean = false)
       : DataFrame = {
     val terms = term.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
     Feeds.search(filtered(posts, follows, a, socialConnections),
       col("body"), terms,
-        requireAll = false)
+        requireAll = false, stem = stem)
       .orderBy(col("created_at").desc, col("author").asc,
         col("permlink").asc)
       .offset(a.skip).limit(a.limitOr(100))

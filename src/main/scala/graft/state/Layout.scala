@@ -112,6 +112,26 @@ object Layout {
         spark.sparkContext.hadoopConfiguration), p, "reply_buckets")
     } catch { case _: Exception => None }
 
+  private val EmptyIndexMarkerFile = "_graft_empty_index"
+
+  /** A reply-index bootstrap that completed with ZERO rows (the store
+    * had no replies yet) leaves a marker-only dir, on-disk identical
+    * to a crashed create. This sentinel — written only AFTER such a
+    * bootstrap finishes — records the successful empty generation, so
+    * later micro-batches take the incremental path instead of
+    * re-running the full-store bootstrap every trigger. Underscore
+    * prefix keeps it invisible to [[hasDataFiles]] and parquet
+    * readers; a full [[writeReplyIndex]] rebuild clears it with the
+    * rest of the dir. */
+  def hasEmptyIndexMarker(fs: org.apache.hadoop.fs.FileSystem,
+                          table: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(table, EmptyIndexMarkerFile))
+
+  def writeEmptyIndexMarker(fs: org.apache.hadoop.fs.FileSystem,
+                            table: org.apache.hadoop.fs.Path): Unit =
+    fs.create(new org.apache.hadoop.fs.Path(table, EmptyIndexMarkerFile),
+      true).close()
+
   private val LayoutMarkerFile = "_graft_layout.json"
 
   /** Read `"<key>": n` from `<table>/_graft_layout.json` — the ONE

@@ -230,10 +230,16 @@ object StreamIngest {
       // the index delta is exactly the batch's ingested rows. A store
       // that PRE-DATES the index triggers a one-time full bootstrap
       // from the merged table instead (the delta is not the history).
+      // thunked, not eager: DataFrameReader.parquet triggers a full
+      // file listing + schema inference of the whole bucketed store,
+      // and the bootstrap branch consumes it at most ONCE per index
+      // lifetime — paying that per 2s trigger would double the
+      // merge's fixed overhead (ADVICE r8)
       replyIndexDir.foreach(d =>
         refreshReplyIndex(spark, fresh, d, keyBuckets,
           bootstrapFrom =
-            if (existing.isDefined) Some(spark.read.parquet(postsDir))
+            if (existing.isDefined)
+              Some(() => spark.read.parquet(postsDir))
             else None))
     } finally {
       fresh.unpersist(blocking = false)
@@ -256,22 +262,37 @@ object StreamIngest {
     * (index rows are immutable projections — the fold preserves
     * stored created_at on edits — and the existing side wins ties).
     * Run AFTER the posts write: a crash between the two leaves the
-    * index one batch stale, and the replayed batch repairs both. */
+    * index one batch stale, and the replayed batch repairs both.
+    *
+    * `bootstrapFrom` is a THUNK: it is forced only inside the
+    * bootstrap branch (at most once per index lifetime) — an eager
+    * DataFrame argument would pay a full file listing + schema
+    * inference of the bucketed store on EVERY micro-batch. */
   def refreshReplyIndex(spark: SparkSession, freshPosts: DataFrame,
                         idxDir: String, keyBuckets: Int = 64,
-                        bootstrapFrom: Option[DataFrame] = None)
+                        bootstrapFrom: Option[() => DataFrame] = None)
       : Unit = {
     val p = new org.apache.hadoop.fs.Path(idxDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!graft.state.Layout.hasDataFiles(fs, p)) {
-      // no index yet. If the posts store PRE-DATES it, the delta is
-      // NOT the whole history — an incremental create would silently
-      // serve an index missing every earlier reply; bootstrap with
-      // the full rebuild (marker-before-data inside) over the
-      // just-merged store instead.
+    val hasData = graft.state.Layout.hasDataFiles(fs, p)
+    if (!hasData && !graft.state.Layout.hasEmptyIndexMarker(fs, p)) {
+      // no index yet (marker-only without the empty-success sentinel
+      // = crashed create — re-create). If the posts store PRE-DATES
+      // the index, the delta is NOT the whole history — an
+      // incremental create would silently serve an index missing
+      // every earlier reply; bootstrap with the full rebuild
+      // (marker-before-data inside) over the just-merged store
+      // instead.
       bootstrapFrom match {
         case Some(full) =>
-          graft.state.Layout.writeReplyIndex(full, idxDir, keyBuckets)
+          graft.state.Layout.writeReplyIndex(full(), idxDir, keyBuckets)
+          // a reply-less store bootstraps to ZERO rows, leaving a
+          // marker-only dir indistinguishable from a crashed create —
+          // record the completed empty generation, or every later
+          // batch re-runs the full-store bootstrap until the first
+          // reply arrives
+          if (!graft.state.Layout.hasDataFiles(fs, p))
+            graft.state.Layout.writeEmptyIndexMarker(fs, p)
         case None =>
           val delta = graft.state.Layout.replyIndexRows(freshPosts,
             keyBuckets)
@@ -291,6 +312,13 @@ object StreamIngest {
       strict = true).getOrElse(throw new IllegalStateException(
       s"reply index at $idxDir has no layout marker"))
     val delta = graft.state.Layout.replyIndexRows(freshPosts, n)
+    if (!hasData) {
+      // bootstrapped-empty index (sentinel above): nothing stored to
+      // union with — the incremental CREATE, marker already in place
+      if (!delta.isEmpty)
+        graft.state.Layout.writeReplyIndexRows(delta, idxDir)
+      return
+    }
     val touched = delta.select("reply_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return

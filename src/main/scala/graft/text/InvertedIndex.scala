@@ -22,13 +22,24 @@ object InvertedIndex {
 
   /** docs → posting rows (term, id, tf). One explode + one partial-
     * aggregated groupBy; at scale, write .bucketBy(term) so search
-    * lookups are shuffle-free. */
-  def build(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    * lookups are shuffle-free.
+    *
+    * `stem = true` builds a STEMMED index (Porter, one native codegen
+    * pass at tokenize time — no plan change): the Mongo-$text parity
+    * mode where "running" and "run" share a posting list. Query it
+    * with the same flag on [[search]]; mixing modes silently misses
+    * (the flags must travel together, like an analyzer setting). */
+  def build(docs: DataFrame, textCol: String, idCol: String,
+            stem: Boolean = false): DataFrame = {
+    val toks0 = Text.tokens(col(textCol))
+    val toks =
+      if (stem) graft.functions.PorterStem.stemTokens(toks0) else toks0
     docs
-      .select(col(idCol).as("id"), Text.tokens(col(textCol)).as("toks"))
+      .select(col(idCol).as("id"), toks.as("toks"))
       .select(col("id"), explode(col("toks")).as("term"))
       .groupBy("term", "id")
       .agg(count(lit(1)).as("tf"))
+  }
 
   /** Persist the posting table BUCKETED by term — the real scale
     * layout the build-side scaladoc promises. Bucket pruning turns a
@@ -62,9 +73,15 @@ object InvertedIndex {
     * the Mongo-$text-parity any-term mode (same contract switch as
     * Feeds.search). */
   def search(index: DataFrame, terms: Seq[String], k: Int,
-             requireAll: Boolean = true): DataFrame = {
+             requireAll: Boolean = true,
+             stem: Boolean = false): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
-    val uniq = terms.map(_.toLowerCase).distinct
+    // stem the QUERY terms with the same stemmer a stem-built index
+    // applied to the corpus (set the flag on both sides or neither)
+    val uniq0 = terms.map(_.toLowerCase).distinct
+    val uniq =
+      if (stem) uniq0.map(graft.functions.PorterStem.stem).distinct
+      else uniq0
     val idx = index
       .filter(col("term").isin(uniq: _*))   // partition-prunable
       .groupBy("id")

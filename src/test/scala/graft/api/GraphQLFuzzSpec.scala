@@ -100,6 +100,69 @@ class GraphQLFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: schema-legal selections never fail document " +
+    "validation, including over a recursive UNION of partial shapes " +
+    "and through opaque/map fields") {
+    import org.apache.spark.sql.types._
+    // two overlapping partial schemas — the served-store shape and
+    // the declared shape, unioned recursively (the a6e2a39 bug class:
+    // a top-level-only merge rejected declared SUBFIELDS of structs
+    // the store carries partially)
+    val storeSide = StructType(Seq(
+      StructField("id", StringType),
+      StructField("stats", StructType(Seq(
+        StructField("views", LongType),
+        StructField("score", DoubleType)))),
+      StructField("meta", MapType(StringType, StringType)),
+      StructField("tags", ArrayType(StringType))))
+    val declaredSide = StructType(Seq(
+      StructField("id", StringType),
+      StructField("stats", StructType(Seq(
+        StructField("views", LongType),
+        StructField("reward", DoubleType)))),
+      StructField("extra", StructType(Seq(
+        StructField("pin", StringType))))))
+    val shape = SchemaShape.union(
+      SchemaShape.fromDataType("Store", storeSide).get,
+      SchemaShape.fromDataType("Declared", declaredSide).get)
+
+    def genSelSet(sh: SchemaShape.TypeShape, depth: Int): Gen[String] = {
+      val names = sh.fields.keys.toSeq.sorted
+      def genField(nm: String): Gen[String] =
+        sh.fields(nm).tpe() match {
+          case Some(t) if depth > 0 && t.opaque =>
+            // opaque interior (map column): ANY selection passes
+            Gen.oneOf(nm, s"$nm { anything goes { deeper } }")
+          case Some(t) if depth > 0 && t.fields.nonEmpty =>
+            Gen.oneOf(Gen.const(nm),
+              genSelSet(t, depth - 1).map(ss => s"$nm $ss"))
+          case _ => Gen.const(nm)
+        }
+      for {
+        n <- Gen.chooseNum(1, math.min(3, names.size))
+        picks <- Gen.pick(n, names)
+        fields <- picks.toSeq.foldLeft(Gen.const(Seq.empty[String])) {
+          (acc, nm) => acc.flatMap(s => genField(nm).map(s :+ _))
+        }
+        withTypename <- Gen.oneOf(true, false)
+      } yield (fields ++ (if (withTypename) Seq("__typename") else Nil))
+        .mkString("{ ", " ", " }")
+    }
+    samples(genSelSet(shape, 3), 300).foreach { ss =>
+      val parsed = GraphQL.parse(s"query $ss")
+      val errs = SchemaShape.validate(parsed.selections, shape)
+      assert(errs.isEmpty, s"doc was: query $ss → $errs")
+    }
+    // root meta-fields are validation-opaque (GraphiQL's first
+    // request); NON-root __schema is an ordinary unknown field
+    val meta = GraphQL.parse(
+      "query { __schema { types { name } } __typename }")
+    assert(SchemaShape.validate(meta.selections, shape).isEmpty)
+    val nonRoot = GraphQL.parse("query { stats { __schema { x } } }")
+    assert(SchemaShape.validate(nonRoot.selections, shape)
+      .exists(_.contains("__schema")))
+  }
+
   test("out-of-range int literals are ParseError, not " +
     "NumberFormatException") {
     val e = intercept[ParseError](

@@ -621,14 +621,26 @@ class HttpApiSpec extends SparkSpec {
     assert(!byName.has("errors"), byName.toString)
     assert(byName.path("data").path("profile").path("name").asText()
       == "Alice A")
-    // directives on a FRAGMENT DEFINITION are grammar-legal: they
-    // parse, ride along with each spread, builtins evaluate
+    // directives on a FRAGMENT DEFINITION are grammar-legal but the
+    // execution builtins are location-restricted to fields/spreads/
+    // inline fragments (spec §5.7.1) — graphql-js rejects such
+    // documents at validation, so the parser must too (a silently
+    // evaluated @include here would execute documents yoga errors on)
     val fd = gql(
       """query { socialPost(author: "bob", permlink: "b1") { ...f } }
         |fragment f on HivePost @include(if: true) { permlink }"""
         .stripMargin)
-    assert(!fd.has("errors"), fd.toString)
-    assert(fd.path("data").path("socialPost").path("permlink")
+    assert(fd.has("errors"), fd.toString)
+    assert(fd.path("errors").get(0).path("message").asText()
+      .contains("not allowed on a fragment definition"), fd.toString)
+    // the same fragment WITHOUT definition directives executes, and a
+    // directive on the SPREAD still evaluates
+    val ok = gql(
+      """query { socialPost(author: "bob", permlink: "b1")
+        |  { ...f @include(if: true) } }
+        |fragment f on HivePost { permlink }""".stripMargin)
+    assert(!ok.has("errors"), ok.toString)
+    assert(ok.path("data").path("socialPost").path("permlink")
       .asText() == "b1")
   }
 
@@ -853,6 +865,80 @@ class HttpApiSpec extends SparkSpec {
     assert(!top.has("errors"), top.toString)
     top.path("data").path("socialFeed").path("items").elements()
       .asScala.foreach(it => assert(it.path("parent_post").isNull))
+  }
+
+  test("introspection meta-fields pass validation and degrade to " +
+    "field-level null + error (GraphiQL's first request must not " +
+    "hard-fail)") {
+    // root __schema / __type: validation treats them as opaque meta-
+    // fields (spec: meta-fields of the root query type), so the
+    // request executes and the unserved field degrades to data:null +
+    // a pathed field error — yoga serves real introspection here; the
+    // divergence is documented in SchemaShape's scaladoc
+    val node = gql("{ __schema { types { name } } }")
+    assert(node.has("data"), node.toString)
+    assert(node.path("data").path("__schema").isNull, node.toString)
+    assert(node.path("errors").get(0).path("path").get(0).asText()
+      == "__schema", node.toString)
+    val t = gql("""{ __type(name: "SocialPost") { name } }""")
+    assert(t.has("data") && t.path("data").path("__type").isNull,
+      t.toString)
+    // NON-root positions are not meta-field locations: still a named
+    // validation error, like any unknown field
+    val nested = gql(
+      """{ socialPost(author: "bob", permlink: "b1") {
+        |  __schema { x } } }""".stripMargin)
+    assert(!nested.has("data"), nested.toString)
+    assert(nested.path("errors").get(0).path("message").asText()
+      .contains("""Cannot query field "__schema""""), nested.toString)
+  }
+
+  test("hydration depth cap: the level past MaxHydrationDepth " +
+    "returns scalar columns, relational selections there serialize " +
+    "as null — no error, no wrong-shaped nulls") {
+    // a 5-deep reply chain: p0 <- p1 <- p2 <- p3 <- p4 <- p5, each
+    // level one block apart so latest-wins ordering is stable
+    val chain = toOps(spark,
+      block(300, "2024-05-01T13:00:00",
+        ("c0", Seq(("comment", comment("u0", "p0", "root")))),
+        ("c1", Seq(("comment", comment("u1", "p1", "l1",
+          parentAuthor = "u0", parentPermlink = "p0")))),
+        ("c2", Seq(("comment", comment("u2", "p2", "l2",
+          parentAuthor = "u1", parentPermlink = "p1")))),
+        ("c3", Seq(("comment", comment("u3", "p3", "l3",
+          parentAuthor = "u2", parentPermlink = "p2")))),
+        ("c4", Seq(("comment", comment("u4", "p4", "l4",
+          parentAuthor = "u3", parentPermlink = "p3")))),
+        ("c5", Seq(("comment", comment("u5", "p5", "l5",
+          parentAuthor = "u4", parentPermlink = "p4"))))))
+    val deepApi = new GraftApi(spark,
+      tables.copy(posts = graft.ingest.PostsIngest.ingest(chain)(spark)))
+    val resp = deepApi.execute(
+      """{ socialPost(author: "u0", permlink: "p0") {
+        |  children { permlink children { permlink children {
+        |    permlink children { permlink children { permlink }
+        |  } } } } } }""".stripMargin)
+    assert(!resp.has("errors"), resp.toString)
+    // levels 1..4 hydrate: one child each, permlink served
+    var node = resp.path("data").path("socialPost")
+    (1 to 4).foreach { lvl =>
+      val kids = node.path("children")
+      assert(kids.isArray && kids.size() == 1,
+        s"level $lvl: ${resp.toString.take(400)}")
+      node = kids.get(0)
+      assert(node.path("permlink").asText() == s"p$lvl", resp.toString)
+    }
+    // level 5 is past the cap: the level-4 object still carries its
+    // SCALAR columns (permlink above), and the relational `children`
+    // selection there serializes as JSON null — not an error, not an
+    // empty-array lie (the data exists; a deeper level is one more
+    // query, anchored at p4)
+    assert(node.path("children").isNull, resp.toString)
+    val anchored = deepApi.execute(
+      """{ socialPost(author: "u4", permlink: "p4") {
+        |  children { permlink } } }""".stripMargin)
+    assert(anchored.path("data").path("socialPost").path("children")
+      .get(0).path("permlink").asText() == "p5", anchored.toString)
   }
 
   test("ArgsJson compatibility: the reference argument object sent " +

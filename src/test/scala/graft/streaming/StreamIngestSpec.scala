@@ -122,6 +122,64 @@ class StreamIngestSpec extends SparkSpec {
         Seq("alice", "p1", "erin", "r3"))
   }
 
+  test("reply-less bootstrap records the empty generation: later " +
+    "batches take the incremental path and never force the " +
+    "bootstrap thunk") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-emptyboot").toString
+    val postsDir = s"$dir/posts"
+    val idxDir = s"$dir/reply_index"
+    def blocksDf(s: String) = spark.read
+      .schema(graft.domain.Schemas.block)
+      .json(spark.createDataset(Seq(s))(
+        org.apache.spark.sql.Encoders.STRING))
+    // batch 1 creates the store (top-level posts only, no index yet)
+    StreamIngest.mergeBlocksBatch(spark,
+      blocksDf(block(100, "2024-05-01T12:00:00",
+        ("t1", Seq(("comment", comment("alice", "p1", "root")))))),
+      postsDir, keyBuckets = 4)
+    // batch 2 enables the index against the PRE-EXISTING store: the
+    // bootstrap scans it, finds no replies, and must record the
+    // completed EMPTY generation — without the sentinel, every later
+    // batch re-runs the full-store bootstrap until a reply arrives
+    StreamIngest.mergeBlocksBatch(spark,
+      blocksDf(block(101, "2024-05-01T12:00:03",
+        ("t2", Seq(("comment", comment("bob", "p2", "also root")))))),
+      postsDir, keyBuckets = 4, replyIndexDir = Some(idxDir))
+    val p = new org.apache.hadoop.fs.Path(idxDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.state.Layout.hasEmptyIndexMarker(fs, p))
+    assert(!graft.state.Layout.hasDataFiles(fs, p))
+    assert(graft.state.Layout.replyIndexBuckets(spark, idxDir)
+      .contains(4))
+    // the first reply takes the incremental-create path: the bootstrap
+    // thunk must never be forced (poisoned thunk throws if it is)
+    def reply(a: String, pl: String) =
+      Seq(("alice", "p1", a, pl,
+        java.sql.Timestamp.valueOf("2024-05-01 12:00:06")))
+        .toDF("parent_author", "parent_permlink", "author", "permlink",
+          "created_at")
+    val poisoned = Some(() => sys.error(
+      "bootstrap must not re-run after the empty-success sentinel")
+      : org.apache.spark.sql.DataFrame)
+    StreamIngest.refreshReplyIndex(spark, reply("carol", "r1"), idxDir,
+      keyBuckets = 4, bootstrapFrom = poisoned)
+    def rows() = spark.read.parquet(idxDir)
+      .select("parent_author", "permlink", "reply_bucket")
+      .collect().map(_.toSeq).toSet
+    assert(rows().map(_(1)) == Set("r1"))
+    // with data present the normal incremental path also leaves the
+    // thunk unforced, and the modulus stays the marker's
+    StreamIngest.refreshReplyIndex(spark, reply("dave", "r2"), idxDir,
+      keyBuckets = 8 /* ignored: marker wins */,
+      bootstrapFrom = poisoned)
+    assert(rows().map(_(1)) == Set("r1", "r2"))
+    val expectedBucket = spark.range(1).select(
+      graft.state.Layout.keyBucket(lit("alice"), lit("p1"), 4))
+      .collect().head.getInt(0)
+    assert(rows().map(_(2)) == Set(expectedBucket))
+  }
+
   test("two documents sharing (author, permlink) under different " +
     "parents BOTH survive the merge (4-tuple identity)") {
     import spark.implicits._
