@@ -31,8 +31,13 @@ final class HttpApi(api: GraftApi, port: Int = 0, threads: Int = 4) {
 
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(java.util.concurrent.Executors
-    .newFixedThreadPool(threads))
+  // owned pool, shut down by stop(): HttpServer.stop() does NOT stop
+  // a caller-supplied executor, and its non-daemon threads keep any
+  // embedding JVM alive after the server is gone (surfaced by the
+  // ScaleEvidence e2e stage — the runMain JVM never exited)
+  private val pool =
+    java.util.concurrent.Executors.newFixedThreadPool(threads)
+  server.setExecutor(pool)
   private val handler = new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       try {
@@ -141,5 +146,5 @@ final class HttpApi(api: GraftApi, port: Int = 0, threads: Int = 4) {
 
   def start(): HttpApi = { server.start(); this }
   def boundPort: Int = server.getAddress.getPort
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 }

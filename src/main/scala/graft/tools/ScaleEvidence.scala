@@ -1366,6 +1366,181 @@ object ScaleEvidence {
       "stored") {
       childPoint(childApi(Some((spark.read.parquet(replyIdxDir), storeBuckets))))
     }
+
+    // ── reply-index modulus sweep: the |keys|/n law measured at
+    //    production moduli instead of extrapolated (VERDICT r8 #1).
+    //    At n=64 a 100-key page hashes over EVERY index bucket (the
+    //    documented saturation ceiling); at n=1024/4096 the same page
+    //    touches E[distinct] = n·(1-(1-1/n)^100) ≈ 95.3 / 98.8
+    //    buckets = 9.3% / 2.4% of index files. The FETCH side still
+    //    prunes on the STORE's modulus (64 here) — governed by the
+    //    store layout, not the index — so the expected win is on the
+    //    index rank stage; the point probe (1 key → 1/n of the index)
+    //    sharpens with n directly. ─────────────────────────────────
+    println("== reply-index modulus sweep (|keys|/n law) ==")
+    Seq(1024, 4096).foreach { mod =>
+      val mDir = s"$work/reply_index_n$mod"
+      val buildLabel = s"reply index build n=$mod vs $nPosts stored"
+      val pageLabel = s"children page(100) VIA REPLY INDEX n=$mod " +
+        s"vs $nPosts stored"
+      val pointLabel = s"children POINT (1 post) VIA REPLY INDEX " +
+        s"n=$mod vs $nPosts stored"
+      timed(buildLabel) {
+        graft.state.Layout.writeReplyIndex(replyForest(), mDir, mod)
+        spark.read.parquet(mDir).count()
+      }
+      // off-clock fallback, same contract as the n=64 stages: query
+      // stages selected without the build still need a FRESH index
+      if (!stageSelected(buildLabel) &&
+          (stageSelected(pageLabel) || stageSelected(pointLabel)))
+        graft.state.Layout.writeReplyIndex(replyForest(), mDir, mod)
+      timed(pageLabel) {
+        childQuery(childApi(Some((spark.read.parquet(mDir), mod))), 100)
+      }
+      timed(pointLabel) {
+        childPoint(childApi(Some((spark.read.parquet(mDir), mod))))
+      }
+    }
+
+    // ── e2e integrated flagship (VERDICT r8 #4): one micro-batch of
+    //    replies arrives → streaming merge + INCREMENTAL reply-index
+    //    maintenance → the refreshed store serves a GraphQL
+    //    children{author{profile}} page over real HTTP. The composed
+    //    number is freshness-to-first-byte: batch arrival → response
+    //    body containing the fresh replies, hydrated with profiles.
+    //    Setup (index bootstrap, target discovery, profile table) is
+    //    one-time work and stays off the clock. ────────────────────
+    println("== e2e graphql freshness (merge + index + HTTP page) ==")
+    val e2eMergeLabel =
+      s"e2e 1/3: 20-reply merge + index refresh vs $nPosts stored"
+    val e2eServeLabel =
+      s"e2e 2/3: store-view refresh + api boot vs $nPosts stored"
+    val e2eHttpLabel = s"e2e 3/3: HTTP children+profile page(100) " +
+      s"vs $nPosts stored"
+    val e2eAll = Seq(e2eMergeLabel, e2eServeLabel, e2eHttpLabel)
+    if (e2eAll.exists(stageSelected)) {
+      import spark.implicits._
+      def empty(st: org.apache.spark.sql.types.StructType) =
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      val e2eIdx = s"$work/e2e_reply_index"
+      // off-clock: enable the index on the existing store — the
+      // production path (refreshReplyIndex bootstraps the history;
+      // a reply-less store records a completed empty generation)
+      graft.streaming.StreamIngest.refreshReplyIndex(spark,
+        spark.read.parquet(postsDir).limit(0), e2eIdx,
+        keyBuckets = storeBuckets,
+        bootstrapFrom = Some(() => spark.read.parquet(postsDir)))
+      // off-clock: the page the feed will serve (created_at desc,
+      // author/permlink asc — the feed's own ordering), so the reply
+      // targets are guaranteed page members and the freshness assert
+      // is airtight; replies go to every 5th page post
+      val pageKeys = spark.read.parquet(postsDir)
+        .filter(!array_contains(coalesce(col("flags"),
+          array().cast("array<string>")), "comment"))
+        .orderBy(col("created_at").desc, col("author").asc,
+          col("permlink").asc)
+        .limit(100).select("author", "permlink")
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      val targets = pageKeys.zipWithIndex.filter(_._2 % 5 == 0)
+        .map(_._1).take(20).toSeq
+      require(targets.size == 20, s"page too small: ${pageKeys.length}")
+      // reply authors reuse existing profile usernames so the
+      // author{profile} hydration leg is exercised on the FRESH rows
+      val freshBlocks = targets.zipWithIndex
+        .map { case ((pa, pp), i) => (pa, pp, i.toLong) }
+        .toDF("pa", "pp", "i").select(
+          lpad(lower(hex(col("i") + 1 + nPosts * 7)), 8, "0")
+            .as("block_id"),
+          lit("2024-06-02T12:00:00").as("timestamp"),
+          array(struct(
+            concat(lit("txfresh"), col("i")).as("transaction_id"),
+            array(struct(lit("comment").as("name"),
+              to_json(struct(
+                col("pa").as("parent_author"),
+                col("pp").as("parent_permlink"),
+                concat(lit("user"), col("i") + 100).as("author"),
+                concat(lit("fresh_r"), col("i")).as("permlink"),
+                lit("t").as("title"),
+                lit("fresh reply body").as("body"),
+                lit("""{"app":"3speak/1.0"}""").as("json_metadata")))
+                .as("payload"))).as("operations"))).as("transactions"))
+      val profiles50k = spark.range(50000).select(
+        concat(lit("hive/user"), col("id")).as("_id"),
+        concat(lit("user"), col("id")).as("username"),
+        concat(lit("User "), col("id")).as("displayName"),
+        lit("about text").as("about"),
+        lit(null).cast("string").as("location"),
+        lit(null).cast("string").as("website"),
+        lit(null).cast("string").as("did"),
+        struct(lit("a.png").as("avatar"),
+          lit(null).cast("string").as("cover")).as("images"),
+        struct(lit(null).cast("string").as("pinned_post")).as("extra"),
+        (col("id") % 100).cast("double").as("score"))
+      val tTotal0 = System.nanoTime()
+      timed(e2eMergeLabel) {
+        graft.streaming.StreamIngest.mergeBlocksBatch(spark,
+          freshBlocks, postsDir, replyIndexDir = Some(e2eIdx))
+        graft.CacheTracker.releaseAll()
+        20L
+      }
+      var e2eServer: graft.api.HttpApi = null
+      timed(e2eServeLabel) {
+        // re-resolving the table views after a merge is part of
+        // freshness (a parquet DataFrame pins its file listing at
+        // read time; production would refresh the same way or run on
+        // a table format whose snapshot load is this step's analogue)
+        val t = graft.api.ApiTables(
+          posts = spark.read.parquet(postsDir),
+          follows = empty(graft.domain.Schemas.follow),
+          profiles = profiles50k,
+          keyBuckets = Some(storeBuckets),
+          replyIndex = Some((spark.read.parquet(e2eIdx), storeBuckets)))
+        e2eServer = new graft.api.HttpApi(
+          new graft.api.GraftApi(spark, t)).start()
+        1L
+      }
+      timed(e2eHttpLabel) {
+        val q = "{ socialFeed(pagination: {limit: 100}) { items {" +
+          " permlink children(limit: 8) { permlink" +
+          " author { profile { name } } } } } }"
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val body = mapper.createObjectNode()
+        body.put("query", q)
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(
+            s"http://127.0.0.1:${e2eServer.boundPort}/api/v2/graphql"))
+          .header("Content-Type", "application/json")
+          .POST(java.net.http.HttpRequest.BodyPublishers
+            .ofString(body.toString))
+          .build()
+        val resp = java.net.http.HttpClient.newHttpClient()
+          .send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, resp.body().take(400))
+        val node = mapper.readTree(resp.body())
+        require(!node.has("errors"), node.toString.take(400))
+        val items = node.path("data").path("socialFeed").path("items")
+        require(items.size() == 100, s"items=${items.size()}")
+        var fresh = 0L; var profiled = 0L
+        items.elements().forEachRemaining { it =>
+          it.path("children").elements().forEachRemaining { k =>
+            if (k.path("permlink").asText().startsWith("fresh_r")) {
+              fresh += 1
+              if (!k.path("author").path("profile").path("name")
+                  .isNull) profiled += 1
+            }
+          }
+        }
+        require(fresh == 20 && profiled == 20,
+          s"fresh=$fresh profiled=$profiled")
+        fresh
+      }
+      if (e2eAll.forall(stageSelected))
+        println(f"e2e freshness-to-first-byte (merge+index, " +
+          f"view+boot, HTTP page): " +
+          f"${(System.nanoTime() - tTotal0) / 1e9}%.2f s total")
+      if (e2eServer != null) e2eServer.stop()
+    }
     spark.stop()
   }
 }
