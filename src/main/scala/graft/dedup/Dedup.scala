@@ -755,23 +755,40 @@ object Dedup {
       threshold, seed)
   }
 
-  /** Shingle-set-level probe — the corpus side is (id, sh) rows, i.e.
-    * exactly the persisted signature side table an incremental
-    * pipeline maintains ([[graft.streaming.StreamNearDedup]] feeds
-    * this from parquet; [[minhashLshProbe]] from raw text). */
-  def minhashLshProbeSets(corpusSets: DataFrame, deltaSets: DataFrame,
-                          k: Int, bands: Int, threshold: Double,
-                          seed: Long): DataFrame = {
-    val rowsPerBand = k / bands
-    def bandRows(sh: DataFrame): DataFrame = sh
+  /** The banded-signature projection of a shingle-set table: one
+    * (id, band, key) row per document per band — BOTH the internal
+    * step of every LSH form here and the SIDE TABLE an incremental
+    * pipeline persists (bucketBy(key) at scale) so a probe never
+    * re-bands the corpus ([[minhashLshProbeBands]]). Same
+    * k/bands/seed ⇒ bit-identical keys across all forms. */
+  def minhashBandRows(sets: DataFrame, k: Int, bands: Int,
+                      seed: Long): DataFrame =
+    sets
       .withColumn("hashes", transform(col("sh"), s => xxhash64(s)))
       .withColumn("sig",
         SigExprs.minhashSigFromHashes(col("hashes"), k, seed))
       .select(col("id"),
-        explode(Text.lshBandKeys(col("sig"), bands, rowsPerBand))
+        explode(Text.lshBandKeys(col("sig"), bands, k / bands))
           .as("bk"))
       .select(col("id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
+
+  /** Shingle-set-level probe — the corpus side is (id, sh) rows, i.e.
+    * exactly the persisted signature side table an incremental
+    * pipeline maintains ([[graft.streaming.StreamNearDedup]] feeds
+    * this from parquet; [[minhashLshProbe]] from raw text).
+    *
+    * NB measured (d44b, 5M-doc corpus): this form re-BANDS the whole
+    * corpus on every probe — ~8.8 GB of banding shuffle per
+    * micro-batch at that scale, O(corpus) however small the delta.
+    * Continuous pipelines should persist the banded table too and
+    * call [[minhashLshProbeBands]], which moves only delta bands +
+    * candidate sets (measured O(delta), d44c). */
+  def minhashLshProbeSets(corpusSets: DataFrame, deltaSets: DataFrame,
+                          k: Int, bands: Int, threshold: Double,
+                          seed: Long): DataFrame = {
+    def bandRows(sh: DataFrame): DataFrame =
+      minhashBandRows(sh, k, bands, seed)
     // shingle sets feed banding AND verification — cache both sides
     // (the corpus side stands in for the persisted signature table).
     // Latest-wins on re-ingest: a doc id present in BOTH sides would
@@ -812,6 +829,79 @@ object Dedup {
       .join(shAll.select(col("id").as("new_id"), col("sh").as("sh_a")),
         "new_id")
       .join(shAll.select(col("id").as("old_id"), col("sh").as("sh_b")),
+        "old_id")
+      .withColumn("__da", array_distinct(col("sh_a")))
+      .withColumn("__db", array_distinct(col("sh_b")))
+      .withColumn("n_inter",
+        size(array_intersect(col("__da"), col("__db"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("__da")) + size(col("__db")) - col("n_inter"))
+          .cast("long"))
+      .filter(col("n_union") > 0 &&
+        col("n_inter").cast("double") / col("n_union") >= threshold)
+      .select(col("new_id"), col("old_id"), col("n_inter"),
+        col("n_union"))
+  }
+
+  /** The TRUE O(delta) incremental probe: both corpus-side artifacts
+    * are PERSISTED side tables a continuous pipeline maintains —
+    * `corpusBands` = [[minhashBandRows]] of the corpus (bucketBy(key)
+    * at scale so the band join is corpus-shuffle-free and
+    * bucket-pruned to the delta's keys), `corpusSets` = the (id, sh)
+    * shingle table (bucketBy(id) at scale for the candidate fetch).
+    * Per-probe cluster work is then O(delta banding + candidate
+    * verification): the delta is banded (micro-batch-sized), joined
+    * against the stored band table, and shingle sets are fetched for
+    * CANDIDATE ids only. Measured against [[minhashLshProbeSets]] on
+    * the same 5M-doc corpus / 2k delta: 8,831 MB → single-digit MB of
+    * shuffle (d44b vs d44c, BENCH_NOTES r9) — the sets-level form
+    * re-bands the corpus every probe, this one never touches
+    * non-candidate corpus rows beyond the (bucket-prunable) band-key
+    * join.
+    *
+    * Output and recall are IDENTICAL to [[minhashLshProbeSets]] with
+    * the same k/bands/seed (spec-pinned): same banding expression,
+    * same latest-wins delta-supersedes rule, same intra-batch
+    * canonicalization, same exact-Jaccard verification. */
+  def minhashLshProbeBands(corpusBands: DataFrame,
+                           corpusSets: DataFrame,
+                           deltaSets: DataFrame,
+                           k: Int, bands: Int, threshold: Double,
+                           seed: Long): DataFrame = {
+    val shNew = CacheTracker.persistTracked(deltaSets)
+    // delta ids are micro-batch-sized by contract — broadcast them
+    // into both latest-wins anti-joins so neither side table shuffles
+    val newIds = broadcast(shNew.select("id"))
+    val bOld = corpusBands.join(newIds, Seq("id"), "left_anti")
+    val bNew = CacheTracker.persistTracked(
+      minhashBandRows(shNew, k, bands, seed))
+    val bAll = bOld.withColumn("was_new", lit(false))
+      .unionByName(bNew.withColumn("was_new", lit(true)))
+    val cand = bNew.select(col("band"), col("key"),
+        col("id").as("new_id"))
+      .join(bAll.select(col("band"), col("key"),
+          col("id").as("old_id"), col("was_new")),
+        Seq("band", "key"))
+      .filter(col("new_id") =!= col("old_id") &&
+        (!col("was_new") || col("new_id") < col("old_id")))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+    // candidate-bounded verification in ONE streamed pass over the
+    // sets table: fetch the shingle sets of candidate ids (broadcast
+    // id probe — at scale the id-bucketed table makes this a point
+    // fetch), then both pair joins run small-vs-small on the fetched
+    // frame — the corpus is never shuffled and never scanned twice
+    val candP = CacheTracker.persistTracked(cand)
+    val candIds = candP.select(col("new_id").as("id"))
+      .unionByName(candP.select(col("old_id").as("id"))).distinct()
+    val shAll = corpusSets.join(newIds, Seq("id"), "left_anti")
+      .unionByName(shNew)
+    val fetched = CacheTracker.persistTracked(
+      shAll.join(broadcast(candIds), Seq("id")))
+    candP
+      .join(fetched.select(col("id").as("new_id"), col("sh").as("sh_a")),
+        "new_id")
+      .join(fetched.select(col("id").as("old_id"), col("sh").as("sh_b")),
         "old_id")
       .withColumn("__da", array_distinct(col("sh_a")))
       .withColumn("__db", array_distinct(col("sh_b")))

@@ -748,6 +748,86 @@ object ScaleEvidence {
         threshold = 0.2, seed = 42L).count()
       graft.CacheTracker.releaseAll(); n
     }
+    // the SETS-level probe against a PERSISTED shingle side table —
+    // the exact incremental contract (StreamNearDedup's storage
+    // shape): the corpus is prepped ONCE (one-time side-table write,
+    // timed separately like the index builds), and the per-batch
+    // probe pays only the delta prep + banding join — never the
+    // corpus re-shingle that dominates d44's raw-text form.
+    val shingleSideDir = s"$work/shingle_side"
+    val sideLabel = s"d44b shingle side table write (one-time, " +
+      s"${reps*5}k docs)"
+    val probeSetsLabel = s"d44b probe-sets: 2k delta vs persisted " +
+      s"${reps*5}k-doc side table"
+    def shingleSets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").as("id"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("id"),
+        graft.functions.Text.wordShingles(col("toks"), 3).as("sh"))
+    timed(sideLabel) {
+      shingleSets(corpus).write.mode("overwrite")
+        .parquet(shingleSideDir)
+      spark.read.parquet(shingleSideDir).count()
+    }
+    if (!stageSelected(sideLabel) && stageSelected(probeSetsLabel))
+      shingleSets(corpus).write.mode("overwrite")
+        .parquet(shingleSideDir)
+    timed(probeSetsLabel) {
+      // a micro-batch-sized delta (the operator's documented
+      // contract), deterministic: every 7th doc below id 14000 =
+      // 2000 replica-0 docs (token salting keeps their shingles
+      // replica-local, so truth pairs stay delta-vs-its-own-replica)
+      val n = Dedup.minhashLshProbeSets(
+        spark.read.parquet(shingleSideDir)
+          .filter(col("id") % 7 =!= 0),
+        shingleSets(corpus.filter(
+          col("doc_id") % 7 === 0 && col("doc_id") < 14000)),
+        k = 32, bands = 8, threshold = 0.2, seed = 42L).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    // the O(delta) form: the BANDED projection is persisted too, so
+    // a probe never re-bands the corpus (d44b measured that cost:
+    // ~8.8 GB shuffle per probe at 5M docs). Expected here: delta
+    // banding + candidate fetch only — shuffle collapses to MBs.
+    val bandSideDir = s"$work/band_side"
+    val bandSideLabel = s"d44c banded side table write (one-time, " +
+      s"${reps*5}k docs)"
+    val probeBandsLabel = s"d44c probe-bands: 2k delta vs persisted " +
+      s"${reps*5}k-doc band+set side tables"
+    locally {
+      // d44c derives from the d44b sets table — regenerate it
+      // off-clock when a filter selected d44c without d44b's write
+      val p = new org.apache.hadoop.fs.Path(shingleSideDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if ((stageSelected(bandSideLabel) ||
+            stageSelected(probeBandsLabel)) &&
+          !graft.state.Layout.hasDataFiles(fs, p))
+        shingleSets(corpus).write.mode("overwrite")
+          .parquet(shingleSideDir)
+    }
+    timed(bandSideLabel) {
+      Dedup.minhashBandRows(
+        spark.read.parquet(shingleSideDir), k = 32, bands = 8,
+        seed = 42L)
+        .write.mode("overwrite").parquet(bandSideDir)
+      spark.read.parquet(bandSideDir).count()
+    }
+    if (!stageSelected(bandSideLabel) && stageSelected(probeBandsLabel))
+      Dedup.minhashBandRows(
+        spark.read.parquet(shingleSideDir), k = 32, bands = 8,
+        seed = 42L)
+        .write.mode("overwrite").parquet(bandSideDir)
+    timed(probeBandsLabel) {
+      val n = Dedup.minhashLshProbeBands(
+        spark.read.parquet(bandSideDir)
+          .filter(col("id") % 7 =!= 0),
+        spark.read.parquet(shingleSideDir)
+          .filter(col("id") % 7 =!= 0),
+        shingleSets(corpus.filter(
+          col("doc_id") % 7 === 0 && col("doc_id") < 14000)),
+        k = 32, bands = 8, threshold = 0.2, seed = 42L).count()
+      graft.CacheTracker.releaseAll(); n
+    }
     timed(s"d45 segment dedup + rebuild (${reps*5}k docs)") {
       // replicas make every replica-0 doc's segments duplicated
       // across... no: token salting keeps segments replica-local, so
@@ -1177,12 +1257,13 @@ object ScaleEvidence {
     // children and its first child has a child. Replies must carry
     // the ingest-time comment flag, or the feed's F4 filter
     // (flags ∌ 'comment') keeps them in the page.
-    def replyForest(): org.apache.spark.sql.DataFrame = {
+    def replyForest(dir: String = postsDir)
+        : org.apache.spark.sql.DataFrame = {
       val pid = regexp_extract(col("permlink"), "post(\\d+)", 1)
         .cast("long")
       val m = pmod(pid, lit(10L))
       val parentId = when(m === 9, pid - 8).otherwise(pid - m)
-      spark.read.parquet(postsDir)
+      spark.read.parquet(dir)
         .withColumn("parent_author", when(m =!= 0,
           concat(lit("user"), pmod(parentId, lit(50000L))))
           .otherwise(col("parent_author")))
@@ -1319,15 +1400,18 @@ object ScaleEvidence {
            s"vs $nPosts stored")))
       graft.state.Layout.writeReplyIndex(replyForest(), replyIdxDir,
         storeBuckets)
-    def childApi(idx: Option[(org.apache.spark.sql.DataFrame, Int)]) = {
+    def childApi(idx: Option[(org.apache.spark.sql.DataFrame, Int)],
+                 posts: () => org.apache.spark.sql.DataFrame =
+                   () => replyForest(),
+                 kb: Int = storeBuckets) = {
       def empty(st: org.apache.spark.sql.types.StructType) =
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
       new graft.api.GraftApi(spark, graft.api.ApiTables(
-        posts = replyForest(),
+        posts = posts(),
         follows = empty(graft.domain.Schemas.follow),
         profiles = empty(graft.domain.Schemas.profile),
-        keyBuckets = Some(storeBuckets), replyIndex = idx))
+        keyBuckets = Some(kb), replyIndex = idx))
     }
     def childQuery(api: graft.api.GraftApi, nItems: Int): Long = {
       val r = api.execute("{ socialFeed(pagination: {limit: " +
@@ -1402,6 +1486,77 @@ object ScaleEvidence {
       }
     }
 
+    // ── the FULL graft layout at a production modulus: store AND
+    //    index at n=4096. The sweep above moves only the index
+    //    modulus, which bounds the index-rank stage; the page FETCH
+    //    prunes on the STORE's key_bucket and stays saturated while
+    //    the store sits at n=64 (800 child keys ≫ 64 buckets). With
+    //    both at 4096 the law applies end-to-end: index scan ≈ 2.4%
+    //    of index files (100 parent keys), fetch ≈ 17.7% of store
+    //    files (800 child keys → 4096·(1-(1-1/4096)^800) ≈ 726
+    //    buckets), point probe ≈ 1 index bucket + 8/4096 of the
+    //    store. The index at n=4096 is the sweep's (content is
+    //    store-layout-independent); only the store rebuilds. ───────
+    println("== full graft layout at n=4096 (store + index) ==")
+    val posts4096 = s"$work/posts_n4096"
+    val store4096Label =
+      s"store rebuild n=4096 (one-time) vs $nPosts rows"
+    val page4096Label = s"children page(100) store+index n=4096 " +
+      s"vs $nPosts stored"
+    val point4096Label = s"children POINT (1 post) store+index " +
+      s"n=4096 vs $nPosts stored"
+    def rmDir(d: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
+    timed(store4096Label) {
+      // fresh CREATE at the target modulus (an existing store's
+      // marker would pin its own n — delete, don't merge into)
+      rmDir(posts4096)
+      graft.streaming.StreamIngest.mergeBlocksBatch(spark,
+        blocksFor(0, nPosts, 0, lit("original body text")), posts4096,
+        keyBuckets = 4096)
+      graft.CacheTracker.releaseAll()
+      spark.read.parquet(posts4096).count()
+    }
+    locally {
+      val p = new org.apache.hadoop.fs.Path(posts4096)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // off-clock fallback for filtered runs, same contract as the
+      // sweep; also guards a stale store at a different modulus
+      if (!stageSelected(store4096Label) &&
+          (stageSelected(page4096Label) ||
+            stageSelected(point4096Label)) &&
+          !graft.state.Layout.layoutMarker(fs, p, "key_buckets")
+            .contains(4096)) {
+        rmDir(posts4096)
+        graft.streaming.StreamIngest.mergeBlocksBatch(spark,
+          blocksFor(0, nPosts, 0, lit("original body text")),
+          posts4096, keyBuckets = 4096)
+        graft.CacheTracker.releaseAll()
+      }
+    }
+    locally {
+      val idx4096 = s"$work/reply_index_n4096"
+      if ((stageSelected(page4096Label) ||
+           stageSelected(point4096Label)) &&
+          !graft.state.Layout.replyIndexBuckets(spark, idx4096)
+            .contains(4096))
+        graft.state.Layout.writeReplyIndex(replyForest(posts4096),
+          idx4096, 4096)
+      timed(page4096Label) {
+        childQuery(childApi(
+          Some((spark.read.parquet(idx4096), 4096)),
+          () => replyForest(posts4096), kb = 4096), 100)
+      }
+      timed(point4096Label) {
+        childPoint(childApi(
+          Some((spark.read.parquet(idx4096), 4096)),
+          () => replyForest(posts4096), kb = 4096))
+      }
+    }
+
     // ── e2e integrated flagship (VERDICT r8 #4): one micro-batch of
     //    replies arrives → streaming merge + INCREMENTAL reply-index
     //    maintenance → the refreshed store serves a GraphQL
@@ -1419,6 +1574,14 @@ object ScaleEvidence {
       s"vs $nPosts stored"
     val e2eAll = Seq(e2eMergeLabel, e2eServeLabel, e2eHttpLabel)
     if (e2eAll.exists(stageSelected)) {
+      // the three stages form ONE pipeline (the HTTP page asserts the
+      // batch the merge stage wrote, served by the server the boot
+      // stage started) — a filter selecting a strict subset would
+      // either NPE on a never-booted server or fail the freshness
+      // assert; refuse loud instead (select 'e2e ' or nothing)
+      require(e2eAll.forall(stageSelected),
+        "the e2e stages are one pipeline — the filter must select " +
+          "all three ('e2e ') or none")
       import spark.implicits._
       def empty(st: org.apache.spark.sql.types.StructType) =
         spark.createDataFrame(
@@ -1500,9 +1663,15 @@ object ScaleEvidence {
           new graft.api.GraftApi(spark, t)).start()
         1L
       }
+      try {
       timed(e2eHttpLabel) {
+        // children pages serve created_at ASC, so the FRESH replies
+        // (newest) sort last — a limit at the reply count would cut
+        // them on any target that already carries older replies
+        // (e.g. this stage's own prior runs against a kept store);
+        // limit 50 keeps the assert store-history-proof
         val q = "{ socialFeed(pagination: {limit: 100}) { items {" +
-          " permlink children(limit: 8) { permlink" +
+          " permlink children(limit: 50) { permlink" +
           " author { profile { name } } } } } }"
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val body = mapper.createObjectNode()
@@ -1535,11 +1704,15 @@ object ScaleEvidence {
           s"fresh=$fresh profiled=$profiled")
         fresh
       }
-      if (e2eAll.forall(stageSelected))
-        println(f"e2e freshness-to-first-byte (merge+index, " +
-          f"view+boot, HTTP page): " +
-          f"${(System.nanoTime() - tTotal0) / 1e9}%.2f s total")
-      if (e2eServer != null) e2eServer.stop()
+      println(f"e2e freshness-to-first-byte (merge+index, " +
+        f"view+boot, HTTP page): " +
+        f"${(System.nanoTime() - tTotal0) / 1e9}%.2f s total")
+      } finally {
+        // without the finally, a failed assert above leaves the
+        // server's non-daemon pool threads alive and the runMain JVM
+        // hangs forever — the exact failure HttpApi.stop() now closes
+        if (e2eServer != null) e2eServer.stop()
+      }
     }
     spark.stop()
   }

@@ -63,6 +63,40 @@ class IncrementalSegmentSpec extends SparkSpec {
     assert(!got.exists { case (n, o) => n < 10L && o < 10L })
   }
 
+  test("probe-bands (persisted band side table) emits EXACTLY the " +
+    "probe-sets pairs, including the latest-wins re-ingest rule") {
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").as("id"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("id"),
+        graft.functions.Text.wordShingles(col("toks"), 3).as("sh"))
+    val corpusSets = sets(corpus)
+    // the maintained artifacts: shingle sets + their banded projection
+    val corpusBands = Dedup.minhashBandRows(corpusSets, k = 32,
+      bands = 8, seed = 42L)
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val viaSets = Dedup.minhashLshProbeSets(corpusSets, sets(d),
+        k = 32, bands = 8, threshold = 0.2, seed = 42L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      graft.CacheTracker.releaseAll()
+      val viaBands = Dedup.minhashLshProbeBands(corpusBands,
+        corpusSets, sets(d), k = 32, bands = 8, threshold = 0.2,
+        seed = 42L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      graft.CacheTracker.releaseAll()
+      (viaSets, viaBands)
+    }
+    val (s1, b1) = run(delta)
+    assert(s1.nonEmpty && s1 == b1, s"sets=$s1 bands=$b1")
+    // re-ingest: a delta carrying a CORPUS id supersedes the stored
+    // row (no self-pair, stored version dropped) in both forms
+    val reingest = Seq(0L -> base, 11L -> other)
+      .toDF("doc_id", "text")
+    val (s2, b2) = run(reingest)
+    assert(s2 == b2, s"sets=$s2 bands=$b2")
+    assert(!s2.exists { case (n, o, _, _) => n == 0L && o == 0L })
+  }
+
   test("segment dedup removes cross-doc boilerplate and rebuilds survivors") {
     // 20-token boilerplate header shared by docs 0/1; unique tails
     val header = (1 to 16).map(i => s"h$i").mkString(" ")
