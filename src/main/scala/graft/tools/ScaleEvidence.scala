@@ -113,17 +113,20 @@ object ScaleEvidence {
       docs.write.mode("overwrite").parquet(s"$work/documents")
       spark.read.parquet(s"$work/documents").count()
     }
-    val corpus = spark.read.parquet(s"$work/documents")
-    // stale-artifact guard: a filtered run that skips the corpus
-    // write reuses whatever is on disk — if that parquet is from a
-    // run at a DIFFERENT reps, every stage label would misstate its
-    // scale and the recorded rows would be silently wrong. Fail loud.
-    locally {
-      val onDisk = corpus.count()
+    // LAZY + stale-artifact guard: a filtered run that selects no
+    // corpus stage must not even LIST $work/documents (a store-only
+    // 1000x run would otherwise pay — or crash on — a corpus it never
+    // reads); the first actual use pays one count() that fails loud
+    // when the on-disk parquet is from a run at a DIFFERENT reps
+    // (every stage label would misstate its scale otherwise).
+    lazy val corpus: org.apache.spark.sql.DataFrame = {
+      val c = spark.read.parquet(s"$work/documents")
+      val onDisk = c.count()
       require(onDisk == docs0Count * reps,
         s"on-disk corpus at $work/documents has $onDisk rows but " +
           s"reps=$reps expects ${docs0Count * reps} — rerun with the " +
           "\"documents parquet\" stage included in the filter")
+      c
     }
 
     println("== dedup / similarity ==")
@@ -367,7 +370,7 @@ object ScaleEvidence {
     // sources salted per replica: 200 corpora → the pair stage grows
     // quadratically in CORPUS COUNT (the axis that matters; sketch
     // table is still only corpora·k rows)
-    val docsSalted = corpus.withColumn("source",
+    def docsSalted = corpus.withColumn("source",
       concat(lit("s"), pmod(col("doc_id"), lit(200L))))
     timed("m03 corpus overlap (200 corpora, 19900 pairs)") {
       val n = Dedup.corpusOverlap(docsSalted, "text", "source",
@@ -764,14 +767,21 @@ object ScaleEvidence {
         graft.functions.Text.tokens(col("text")).as("toks"))
       .select(col("id"),
         graft.functions.Text.wordShingles(col("toks"), 3).as("sh"))
-    timed(sideLabel) {
+    // freshness flag: every downstream d44b/d44c stage must see a
+    // side table written at THIS run's reps — a leftover dir from a
+    // different-scale run has data files but mislabels the decade
+    var shingleSideFresh = false
+    def writeShingleSide(): Unit = {
       shingleSets(corpus).write.mode("overwrite")
         .parquet(shingleSideDir)
+      shingleSideFresh = true
+    }
+    timed(sideLabel) {
+      writeShingleSide()
       spark.read.parquet(shingleSideDir).count()
     }
-    if (!stageSelected(sideLabel) && stageSelected(probeSetsLabel))
-      shingleSets(corpus).write.mode("overwrite")
-        .parquet(shingleSideDir)
+    if (!shingleSideFresh && stageSelected(probeSetsLabel))
+      writeShingleSide()
     timed(probeSetsLabel) {
       // a micro-batch-sized delta (the operator's documented
       // contract), deterministic: every 7th doc below id 14000 =
@@ -794,17 +804,13 @@ object ScaleEvidence {
       s"${reps*5}k docs)"
     val probeBandsLabel = s"d44c probe-bands: 2k delta vs persisted " +
       s"${reps*5}k-doc band+set side tables"
-    locally {
-      // d44c derives from the d44b sets table — regenerate it
-      // off-clock when a filter selected d44c without d44b's write
-      val p = new org.apache.hadoop.fs.Path(shingleSideDir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if ((stageSelected(bandSideLabel) ||
-            stageSelected(probeBandsLabel)) &&
-          !graft.state.Layout.hasDataFiles(fs, p))
-        shingleSets(corpus).write.mode("overwrite")
-          .parquet(shingleSideDir)
-    }
+    // d44c derives from the d44b sets table — regenerate it off-clock
+    // when this run hasn't written it yet (an on-disk leftover from a
+    // different-reps run would silently probe a stale-scale corpus
+    // under this run's label; freshness, not existence, is the guard)
+    if (!shingleSideFresh &&
+        (stageSelected(bandSideLabel) || stageSelected(probeBandsLabel)))
+      writeShingleSide()
     timed(bandSideLabel) {
       Dedup.minhashBandRows(
         spark.read.parquet(shingleSideDir), k = 32, bands = 8,
@@ -1219,11 +1225,29 @@ object ScaleEvidence {
     //    JSON. Timed end-to-end (HTTP framing excluded; it is
     //    byte-copy). Depends on the catch-up merge stage's store,
     //    like the freshness stage above. ───────────────────────────
+    // shared by every api-construction stage below (one definition —
+    // a schema tweak must not leave two stages measuring different
+    // shapes)
+    def empty(st: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    // a REAL profiles table (one row per distinct author), so the
+    // author{profile} leg joins against a populated store — an empty
+    // frame would measure that probe as free
+    def profiles50k = spark.range(50000).select(
+      concat(lit("hive/user"), col("id")).as("_id"),
+      concat(lit("user"), col("id")).as("username"),
+      concat(lit("User "), col("id")).as("displayName"),
+      lit("about text").as("about"),
+      lit(null).cast("string").as("location"),
+      lit(null).cast("string").as("website"),
+      lit(null).cast("string").as("did"),
+      struct(lit("a.png").as("avatar"),
+        lit(null).cast("string").as("cover")).as("images"),
+      struct(lit(null).cast("string").as("pinned_post")).as("extra"),
+      (col("id") % 100).cast("double").as("score"))
     println("== graphql transport ==")
     timed(s"graphql socialFeed page (limit 100) vs $nPosts stored") {
-      def empty(st: org.apache.spark.sql.types.StructType) =
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
       val api = new graft.api.GraftApi(spark, graft.api.ApiTables(
         posts = spark.read.parquet(postsDir),
         follows = empty(graft.domain.Schemas.follow),
@@ -1239,9 +1263,6 @@ object ScaleEvidence {
     // counts are 0; the COST being measured (semi-join + window over
     // the store) is the same either way.
     timed(s"graphql feed page + children hydration vs $nPosts stored") {
-      def empty(st: org.apache.spark.sql.types.StructType) =
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
       val api = new graft.api.GraftApi(spark, graft.api.ApiTables(
         posts = spark.read.parquet(postsDir),
         follows = empty(graft.domain.Schemas.follow),
@@ -1288,24 +1309,7 @@ object ScaleEvidence {
     // child, giving both hydration levels real rows.
     timed(s"graphql level-2 hydration (3 nested fields) vs $nPosts " +
       "stored") {
-      def empty(st: org.apache.spark.sql.types.StructType) =
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
-      // a REAL profiles table (one row per distinct author), so the
-      // author{profile} leg joins against a populated store — an
-      // empty frame would measure that probe as free
-      val profiles = spark.range(50000).select(
-        concat(lit("hive/user"), col("id")).as("_id"),
-        concat(lit("user"), col("id")).as("username"),
-        concat(lit("User "), col("id")).as("displayName"),
-        lit("about text").as("about"),
-        lit(null).cast("string").as("location"),
-        lit(null).cast("string").as("website"),
-        lit(null).cast("string").as("did"),
-        struct(lit("a.png").as("avatar"),
-          lit(null).cast("string").as("cover")).as("images"),
-        struct(lit(null).cast("string").as("pinned_post")).as("extra"),
-        (col("id") % 100).cast("double").as("score"))
+      val profiles = profiles50k
       val api = new graft.api.GraftApi(spark, graft.api.ApiTables(
         posts = replyForest(),
         follows = empty(graft.domain.Schemas.follow),
@@ -1351,9 +1355,6 @@ object ScaleEvidence {
         sys.error(s"no layout marker at $postsDir"))
     }
     def pointApi(kb: Option[Int]) = {
-      def empty(st: org.apache.spark.sql.types.StructType) =
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
       new graft.api.GraftApi(spark, graft.api.ApiTables(
         posts = spark.read.parquet(postsDir),
         follows = empty(graft.domain.Schemas.follow),
@@ -1404,9 +1405,6 @@ object ScaleEvidence {
                  posts: () => org.apache.spark.sql.DataFrame =
                    () => replyForest(),
                  kb: Int = storeBuckets) = {
-      def empty(st: org.apache.spark.sql.types.StructType) =
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
       new graft.api.GraftApi(spark, graft.api.ApiTables(
         posts = posts(),
         follows = empty(graft.domain.Schemas.follow),
@@ -1583,22 +1581,35 @@ object ScaleEvidence {
         "the e2e stages are one pipeline — the filter must select " +
           "all three ('e2e ') or none")
       import spark.implicits._
-      def empty(st: org.apache.spark.sql.types.StructType) =
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
       val e2eIdx = s"$work/e2e_reply_index"
+      // off-clock: the merge below MUTATES its store, and postsDir is
+      // shared by every other stage across kept work dirs — give the
+      // pipeline its own file-level copy so postsDir stays immutable
+      // (a prior version merged into postsDir; later filtered runs
+      // then measured nPosts+20 rows under an nPosts label and the
+      // sweep's index no longer matched the fresh n=4096 store)
+      val e2ePosts = s"$work/e2e_posts"
+      locally {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val src = new org.apache.hadoop.fs.Path(postsDir)
+        val dst = new org.apache.hadoop.fs.Path(e2ePosts)
+        val fs = src.getFileSystem(conf)
+        fs.delete(dst, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+          conf)
+      }
       // off-clock: enable the index on the existing store — the
       // production path (refreshReplyIndex bootstraps the history;
       // a reply-less store records a completed empty generation)
       graft.streaming.StreamIngest.refreshReplyIndex(spark,
-        spark.read.parquet(postsDir).limit(0), e2eIdx,
+        spark.read.parquet(e2ePosts).limit(0), e2eIdx,
         keyBuckets = storeBuckets,
-        bootstrapFrom = Some(() => spark.read.parquet(postsDir)))
+        bootstrapFrom = Some(() => spark.read.parquet(e2ePosts)))
       // off-clock: the page the feed will serve (created_at desc,
       // author/permlink asc — the feed's own ordering), so the reply
       // targets are guaranteed page members and the freshness assert
       // is airtight; replies go to every 5th page post
-      val pageKeys = spark.read.parquet(postsDir)
+      val pageKeys = spark.read.parquet(e2ePosts)
         .filter(!array_contains(coalesce(col("flags"),
           array().cast("array<string>")), "comment"))
         .orderBy(col("created_at").desc, col("author").asc,
@@ -1628,22 +1639,10 @@ object ScaleEvidence {
                 lit("fresh reply body").as("body"),
                 lit("""{"app":"3speak/1.0"}""").as("json_metadata")))
                 .as("payload"))).as("operations"))).as("transactions"))
-      val profiles50k = spark.range(50000).select(
-        concat(lit("hive/user"), col("id")).as("_id"),
-        concat(lit("user"), col("id")).as("username"),
-        concat(lit("User "), col("id")).as("displayName"),
-        lit("about text").as("about"),
-        lit(null).cast("string").as("location"),
-        lit(null).cast("string").as("website"),
-        lit(null).cast("string").as("did"),
-        struct(lit("a.png").as("avatar"),
-          lit(null).cast("string").as("cover")).as("images"),
-        struct(lit(null).cast("string").as("pinned_post")).as("extra"),
-        (col("id") % 100).cast("double").as("score"))
       val tTotal0 = System.nanoTime()
       timed(e2eMergeLabel) {
         graft.streaming.StreamIngest.mergeBlocksBatch(spark,
-          freshBlocks, postsDir, replyIndexDir = Some(e2eIdx))
+          freshBlocks, e2ePosts, replyIndexDir = Some(e2eIdx))
         graft.CacheTracker.releaseAll()
         20L
       }
@@ -1654,7 +1653,7 @@ object ScaleEvidence {
         // read time; production would refresh the same way or run on
         // a table format whose snapshot load is this step's analogue)
         val t = graft.api.ApiTables(
-          posts = spark.read.parquet(postsDir),
+          posts = spark.read.parquet(e2ePosts),
           follows = empty(graft.domain.Schemas.follow),
           profiles = profiles50k,
           keyBuckets = Some(storeBuckets),
