@@ -3,7 +3,7 @@ package graft.dedup
 import graft.CacheTracker
 import graft.functions.{SigExprs, Text}
 import graft.state.Merge
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline
@@ -773,6 +773,89 @@ object Dedup {
       .select(col("id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
 
+  /** The band side table's partition key: ONE expression shared by
+    * [[writeBandSideTable]] and the probe's pruning filter, so the
+    * two can never hash differently (the reply-index keyBucket
+    * contract). Bucketing by (band, key) — the probe's join key —
+    * lets a micro-batch probe prune the stored band table to the
+    * buckets its own ≤ |delta|·bands keys hash into. */
+  def bandBucket(band: Column, key: Column, n: Int): Column =
+    pmod(xxhash64(band, key), lit(n.toLong)).cast("int")
+
+  /** Persist a [[minhashBandRows]] projection as a BUCKETED layout —
+    * the scale form the probe's scaladoc promises: partitioned by
+    * [[bandBucket]] (marker-before-data, one file per bucket), so
+    * [[minhashLshProbeBands]] with `bandBuckets = Some(n)` prunes the
+    * corpus-band scan to the delta's own key buckets instead of
+    * reading the whole table. Full-rebuild form; a continuous
+    * pipeline appends each batch's band rows with the same bucket
+    * column under a dynamic-partition write (the
+    * [[graft.streaming.StreamNearDedup]] side-table pattern). */
+  def writeBandSideTable(bandRows: DataFrame, dir: String,
+                         n: Int): Unit = {
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(
+      bandRows.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(table, true)
+    graft.state.Layout.writeLayoutMarker(fs, table, "band_buckets", n)
+    bandRows
+      .withColumn("band_bucket",
+        bandBucket(col("band"), col("key"), n))
+      .repartition(col("band_bucket"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("band_bucket")
+      .parquet(dir)
+  }
+
+  /** The bucketed band table's modulus from its layout marker (None =
+    * unmarked/flat → the probe must scan, not prune). */
+  def bandSideBuckets(spark: SparkSession, dir: String): Option[Int] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      graft.state.Layout.layoutMarker(p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration), p, "band_buckets")
+    } catch { case _: Exception => None }
+
+  /** The shingle-set side table's partition key — the candidate-FETCH
+    * analogue of [[bandBucket]]: the probe's verification step pulls
+    * sets for candidate ids only, so an id-bucketed layout prunes
+    * that read to ≤ |candidates| buckets. One shared expression,
+    * write + probe. */
+  def idBucket(id: Column, n: Int): Column =
+    pmod(xxhash64(id), lit(n.toLong)).cast("int")
+
+  /** Persist an (id, sh) shingle-set table partitioned by
+    * [[idBucket]] (marker-before-data, one file per bucket) — with
+    * [[writeBandSideTable]] this completes the probe's persisted-
+    * artifact pair: [[minhashLshProbeBands]] with `setsBuckets =
+    * Some(n)` prunes the candidate fetch the way `bandBuckets`
+    * prunes the band join. */
+  def writeSetsSideTable(sets: DataFrame, dir: String, n: Int): Unit = {
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(
+      sets.sparkSession.sparkContext.hadoopConfiguration)
+    fs.delete(table, true)
+    graft.state.Layout.writeLayoutMarker(fs, table, "sets_buckets", n)
+    sets
+      .withColumn("id_bucket", idBucket(col("id"), n))
+      .repartition(col("id_bucket"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("id_bucket")
+      .parquet(dir)
+  }
+
+  /** The bucketed sets table's modulus from its layout marker. */
+  def setsSideBuckets(spark: SparkSession, dir: String): Option[Int] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      graft.state.Layout.layoutMarker(p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration), p, "sets_buckets")
+    } catch { case _: Exception => None }
+
   /** Shingle-set-level probe — the corpus side is (id, sh) rows, i.e.
     * exactly the persisted signature side table an incremental
     * pipeline maintains ([[graft.streaming.StreamNearDedup]] feeds
@@ -845,10 +928,15 @@ object Dedup {
 
   /** The TRUE O(delta) incremental probe: both corpus-side artifacts
     * are PERSISTED side tables a continuous pipeline maintains —
-    * `corpusBands` = [[minhashBandRows]] of the corpus (bucketBy(key)
-    * at scale so the band join is corpus-shuffle-free and
-    * bucket-pruned to the delta's keys), `corpusSets` = the (id, sh)
-    * shingle table (bucketBy(id) at scale for the candidate fetch).
+    * `corpusBands` = [[minhashBandRows]] of the corpus — persist it
+    * with [[writeBandSideTable]] and pass `bandBuckets = Some(n)` and
+    * the band scan PRUNES to the delta's own key buckets
+    * (directory-level, ≤ |delta|·bands of n buckets read; on a flat
+    * table the probe scans but still never shuffles the corpus) —
+    * `corpusSets` = the (id, sh) shingle table — persist with
+    * [[writeSetsSideTable]] and pass `setsBuckets = Some(n)` and the
+    * candidate FETCH directory-prunes to the candidates' id buckets
+    * the same way.
     * Per-probe cluster work is then O(delta banding + candidate
     * verification): the delta is banded (micro-batch-sized), joined
     * against the stored band table, and shingle sets are fetched for
@@ -867,14 +955,33 @@ object Dedup {
                            corpusSets: DataFrame,
                            deltaSets: DataFrame,
                            k: Int, bands: Int, threshold: Double,
-                           seed: Long): DataFrame = {
+                           seed: Long,
+                           bandBuckets: Option[Int] = None,
+                           setsBuckets: Option[Int] = None)
+      : DataFrame = {
     val shNew = CacheTracker.persistTracked(deltaSets)
     // delta ids are micro-batch-sized by contract — broadcast them
     // into both latest-wins anti-joins so neither side table shuffles
     val newIds = broadcast(shNew.select("id"))
-    val bOld = corpusBands.join(newIds, Seq("id"), "left_anti")
-    val bNew = CacheTracker.persistTracked(
+    val bNewEarly = CacheTracker.persistTracked(
       minhashBandRows(shNew, k, bands, seed))
+    // layout pruning ([[writeBandSideTable]]): a stored band row can
+    // only join the candidate probe if it shares a (band, key) with
+    // some delta row — so restricting the scan to the DELTA's key
+    // buckets is semantics-preserving, and the isin on the partition
+    // column turns it into directory-level pruning (≤ |delta|·bands
+    // of n buckets read; the discovery collect is delta-sized)
+    val bOldSrc = bandBuckets match {
+      case Some(n) if corpusBands.columns.contains("band_bucket") =>
+        val bk = bNewEarly
+          .select(bandBucket(col("band"), col("key"), n).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        corpusBands.filter(col("band_bucket").isin(bk: _*))
+          .drop("band_bucket")
+      case _ => corpusBands.drop("band_bucket")
+    }
+    val bOld = bOldSrc.join(newIds, Seq("id"), "left_anti")
+    val bNew = bNewEarly
     val bAll = bOld.withColumn("was_new", lit(false))
       .unionByName(bNew.withColumn("was_new", lit(true)))
     val cand = bNew.select(col("band"), col("key"),
@@ -894,7 +1001,21 @@ object Dedup {
     val candP = CacheTracker.persistTracked(cand)
     val candIds = candP.select(col("new_id").as("id"))
       .unionByName(candP.select(col("old_id").as("id"))).distinct()
-    val shAll = corpusSets.join(newIds, Seq("id"), "left_anti")
+    // layout pruning ([[writeSetsSideTable]]): the fetch only keeps
+    // candidate-id rows (broadcast inner join below), so restricting
+    // the stored-sets scan to the CANDIDATES' id buckets is
+    // semantics-preserving — one candidate-sized discovery collect
+    // (cand is persisted; the collect rides the cache) turns the
+    // corpus-sets read into ≤ |candidates| of n directories
+    val shOldSrc = setsBuckets match {
+      case Some(n) if corpusSets.columns.contains("id_bucket") =>
+        val ib = candIds.select(idBucket(col("id"), n).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        corpusSets.filter(col("id_bucket").isin(ib: _*))
+          .drop("id_bucket")
+      case _ => corpusSets.drop("id_bucket")
+    }
+    val shAll = shOldSrc.join(newIds, Seq("id"), "left_anti")
       .unionByName(shNew)
     val fetched = CacheTracker.persistTracked(
       shAll.join(broadcast(candIds), Seq("id")))

@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * rewrite. The side table stores (id, sh): per-doc shingle sets,
   * i.e. the verification payload; band keys are derived per probe
   * (cheap, codegen) — at larger scale the band table is ALSO
-  * persisted, bucketed by band key, making the probe's corpus-side
-  * read bucket-pruned like the q21 posting layout.
+  * persisted ([[graft.dedup.Dedup.writeBandSideTable]], partitioned
+  * by [[graft.dedup.Dedup.bandBucket]]) and the probe switches to
+  * [[graft.dedup.Dedup.minhashLshProbeBands]] with
+  * `bandBuckets = Some(n)`, making the corpus-side read
+  * bucket-pruned like the q21 posting layout (measured d44d).
   *
   * Wire into a stream exactly like [[StreamIngest]]:
   * `readStream...foreachBatch((b, id) => probeAndAppend(spark, b, id, …))`.

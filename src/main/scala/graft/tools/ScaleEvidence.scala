@@ -811,18 +811,20 @@ object ScaleEvidence {
     if (!shingleSideFresh &&
         (stageSelected(bandSideLabel) || stageSelected(probeBandsLabel)))
       writeShingleSide()
-    timed(bandSideLabel) {
+    var bandSideFresh = false
+    def writeBandSide(): Unit = {
       Dedup.minhashBandRows(
         spark.read.parquet(shingleSideDir), k = 32, bands = 8,
         seed = 42L)
         .write.mode("overwrite").parquet(bandSideDir)
+      bandSideFresh = true
+    }
+    timed(bandSideLabel) {
+      writeBandSide()
       spark.read.parquet(bandSideDir).count()
     }
-    if (!stageSelected(bandSideLabel) && stageSelected(probeBandsLabel))
-      Dedup.minhashBandRows(
-        spark.read.parquet(shingleSideDir), k = 32, bands = 8,
-        seed = 42L)
-        .write.mode("overwrite").parquet(bandSideDir)
+    if (!bandSideFresh && stageSelected(probeBandsLabel))
+      writeBandSide()
     timed(probeBandsLabel) {
       val n = Dedup.minhashLshProbeBands(
         spark.read.parquet(bandSideDir)
@@ -832,6 +834,93 @@ object ScaleEvidence {
         shingleSets(corpus.filter(
           col("doc_id") % 7 === 0 && col("doc_id") < 14000)),
         k = 32, bands = 8, threshold = 0.2, seed = 42L).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    // the BUCKETED band layout (writeBandSideTable): a true
+    // micro-batch delta (20 docs → ≤160 band keys) against the same
+    // corpus, flat vs bucket-pruned — the pruned scan reads
+    // ≤160 of 1024 buckets (directory-level), the flat one the whole
+    // table. 2k-delta probes saturate any practical modulus (16k
+    // keys), which is why THIS stage uses the batch size the probe's
+    // contract names.
+    val bandBucketedDir = s"$work/band_side_bucketed"
+    val d44dWriteLabel = s"d44d bucketed band table write (one-time, " +
+      s"${reps*5}k docs, n=1024)"
+    val d44dFlatLabel = s"d44d probe 20-doc batch vs FLAT band table"
+    val d44dPrunedLabel =
+      s"d44d probe 20-doc batch BUCKET-PRUNED (n=1024)"
+    def microDelta = shingleSets(corpus.filter(
+      col("doc_id") % 7 === 0 && col("doc_id") < 140))
+    // same freshness contract as d44b/d44c: every d44d stage derives
+    // from the sets side table — regenerate off-clock if this run
+    // hasn't written it
+    if (!shingleSideFresh &&
+        Seq(d44dWriteLabel, d44dFlatLabel, d44dPrunedLabel,
+          s"d44d bucketed sets table write (one-time, ${reps*5}k " +
+            "docs, n=1024)",
+          "d44d probe 20-doc batch FULLY-PRUNED (bands+sets n=1024)")
+          .exists(stageSelected))
+      writeShingleSide()
+    // ... and the FLAT comparison probe reads the d44c band table
+    if (!bandSideFresh && stageSelected(d44dFlatLabel))
+      writeBandSide()
+    timed(d44dWriteLabel) {
+      Dedup.writeBandSideTable(
+        Dedup.minhashBandRows(
+          spark.read.parquet(shingleSideDir), k = 32, bands = 8,
+          seed = 42L), bandBucketedDir, n = 1024)
+      spark.read.parquet(bandBucketedDir).count()
+    }
+    if (!stageSelected(d44dWriteLabel) &&
+        (stageSelected(d44dPrunedLabel) ||
+          stageSelected(s"d44d probe 20-doc batch FULLY-PRUNED " +
+            "(bands+sets n=1024)")) &&
+        !Dedup.bandSideBuckets(spark, bandBucketedDir).contains(1024))
+      Dedup.writeBandSideTable(
+        Dedup.minhashBandRows(
+          spark.read.parquet(shingleSideDir), k = 32, bands = 8,
+          seed = 42L), bandBucketedDir, n = 1024)
+    timed(d44dFlatLabel) {
+      val n = Dedup.minhashLshProbeBands(
+        spark.read.parquet(bandSideDir),
+        spark.read.parquet(shingleSideDir),
+        microDelta,
+        k = 32, bands = 8, threshold = 0.2, seed = 42L).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    timed(d44dPrunedLabel) {
+      val n = Dedup.minhashLshProbeBands(
+        spark.read.parquet(bandBucketedDir),
+        spark.read.parquet(shingleSideDir),
+        microDelta,
+        k = 32, bands = 8, threshold = 0.2, seed = 42L,
+        bandBuckets = Some(1024)).count()
+      graft.CacheTracker.releaseAll(); n
+    }
+    // BOTH side tables bucketed: the candidate fetch prunes on
+    // id_bucket too — the last O(corpus) read term in the probe
+    val setsBucketedDir = s"$work/sets_side_bucketed"
+    val d44dSetsWriteLabel = s"d44d bucketed sets table write " +
+      s"(one-time, ${reps*5}k docs, n=1024)"
+    val d44dFullLabel =
+      s"d44d probe 20-doc batch FULLY-PRUNED (bands+sets n=1024)"
+    timed(d44dSetsWriteLabel) {
+      Dedup.writeSetsSideTable(
+        spark.read.parquet(shingleSideDir), setsBucketedDir, n = 1024)
+      spark.read.parquet(setsBucketedDir).count()
+    }
+    if (!stageSelected(d44dSetsWriteLabel) &&
+        stageSelected(d44dFullLabel) &&
+        !Dedup.setsSideBuckets(spark, setsBucketedDir).contains(1024))
+      Dedup.writeSetsSideTable(
+        spark.read.parquet(shingleSideDir), setsBucketedDir, n = 1024)
+    timed(d44dFullLabel) {
+      val n = Dedup.minhashLshProbeBands(
+        spark.read.parquet(bandBucketedDir),
+        spark.read.parquet(setsBucketedDir),
+        microDelta,
+        k = 32, bands = 8, threshold = 0.2, seed = 42L,
+        bandBuckets = Some(1024), setsBuckets = Some(1024)).count()
       graft.CacheTracker.releaseAll(); n
     }
     timed(s"d45 segment dedup + rebuild (${reps*5}k docs)") {

@@ -97,6 +97,69 @@ class IncrementalSegmentSpec extends SparkSpec {
     assert(!s2.exists { case (n, o, _, _) => n == 0L && o == 0L })
   }
 
+  test("bucketed band + sets side tables: the fully-pruned probe " +
+    "emits the probe-sets pairs and both scans carry their layout's " +
+    "partition filter") {
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").as("id"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("id"),
+        graft.functions.Text.wordShingles(col("toks"), 3).as("sh"))
+    val corpusSets = sets(corpus)
+    val dir = java.nio.file.Files
+      .createTempDirectory("band_side").toString + "/t"
+    Dedup.writeBandSideTable(
+      Dedup.minhashBandRows(corpusSets, k = 32, bands = 8,
+        seed = 42L), dir, n = 8)
+    // the marker round-trips the modulus (the probe's layout handshake)
+    assert(Dedup.bandSideBuckets(spark, dir).contains(8))
+    val setsDir = java.nio.file.Files
+      .createTempDirectory("sets_side").toString + "/t"
+    Dedup.writeSetsSideTable(corpusSets, setsDir, n = 4)
+    assert(Dedup.setsSideBuckets(spark, setsDir).contains(4))
+    val stored = spark.read.parquet(dir)
+    val storedSets = spark.read.parquet(setsDir)
+    val pruned = Dedup.minhashLshProbeBands(stored, storedSets,
+      sets(delta), k = 32, bands = 8, threshold = 0.2, seed = 42L,
+      bandBuckets = Some(8), setsBuckets = Some(4))
+    val truth = Dedup.minhashLshProbeSets(corpusSets, sets(delta),
+      k = 32, bands = 8, threshold = 0.2, seed = 42L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.CacheTracker.releaseAll()
+    val got = pruned.as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == truth && got.nonEmpty, s"got=$got truth=$truth")
+    // plan contract: the stored band table's scan PRUNES — its
+    // partition filters name band_bucket (directory-level, the
+    // LayoutSpec month-window assertion applied to the dedup layout).
+    // The probe persists intermediates, so the scan hides under
+    // InMemoryTableScan / adaptive roots — collect recursively.
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar
+            .InMemoryTableScanExec => scans(m.relation.cachedPlan)
+      }.flatten
+    val allScans = scans(pruned.queryExecution.executedPlan)
+    val bandScan = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(dir)))
+    assert(bandScan.nonEmpty, "no scan over the band side table")
+    assert(bandScan.forall(
+        _.partitionFilters.exists(_.toString.contains("band_bucket"))),
+      bandScan.map(_.partitionFilters.mkString(",")).mkString(" | "))
+    // ...and the candidate fetch prunes the sets table on id_bucket
+    val setsScan = allScans.filter(
+      _.relation.location.rootPaths.exists(_.toString.contains(setsDir)))
+    assert(setsScan.nonEmpty, "no scan over the sets side table")
+    assert(setsScan.forall(
+        _.partitionFilters.exists(_.toString.contains("id_bucket"))),
+      setsScan.map(_.partitionFilters.mkString(",")).mkString(" | "))
+    graft.CacheTracker.releaseAll()
+  }
+
   test("segment dedup removes cross-doc boilerplate and rebuilds survivors") {
     // 20-token boilerplate header shared by docs 0/1; unique tails
     val header = (1 to 16).map(i => s"h$i").mkString(" ")
