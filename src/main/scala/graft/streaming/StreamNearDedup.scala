@@ -39,44 +39,83 @@ object StreamNearDedup {
     * ZERO pairs touches no pairs partition at all — the pairs table
     * may not exist until the first duplicate arrives, so readers
     * supply the schema). Returns the batch's pair count (the
-    * foreachBatch progress metric). */
+    * foreachBatch progress metric).
+    *
+    * `bandDir = Some(dir)` switches to the BUCKETED layout pair: the
+    * sets table partitions by ([[graft.dedup.Dedup.idBucket]],
+    * batch_id), a band table at `dir` by
+    * ([[graft.dedup.Dedup.bandBucket]], batch_id) — both maintained
+    * per batch — and the probe becomes the fully-pruned
+    * [[graft.dedup.Dedup.minhashLshProbeBands]] form (measured 6.6×
+    * less cluster work per probe at 5M docs, BENCH_NOTES d44d).
+    * `buckets` is the shared modulus; pick it once at table creation
+    * (the layouts carry no marker here — batch_id partitioning makes
+    * the mode explicit in the schema, and mixing moduli across
+    * batches would mis-prune: same contract as any partitioned
+    * store's layout constant). Pair output is identical in both
+    * modes (spec-pinned). */
   def probeAndAppend(spark: SparkSession, batch: DataFrame,
                      batchId: Long, sideDir: String, pairsDir: String,
                      textCol: String = "text", idCol: String = "doc_id",
                      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                     threshold: Double = 0.5, seed: Long = 42L): Long = {
+                     threshold: Double = 0.5, seed: Long = 42L,
+                     bandDir: Option[String] = None,
+                     buckets: Int = 1024): Long = {
     try {
       val deltaSets = CacheTracker.persistTracked(batch
         .select(col(idCol).as("id"),
           Text.tokens(col(textCol)).as("toks"))
         .select(col("id"),
           Text.wordShingles(col("toks"), shingleN).as("sh")))
-      val sidePath = new org.apache.hadoop.fs.Path(sideDir)
-      val fs = sidePath.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      // "has a side table" = has DATA, not just a directory: an EMPTY
-      // first batch leaves sideDir holding only _SUCCESS (dynamic
-      // overwrite writes no partition), and a schema-less read of
-      // that would throw "Unable to infer schema" and wedge the
-      // stream on every subsequent batch (the StreamIngest hasData
-      // pattern)
-      val hasSide = fs.exists(sidePath) &&
-        fs.listStatus(sidePath).exists { st =>
+      def hasData(dir: String): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        // "has a table" = has DATA, not just a directory: an EMPTY
+        // first batch leaves the dir holding only _SUCCESS (dynamic
+        // overwrite writes no partition), and a schema-less read of
+        // that would throw "Unable to infer schema" and wedge the
+        // stream on every subsequent batch (the StreamIngest hasData
+        // pattern)
+        fs.exists(p) && fs.listStatus(p).exists { st =>
           val nm = st.getPath.getName
           !nm.startsWith("_") && !nm.startsWith(".")
         }
+      }
+      val hasSide = hasData(sideDir)
       // a replayed batch must not probe against its OWN first-run
       // signatures (every doc would "near-dup" itself) — exclude the
       // batch's partition from the corpus side
       val corpusSets =
-        if (hasSide)
-          spark.read.parquet(sideDir)
+        if (hasSide) {
+          val r = spark.read.parquet(sideDir)
             .filter(col("batch_id") =!= batchId)
-            .select("id", "sh")
-        else deltaSets.filter(lit(false))
-      val pairs = CacheTracker.persistTracked(
-        Dedup.minhashLshProbeSets(corpusSets, deltaSets,
-          k, bands, threshold, seed))
+          if (bandDir.isDefined) r.select("id", "sh", "id_bucket")
+          else r.select("id", "sh")
+        } else deltaSets.filter(lit(false))
+      val pairs = CacheTracker.persistTracked(bandDir match {
+        // BUCKETED mode: the corpus side is the persisted band +
+        // sets layout pair ([[graft.dedup.Dedup.writeBandSideTable]]
+        // shape, here maintained incrementally), and the probe
+        // directory-prunes both reads (measured d44d)
+        case Some(bd) =>
+          val corpusBands =
+            if (hasData(bd))
+              spark.read.parquet(bd)
+                .filter(col("batch_id") =!= batchId)
+                .select("id", "band", "key", "band_bucket")
+            else
+              Dedup.minhashBandRows(deltaSets.filter(lit(false)),
+                  k, bands, seed)
+                .withColumn("band_bucket",
+                  Dedup.bandBucket(col("band"), col("key"), buckets))
+          Dedup.minhashLshProbeBands(corpusBands, corpusSets,
+            deltaSets, k, bands, threshold, seed,
+            bandBuckets = Some(buckets), setsBuckets = Some(buckets))
+        case None =>
+          Dedup.minhashLshProbeSets(corpusSets, deltaSets,
+            k, bands, threshold, seed)
+      })
       // dynamic overwrite as a PER-WRITE option, not session conf:
       // under foreachBatch these frames are bound to the query's
       // CLONED session (conf copied at query start), so a setting on
@@ -88,11 +127,36 @@ object StreamNearDedup {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .parquet(pairsDir)
-      deltaSets.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(sideDir)
+      bandDir match {
+        case Some(bd) =>
+          // bucket-major layout, batch_id leaf: pruning skips whole
+          // bucket dirs; a replayed batch overwrites exactly its own
+          // (bucket, batch) leaves. Buckets accrue one small file
+          // per touched batch — compaction is the store's usual
+          // maintenance, orthogonal to correctness here.
+          deltaSets
+            .withColumn("id_bucket",
+              Dedup.idBucket(col("id"), buckets))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("id_bucket", "batch_id")
+            .parquet(sideDir)
+          Dedup.minhashBandRows(deltaSets, k, bands, seed)
+            .withColumn("band_bucket",
+              Dedup.bandBucket(col("band"), col("key"), buckets))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("band_bucket", "batch_id")
+            .parquet(bd)
+        case None =>
+          deltaSets.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sideDir)
+      }
       pairs.count()
     } finally {
       CacheTracker.releaseAll()

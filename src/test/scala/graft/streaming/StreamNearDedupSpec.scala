@@ -57,6 +57,51 @@ class StreamNearDedupSpec extends SparkSpec {
     assert(spark.read.parquet(side).count() === 6)
   }
 
+  test("bucketed mode (bandDir): same pair history as flat mode, " +
+    "replay-idempotent, both layouts maintained per batch") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("snd-bucketed").toString
+    val side = s"$dir/side"; val pairs = s"$dir/pairs"
+    val band = s"$dir/band"
+    def run(batchId: Long, docs: Seq[(Long, String)]): Long =
+      StreamNearDedup.probeAndAppend(spark,
+        docs.toDF("doc_id", "text"), batchId, side, pairs,
+        threshold = 0.2, bandDir = Some(band), buckets = 8)
+    def pairSet(): Set[(Long, Long, Long)] =
+      spark.read.schema(
+          "new_id long, old_id long, n_inter long, n_union long, " +
+            "batch_id long")
+        .parquet(pairs)
+        .select(col("new_id"), col("old_id"), col("batch_id"))
+        .as[(Long, Long, Long)].collect().toSet
+
+    // the flat-mode spec's exact batch script — the bucketed mode
+    // must tell the same story
+    assert(run(0L, Seq(1L -> base,
+      2L -> "completely different words entirely here nothing shared"))
+      === 0L)
+    run(1L, Seq(10L -> base.replace("sigma", "SIGMA"),
+      11L -> ("foo bar " * 12).trim))
+    assert(pairSet() === Set((10L, 1L, 1L)))
+    run(2L, Seq(20L -> ("foo bar " * 12).trim,
+      21L -> ("foo bar " * 12).trim))
+    val want = Set((10L, 1L, 1L),
+      (20L, 11L, 2L), (21L, 11L, 2L), (20L, 21L, 2L))
+    assert(pairSet() === want)
+    // replay batch 2: nothing duplicates, no self-pairs
+    run(2L, Seq(20L -> ("foo bar " * 12).trim,
+      21L -> ("foo bar " * 12).trim))
+    assert(pairSet() === want)
+    // both layouts hold exactly the corpus, partitioned by their
+    // bucket: 6 set rows; 8 band rows per doc (bands=8 default)
+    val sideT = spark.read.parquet(side)
+    assert(sideT.count() === 6 &&
+      sideT.columns.contains("id_bucket"))
+    val bandT = spark.read.parquet(band)
+    assert(bandT.count() === 48 &&
+      bandT.columns.contains("band_bucket"))
+  }
+
   test("an EMPTY first batch (recovery replay) does not wedge the " +
     "stream: the side read carries an explicit schema") {
     val dir = java.nio.file.Files
