@@ -792,31 +792,24 @@ object Dedup {
     * column under a dynamic-partition write (the
     * [[graft.streaming.StreamNearDedup]] side-table pattern). */
   def writeBandSideTable(bandRows: DataFrame, dir: String,
-                         n: Int): Unit = {
-    val table = new org.apache.hadoop.fs.Path(dir)
-    val fs = table.getFileSystem(
-      bandRows.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(table, true)
-    graft.state.Layout.writeLayoutMarker(fs, table, "band_buckets", n)
-    bandRows
-      .withColumn("band_bucket",
-        bandBucket(col("band"), col("key"), n))
-      .repartition(col("band_bucket"))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("band_bucket")
-      .parquet(dir)
-  }
+                         n: Int): Unit =
+    graft.state.Layout.rebuildWithMarker(bandRows.sparkSession, dir,
+      "band_buckets", n) {
+      bandRows
+        .withColumn("band_bucket",
+          bandBucket(col("band"), col("key"), n))
+        .repartition(col("band_bucket"))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band_bucket")
+        .parquet(dir)
+    }
 
   /** The bucketed band table's modulus from its layout marker (None =
     * unmarked/flat → the probe must scan, not prune). */
   def bandSideBuckets(spark: SparkSession, dir: String): Option[Int] =
-    try {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      graft.state.Layout.layoutMarker(p.getFileSystem(
-        spark.sparkContext.hadoopConfiguration), p, "band_buckets")
-    } catch { case _: Exception => None }
+    graft.state.Layout.markedBuckets(spark, dir, "band_buckets")
 
   /** The shingle-set side table's partition key — the candidate-FETCH
     * analogue of [[bandBucket]]: the probe's verification step pulls
@@ -832,29 +825,22 @@ object Dedup {
     * artifact pair: [[minhashLshProbeBands]] with `setsBuckets =
     * Some(n)` prunes the candidate fetch the way `bandBuckets`
     * prunes the band join. */
-  def writeSetsSideTable(sets: DataFrame, dir: String, n: Int): Unit = {
-    val table = new org.apache.hadoop.fs.Path(dir)
-    val fs = table.getFileSystem(
-      sets.sparkSession.sparkContext.hadoopConfiguration)
-    fs.delete(table, true)
-    graft.state.Layout.writeLayoutMarker(fs, table, "sets_buckets", n)
-    sets
-      .withColumn("id_bucket", idBucket(col("id"), n))
-      .repartition(col("id_bucket"))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("id_bucket")
-      .parquet(dir)
-  }
+  def writeSetsSideTable(sets: DataFrame, dir: String, n: Int): Unit =
+    graft.state.Layout.rebuildWithMarker(sets.sparkSession, dir,
+      "sets_buckets", n) {
+      sets
+        .withColumn("id_bucket", idBucket(col("id"), n))
+        .repartition(col("id_bucket"))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("id_bucket")
+        .parquet(dir)
+    }
 
   /** The bucketed sets table's modulus from its layout marker. */
   def setsSideBuckets(spark: SparkSession, dir: String): Option[Int] =
-    try {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      graft.state.Layout.layoutMarker(p.getFileSystem(
-        spark.sparkContext.hadoopConfiguration), p, "sets_buckets")
-    } catch { case _: Exception => None }
+    graft.state.Layout.markedBuckets(spark, dir, "sets_buckets")
 
   /** Shingle-set-level probe — the corpus side is (id, sh) rows, i.e.
     * exactly the persisted signature side table an incremental

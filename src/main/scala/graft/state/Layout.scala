@@ -52,18 +52,13 @@ object Layout {
     * incrementally per micro-batch
     * ([[graft.streaming.StreamIngest.refreshReplyIndex]] — the delta
     * is the batch's own replies, so the refresh is batch-sized). */
-  def writeReplyIndex(posts: DataFrame, dir: String, n: Int): Unit = {
-    val table = new org.apache.hadoop.fs.Path(dir)
-    val fs = table.getFileSystem(
-      posts.sparkSession.sparkContext.hadoopConfiguration)
-    // full rebuild: clear any previous generation, then marker BEFORE
-    // data (same crash-window rule as the posts-store create — data
-    // without its modulus wedges every strict consumer), then a
-    // dynamic-mode write so the fresh marker survives the overwrite
-    fs.delete(table, true)
-    writeLayoutMarker(fs, table, "reply_buckets", n)
-    writeReplyIndexRows(replyIndexRows(posts, n), dir)
-  }
+  def writeReplyIndex(posts: DataFrame, dir: String, n: Int): Unit =
+    // full rebuild under the shared marker-before-data protocol
+    // ([[rebuildWithMarker]]); dynamic-mode write so the fresh marker
+    // survives the overwrite
+    rebuildWithMarker(posts.sparkSession, dir, "reply_buckets", n) {
+      writeReplyIndexRows(replyIndexRows(posts, n), dir)
+    }
 
   /** The index's row projection — shared by the full rebuild above
     * and the incremental per-batch refresh
@@ -93,6 +88,34 @@ object Layout {
       .partitionBy("reply_bucket")
       .parquet(dir)
 
+  /** The crash-window-sensitive REBUILD protocol, shared by every
+    * bucketed layout (reply index, dedup band/sets side tables):
+    * clear any previous generation, write the modulus marker BEFORE
+    * data (data without its modulus wedges every strict consumer; a
+    * marker-only dir reads as a crashed create), then run the
+    * caller's dynamic-mode write (which never deletes the marker).
+    * One definition so a protocol fix cannot diverge per layout. */
+  def rebuildWithMarker(spark: SparkSession, dir: String,
+                        markerKey: String, n: Int)
+                       (write: => Unit): Unit = {
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val fs = table.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(table, true)
+    writeLayoutMarker(fs, table, markerKey, n)
+    write
+  }
+
+  /** A bucketed table's modulus from its layout marker (None =
+    * unmarked/flat/unreadable → consumers must scan, not prune). */
+  def markedBuckets(spark: SparkSession, dir: String,
+                    markerKey: String): Option[Int] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      layoutMarker(p.getFileSystem(
+        spark.sparkContext.hadoopConfiguration), p, markerKey)
+    } catch { case _: Exception => None }
+
   /** Does the table dir hold DATA (any non-underscore/dot entry)? A
     * dir holding only a layout marker is a crashed create. */
   def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -106,11 +129,7 @@ object Layout {
     * no marker / unreadable → treat the table as un-indexed). */
   def replyIndexBuckets(spark: SparkSession, dir: String)
       : Option[Int] =
-    try {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      layoutMarker(p.getFileSystem(
-        spark.sparkContext.hadoopConfiguration), p, "reply_buckets")
-    } catch { case _: Exception => None }
+    markedBuckets(spark, dir, "reply_buckets")
 
   private val EmptyIndexMarkerFile = "_graft_empty_index"
 

@@ -48,12 +48,13 @@ object StreamNearDedup {
     * per batch — and the probe becomes the fully-pruned
     * [[graft.dedup.Dedup.minhashLshProbeBands]] form (measured 6.6×
     * less cluster work per probe at 5M docs, BENCH_NOTES d44d).
-    * `buckets` is the shared modulus; pick it once at table creation
-    * (the layouts carry no marker here — batch_id partitioning makes
-    * the mode explicit in the schema, and mixing moduli across
-    * batches would mis-prune: same contract as any partitioned
-    * store's layout constant). Pair output is identical in both
-    * modes (spec-pinned). */
+    * `buckets` is the shared modulus, recorded in each table's
+    * layout marker on first create and VALIDATED every batch — a
+    * restart with a different modulus, or against the other mode's
+    * table, fails loud instead of silently mis-pruning or writing a
+    * conflicting partition scheme. Replays first clear the batch's
+    * own leaves, so idempotence holds even when the replayed row set
+    * drifted. Pair output is identical in both modes (spec-pinned). */
   def probeAndAppend(spark: SparkSession, batch: DataFrame,
                      batchId: Long, sideDir: String, pairsDir: String,
                      textCol: String = "text", idCol: String = "doc_id",
@@ -83,6 +84,31 @@ object StreamNearDedup {
         }
       }
       val hasSide = hasData(sideDir)
+      // layout handshake (marker-validated, the reply-index rule):
+      // the bucketed mode's prune filters hash with `buckets`, so a
+      // restart with a different modulus — or against a table the
+      // OTHER mode created — must fail loud, not silently mis-prune
+      // (wrong modulus) or corrupt the directory tree (mode switch
+      // writes conflicting partition schemes into one table)
+      bandDir match {
+        case Some(bd) =>
+          Seq(sideDir -> "sets_buckets", bd -> "band_buckets")
+            .foreach { case (d, key) =>
+              val stored = graft.state.Layout.markedBuckets(spark,
+                d, key)
+              require(stored.isEmpty || stored.contains(buckets),
+                s"$d was created with $key=${stored.get}, this " +
+                  s"stream runs buckets=$buckets — moduli must match")
+              require(stored.nonEmpty || !hasData(d),
+                s"$d holds data but no $key marker: it was created " +
+                  "by the flat mode — rebuild it (or drop bandDir)")
+            }
+        case None =>
+          require(graft.state.Layout
+              .markedBuckets(spark, sideDir, "sets_buckets").isEmpty,
+            s"$sideDir is a bucketed-mode table — pass bandDir (flat" +
+              " writes would corrupt its partition tree)")
+      }
       // a replayed batch must not probe against its OWN first-run
       // signatures (every doc would "near-dup" itself) — exclude the
       // batch's partition from the corpus side
@@ -130,10 +156,33 @@ object StreamNearDedup {
       bandDir match {
         case Some(bd) =>
           // bucket-major layout, batch_id leaf: pruning skips whole
-          // bucket dirs; a replayed batch overwrites exactly its own
-          // (bucket, batch) leaves. Buckets accrue one small file
-          // per touched batch — compaction is the store's usual
-          // maintenance, orthogonal to correctness here.
+          // bucket dirs. Buckets accrue one small file per touched
+          // batch — compaction is the store's usual maintenance,
+          // orthogonal to correctness here.
+          val conf = spark.sparkContext.hadoopConfiguration
+          Seq(sideDir -> "sets_buckets", bd -> "band_buckets")
+            .foreach { case (d, key) =>
+              val p = new org.apache.hadoop.fs.Path(d)
+              val fs = p.getFileSystem(conf)
+              // marker BEFORE first data (the rebuildWithMarker
+              // crash-window rule applied to an incremental create)
+              if (graft.state.Layout.layoutMarker(fs, p, key).isEmpty)
+                graft.state.Layout.writeLayoutMarker(fs, p, key,
+                  buckets)
+              // full replay idempotence: dynamic overwrite only
+              // replaces the leaves the REPLAYED rows hash into, so
+              // a replay whose row set drifted (non-replayable
+              // source) would leave first-attempt ghosts in
+              // untouched buckets — clear ALL of this batch's leaves
+              // first
+              fs.globStatus(new org.apache.hadoop.fs.Path(p,
+                  s"*/batch_id=$batchId"))
+                match {
+                  case null => ()
+                  case sts => sts.foreach(st =>
+                    fs.delete(st.getPath, true))
+                }
+            }
           deltaSets
             .withColumn("id_bucket",
               Dedup.idBucket(col("id"), buckets))

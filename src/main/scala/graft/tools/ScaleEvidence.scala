@@ -844,11 +844,18 @@ object ScaleEvidence {
     // keys), which is why THIS stage uses the batch size the probe's
     // contract names.
     val bandBucketedDir = s"$work/band_side_bucketed"
+    val setsBucketedDir = s"$work/sets_side_bucketed"
+    // ALL d44d labels up front — guards reference the vals, never a
+    // re-spelled literal (the stageSelected drift rule)
     val d44dWriteLabel = s"d44d bucketed band table write (one-time, " +
       s"${reps*5}k docs, n=1024)"
     val d44dFlatLabel = s"d44d probe 20-doc batch vs FLAT band table"
     val d44dPrunedLabel =
       s"d44d probe 20-doc batch BUCKET-PRUNED (n=1024)"
+    val d44dSetsWriteLabel = s"d44d bucketed sets table write " +
+      s"(one-time, ${reps*5}k docs, n=1024)"
+    val d44dFullLabel =
+      s"d44d probe 20-doc batch FULLY-PRUNED (bands+sets n=1024)"
     def microDelta = shingleSets(corpus.filter(
       col("doc_id") % 7 === 0 && col("doc_id") < 140))
     // same freshness contract as d44b/d44c: every d44d stage derives
@@ -856,30 +863,30 @@ object ScaleEvidence {
     // hasn't written it
     if (!shingleSideFresh &&
         Seq(d44dWriteLabel, d44dFlatLabel, d44dPrunedLabel,
-          s"d44d bucketed sets table write (one-time, ${reps*5}k " +
-            "docs, n=1024)",
-          "d44d probe 20-doc batch FULLY-PRUNED (bands+sets n=1024)")
-          .exists(stageSelected))
+          d44dSetsWriteLabel, d44dFullLabel).exists(stageSelected))
       writeShingleSide()
     // ... and the FLAT comparison probe reads the d44c band table
     if (!bandSideFresh && stageSelected(d44dFlatLabel))
       writeBandSide()
-    timed(d44dWriteLabel) {
+    // the BUCKETED artifacts are freshness-guarded too — a marker
+    // match alone would reuse a different-reps run's table under
+    // this run's scale label (the d44c lesson)
+    var bandBucketedFresh = false
+    def writeBandBucketed(): Unit = {
       Dedup.writeBandSideTable(
         Dedup.minhashBandRows(
           spark.read.parquet(shingleSideDir), k = 32, bands = 8,
           seed = 42L), bandBucketedDir, n = 1024)
+      bandBucketedFresh = true
+    }
+    timed(d44dWriteLabel) {
+      writeBandBucketed()
       spark.read.parquet(bandBucketedDir).count()
     }
-    if (!stageSelected(d44dWriteLabel) &&
+    if (!bandBucketedFresh &&
         (stageSelected(d44dPrunedLabel) ||
-          stageSelected(s"d44d probe 20-doc batch FULLY-PRUNED " +
-            "(bands+sets n=1024)")) &&
-        !Dedup.bandSideBuckets(spark, bandBucketedDir).contains(1024))
-      Dedup.writeBandSideTable(
-        Dedup.minhashBandRows(
-          spark.read.parquet(shingleSideDir), k = 32, bands = 8,
-          seed = 42L), bandBucketedDir, n = 1024)
+          stageSelected(d44dFullLabel)))
+      writeBandBucketed()
     timed(d44dFlatLabel) {
       val n = Dedup.minhashLshProbeBands(
         spark.read.parquet(bandSideDir),
@@ -899,21 +906,18 @@ object ScaleEvidence {
     }
     // BOTH side tables bucketed: the candidate fetch prunes on
     // id_bucket too — the last O(corpus) read term in the probe
-    val setsBucketedDir = s"$work/sets_side_bucketed"
-    val d44dSetsWriteLabel = s"d44d bucketed sets table write " +
-      s"(one-time, ${reps*5}k docs, n=1024)"
-    val d44dFullLabel =
-      s"d44d probe 20-doc batch FULLY-PRUNED (bands+sets n=1024)"
-    timed(d44dSetsWriteLabel) {
+    var setsBucketedFresh = false
+    def writeSetsBucketed(): Unit = {
       Dedup.writeSetsSideTable(
         spark.read.parquet(shingleSideDir), setsBucketedDir, n = 1024)
+      setsBucketedFresh = true
+    }
+    timed(d44dSetsWriteLabel) {
+      writeSetsBucketed()
       spark.read.parquet(setsBucketedDir).count()
     }
-    if (!stageSelected(d44dSetsWriteLabel) &&
-        stageSelected(d44dFullLabel) &&
-        !Dedup.setsSideBuckets(spark, setsBucketedDir).contains(1024))
-      Dedup.writeSetsSideTable(
-        spark.read.parquet(shingleSideDir), setsBucketedDir, n = 1024)
+    if (!setsBucketedFresh && stageSelected(d44dFullLabel))
+      writeSetsBucketed()
     timed(d44dFullLabel) {
       val n = Dedup.minhashLshProbeBands(
         spark.read.parquet(bandBucketedDir),

@@ -102,6 +102,52 @@ class StreamNearDedupSpec extends SparkSpec {
       bandT.columns.contains("band_bucket"))
   }
 
+  test("bucketed mode guards: modulus drift and mode switches fail " +
+    "loud; a replay with a DRIFTED row set leaves no ghosts") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("snd-guards").toString
+    val side = s"$dir/side"; val pairs = s"$dir/pairs"
+    val band = s"$dir/band"
+    def run(batchId: Long, docs: Seq[(Long, String)],
+            bd: Option[String] = Some(band), n: Int = 8): Long =
+      StreamNearDedup.probeAndAppend(spark,
+        docs.toDF("doc_id", "text"), batchId, side, pairs,
+        threshold = 0.2, bandDir = bd, buckets = n)
+    run(0L, Seq(1L -> base))
+    // restart with a different modulus: silent mis-prune forbidden
+    val e1 = intercept[IllegalArgumentException] {
+      run(1L, Seq(2L -> base), n = 1024) }
+    assert(e1.getMessage.contains("moduli must match"))
+    // restart in FLAT mode against the bucketed table: forbidden
+    // (flat batch_id partitions would corrupt the bucket-major tree)
+    val e2 = intercept[IllegalArgumentException] {
+      run(1L, Seq(2L -> base), bd = None) }
+    assert(e2.getMessage.contains("bucketed-mode table"))
+    // replay batch 0 with DIFFERENT rows (non-replayable source):
+    // the first attempt's rows must not survive as ghosts — doc 1's
+    // sets/bands hash to buckets doc 99 never touches
+    run(0L, Seq(99L ->
+      "totally different replacement row for the replay"))
+    val sideIds = spark.read.parquet(side)
+      .select("id").as[Long].collect().toSet
+    assert(sideIds === Set(99L), s"ghost rows: $sideIds")
+    assert(spark.read.parquet(band)
+      .select("id").as[Long].collect().toSet === Set(99L))
+    // and the flat mode refuses nothing it owns: a fresh flat table
+    // then rejects a bucketed restart (the reverse switch)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("snd-guards2").toString
+    StreamNearDedup.probeAndAppend(spark,
+      Seq(1L -> base).toDF("doc_id", "text"), 0L,
+      s"$dir2/side", s"$dir2/pairs", threshold = 0.2)
+    val e3 = intercept[IllegalArgumentException] {
+      StreamNearDedup.probeAndAppend(spark,
+        Seq(2L -> base).toDF("doc_id", "text"), 1L,
+        s"$dir2/side", s"$dir2/pairs", threshold = 0.2,
+        bandDir = Some(s"$dir2/band"), buckets = 8) }
+    assert(e3.getMessage.contains("flat mode"))
+  }
+
   test("an EMPTY first batch (recovery replay) does not wedge the " +
     "stream: the side read carries an explicit schema") {
     val dir = java.nio.file.Files
