@@ -927,6 +927,52 @@ object ScaleEvidence {
         bandBuckets = Some(1024), setsBuckets = Some(1024)).count()
       graft.CacheTracker.releaseAll(); n
     }
+    // the STREAMING operator end-to-end (probe + pairs write + both
+    // maintenance writes), flat vs bucketed mode — d44d measures the
+    // probe core; this measures what a foreachBatch trigger actually
+    // pays. Seeding runs the operator itself (batch 0 = the corpus),
+    // so the probed tables are exactly what production maintains,
+    // markers included; it is one-time and stays off the clock.
+    val d44eFlatLabel =
+      s"d44e streaming probe+append 20-doc batch, FLAT layout"
+    val d44eBucketedLabel =
+      s"d44e streaming probe+append 20-doc batch, BUCKETED (n=1024)"
+    if (Seq(d44eFlatLabel, d44eBucketedLabel).exists(stageSelected)) {
+      if (!shingleSideFresh) writeShingleSide()
+      val sDir = s"$work/d44e"
+      def rm(d: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      Seq("flat", "bkt").foreach(m => rm(s"$sDir/$m"))
+      val seed = corpus.filter(col("doc_id") % 7 =!= 0)
+      def freshBatch = corpus
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 140)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          col("text"))
+      graft.streaming.StreamNearDedup.probeAndAppend(spark, seed, 0L,
+        s"$sDir/flat/side", s"$sDir/flat/pairs", threshold = 0.2)
+      graft.CacheTracker.releaseAll()
+      graft.streaming.StreamNearDedup.probeAndAppend(spark, seed, 0L,
+        s"$sDir/bkt/side", s"$sDir/bkt/pairs", threshold = 0.2,
+        bandDir = Some(s"$sDir/bkt/band"), buckets = 1024)
+      graft.CacheTracker.releaseAll()
+      timed(d44eFlatLabel) {
+        graft.streaming.StreamNearDedup.probeAndAppend(spark,
+          freshBatch, 1L, s"$sDir/flat/side", s"$sDir/flat/pairs",
+          threshold = 0.2)
+      }
+      timed(d44eBucketedLabel) {
+        graft.streaming.StreamNearDedup.probeAndAppend(spark,
+          freshBatch, 1L, s"$sDir/bkt/side", s"$sDir/bkt/pairs",
+          threshold = 0.2, bandDir = Some(s"$sDir/bkt/band"),
+          buckets = 1024)
+      }
+    } else {
+      println(f"$d44eFlatLabel%-42s   skipped (filter)")
+      println(f"$d44eBucketedLabel%-42s   skipped (filter)")
+    }
     timed(s"d45 segment dedup + rebuild (${reps*5}k docs)") {
       // replicas make every replica-0 doc's segments duplicated
       // across... no: token salting keeps segments replica-local, so
