@@ -68,20 +68,26 @@ object StreamNearDedup {
           Text.tokens(col(textCol)).as("toks"))
         .select(col("id"),
           Text.wordShingles(col("toks"), shingleN).as("sh")))
+      val conf = spark.sparkContext.hadoopConfiguration
+      // "has a table" = has DATA, not just a directory: an EMPTY
+      // first batch leaves the dir holding only _SUCCESS (dynamic
+      // overwrite writes no partition), and a schema-less read of
+      // that would throw "Unable to infer schema" and wedge the
+      // stream on every subsequent batch — the shared Layout
+      // predicate, NOT a local copy (one definition of "crashed
+      // create" across the stream and state layers)
       def hasData(dir: String): Boolean = {
         val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        // "has a table" = has DATA, not just a directory: an EMPTY
-        // first batch leaves the dir holding only _SUCCESS (dynamic
-        // overwrite writes no partition), and a schema-less read of
-        // that would throw "Unable to infer schema" and wedge the
-        // stream on every subsequent batch (the StreamIngest hasData
-        // pattern)
-        fs.exists(p) && fs.listStatus(p).exists { st =>
-          val nm = st.getPath.getName
-          !nm.startsWith("_") && !nm.startsWith(".")
-        }
+        graft.state.Layout.hasDataFiles(p.getFileSystem(conf), p)
+      }
+      // STRICT marker read (the StreamIngest write-path rule): these
+      // guards gate WRITES, so a present-but-corrupt marker must
+      // refuse rather than degrade to None — a swallowed read here
+      // would silently disable the very corruption guard below
+      def marker(dir: String, key: String): Option[Int] = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        graft.state.Layout.layoutMarker(p.getFileSystem(conf), p, key,
+          strict = true)
       }
       val hasSide = hasData(sideDir)
       // layout handshake (marker-validated, the reply-index rule):
@@ -94,8 +100,7 @@ object StreamNearDedup {
         case Some(bd) =>
           Seq(sideDir -> "sets_buckets", bd -> "band_buckets")
             .foreach { case (d, key) =>
-              val stored = graft.state.Layout.markedBuckets(spark,
-                d, key)
+              val stored = marker(d, key)
               require(stored.isEmpty || stored.contains(buckets),
                 s"$d was created with $key=${stored.get}, this " +
                   s"stream runs buckets=$buckets — moduli must match")
@@ -104,8 +109,7 @@ object StreamNearDedup {
                   "by the flat mode — rebuild it (or drop bandDir)")
             }
         case None =>
-          require(graft.state.Layout
-              .markedBuckets(spark, sideDir, "sets_buckets").isEmpty,
+          require(marker(sideDir, "sets_buckets").isEmpty,
             s"$sideDir is a bucketed-mode table — pass bandDir (flat" +
               " writes would corrupt its partition tree)")
       }
@@ -148,6 +152,17 @@ object StreamNearDedup {
       // the caller's session never reaches them — static overwrite
       // would silently replace the whole table every batch (the
       // StreamIngest per-write pattern)
+      // bucketed mode's drift-proof replay extends to the PAIRS
+      // table: a drifted replay emitting zero pairs writes no
+      // partition at all, which would leave the first attempt's pair
+      // rows as permanent ghosts referencing rows the replay is
+      // about to scrub — clear the batch's partition up front (flat
+      // mode keeps its documented byte-identical-replay contract)
+      if (bandDir.isDefined) {
+        val pp = new org.apache.hadoop.fs.Path(pairsDir,
+          s"batch_id=$batchId")
+        pp.getFileSystem(conf).delete(pp, true)
+      }
       pairs.withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -159,14 +174,13 @@ object StreamNearDedup {
           // bucket dirs. Buckets accrue one small file per touched
           // batch — compaction is the store's usual maintenance,
           // orthogonal to correctness here.
-          val conf = spark.sparkContext.hadoopConfiguration
           Seq(sideDir -> "sets_buckets", bd -> "band_buckets")
             .foreach { case (d, key) =>
               val p = new org.apache.hadoop.fs.Path(d)
               val fs = p.getFileSystem(conf)
               // marker BEFORE first data (the rebuildWithMarker
               // crash-window rule applied to an incremental create)
-              if (graft.state.Layout.layoutMarker(fs, p, key).isEmpty)
+              if (marker(d, key).isEmpty)
                 graft.state.Layout.writeLayoutMarker(fs, p, key,
                   buckets)
               // full replay idempotence: dynamic overwrite only

@@ -938,26 +938,34 @@ object ScaleEvidence {
     val d44eBucketedLabel =
       s"d44e streaming probe+append 20-doc batch, BUCKETED (n=1024)"
     if (Seq(d44eFlatLabel, d44eBucketedLabel).exists(stageSelected)) {
-      if (!shingleSideFresh) writeShingleSide()
       val sDir = s"$work/d44e"
       def rm(d: String): Unit = {
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true)
       }
-      Seq("flat", "bkt").foreach(m => rm(s"$sDir/$m"))
       val seed = corpus.filter(col("doc_id") % 7 =!= 0)
       def freshBatch = corpus
         .filter(col("doc_id") % 7 === 0 && col("doc_id") < 140)
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           col("text"))
-      graft.streaming.StreamNearDedup.probeAndAppend(spark, seed, 0L,
-        s"$sDir/flat/side", s"$sDir/flat/pairs", threshold = 0.2)
-      graft.CacheTracker.releaseAll()
-      graft.streaming.StreamNearDedup.probeAndAppend(spark, seed, 0L,
-        s"$sDir/bkt/side", s"$sDir/bkt/pairs", threshold = 0.2,
-        bandDir = Some(s"$sDir/bkt/band"), buckets = 1024)
-      graft.CacheTracker.releaseAll()
+      // each mode's full-corpus seeding pass runs only when ITS
+      // timed stage is selected (seeding the other mode's tables
+      // would be minutes of work feeding a skipped stage)
+      if (stageSelected(d44eFlatLabel)) {
+        rm(s"$sDir/flat")
+        graft.streaming.StreamNearDedup.probeAndAppend(spark, seed,
+          0L, s"$sDir/flat/side", s"$sDir/flat/pairs",
+          threshold = 0.2)
+        graft.CacheTracker.releaseAll()
+      }
+      if (stageSelected(d44eBucketedLabel)) {
+        rm(s"$sDir/bkt")
+        graft.streaming.StreamNearDedup.probeAndAppend(spark, seed,
+          0L, s"$sDir/bkt/side", s"$sDir/bkt/pairs", threshold = 0.2,
+          bandDir = Some(s"$sDir/bkt/band"), buckets = 1024)
+        graft.CacheTracker.releaseAll()
+      }
       timed(d44eFlatLabel) {
         graft.streaming.StreamNearDedup.probeAndAppend(spark,
           freshBatch, 1L, s"$sDir/flat/side", s"$sDir/flat/pairs",

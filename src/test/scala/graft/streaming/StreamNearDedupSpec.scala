@@ -133,6 +133,20 @@ class StreamNearDedupSpec extends SparkSpec {
     assert(sideIds === Set(99L), s"ghost rows: $sideIds")
     assert(spark.read.parquet(band)
       .select("id").as[Long].collect().toSet === Set(99L))
+    // ...and the PAIRS table: batch 1 emits a pair, then its drifted
+    // replay emits none — the first attempt's pair must not survive
+    // as a ghost referencing scrubbed rows
+    def batch2Pairs(): Long = spark.read.schema(
+        "new_id long, old_id long, n_inter long, n_union long, " +
+          "batch_id long")
+      .parquet(pairs).filter(col("batch_id") === 2L).count()
+    run(1L, Seq(100L -> base))
+    run(2L, Seq(200L -> base.replace("mu", "MU")))
+    assert(batch2Pairs() === 1L)
+    run(2L, Seq(201L ->
+      "nothing resembling any stored document at all"))
+    assert(batch2Pairs() === 0L,
+      "pairs ghost survived a drifted replay")
     // and the flat mode refuses nothing it owns: a fresh flat table
     // then rejects a bucketed restart (the reverse switch)
     val dir2 = java.nio.file.Files
