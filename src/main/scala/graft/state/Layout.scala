@@ -179,6 +179,23 @@ object Layout {
     }
   }
 
+  /** The marker file's RAW contents (None = absent) — for guards that
+    * must refuse on ANY marker, ours or foreign, with the found
+    * contents in the diagnosis instead of a key-specific parse error
+    * (the flat-vs-bucketed mode guard). */
+  def layoutMarkerRaw(fs: org.apache.hadoop.fs.FileSystem,
+                      table: org.apache.hadoop.fs.Path)
+      : Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(table, LayoutMarkerFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
   def writeLayoutMarker(fs: org.apache.hadoop.fs.FileSystem,
                         table: org.apache.hadoop.fs.Path, key: String,
                         n: Int): Unit = {

@@ -54,7 +54,15 @@ object StreamNearDedup {
     * table, fails loud instead of silently mis-pruning or writing a
     * conflicting partition scheme. Replays first clear the batch's
     * own leaves, so idempotence holds even when the replayed row set
-    * drifted. Pair output is identical in both modes (spec-pinned). */
+    * drifted. Pair output is identical in both modes (spec-pinned).
+    *
+    * Aging: every bucketed trigger appends one `batch_id` leaf per
+    * touched bucket — fold leaves older than the replay horizon into
+    * the per-bucket base generation with
+    * [[graft.state.Generations.foldBatches]] (e.g. every K triggers,
+    * `horizon = batchId`); this method runs
+    * [[graft.state.Generations.recover]] on its tables first, so a
+    * fold that crashed mid-commit is completed before any read. */
   def probeAndAppend(spark: SparkSession, batch: DataFrame,
                      batchId: Long, sideDir: String, pairsDir: String,
                      textCol: String = "text", idCol: String = "doc_id",
@@ -62,7 +70,15 @@ object StreamNearDedup {
                      threshold: Double = 0.5, seed: Long = 42L,
                      bandDir: Option[String] = None,
                      buckets: Int = 1024): Long = {
+    require(batchId >= 0, s"batchId must be >= 0 (got $batchId): " +
+      "negative ids are reserved for folded base generations")
     try {
+      // complete any fold that crashed mid-commit BEFORE reading: a
+      // committed-but-unfinished fold has some buckets' rows in both
+      // the new base and the old leaves (cheap when clean — one
+      // existence probe per table)
+      (Seq(sideDir, pairsDir) ++ bandDir)
+        .foreach(graft.state.Generations.recover(spark, _))
       val deltaSets = CacheTracker.persistTracked(batch
         .select(col(idCol).as("id"),
           Text.tokens(col(textCol)).as("toks"))
@@ -109,9 +125,23 @@ object StreamNearDedup {
                   "by the flat mode — rebuild it (or drop bandDir)")
             }
         case None =>
-          require(marker(sideDir, "sets_buckets").isEmpty,
-            s"$sideDir is a bucketed-mode table — pass bandDir (flat" +
-              " writes would corrupt its partition tree)")
+          // NON-strict probe + raw contents in the refusal: a strict
+          // read here turned a FOREIGN marker (sideDir pointed at a
+          // reply index or other marked table) into "corrupt layout
+          // marker" — fail-loud with the wrong diagnosis. ANY marker
+          // means this dir belongs to some bucketed layout; flat
+          // batch_id writes would corrupt its partition tree.
+          graft.state.Layout.layoutMarkerRaw(
+              new org.apache.hadoop.fs.Path(sideDir)
+                .getFileSystem(conf),
+              new org.apache.hadoop.fs.Path(sideDir))
+            .foreach { raw =>
+              throw new IllegalArgumentException(
+                s"$sideDir carries a layout marker ($raw): it is a " +
+                  "bucketed-mode table (or a foreign marked layout)" +
+                  " — pass bandDir for the bucketed near-dup " +
+                  "layout, or point the stream at a fresh directory")
+            }
       }
       // a replayed batch must not probe against its OWN first-run
       // signatures (every doc would "near-dup" itself) — exclude the
@@ -157,8 +187,25 @@ object StreamNearDedup {
       // partition at all, which would leave the first attempt's pair
       // rows as permanent ghosts referencing rows the replay is
       // about to scrub — clear the batch's partition up front (flat
-      // mode keeps its documented byte-identical-replay contract)
-      if (bandDir.isDefined) {
+      // mode keeps its documented byte-identical-replay contract).
+      // REPLAY DETECTION via the last-batch watermark: the ghost
+      // globs below are O(buckets) directory listings per table —
+      // pure tax on the common first-run batch. The watermark is
+      // advanced BEFORE any data write (marker-before-data), so
+      // `batchId <= stored` is a PROOF that a prior attempt may have
+      // written leaves (crash-after-watermark replays glob and find
+      // nothing — correct), and `batchId > stored` a proof none did.
+      val isReplay = bandDir.isDefined && {
+        val p = new org.apache.hadoop.fs.Path(sideDir)
+        val fs = p.getFileSystem(conf)
+        val replay = graft.state.Generations
+          .lastBatchWatermark(fs, p).exists(_ >= batchId)
+        if (!replay)
+          graft.state.Generations.writeLastBatchWatermark(fs, p,
+            batchId)
+        replay
+      }
+      if (bandDir.isDefined && isReplay) {
         val pp = new org.apache.hadoop.fs.Path(pairsDir,
           s"batch_id=$batchId")
         pp.getFileSystem(conf).delete(pp, true)
@@ -188,14 +235,16 @@ object StreamNearDedup {
               // a replay whose row set drifted (non-replayable
               // source) would leave first-attempt ghosts in
               // untouched buckets — clear ALL of this batch's leaves
-              // first
-              fs.globStatus(new org.apache.hadoop.fs.Path(p,
-                  s"*/batch_id=$batchId"))
-                match {
-                  case null => ()
-                  case sts => sts.foreach(st =>
-                    fs.delete(st.getPath, true))
-                }
+              // first. Only on a PROVEN possible replay (watermark
+              // above): first-run batches skip the O(buckets) glob.
+              if (isReplay)
+                fs.globStatus(new org.apache.hadoop.fs.Path(p,
+                    s"*/batch_id=$batchId"))
+                  match {
+                    case null => ()
+                    case sts => sts.foreach(st =>
+                      fs.delete(st.getPath, true))
+                  }
             }
           deltaSets
             .withColumn("id_bucket",
