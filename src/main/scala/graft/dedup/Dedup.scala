@@ -936,7 +936,18 @@ object Dedup {
     * Output and recall are IDENTICAL to [[minhashLshProbeSets]] with
     * the same k/bands/seed (spec-pinned): same banding expression,
     * same latest-wins delta-supersedes rule, same intra-batch
-    * canonicalization, same exact-Jaccard verification. */
+    * canonicalization, same exact-Jaccard verification.
+    *
+    * MODULUS CONTRACT: `bandBuckets`/`setsBuckets` must be exactly
+    * the modulus each table's rows were WRITTEN with — a mismatched n
+    * makes the isin prune silently drop corpus rows that would have
+    * matched (lost true duplicates, no error). Hardcoding n in a
+    * caller is therefore forbidden: batch callers should use
+    * [[minhashLshProbeBandsAt]] (resolves both moduli from the
+    * tables' own layout markers) or resolve via
+    * [[bandSideBuckets]]/[[setsSideBuckets]] themselves; the
+    * streaming path ([[graft.streaming.StreamNearDedup]]) validates
+    * its configured modulus against both markers every batch. */
   def minhashLshProbeBands(corpusBands: DataFrame,
                            corpusSets: DataFrame,
                            deltaSets: DataFrame,
@@ -1022,6 +1033,25 @@ object Dedup {
       .select(col("new_id"), col("old_id"), col("n_inter"),
         col("n_union"))
   }
+
+  /** [[minhashLshProbeBands]] BY TABLE DIRECTORY — the batch-caller
+    * form of the modulus contract: each table's prune modulus is
+    * resolved from its own `_graft_layout.json` marker (written by
+    * [[writeBandSideTable]]/[[writeSetsSideTable]] before any data),
+    * so a probe can never prune with a modulus the rows were not
+    * hashed with, even across a rebuild that changed n. An unmarked
+    * (flat) table — or one whose bucket column is absent — degrades
+    * to the scan-but-never-shuffle form: slower, never lossy. */
+  def minhashLshProbeBandsAt(spark: org.apache.spark.sql.SparkSession,
+                             bandDir: String, setsDir: String,
+                             deltaSets: DataFrame,
+                             k: Int, bands: Int, threshold: Double,
+                             seed: Long): DataFrame =
+    minhashLshProbeBands(
+      spark.read.parquet(bandDir), spark.read.parquet(setsDir),
+      deltaSets, k, bands, threshold, seed,
+      bandBuckets = bandSideBuckets(spark, bandDir),
+      setsBuckets = setsSideBuckets(spark, setsDir))
 
   /** Sorted-neighborhood near-dup (Hernández & Stolfo 1995): sort
     * the corpus by a domain sort key (here a normalized text

@@ -895,13 +895,14 @@ object ScaleEvidence {
         k = 32, bands = 8, threshold = 0.2, seed = 42L).count()
       graft.CacheTracker.releaseAll(); n
     }
+    // MODULUS RESOLVED FROM THE MARKERS (minhashLshProbeBandsAt),
+    // never hardcoded: a rebuild at a different n can then never
+    // leave this probe silently mis-pruning (the sets side is the
+    // unmarked flat table here → no sets prune, scan-not-lossy)
     timed(d44dPrunedLabel) {
-      val n = Dedup.minhashLshProbeBands(
-        spark.read.parquet(bandBucketedDir),
-        spark.read.parquet(shingleSideDir),
-        microDelta,
-        k = 32, bands = 8, threshold = 0.2, seed = 42L,
-        bandBuckets = Some(1024)).count()
+      val n = Dedup.minhashLshProbeBandsAt(spark,
+        bandBucketedDir, shingleSideDir, microDelta,
+        k = 32, bands = 8, threshold = 0.2, seed = 42L).count()
       graft.CacheTracker.releaseAll(); n
     }
     // BOTH side tables bucketed: the candidate fetch prunes on
@@ -919,20 +920,21 @@ object ScaleEvidence {
     if (!setsBucketedFresh && stageSelected(d44dFullLabel))
       writeSetsBucketed()
     timed(d44dFullLabel) {
-      val n = Dedup.minhashLshProbeBands(
-        spark.read.parquet(bandBucketedDir),
-        spark.read.parquet(setsBucketedDir),
-        microDelta,
-        k = 32, bands = 8, threshold = 0.2, seed = 42L,
-        bandBuckets = Some(1024), setsBuckets = Some(1024)).count()
+      val n = Dedup.minhashLshProbeBandsAt(spark,
+        bandBucketedDir, setsBucketedDir, microDelta,
+        k = 32, bands = 8, threshold = 0.2, seed = 42L).count()
       graft.CacheTracker.releaseAll(); n
     }
     // the STREAMING operator end-to-end (probe + pairs write + both
     // maintenance writes), flat vs bucketed mode — d44d measures the
     // probe core; this measures what a foreachBatch trigger actually
-    // pays. Seeding runs the operator itself (batch 0 = the corpus),
-    // so the probed tables are exactly what production maintains,
-    // markers included; it is one-time and stays off the clock.
+    // pays. Seeding BULK-WRITES the streaming layouts directly
+    // (batch_id=0 leaves + markers + watermark — byte-compatible
+    // with what probeAndAppend maintains): running the operator over
+    // the whole corpus as batch 0 broadcast the full id set and
+    // self-joined the full band table, so seeding cost and driver
+    // memory grew with reps and could fail before the timed stages
+    // ran (ADVICE r9). One-time, off the clock.
     val d44eFlatLabel =
       s"d44e streaming probe+append 20-doc batch, FLAT layout"
     val d44eBucketedLabel =
@@ -944,27 +946,50 @@ object ScaleEvidence {
         p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .delete(p, true)
       }
-      val seed = corpus.filter(col("doc_id") % 7 =!= 0)
+      def seedSets = shingleSets(corpus.filter(col("doc_id") % 7 =!= 0))
       def freshBatch = corpus
         .filter(col("doc_id") % 7 === 0 && col("doc_id") < 140)
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           col("text"))
-      // each mode's full-corpus seeding pass runs only when ITS
-      // timed stage is selected (seeding the other mode's tables
-      // would be minutes of work feeding a skipped stage)
+      def markerAndWatermark(dir: String, key: String): Unit = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.mkdirs(p)
+        graft.state.Layout.writeLayoutMarker(fs, p, key, 1024)
+        if (key == "sets_buckets")
+          graft.state.Generations.writeLastBatchWatermark(fs, p, 0L)
+      }
+      // dynamic-mode writes (the operator's own mode) so the
+      // already-written markers survive; the shapes match
+      // probeAndAppend's maintenance writes exactly
+      def dyn(df: org.apache.spark.sql.DataFrame, dir: String,
+              parts: String*): Unit =
+        df.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(parts: _*).parquet(dir)
+      // each mode's seeding pass runs only when ITS timed stage is
+      // selected (seeding the other mode's tables would be minutes
+      // of work feeding a skipped stage)
       if (stageSelected(d44eFlatLabel)) {
         rm(s"$sDir/flat")
-        graft.streaming.StreamNearDedup.probeAndAppend(spark, seed,
-          0L, s"$sDir/flat/side", s"$sDir/flat/pairs",
-          threshold = 0.2)
-        graft.CacheTracker.releaseAll()
+        dyn(seedSets.withColumn("batch_id", lit(0L)),
+          s"$sDir/flat/side", "batch_id")
       }
       if (stageSelected(d44eBucketedLabel)) {
         rm(s"$sDir/bkt")
-        graft.streaming.StreamNearDedup.probeAndAppend(spark, seed,
-          0L, s"$sDir/bkt/side", s"$sDir/bkt/pairs", threshold = 0.2,
-          bandDir = Some(s"$sDir/bkt/band"), buckets = 1024)
-        graft.CacheTracker.releaseAll()
+        markerAndWatermark(s"$sDir/bkt/side", "sets_buckets")
+        markerAndWatermark(s"$sDir/bkt/band", "band_buckets")
+        val ss = seedSets
+        dyn(ss
+            .withColumn("id_bucket", Dedup.idBucket(col("id"), 1024))
+            .withColumn("batch_id", lit(0L)),
+          s"$sDir/bkt/side", "id_bucket", "batch_id")
+        dyn(Dedup.minhashBandRows(ss, k = 32, bands = 8, seed = 42L)
+            .withColumn("band_bucket",
+              Dedup.bandBucket(col("band"), col("key"), 1024))
+            .withColumn("batch_id", lit(0L)),
+          s"$sDir/bkt/band", "band_bucket", "batch_id")
       }
       timed(d44eFlatLabel) {
         graft.streaming.StreamNearDedup.probeAndAppend(spark,

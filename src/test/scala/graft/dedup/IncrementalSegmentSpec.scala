@@ -160,6 +160,44 @@ class IncrementalSegmentSpec extends SparkSpec {
     graft.CacheTracker.releaseAll()
   }
 
+  test("probeBandsAt resolves each table's modulus from its own " +
+    "marker — correct across a rebuild that changed n (where a " +
+    "hardcoded modulus would silently mis-prune)") {
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").as("id"),
+        graft.functions.Text.tokens(col("text")).as("toks"))
+      .select(col("id"),
+        graft.functions.Text.wordShingles(col("toks"), 3).as("sh"))
+    val corpusSets = sets(corpus)
+    val dir = java.nio.file.Files
+      .createTempDirectory("band_at").toString
+    val bandDir = s"$dir/band"; val setsDir = s"$dir/sets"
+    Dedup.writeBandSideTable(
+      Dedup.minhashBandRows(corpusSets, k = 32, bands = 8,
+        seed = 42L), bandDir, n = 8)
+    Dedup.writeSetsSideTable(corpusSets, setsDir, n = 4)
+    val truth = Dedup.minhashLshProbeSets(corpusSets, sets(delta),
+      k = 32, bands = 8, threshold = 0.2, seed = 42L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    graft.CacheTracker.releaseAll()
+    def probeAt(): Set[(Long, Long, Long, Long)] = {
+      val r = Dedup.minhashLshProbeBandsAt(spark, bandDir, setsDir,
+        sets(delta), k = 32, bands = 8, threshold = 0.2, seed = 42L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      graft.CacheTracker.releaseAll(); r
+    }
+    assert(probeAt() === truth)
+    // REBUILD both tables at different moduli: the overload re-reads
+    // the fresh markers, so the same call keeps matching truth — the
+    // caller-hardcoded-n failure mode cannot exist here
+    Dedup.writeBandSideTable(
+      Dedup.minhashBandRows(corpusSets, k = 32, bands = 8,
+        seed = 42L), bandDir, n = 16)
+    Dedup.writeSetsSideTable(corpusSets, setsDir, n = 8)
+    assert(Dedup.bandSideBuckets(spark, bandDir).contains(16))
+    assert(probeAt() === truth)
+  }
+
   test("segment dedup removes cross-doc boilerplate and rebuilds survivors") {
     // 20-token boilerplate header shared by docs 0/1; unique tails
     val header = (1 to 16).map(i => s"h$i").mkString(" ")
