@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -397,17 +397,118 @@ object PostQueries {
                          sourceKeyBuckets: Option[Int] = None,
                          keysFrom: Option[DataFrame] = None)
       : DataFrame = {
-    val sk = math.max(0, skip)
     val kf = keysFrom.getOrElse(page)
     val pb = kf.select(graft.state.Layout.keyBucket(col("author"),
         col("permlink"), indexBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    childrenForIndexedCore(page, kf,
+      replyIndex.filter(col("reply_bucket").isin(pb: _*)),
+      sourceKeyBuckets.filter(_ => source.columns.contains("key_bucket")),
+      {
+        case Some(kb) => source.filter(col("key_bucket").isin(kb: _*))
+        case None => source
+      },
+      limit, skip, outCol, hydrate)
+  }
+
+  /** [[childrenForIndexed]] BY TABLE DIRECTORY — the listing-cost
+    * form. A fresh partitioned read lists EVERY leaf dir to build
+    * its file index; at a production modulus that driver listing
+    * dwarfs a point probe's task time (measured 43 s wall over
+    * 1.5 s task at store+index n=4096, BENCH_NOTES r9). Here both
+    * legs go through [[graft.state.Layout.readBucketLeaves]]: the
+    * bucket values are computed first (the same page-bounded
+    * discovery collects), the leaf dirs are ENUMERATED from them —
+    * the layout is its own manifest, bucket → directory is
+    * computable — and Spark's file index only ever sees the ≤|keys|
+    * leaves the probe will read. Moduli come from the tables' own
+    * layout markers (hardcoding n is the silent mis-prune hazard);
+    * an unmarked store degrades to the full read.
+    *
+    * `sourceView` is a row-local view (projection/filter) applied to
+    * every store read — identity in production; test/bench harnesses
+    * that derive a virtual forest from the flat store hook it here.
+    * Results are identical to [[childrenForIndexed]] over the same
+    * tables (spec-pinned). */
+  def childrenForIndexedAt(spark: SparkSession, page: DataFrame,
+                           sourceDir: String, indexDir: String,
+                           limit: Int = 100, skip: Int = 0,
+                           outCol: String = "children",
+                           hydrate: DataFrame => DataFrame = identity,
+                           keysFrom: Option[DataFrame] = None,
+                           sourceView: DataFrame => DataFrame =
+                             identity): DataFrame = {
+    val idxN = graft.state.Layout.replyIndexBuckets(spark, indexDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$indexDir has no reply_buckets layout marker — build it " +
+          "with Layout.writeReplyIndex"))
+    val kf = keysFrom.getOrElse(page)
+    val pb = kf.select(graft.state.Layout.keyBucket(col("author"),
+        col("permlink"), idxN).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val idx = graft.state.Layout
+      .readBucketLeaves(spark, indexDir, "reply_bucket", pb)
+      .getOrElse(emptyReplyIndex(spark))
+    val storeN = graft.state.Layout.markedBuckets(spark, sourceDir,
+      "key_buckets")
+    // empty-result schema source: ONE data leaf, not a full listing
+    def emptyStore(): DataFrame = sourceView(
+      graft.state.Layout.firstDataLeaf(spark, sourceDir)
+        .map(leaf => spark.read.option("basePath", sourceDir)
+          .parquet(leaf).filter(lit(false)))
+        .getOrElse(throw new IllegalStateException(
+          s"$sourceDir holds no data files")))
+    childrenForIndexedCore(page, kf, idx, storeN,
+      {
+        case Some(kb) =>
+          if (kb.isEmpty) emptyStore()
+          else graft.state.Layout
+            .readBucketLeaves(spark, sourceDir, "key_bucket", kb)
+            .map(sourceView).getOrElse(emptyStore())
+        case None => sourceView(spark.read.parquet(sourceDir))
+      },
+      limit, skip, outCol, hydrate)
+  }
+
+  /** The reply index's pinned schema
+    * ([[graft.state.Layout.replyIndexRows]]), empty — the
+    * short-circuit frame when none of a page's parent buckets exist
+    * on disk (reply-less store). */
+  private def emptyReplyIndex(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("parent_author", StringType),
+        StructField("parent_permlink", StringType),
+        StructField("author", StringType),
+        StructField("permlink", StringType),
+        StructField("created_at", TimestampType),
+        StructField("reply_bucket", IntegerType))))
+  }
+
+  /** Shared relational core of the two indexed-children forms: rank
+    * the (already index-bucket-pruned) slim index, page per parent,
+    * then fetch surviving child rows from the store obtained via
+    * `sourceFor` — called with `Some(childKeyBuckets)` when
+    * `kbModulus` is known (the caller prunes however its store form
+    * allows: isin filter or leaf enumeration), `None` otherwise. */
+  private def childrenForIndexedCore(page: DataFrame, kf: DataFrame,
+                                     idxPruned: DataFrame,
+                                     kbModulus: Option[Int],
+                                     sourceFor: Option[Seq[Int]] =>
+                                       DataFrame,
+                                     limit: Int, skip: Int,
+                                     outCol: String,
+                                     hydrate: DataFrame => DataFrame)
+      : DataFrame = {
+    val sk = math.max(0, skip)
     val keys = kf.select(col("author").as("_ca"),
       col("permlink").as("_cp")).distinct()
-    val cand = replyIndex.filter(col("reply_bucket").isin(pb: _*))
+    val cand = idxPruned
       .join(broadcast(keys),
-        replyIndex("parent_author") === keys("_ca") &&
-          replyIndex("parent_permlink") === keys("_cp"), "left_semi")
+        idxPruned("parent_author") === keys("_ca") &&
+          idxPruned("parent_permlink") === keys("_cp"), "left_semi")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("parent_author", "parent_permlink")
       .orderBy(col("created_at").asc, col("author").asc,
@@ -420,14 +521,14 @@ object PostQueries {
         col("_rk"))
       // one row per document key (see scaladoc)
       .dropDuplicates("_pa", "_pp", "_ka", "_kp")
-    val fetchBase = sourceKeyBuckets
-      .filter(_ => source.columns.contains("key_bucket"))
-      .map { n =>
+    val fetchBase = kbModulus match {
+      case Some(n) =>
         val kb = pagedKeys.select(graft.state.Layout.keyBucket(
             col("_ka"), col("_kp"), n).as("b"))
           .distinct().collect().map(_.getInt(0)).toSeq
-        source.filter(col("key_bucket").isin(kb: _*))
-      }.getOrElse(source)
+        sourceFor(Some(kb))
+      case None => sourceFor(None)
+    }
     val ranked = fetchBase.join(broadcast(pagedKeys),
       fetchBase("parent_author") === pagedKeys("_pa") &&
         fetchBase("parent_permlink") === pagedKeys("_pp") &&

@@ -206,6 +206,90 @@ object Layout {
     finally out.close()
   }
 
+  // ── Leaf-pruned reads: the layout IS the manifest ─────────────────
+  //
+  // A fresh `spark.read.parquet(dir)` builds its file index by
+  // listing EVERY partition directory — at a production modulus
+  // (n=4096 × months) that driver listing dwarfs a point probe's
+  // task time (measured: 1.5 s of task under a 43 s wall,
+  // BENCH_NOTES r9 modulus sweep #4). But a bucketed graft layout
+  // needs no stored manifest to avoid that: bucket value → directory
+  // is computable, so a probe that knows its K bucket values can
+  // enumerate exactly those leaf dirs — 1 root listing (+ one per
+  // month for the two-level store) instead of n×months — and hand
+  // Spark only the leaves it will read. No staleness window exists
+  // by construction: the listing that prices the read IS the read's
+  // file source (unlike a manifest file, which can lag a crashed
+  // refresh and silently drop a bucket).
+
+  /** The leaf directories holding `bucketCol ∈ values`, enumerated
+    * without listing any other partition. Handles both layout
+    * shapes: one-level `bucketCol=V` at the root (reply index, dedup
+    * side tables) and two-level `parent=…/bucketCol=V` (the posts
+    * store's `created_month/key_bucket`) — shape is detected from
+    * the single root listing. Missing buckets simply don't appear
+    * (hash buckets with no rows are never written). */
+  def bucketLeafDirs(spark: SparkSession, dir: String,
+                     bucketCol: String, values: Seq[Int])
+      : Seq[String] = {
+    if (values.isEmpty) return Nil
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val wanted = values.map(v => s"$bucketCol=$v").toSet
+    val top = fs.listStatus(root).filter { st =>
+      val nm = st.getPath.getName
+      st.isDirectory && !nm.startsWith(".") && !nm.startsWith("_")
+    }
+    val oneLevel = top.exists(_.getPath.getName.startsWith(bucketCol + "="))
+    if (oneLevel)
+      top.filter(st => wanted(st.getPath.getName))
+        .map(_.getPath.toString).toSeq
+    else
+      top.toSeq.flatMap { parent =>
+        fs.listStatus(parent.getPath)
+          .filter(c => c.isDirectory && wanted(c.getPath.getName))
+          .map(_.getPath.toString)
+      }
+  }
+
+  /** Bucket-pruned parquet read via [[bucketLeafDirs]]: Spark's file
+    * index is built over ONLY the requested leaves (`basePath` keeps
+    * the partition columns). None = no requested leaf exists (no
+    * matching rows — callers short-circuit with their empty frame).
+    * Semantics-preserving exactly when the caller's predicate
+    * implies `bucketCol ∈ values` — the same contract as the
+    * `isin`-prune forms, moved from plan time to listing time. */
+  def readBucketLeaves(spark: SparkSession, dir: String,
+                       bucketCol: String, values: Seq[Int])
+      : Option[DataFrame] = {
+    val dirs = bucketLeafDirs(spark, dir, bucketCol, values)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", dir).parquet(dirs: _*))
+  }
+
+  /** One data-bearing leaf dir of a (possibly partitioned) table —
+    * the cheap schema source for empty-result short-circuits (read
+    * it `filter(false)`): ~depth RPCs instead of a full listing. */
+  def firstDataLeaf(spark: SparkSession, dir: String)
+      : Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def descend(p: org.apache.hadoop.fs.Path): Option[String] = {
+      if (!fs.exists(p)) return None
+      val entries = fs.listStatus(p).filterNot { st =>
+        val nm = st.getPath.getName
+        nm.startsWith(".") || nm.startsWith("_")
+      }
+      if (entries.exists(st => !st.isDirectory &&
+          st.getPath.getName.endsWith(".parquet")))
+        Some(p.toString)
+      else entries.filter(_.isDirectory).toSeq.sortBy(_.getPath.getName)
+        .view.flatMap(st => descend(st.getPath)).headOption
+    }
+    descend(root)
+  }
+
   /** Write an entity table with the feed-serving layout. */
   def writePosts(posts: DataFrame, dir: String): Unit =
     posts

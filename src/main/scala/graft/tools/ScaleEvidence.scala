@@ -1450,13 +1450,13 @@ object ScaleEvidence {
     // children and its first child has a child. Replies must carry
     // the ingest-time comment flag, or the feed's F4 filter
     // (flags ∌ 'comment') keeps them in the page.
-    def replyForest(dir: String = postsDir)
+    def forestView(src: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame = {
       val pid = regexp_extract(col("permlink"), "post(\\d+)", 1)
         .cast("long")
       val m = pmod(pid, lit(10L))
       val parentId = when(m === 9, pid - 8).otherwise(pid - m)
-      spark.read.parquet(dir)
+      src
         .withColumn("parent_author", when(m =!= 0,
           concat(lit("user"), pmod(parentId, lit(50000L))))
           .otherwise(col("parent_author")))
@@ -1468,6 +1468,9 @@ object ScaleEvidence {
             array().cast("array<string>")), array(lit("comment"))))
           .otherwise(col("flags")))
     }
+    def replyForest(dir: String = postsDir)
+        : org.apache.spark.sql.DataFrame =
+      forestView(spark.read.parquet(dir))
     // LEVEL-2 hydration: children { parent_post, author{profile},
     // children } — each nested field is one more batched join whose
     // probe side is the store and whose build side is the PAGE-BOUNDED
@@ -1675,6 +1678,10 @@ object ScaleEvidence {
       s"vs $nPosts stored"
     val point4096Label = s"children POINT (1 post) store+index " +
       s"n=4096 vs $nPosts stored"
+    val pointAtLabel = s"children POINT LEAF-ENUMERATED reads " +
+      s"store+index n=4096 vs $nPosts stored"
+    val pageAtLabel = s"children page(100) LEAF-ENUMERATED reads " +
+      s"store+index n=4096 vs $nPosts stored"
     def rmDir(d: String): Unit = {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1696,8 +1703,8 @@ object ScaleEvidence {
       // off-clock fallback for filtered runs, same contract as the
       // sweep; also guards a stale store at a different modulus
       if (!stageSelected(store4096Label) &&
-          (stageSelected(page4096Label) ||
-            stageSelected(point4096Label)) &&
+          Seq(page4096Label, point4096Label, pointAtLabel, pageAtLabel)
+            .exists(stageSelected) &&
           !graft.state.Layout.layoutMarker(fs, p, "key_buckets")
             .contains(4096)) {
         rmDir(posts4096)
@@ -1709,8 +1716,8 @@ object ScaleEvidence {
     }
     locally {
       val idx4096 = s"$work/reply_index_n4096"
-      if ((stageSelected(page4096Label) ||
-           stageSelected(point4096Label)) &&
+      if (Seq(page4096Label, point4096Label, pointAtLabel, pageAtLabel)
+            .exists(stageSelected) &&
           !graft.state.Layout.replyIndexBuckets(spark, idx4096)
             .contains(4096))
         graft.state.Layout.writeReplyIndex(replyForest(posts4096),
@@ -1724,6 +1731,46 @@ object ScaleEvidence {
         childPoint(childApi(
           Some((spark.read.parquet(idx4096), 4096)),
           () => replyForest(posts4096), kb = 4096))
+      }
+      // ── the listing wall, closed in-engine (VERDICT r9 #2): the
+      //    43 s point wall over 1.5 s of task was driver listing of
+      //    24.6k partitions inside the two fresh partitioned reads.
+      //    childrenForIndexedAt enumerates the probed leaf dirs
+      //    instead (the layout is its own manifest) — same probe,
+      //    same artifacts, file index built from ≤|keys| leaves.
+      //    Off-clock: the page keys (a driver-side literal frame, so
+      //    the timed stage is the PROBE, not page construction). ───
+      if (stageSelected(pointAtLabel) || stageSelected(pageAtLabel)) {
+        import spark.implicits._
+        def litPage(keys: Seq[(String, String)]) =
+          keys.toDF("author", "permlink")
+        def kidsOf(page: org.apache.spark.sql.DataFrame): Long = {
+          val viaDirs = graft.query.PostQueries.childrenForIndexedAt(
+            spark, page, posts4096, idx4096, limit = 8,
+            sourceView = forestView)
+          viaDirs.select(size(col("children")).as("n"))
+            .agg(sum(col("n"))).as[Long].collect().head
+        }
+        timed(pointAtLabel) {
+          val kids = kidsOf(litPage(Seq("user120" -> "post120")))
+          require(kids == 8, s"point kids=$kids")
+          kids
+        }
+        val pageKeys = forestView(spark.read.parquet(posts4096))
+          .filter(!array_contains(coalesce(col("flags"),
+            array().cast("array<string>")), "comment"))
+          .orderBy(col("created_at").desc, col("author").asc,
+            col("permlink").asc)
+          .limit(100).select("author", "permlink")
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+        timed(pageAtLabel) {
+          val kids = kidsOf(litPage(pageKeys))
+          require(kids == 800, s"page kids=$kids")
+          kids
+        }
+      } else {
+        println(f"$pointAtLabel%-42s   skipped (filter)")
+        println(f"$pageAtLabel%-42s   skipped (filter)")
       }
     }
 
