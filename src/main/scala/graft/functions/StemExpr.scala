@@ -122,16 +122,19 @@ object PorterStem {
       while (i <= j && cons(i)) i += 1
       if (i > j) return n
       i += 1
-      while (true) {
+      var r = -1
+      while (r < 0) {
         while (i <= j && !cons(i)) i += 1
-        if (i > j) return n
-        i += 1
-        n += 1
-        while (i <= j && cons(i)) i += 1
-        if (i > j) return n
-        i += 1
+        if (i > j) r = n
+        else {
+          i += 1
+          n += 1
+          while (i <= j && cons(i)) i += 1
+          if (i > j) r = n
+          else i += 1
+        }
       }
-      n
+      r
     }
 
     private def vowelInStem(): Boolean = {

@@ -131,6 +131,84 @@ object Layout {
       : Option[Int] =
     markedBuckets(spark, dir, "reply_buckets")
 
+  /** ONE bucketed graft layout as a value — the single home of the
+    * generation/lifecycle protocol that the reply index, the dedup
+    * band table, and the dedup sets table each instantiate (the
+    * posts store shares the marker half). Every primitive delegates
+    * to the shared implementations ([[layoutMarker]],
+    * [[rebuildWithMarker]], [[graft.state.Generations]],
+    * [[compact]]), so a protocol fix lands once; the facade exists
+    * so the three instances cannot re-spell the (bucketCol,
+    * markerKey) pairing or drift on sentinel/marker file names —
+    * and so ONE spec (LifecycleSpec) can exercise the whole
+    * lifecycle against all three layouts by construction.
+    *
+    * Lifecycle: `rebuild` (marker-before-data full create) →
+    * `ensureMarker`+incremental writes (streaming maintenance;
+    * batch-appended layouts add `batch_id` leaves) →
+    * `markEmptyGeneration` when a completed bootstrap wrote zero
+    * rows → aging: `fold` collapses replay-expired batch leaves
+    * into the per-bucket base generation (batch-appended layouts),
+    * `compactFiles` bin-packs per-leaf small files (overwrite
+    * layouts); `recover` completes either's crashed commit. */
+  final case class BucketedTable(dir: String, bucketCol: String,
+                                 markerKey: String) {
+    private def fsPath(spark: SparkSession) = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    def modulus(spark: SparkSession, strict: Boolean = false)
+        : Option[Int] = {
+      val (fs, p) = fsPath(spark)
+      layoutMarker(fs, p, markerKey, strict)
+    }
+    def writeMarker(spark: SparkSession, n: Int): Unit = {
+      val (fs, p) = fsPath(spark)
+      fs.mkdirs(p)
+      writeLayoutMarker(fs, p, markerKey, n)
+    }
+    /** Marker only when absent — the incremental-create rule (a
+      * truncating re-write every batch would open a recurring
+      * zero-byte-marker crash window; strict: present-but-corrupt
+      * refuses rather than silently re-arming). */
+    def ensureMarker(spark: SparkSession, n: Int): Unit =
+      if (modulus(spark, strict = true).isEmpty) writeMarker(spark, n)
+    def hasData(spark: SparkSession): Boolean = {
+      val (fs, p) = fsPath(spark)
+      hasDataFiles(fs, p)
+    }
+    def hasEmptyGeneration(spark: SparkSession): Boolean = {
+      val (fs, p) = fsPath(spark)
+      hasEmptyIndexMarker(fs, p)
+    }
+    def markEmptyGeneration(spark: SparkSession): Unit = {
+      val (fs, p) = fsPath(spark)
+      writeEmptyIndexMarker(fs, p)
+    }
+    def rebuild(spark: SparkSession, n: Int)(write: => Unit): Unit =
+      rebuildWithMarker(spark, dir, markerKey, n)(write)
+    def recover(spark: SparkSession): Unit =
+      Generations.recover(spark, dir)
+    def fold(spark: SparkSession, horizon: Long): Generations.FoldStats =
+      Generations.foldBatches(spark, dir, horizon)
+    def compactFiles(spark: SparkSession, targetBytes: Long)
+        : (Long, Long) = compact(spark, dir, targetBytes)
+    def readBuckets(spark: SparkSession, values: Seq[Int])
+        : Option[DataFrame] =
+      readBucketLeaves(spark, dir, bucketCol, values)
+  }
+
+  /** The three streaming-maintained instances + the store's marker
+    * pairing — the one place the (bucketCol, markerKey) names live. */
+  def replyIndexTable(dir: String): BucketedTable =
+    BucketedTable(dir, "reply_bucket", "reply_buckets")
+  def bandSideTable(dir: String): BucketedTable =
+    BucketedTable(dir, "band_bucket", "band_buckets")
+  def setsSideTable(dir: String): BucketedTable =
+    BucketedTable(dir, "id_bucket", "sets_buckets")
+  def postsStoreTable(dir: String): BucketedTable =
+    BucketedTable(dir, "key_bucket", "key_buckets")
+
   private val EmptyIndexMarkerFile = "_graft_empty_index"
 
   /** A reply-index bootstrap that completed with ZERO rows (the store

@@ -96,34 +96,35 @@ object StreamNearDedup {
         val p = new org.apache.hadoop.fs.Path(dir)
         graft.state.Layout.hasDataFiles(p.getFileSystem(conf), p)
       }
-      // STRICT marker read (the StreamIngest write-path rule): these
-      // guards gate WRITES, so a present-but-corrupt marker must
-      // refuse rather than degrade to None — a swallowed read here
-      // would silently disable the very corruption guard below
-      def marker(dir: String, key: String): Option[Int] = {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        graft.state.Layout.layoutMarker(p.getFileSystem(conf), p, key,
-          strict = true)
-      }
+      // the two maintained layouts as their SHARED lifecycle values
+      // — the (bucketCol, markerKey) pairing lives in Layout, not
+      // here (one spelling across rebuild, probe, and this stream)
+      val setsTable = graft.state.Layout.setsSideTable(sideDir)
+      val bandTable = bandDir.map(graft.state.Layout.bandSideTable)
       val hasSide = hasData(sideDir)
       // layout handshake (marker-validated, the reply-index rule):
       // the bucketed mode's prune filters hash with `buckets`, so a
       // restart with a different modulus — or against a table the
       // OTHER mode created — must fail loud, not silently mis-prune
       // (wrong modulus) or corrupt the directory tree (mode switch
-      // writes conflicting partition schemes into one table)
+      // writes conflicting partition schemes into one table). The
+      // modulus reads are STRICT (the StreamIngest write-path rule):
+      // these guards gate WRITES, so a present-but-corrupt marker
+      // must refuse rather than degrade to None — a swallowed read
+      // would silently disable the very corruption guard below.
       bandDir match {
-        case Some(bd) =>
-          Seq(sideDir -> "sets_buckets", bd -> "band_buckets")
-            .foreach { case (d, key) =>
-              val stored = marker(d, key)
-              require(stored.isEmpty || stored.contains(buckets),
-                s"$d was created with $key=${stored.get}, this " +
-                  s"stream runs buckets=$buckets — moduli must match")
-              require(stored.nonEmpty || !hasData(d),
-                s"$d holds data but no $key marker: it was created " +
-                  "by the flat mode — rebuild it (or drop bandDir)")
-            }
+        case Some(_) =>
+          (Seq(setsTable) ++ bandTable).foreach { t =>
+            val stored = t.modulus(spark, strict = true)
+            require(stored.isEmpty || stored.contains(buckets),
+              s"${t.dir} was created with ${t.markerKey}=" +
+                s"${stored.get}, this stream runs buckets=$buckets " +
+                "— moduli must match")
+            require(stored.nonEmpty || !hasData(t.dir),
+              s"${t.dir} holds data but no ${t.markerKey} marker: " +
+                "it was created by the flat mode — rebuild it (or " +
+                "drop bandDir)")
+          }
         case None =>
           // NON-strict probe + raw contents in the refusal: a strict
           // read here turned a FOREIGN marker (sideDir pointed at a
@@ -221,31 +222,29 @@ object StreamNearDedup {
           // bucket dirs. Buckets accrue one small file per touched
           // batch — compaction is the store's usual maintenance,
           // orthogonal to correctness here.
-          Seq(sideDir -> "sets_buckets", bd -> "band_buckets")
-            .foreach { case (d, key) =>
-              val p = new org.apache.hadoop.fs.Path(d)
+          (Seq(setsTable) ++ bandTable).foreach { t =>
+            // marker BEFORE first data (the rebuildWithMarker
+            // crash-window rule applied to an incremental create)
+            t.ensureMarker(spark, buckets)
+            // full replay idempotence: dynamic overwrite only
+            // replaces the leaves the REPLAYED rows hash into, so
+            // a replay whose row set drifted (non-replayable
+            // source) would leave first-attempt ghosts in
+            // untouched buckets — clear ALL of this batch's leaves
+            // first. Only on a PROVEN possible replay (watermark
+            // above): first-run batches skip the O(buckets) glob.
+            if (isReplay) {
+              val p = new org.apache.hadoop.fs.Path(t.dir)
               val fs = p.getFileSystem(conf)
-              // marker BEFORE first data (the rebuildWithMarker
-              // crash-window rule applied to an incremental create)
-              if (marker(d, key).isEmpty)
-                graft.state.Layout.writeLayoutMarker(fs, p, key,
-                  buckets)
-              // full replay idempotence: dynamic overwrite only
-              // replaces the leaves the REPLAYED rows hash into, so
-              // a replay whose row set drifted (non-replayable
-              // source) would leave first-attempt ghosts in
-              // untouched buckets — clear ALL of this batch's leaves
-              // first. Only on a PROVEN possible replay (watermark
-              // above): first-run batches skip the O(buckets) glob.
-              if (isReplay)
-                fs.globStatus(new org.apache.hadoop.fs.Path(p,
-                    s"*/batch_id=$batchId"))
-                  match {
-                    case null => ()
-                    case sts => sts.foreach(st =>
-                      fs.delete(st.getPath, true))
-                  }
+              fs.globStatus(new org.apache.hadoop.fs.Path(p,
+                  s"*/batch_id=$batchId"))
+                match {
+                  case null => ()
+                  case sts => sts.foreach(st =>
+                    fs.delete(st.getPath, true))
+                }
             }
+          }
           deltaSets
             .withColumn("id_bucket",
               Dedup.idBucket(col("id"), buckets))

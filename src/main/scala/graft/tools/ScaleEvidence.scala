@@ -1774,6 +1774,70 @@ object ScaleEvidence {
       }
     }
 
+    // ── merge write amplification, recorded as a number (VERDICT r9
+    //    "what's wrong" #1): the streaming merge dynamic-overwrites
+    //    every touched (month, key_bucket) leaf — rewrite cost per
+    //    trigger = touched leaves × leaf size = |batch keys| ×
+    //    table/(months·n). Measured here on a file-level COPY (the
+    //    shared stores stay immutable) at both moduli: rewritten
+    //    files, rewritten bytes, touched leaves of total. The sizing
+    //    rule this pins: leaf ≈ table/(months·n) must stay a few GB
+    //    at target scale (100 TB / (12·4096) ≈ 2 GB — each 20-edit
+    //    trigger then rewrites ≤ 40 GB of a 100 TB store, 0.04%);
+    //    growing a table past leaf ≈ few GB means raising n via an
+    //    offline rebuild, or moving to a row-level-delete format
+    //    (Delta/Iceberg MERGE) — the stated production escape. ─────
+    println("== merge write amplification (rewritten bytes/trigger) ==")
+    def writeAmp(srcDir: String, modulus: Int): Unit = {
+      val label =
+        s"merge write-amp: 20 edits, n=$modulus store vs $nPosts " +
+          "stored"
+      if (!stageSelected(label)) {
+        println(f"$label%-42s   skipped (filter)"); return
+      }
+      val conf = spark.sparkContext.hadoopConfiguration
+      val src = new org.apache.hadoop.fs.Path(srcDir)
+      val fs = src.getFileSystem(conf)
+      val dst = new org.apache.hadoop.fs.Path(s"$work/wamp_n$modulus")
+      fs.delete(dst, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+      def snap(): Map[String, (Long, Long)] = {
+        val it = fs.listFiles(dst, true)
+        val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet"))
+            m(f.getPath.toString) =
+              (f.getLen, f.getModificationTime)
+        }
+        m.toMap
+      }
+      val before = snap()
+      timed(label) {
+        graft.streaming.StreamIngest.mergeBlocksBatch(spark,
+          blocksFor(600, 20, nPosts * 5, lit("wamp edited body"),
+            stride = 6), dst.toString)
+        graft.CacheTracker.releaseAll()
+        spark.read.parquet(dst.toString)
+          .filter(col("body") === "wamp edited body").count()
+      }
+      val after = snap()
+      val rewritten = after.filterNot { case (p, lm) =>
+        before.get(p).contains(lm) }
+      val bytes = rewritten.values.map(_._1).sum
+      def leafOf(p: String) =
+        p.split('/').dropRight(1).takeRight(2).mkString("/")
+      val leaves = rewritten.keys.map(leafOf).toSet
+      val totalLeaves = before.keys.map(leafOf).toSet.size
+      println(f"  write-amp n=$modulus%-5d rewrote " +
+        f"${rewritten.size}%,d files ${bytes / 1e6}%.1f MB in " +
+        f"${leaves.size}%,d of $totalLeaves%,d (month,bucket) leaves" +
+        f" (store ${before.values.map(_._1).sum / 1e6}%.0f MB)")
+      fs.delete(dst, true)
+    }
+    writeAmp(postsDir, 64)
+    writeAmp(posts4096, 4096)
+
     // ── e2e integrated flagship (VERDICT r8 #4): one micro-batch of
     //    replies arrives → streaming merge + INCREMENTAL reply-index
     //    maintenance → the refreshed store serves a GraphQL

@@ -1,0 +1,150 @@
+package graft.state
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** ONE lifecycle, THREE instances (VERDICT r9 #4): the reply index,
+  * the dedup band table, and the dedup sets table each run the same
+  * generation protocol — marker-before-data create, recorded-modulus
+  * wins, empty-generation sentinel, leaf-pruned reads, aging (fold
+  * for batch-appended layouts, file compaction for overwrite
+  * layouts), crash recovery. [[Layout.BucketedTable]] is the single
+  * home of that protocol; this spec drives the WHOLE lifecycle
+  * through the facade for all three layouts by construction, so a
+  * protocol regression cannot hide in any one instance. */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val layouts = Seq[(String, String => Layout.BucketedTable)](
+    "reply-index" -> Layout.replyIndexTable,
+    "band-side" -> Layout.bandSideTable,
+    "sets-side" -> Layout.setsSideTable)
+
+  private def rows(n: Int) =
+    (0 until 40).map(i => (i.toLong, s"v$i", i % n))
+
+  for ((name, mk) <- layouts) {
+    test(s"$name: marker-before-data create, recorded modulus wins, " +
+      "crashed create is recognized, sentinel round-trips") {
+      val t = mk(java.nio.file.Files
+        .createTempDirectory(s"lc-$name").toString + "/t")
+      // full rebuild: marker lands BEFORE data; modulus round-trips
+      t.rebuild(spark, 4) {
+        rows(4).toDF("k", "v", t.bucketCol)
+          .repartition(col(t.bucketCol))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(t.bucketCol).parquet(t.dir)
+      }
+      assert(t.modulus(spark).contains(4) && t.hasData(spark))
+      // ensureMarker is a no-op on an existing marker (the
+      // incremental-create rule: never truncate-rewrite per batch)
+      t.ensureMarker(spark, 16)
+      assert(t.modulus(spark).contains(4))
+      // crashed create: a rebuild whose write dies leaves marker-only
+      // — hasData reads it as "no table" (the recovery contract)
+      val t2 = mk(java.nio.file.Files
+        .createTempDirectory(s"lc2-$name").toString + "/t")
+      intercept[RuntimeException] {
+        t2.rebuild(spark, 8) { sys.error("crash mid-create") }
+      }
+      assert(t2.modulus(spark).contains(8) && !t2.hasData(spark))
+      // empty generation: the sentinel distinguishes "bootstrap
+      // completed with zero rows" from that crashed create
+      assert(!t2.hasEmptyGeneration(spark))
+      t2.markEmptyGeneration(spark)
+      assert(t2.hasEmptyGeneration(spark) && !t2.hasData(spark))
+      // a fresh rebuild clears the sentinel with the old generation
+      t2.rebuild(spark, 8) {
+        rows(8).toDF("k", "v", t2.bucketCol)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(t2.bucketCol).parquet(t2.dir)
+      }
+      assert(!t2.hasEmptyGeneration(spark) && t2.hasData(spark))
+      // a corrupt marker REFUSES strict consumers instead of
+      // degrading (the write-path rule)
+      val (fs0, p0) = {
+        val p = new org.apache.hadoop.fs.Path(t2.dir)
+        (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+      }
+      val out = fs0.create(
+        new org.apache.hadoop.fs.Path(p0, "_graft_layout.json"), true)
+      out.write("{\"garbage\": true}".getBytes("UTF-8")); out.close()
+      intercept[IllegalStateException] {
+        t2.modulus(spark, strict = true) }
+      assert(t2.modulus(spark).isEmpty) // non-strict degrades to scan
+    }
+
+    test(s"$name: leaf-pruned reads return exactly the requested " +
+      "buckets without touching the rest of the layout") {
+      val t = mk(java.nio.file.Files
+        .createTempDirectory(s"lc3-$name").toString + "/t")
+      t.rebuild(spark, 4) {
+        rows(4).toDF("k", "v", t.bucketCol)
+          .repartition(col(t.bucketCol))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(t.bucketCol).parquet(t.dir)
+      }
+      val full = spark.read.parquet(t.dir)
+      val want = full.filter(col(t.bucketCol).isin(1, 2))
+        .select("k").as[Long].collect().toSet
+      val got = t.readBuckets(spark, Seq(1, 2)).get
+        .select("k").as[Long].collect().toSet
+      assert(got === want && got.nonEmpty)
+      assert(t.readBuckets(spark, Seq(999)).isEmpty)
+      assert(t.readBuckets(spark, Nil).isEmpty)
+    }
+  }
+
+  test("batch-appended instances (band, sets) age by FOLD through " +
+    "the shared facade; the overwrite instance (reply index) ages " +
+    "by file compaction — same facade, layout-appropriate op") {
+    // band/sets shape: bucket=X/batch_id=N leaves, folded to horizon
+    for ((name, mk) <- layouts.drop(1)) {
+      val t = mk(java.nio.file.Files
+        .createTempDirectory(s"lc4-$name").toString + "/t")
+      t.writeMarker(spark, 4)
+      for (b <- 0L to 2L)
+        rows(4).map { case (k, v, bk) => (k + b * 100, v, bk) }
+          .toDF("k", "v", t.bucketCol)
+          .withColumn("batch_id", lit(b))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(t.bucketCol, "batch_id").parquet(t.dir)
+      val before = spark.read.parquet(t.dir).select("k")
+        .as[Long].collect().toSet
+      val st = t.fold(spark, horizon = 2L)
+      assert(st.foldedLeaves > 0, name)
+      t.recover(spark) // clean-table recover is a no-op
+      val after = spark.read.parquet(t.dir)
+      assert(after.select("k").as[Long].collect().toSet === before,
+        name)
+      assert(after.filter(col("batch_id").between(0L, 1L)).count()
+        === 0, name)
+      assert(after.filter(
+        col("batch_id") === Generations.BaseBatchId).count() > 0, name)
+    }
+    // reply-index shape: per-bucket dirs rewritten in place — no
+    // batch leaves to fold (fold is a structural no-op), small files
+    // bin-pack via compactFiles
+    val t = Layout.replyIndexTable(java.nio.file.Files
+      .createTempDirectory("lc4-reply").toString + "/t")
+    t.rebuild(spark, 2) {
+      // two writes → ≥2 files per bucket dir (append mode mimics
+      // repeated per-trigger refreshes of the same bucket)
+      val df = rows(2).toDF("k", "v", t.bucketCol)
+      df.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(t.bucketCol).mode("overwrite").parquet(t.dir)
+      df.write.partitionBy(t.bucketCol).mode("append").parquet(t.dir)
+    }
+    assert(t.fold(spark, horizon = Long.MaxValue).foldedLeaves === 0)
+    val before = spark.read.parquet(t.dir).count()
+    val (filesBefore, filesAfter) =
+      t.compactFiles(spark, targetBytes = 1L << 30)
+    assert(filesAfter < filesBefore)
+    assert(spark.read.parquet(t.dir).count() === before)
+    assert(t.modulus(spark).contains(2)) // compaction keeps the marker
+  }
+}
