@@ -1006,6 +1006,138 @@ object ScaleEvidence {
       println(f"$d44eFlatLabel%-42s   skipped (filter)")
       println(f"$d44eBucketedLabel%-42s   skipped (filter)")
     }
+    // ── the aging story, measured (VERDICT r9 #1's "done" line):
+    //    the bucketed streaming mode appends batch_id leaves every
+    //    trigger; after ~1k batches the per-trigger LISTING of those
+    //    leaves is the dominant fixed cost. One pipeline: seed a
+    //    corpus + age the side tables with 1000 direct-written
+    //    batches (off-clock, operator-shaped leaves) → timed trigger
+    //    on the aged store → timed FOLD to the base generation
+    //    (Generations.foldBatches, horizon = current batch) → timed
+    //    trigger again. Leaf-dir counts printed around the fold are
+    //    the listing-cost evidence. ─────────────────────────────────
+    println("== aged streaming side tables: ~1k-batch fold ==")
+    val agedPreLabel =
+      "aged near-dup trigger: 20 docs vs 1k-batch leaves PRE-fold"
+    val agedFoldLabel =
+      "aged near-dup FOLD: 1000 batches into base generation"
+    val agedPostLabel =
+      "aged near-dup trigger: 20 docs AFTER fold"
+    val agedAll = Seq(agedPreLabel, agedFoldLabel, agedPostLabel)
+    if (agedAll.exists(stageSelected)) {
+      require(agedAll.forall(stageSelected),
+        "the aged stages are one pipeline — select all three " +
+          "('aged ') or none")
+      val aDir = s"$work/aged"
+      val conf = spark.sparkContext.hadoopConfiguration
+      locally {
+        val p = new org.apache.hadoop.fs.Path(aDir)
+        p.getFileSystem(conf).delete(p, true)
+      }
+      val aSide = s"$aDir/side"; val aBand = s"$aDir/band"
+      val aPairs = s"$aDir/pairs"
+      def genText(id: org.apache.spark.sql.Column) =
+        concat_ws(" ", transform(sequence(lit(0), lit(20)),
+          i => concat(lit("w"),
+            pmod(xxhash64(id * 31 + i), lit(500L)))))
+      def setsOf(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("toks", graft.functions.Text.tokens(col("text")))
+        .withColumn("sh",
+          graft.functions.Text.wordShingles(col("toks"), 3))
+        .drop("toks", "text")
+      // seed corpus: 50k docs as batch 0 (bulk-written layouts,
+      // markers + watermark — the d44e seeding shape)
+      Seq(aSide -> "sets_buckets", aBand -> "band_buckets")
+        .foreach { case (d, key) =>
+          val p = new org.apache.hadoop.fs.Path(d)
+          val fs = p.getFileSystem(conf)
+          fs.mkdirs(p)
+          graft.state.Layout.writeLayoutMarker(fs, p, key, 1024)
+        }
+      locally {
+        val p = new org.apache.hadoop.fs.Path(aSide)
+        graft.state.Generations.writeLastBatchWatermark(
+          p.getFileSystem(conf), p, 1000L)
+      }
+      def dynW(df: org.apache.spark.sql.DataFrame, dir: String,
+               parts: String*): Unit =
+        df.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(parts: _*).parquet(dir)
+      val seedSets = setsOf(spark.range(50000)
+        .select(col("id").as("id"), genText(col("id")).as("text")))
+      dynW(seedSets
+          .withColumn("id_bucket", Dedup.idBucket(col("id"), 1024))
+          .withColumn("batch_id", lit(0L))
+          .repartition(col("id_bucket")),
+        aSide, "id_bucket", "batch_id")
+      dynW(Dedup.minhashBandRows(seedSets, k = 32, bands = 8,
+            seed = 42L)
+          .withColumn("band_bucket",
+            Dedup.bandBucket(col("band"), col("key"), 1024))
+          .withColumn("batch_id", lit(0L))
+          .repartition(col("band_bucket")),
+        aBand, "band_bucket", "batch_id")
+      // age: batches 1..1000 × 5 docs each, operator-shaped leaves
+      // (one dynamic write per table; batch_id recomputed from the
+      // id arithmetic so the band projection needs no join)
+      val agedDocs = spark.range(5000).select(
+        (col("id") + 1000000000L).as("id"),
+        (col("id") / 5 + 1).cast("long").as("batch_id"),
+        genText(col("id") + 1000000000L).as("text"))
+      val agedSets = setsOf(agedDocs)
+      dynW(agedSets
+          .withColumn("id_bucket", Dedup.idBucket(col("id"), 1024))
+          .repartition(col("id_bucket"), col("batch_id")),
+        aSide, "id_bucket", "batch_id")
+      dynW(Dedup.minhashBandRows(agedSets.select("id", "sh"),
+            k = 32, bands = 8, seed = 42L)
+          .withColumn("band_bucket",
+            Dedup.bandBucket(col("band"), col("key"), 1024))
+          .withColumn("batch_id",
+            ((col("id") - 1000000000L) / 5 + 1).cast("long"))
+          .repartition(col("band_bucket"), col("batch_id")),
+        aBand, "band_bucket", "batch_id")
+      def leafCount(d: String): Int = {
+        val p = new org.apache.hadoop.fs.Path(d)
+        Option(p.getFileSystem(conf).globStatus(
+          new org.apache.hadoop.fs.Path(p, "*/batch_id=*")))
+          .map(_.length).getOrElse(0)
+      }
+      println(s"  aged leaves pre-fold: sets=${leafCount(aSide)} " +
+        s"band=${leafCount(aBand)}")
+      // the trigger: 10 exact dups of seed docs (guaranteed pairs) +
+      // 10 fresh docs
+      def trigger(batchId: Long): Long = {
+        import spark.implicits._
+        val delta = (0 until 20).map { i =>
+          val srcId = if (i < 10) i.toLong else 4000000000L + i
+          (3000000000L + batchId * 100 + i, srcId)
+        }.toDF("doc_id", "src")
+          .select(col("doc_id"), genText(col("src")).as("text"))
+        val n = graft.streaming.StreamNearDedup.probeAndAppend(spark,
+          delta, batchId, aSide, aPairs, threshold = 0.5,
+          bandDir = Some(aBand), buckets = 1024)
+        graft.CacheTracker.releaseAll()
+        require(n >= 10, s"aged trigger found only $n pairs")
+        n
+      }
+      timed(agedPreLabel) { trigger(1001L) }
+      timed(agedFoldLabel) {
+        val s1 = graft.state.Layout.setsSideTable(aSide)
+          .fold(spark, horizon = 1001L)
+        val s2 = graft.state.Layout.bandSideTable(aBand)
+          .fold(spark, horizon = 1001L)
+        println(s"  folded: sets ${s1.foldedLeaves} leaves " +
+          s"(${s1.foldedFiles} files) -> ${s1.baseFilesAfter} base " +
+          s"files; band ${s2.foldedLeaves} leaves " +
+          s"(${s2.foldedFiles} files) -> ${s2.baseFilesAfter}")
+        s1.foldedLeaves + s2.foldedLeaves
+      }
+      println(s"  aged leaves post-fold: sets=${leafCount(aSide)} " +
+        s"band=${leafCount(aBand)}")
+      timed(agedPostLabel) { trigger(1002L) }
+    } else agedAll.foreach(l => println(f"$l%-42s   skipped (filter)"))
     timed(s"d45 segment dedup + rebuild (${reps*5}k docs)") {
       // replicas make every replica-0 doc's segments duplicated
       // across... no: token salting keeps segments replica-local, so
