@@ -448,7 +448,7 @@ object PostQueries {
       .distinct().collect().map(_.getInt(0)).toSeq
     val idx = graft.state.Layout
       .readBucketLeaves(spark, indexDir, "reply_bucket", pb)
-      .getOrElse(emptyReplyIndex(spark))
+      .getOrElse(graft.state.Layout.emptyReplyIndexRows(spark))
     val storeN = graft.state.Layout.markedBuckets(spark, sourceDir,
       "key_buckets")
     // empty-result schema source: ONE data leaf, not a full listing
@@ -468,23 +468,6 @@ object PostQueries {
         case None => sourceView(spark.read.parquet(sourceDir))
       },
       limit, skip, outCol, hydrate)
-  }
-
-  /** The reply index's pinned schema
-    * ([[graft.state.Layout.replyIndexRows]]), empty — the
-    * short-circuit frame when none of a page's parent buckets exist
-    * on disk (reply-less store). */
-  private def emptyReplyIndex(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(
-        StructField("parent_author", StringType),
-        StructField("parent_permlink", StringType),
-        StructField("author", StringType),
-        StructField("permlink", StringType),
-        StructField("created_at", TimestampType),
-        StructField("reply_bucket", IntegerType))))
   }
 
   /** Shared relational core of the two indexed-children forms: rank

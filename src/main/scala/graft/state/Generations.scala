@@ -184,11 +184,19 @@ object Generations {
         .write.partitionBy(bucketCol).parquet(dataDir.toString)
     else
       df.coalesce(1).write.parquet(dataDir.toString)
-    // THE commit point: fold visible to recovery only from here on
-    val out = fs.create(new Path(staging, CommitFileName), true)
+    // THE commit point: fold visible to recovery only from here on.
+    // Written to a dot-temp name and RENAMED into place — a crash
+    // mid-write must leave either no commit record (recovery
+    // discards staging) or a complete one (recovery replays); a
+    // truncated record would wedge recover() forever
+    val commitTmp = new Path(staging, "." + CommitFileName + ".tmp")
+    val out = fs.create(commitTmp, true)
     try out.write(renderCommit(parents, foldable)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (!fs.rename(commitTmp, new Path(staging, CommitFileName)))
+      throw new IllegalStateException(
+        s"fold: cannot commit record in $staging")
     completeFold(fs, root, staging,
       Commit(parents, foldable.map { case (p, id) => s"$p|$id" }))
     val baseFiles = parents.map { p =>
@@ -221,12 +229,25 @@ object Generations {
     }
   }
 
+  /** Advance the watermark WITHOUT a truncating rewrite of the live
+    * file (the ensureMarker rule: a per-batch truncate-then-write
+    * would re-open a zero-byte-corruption crash window every
+    * trigger): write a dot-temp, swap it in. The delete+rename pair
+    * leaves at worst an ABSENT watermark for a crash instant — and
+    * absence on a data-bearing table is treated as "possible replay"
+    * by the consumer, never as proof of a first run. */
   def writeLastBatchWatermark(fs: FileSystem, table: Path,
                               batchId: Long): Unit = {
-    val out = fs.create(new Path(table, WatermarkFile), true)
+    val tmp = new Path(table, "." + WatermarkFile + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"""{"last_batch": $batchId}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val dst = new Path(table, WatermarkFile)
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IllegalStateException(
+        s"cannot install watermark at $dst")
   }
 
   private case class Commit(parents: Seq[String], folded: Seq[String])

@@ -73,6 +73,25 @@ object Layout {
       .withColumn("reply_bucket",
         keyBucket(col("parent_author"), col("parent_permlink"), n))
 
+  /** An EMPTY frame with the reply index's exact row schema, routed
+    * THROUGH [[replyIndexRows]] (the one projection) so a column or
+    * type change there breaks this loudly at analysis time instead
+    * of letting a hand-copied schema drift (it feeds the
+    * no-index-leaves short-circuit of the leaf-enumerated children
+    * probe). */
+  def emptyReplyIndexRows(spark: SparkSession): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val posts = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("parent_author", StringType),
+        StructField("parent_permlink", StringType),
+        StructField("author", StringType),
+        StructField("permlink", StringType),
+        StructField("created_at", TimestampType))))
+    replyIndexRows(posts, 1)
+  }
+
   /** Shared physical write: bucket-partitioned, parent-key sorted,
     * dynamic overwrite (replaces only the buckets present in `rows` —
     * everything for a rebuild, the touched set for a refresh — and

@@ -196,15 +196,19 @@ object StreamNearDedup {
       // `batchId <= stored` is a PROOF that a prior attempt may have
       // written leaves (crash-after-watermark replays glob and find
       // nothing — correct), and `batchId > stored` a proof none did.
+      // ABSENT watermark on a table that already holds data (a
+      // pre-watermark table, or a hand-deleted file) is NOT proof of
+      // a first run — fall back to the clears rather than trust
+      // absence (skipping them would re-admit the drifted-replay
+      // ghosts the clears exist to scrub).
       val isReplay = bandDir.isDefined && {
         val p = new org.apache.hadoop.fs.Path(sideDir)
         val fs = p.getFileSystem(conf)
-        val replay = graft.state.Generations
-          .lastBatchWatermark(fs, p).exists(_ >= batchId)
-        if (!replay)
+        val wm = graft.state.Generations.lastBatchWatermark(fs, p)
+        if (wm.forall(_ < batchId))
           graft.state.Generations.writeLastBatchWatermark(fs, p,
             batchId)
-        replay
+        wm.exists(_ >= batchId) || (wm.isEmpty && hasSide)
       }
       if (bandDir.isDefined && isReplay) {
         val pp = new org.apache.hadoop.fs.Path(pairsDir,

@@ -935,6 +935,15 @@ object ScaleEvidence {
     // self-joined the full band table, so seeding cost and driver
     // memory grew with reps and could fail before the timed stages
     // ran (ADVICE r9). One-time, off the clock.
+    // dynamic-mode writes (the streaming operator's own mode) so
+    // already-written layout markers survive — ONE recipe for every
+    // seeding block (d44e, aged): a divergence here would silently
+    // seed a different layout shape than probeAndAppend maintains
+    def dynOverwrite(df: org.apache.spark.sql.DataFrame, dir: String,
+                     parts: String*): Unit =
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(parts: _*).parquet(dir)
     val d44eFlatLabel =
       s"d44e streaming probe+append 20-doc batch, FLAT layout"
     val d44eBucketedLabel =
@@ -960,20 +969,12 @@ object ScaleEvidence {
         if (key == "sets_buckets")
           graft.state.Generations.writeLastBatchWatermark(fs, p, 0L)
       }
-      // dynamic-mode writes (the operator's own mode) so the
-      // already-written markers survive; the shapes match
-      // probeAndAppend's maintenance writes exactly
-      def dyn(df: org.apache.spark.sql.DataFrame, dir: String,
-              parts: String*): Unit =
-        df.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(parts: _*).parquet(dir)
       // each mode's seeding pass runs only when ITS timed stage is
       // selected (seeding the other mode's tables would be minutes
       // of work feeding a skipped stage)
       if (stageSelected(d44eFlatLabel)) {
         rm(s"$sDir/flat")
-        dyn(seedSets.withColumn("batch_id", lit(0L)),
+        dynOverwrite(seedSets.withColumn("batch_id", lit(0L)),
           s"$sDir/flat/side", "batch_id")
       }
       if (stageSelected(d44eBucketedLabel)) {
@@ -981,11 +982,11 @@ object ScaleEvidence {
         markerAndWatermark(s"$sDir/bkt/side", "sets_buckets")
         markerAndWatermark(s"$sDir/bkt/band", "band_buckets")
         val ss = seedSets
-        dyn(ss
+        dynOverwrite(ss
             .withColumn("id_bucket", Dedup.idBucket(col("id"), 1024))
             .withColumn("batch_id", lit(0L)),
           s"$sDir/bkt/side", "id_bucket", "batch_id")
-        dyn(Dedup.minhashBandRows(ss, k = 32, bands = 8, seed = 42L)
+        dynOverwrite(Dedup.minhashBandRows(ss, k = 32, bands = 8, seed = 42L)
             .withColumn("band_bucket",
               Dedup.bandBucket(col("band"), col("key"), 1024))
             .withColumn("batch_id", lit(0L)),
@@ -1059,19 +1060,14 @@ object ScaleEvidence {
         graft.state.Generations.writeLastBatchWatermark(
           p.getFileSystem(conf), p, 1000L)
       }
-      def dynW(df: org.apache.spark.sql.DataFrame, dir: String,
-               parts: String*): Unit =
-        df.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(parts: _*).parquet(dir)
       val seedSets = setsOf(spark.range(50000)
         .select(col("id").as("id"), genText(col("id")).as("text")))
-      dynW(seedSets
+      dynOverwrite(seedSets
           .withColumn("id_bucket", Dedup.idBucket(col("id"), 1024))
           .withColumn("batch_id", lit(0L))
           .repartition(col("id_bucket")),
         aSide, "id_bucket", "batch_id")
-      dynW(Dedup.minhashBandRows(seedSets, k = 32, bands = 8,
+      dynOverwrite(Dedup.minhashBandRows(seedSets, k = 32, bands = 8,
             seed = 42L)
           .withColumn("band_bucket",
             Dedup.bandBucket(col("band"), col("key"), 1024))
@@ -1086,11 +1082,11 @@ object ScaleEvidence {
         (col("id") / 5 + 1).cast("long").as("batch_id"),
         genText(col("id") + 1000000000L).as("text"))
       val agedSets = setsOf(agedDocs)
-      dynW(agedSets
+      dynOverwrite(agedSets
           .withColumn("id_bucket", Dedup.idBucket(col("id"), 1024))
           .repartition(col("id_bucket"), col("batch_id")),
         aSide, "id_bucket", "batch_id")
-      dynW(Dedup.minhashBandRows(agedSets.select("id", "sh"),
+      dynOverwrite(Dedup.minhashBandRows(agedSets.select("id", "sh"),
             k = 32, bands = 8, seed = 42L)
           .withColumn("band_bucket",
             Dedup.bandBucket(col("band"), col("key"), 1024))
@@ -1888,18 +1884,23 @@ object ScaleEvidence {
           require(kids == 8, s"point kids=$kids")
           kids
         }
-        val pageKeys = forestView(spark.read.parquet(posts4096))
-          .filter(!array_contains(coalesce(col("flags"),
-            array().cast("array<string>")), "comment"))
-          .orderBy(col("created_at").desc, col("author").asc,
-            col("permlink").asc)
-          .limit(100).select("author", "permlink")
-          .collect().map(r => (r.getString(0), r.getString(1))).toSeq
-        timed(pageAtLabel) {
-          val kids = kidsOf(litPage(pageKeys))
-          require(kids == 800, s"page kids=$kids")
-          kids
-        }
+        // the page-key precollect is a full store scan + sort — it
+        // feeds ONLY the page stage, so a point-only filtered run
+        // must not pay it (the d44e per-mode seeding rule)
+        if (stageSelected(pageAtLabel)) {
+          val pageKeys = forestView(spark.read.parquet(posts4096))
+            .filter(!array_contains(coalesce(col("flags"),
+              array().cast("array<string>")), "comment"))
+            .orderBy(col("created_at").desc, col("author").asc,
+              col("permlink").asc)
+            .limit(100).select("author", "permlink")
+            .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+          timed(pageAtLabel) {
+            val kids = kidsOf(litPage(pageKeys))
+            require(kids == 800, s"page kids=$kids")
+            kids
+          }
+        } else println(f"$pageAtLabel%-42s   skipped (filter)")
       } else {
         println(f"$pointAtLabel%-42s   skipped (filter)")
         println(f"$pageAtLabel%-42s   skipped (filter)")

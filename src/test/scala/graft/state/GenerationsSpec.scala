@@ -202,9 +202,15 @@ class GenerationsSpec extends SparkSpec {
     val (fs, sp) = fsp(side)
 
     // (a) crash BEFORE the commit point: junk staging, no commit —
-    // recover discards it and the table is untouched
+    // recover discards it and the table is untouched. A PARTIAL
+    // commit record under its temp name (crash mid-write, before the
+    // atomic rename) is part of "no commit": discarded, never parsed
     val staging = new org.apache.hadoop.fs.Path(sp, ".graft_fold")
     fs.mkdirs(new org.apache.hadoop.fs.Path(staging, "data"))
+    val partial = fs.create(new org.apache.hadoop.fs.Path(staging,
+      "._commit.json.tmp"), true)
+    partial.write("""{"parents": ["id_buck""".getBytes("UTF-8"))
+    partial.close()
     Generations.recover(spark, side)
     assert(!fs.exists(staging))
     assert(spark.read.parquet(side).select("id")

@@ -162,6 +162,34 @@ class StreamNearDedupSpec extends SparkSpec {
     assert(e3.getMessage.contains("flat mode"))
   }
 
+  test("a MISSING replay watermark on a data-bearing table is not " +
+    "proof of a first run: drifted-replay ghosts are still cleared") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("snd-nowm").toString
+    val side = s"$dir/side"; val pairs = s"$dir/pairs"
+    val band = s"$dir/band"
+    def run(batchId: Long, docs: Seq[(Long, String)]): Long =
+      StreamNearDedup.probeAndAppend(spark,
+        docs.toDF("doc_id", "text"), batchId, side, pairs,
+        threshold = 0.2, bandDir = Some(band), buckets = 8)
+    run(0L, Seq(1L -> base))
+    run(1L, Seq(10L -> base.replace("sigma", "SIGMA")))
+    // a pre-watermark table / hand-deleted file: absence must fall
+    // back to the ghost clears, never skip them
+    val wm = new org.apache.hadoop.fs.Path(side,
+      "_graft_last_batch.json")
+    val fs = wm.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(wm, false))
+    run(1L, Seq(99L -> "entirely unrelated replacement row text"))
+    assert(spark.read.parquet(side).select("id").as[Long]
+      .collect().toSet === Set(1L, 99L))
+    assert(spark.read.parquet(band).select("id").as[Long]
+      .collect().toSet === Set(1L, 99L))
+    // ...and the watermark is re-established for the next batches
+    assert(graft.state.Generations.lastBatchWatermark(fs,
+      new org.apache.hadoop.fs.Path(side)).contains(1L))
+  }
+
   test("an EMPTY first batch (recovery replay) does not wedge the " +
     "stream: the side read carries an explicit schema") {
     val dir = java.nio.file.Files
