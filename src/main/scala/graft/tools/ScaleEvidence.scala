@@ -1828,13 +1828,20 @@ object ScaleEvidence {
     locally {
       val p = new org.apache.hadoop.fs.Path(posts4096)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // off-clock fallback for filtered runs, same contract as the
-      // sweep; also guards a stale store at a different modulus
+      // off-clock fallback for filtered runs: FRESHNESS means both
+      // the modulus marker AND the row count match this run's scale
+      // — the marker alone reused a different-reps store under this
+      // run's "vs $nPosts" label (the trap fired in round 10: a 5M
+      // store served a 50M-labeled measurement until a row-count
+      // audit caught it; a footer-only count() is the honest guard)
+      def storeFresh: Boolean =
+        graft.state.Layout.layoutMarker(fs, p, "key_buckets")
+          .contains(4096) &&
+          scala.util.Try(spark.read.parquet(posts4096).count())
+            .toOption.contains(nPosts)
       if (!stageSelected(store4096Label) &&
           Seq(page4096Label, point4096Label, pointAtLabel, pageAtLabel)
-            .exists(stageSelected) &&
-          !graft.state.Layout.layoutMarker(fs, p, "key_buckets")
-            .contains(4096)) {
+            .exists(stageSelected) && !storeFresh) {
         rmDir(posts4096)
         graft.streaming.StreamIngest.mergeBlocksBatch(spark,
           blocksFor(0, nPosts, 0, lit("original body text")),
@@ -1844,10 +1851,16 @@ object ScaleEvidence {
     }
     locally {
       val idx4096 = s"$work/reply_index_n4096"
+      // same freshness contract: the 10-ary forest makes 9 of 10
+      // posts replies, so a fresh index holds exactly 9·nPosts/10
+      // rows — marker + row count together gate the reuse
+      def idxFresh: Boolean =
+        graft.state.Layout.replyIndexBuckets(spark, idx4096)
+          .contains(4096) &&
+          scala.util.Try(spark.read.parquet(idx4096).count())
+            .toOption.contains(nPosts / 10L * 9L)
       if (Seq(page4096Label, point4096Label, pointAtLabel, pageAtLabel)
-            .exists(stageSelected) &&
-          !graft.state.Layout.replyIndexBuckets(spark, idx4096)
-            .contains(4096))
+            .exists(stageSelected) && !idxFresh)
         graft.state.Layout.writeReplyIndex(replyForest(posts4096),
           idx4096, 4096)
       timed(page4096Label) {
