@@ -408,6 +408,18 @@ object ScaleEvidence {
               lit("""{"app":"3speak/1.0"}""").as("json_metadata")))
             .as("payload"))).as("operations"))).as("transactions"))
     val postsDir = s"$work/posts"
+    // the label means "catch-up FROM EMPTY": mergeBlocksBatch merges
+    // into whatever exists, so a leftover store from a different-reps
+    // run would absorb the batch and every downstream stage would
+    // measure the stale scale under this run's label (this fired in
+    // round 10: a 5M-labeled sweep merged into a 50M store — and the
+    // 5M-sized merge plan against 50M-scale buckets OOMed). Selected
+    // runs recreate; filtered runs reuse deliberately.
+    if (stageSelected(s"catch-up merge: $nPosts inserts")) {
+      val p = new org.apache.hadoop.fs.Path(postsDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
     timed(s"catch-up merge: $nPosts inserts") {
       graft.streaming.StreamIngest.mergeBlocksBatch(spark,
         blocksFor(0, nPosts, 0, lit("original body text")), postsDir)
