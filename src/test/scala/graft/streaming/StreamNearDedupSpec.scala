@@ -162,6 +162,62 @@ class StreamNearDedupSpec extends SparkSpec {
     assert(e3.getMessage.contains("flat mode"))
   }
 
+  test("run(): a real StreamingQuery end-to-end — per-file batches, " +
+    "fold cadence folds expired leaves mid-stream, checkpoint " +
+    "restart continues, and the folded base is still probed") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("snd-run").toString
+    val in = s"$dir/in"; val side = s"$dir/side"
+    val pairs = s"$dir/pairs"; val band = s"$dir/band"
+    val cp = s"$dir/cp"
+    new java.io.File(in).mkdirs()
+    def writeDocs(name: String, docs: Seq[(Long, String)]): Unit = {
+      val f = new java.io.File(in, name)
+      val w = new java.io.PrintWriter(f)
+      try docs.foreach { case (id, t) =>
+        w.println(s"""{"doc_id": $id, "text": "$t"}""") }
+      finally w.close()
+      // file sources order by modification time — keep batches apart
+      f.setLastModified(System.currentTimeMillis())
+      Thread.sleep(1100)
+    }
+    writeDocs("b0.json", Seq(1L -> base,
+      2L -> "completely different words entirely here nothing shared"))
+    writeDocs("b1.json", Seq(10L -> base.replace("sigma", "SIGMA")))
+    writeDocs("b2.json", Seq(20L -> base.replace("tau", "TAU")))
+    def runOnce(): Unit = {
+      val q = StreamNearDedup.run(spark, in, side, pairs, cp,
+        trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+        maxFilesPerTrigger = 1, threshold = 0.2,
+        bandDir = Some(band), buckets = 8, foldEvery = 2)
+      q.awaitTermination()
+    }
+    runOnce()
+    def undirected(): Set[Set[Long]] = spark.read.schema(
+        "new_id long, old_id long, n_inter long, n_union long, " +
+          "batch_id long")
+      .parquet(pairs).select("new_id", "old_id")
+      .as[(Long, Long)].collect().toSet.map((p: (Long, Long)) =>
+        Set(p._1, p._2))
+    assert(undirected() === Set(Set(1L, 10L), Set(1L, 20L),
+      Set(10L, 20L)))
+    // foldEvery=2 fired at batch 2 with horizon 2: batches 0 and 1
+    // are in the base generation, batch 2's leaves survive
+    val sideT = spark.read.parquet(side)
+    assert(sideT.filter(col("batch_id") ===
+        graft.state.Generations.BaseBatchId)
+      .select("id").as[Long].collect().toSet === Set(1L, 2L, 10L))
+    assert(sideT.filter(col("batch_id") === 2L)
+      .select("id").as[Long].collect().toSet === Set(20L))
+    // restart from the checkpoint: the next file becomes batch 3 and
+    // its probe sees folded-base rows AND leaf rows alike
+    writeDocs("b3.json", Seq(30L -> base.replace("rho", "RHO")))
+    runOnce()
+    assert(undirected() === Set(Set(1L, 10L), Set(1L, 20L),
+      Set(10L, 20L), Set(30L, 1L), Set(30L, 10L), Set(30L, 20L)))
+    assert(spark.read.parquet(side).count() === 5)
+  }
+
   test("a MISSING replay watermark on a data-bearing table is not " +
     "proof of a first run: drifted-replay ghosts are still cleared") {
     val dir = java.nio.file.Files
