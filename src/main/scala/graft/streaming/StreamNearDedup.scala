@@ -31,6 +31,22 @@ import org.apache.spark.sql.functions._
   */
 object StreamNearDedup {
 
+  /** ONE home for the probe's tuning defaults, shared by
+    * [[probeAndAppend]] and [[run]] — two independently-spelled
+    * default lists would drift silently, and for `buckets` the
+    * modulus handshake would turn that drift into a hard restart
+    * failure on an existing store. */
+  object Defaults {
+    val TextCol = "text"
+    val IdCol = "doc_id"
+    val ShingleN = 3
+    val K = 32
+    val Bands = 8
+    val Threshold = 0.5
+    val Seed = 42L
+    val Buckets = 1024
+  }
+
   /** One micro-batch: emit (new_id, old_id, n_inter, n_union,
     * batch_id) pairs to `pairsDir`, then register the batch's
     * shingle sets in `sideDir`. Both writes are per-batch-partition
@@ -65,11 +81,14 @@ object StreamNearDedup {
     * fold that crashed mid-commit is completed before any read. */
   def probeAndAppend(spark: SparkSession, batch: DataFrame,
                      batchId: Long, sideDir: String, pairsDir: String,
-                     textCol: String = "text", idCol: String = "doc_id",
-                     shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-                     threshold: Double = 0.5, seed: Long = 42L,
+                     textCol: String = Defaults.TextCol,
+                     idCol: String = Defaults.IdCol,
+                     shingleN: Int = Defaults.ShingleN,
+                     k: Int = Defaults.K, bands: Int = Defaults.Bands,
+                     threshold: Double = Defaults.Threshold,
+                     seed: Long = Defaults.Seed,
                      bandDir: Option[String] = None,
-                     buckets: Int = 1024): Long = {
+                     buckets: Int = Defaults.Buckets): Long = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId): " +
       "negative ids are reserved for folded base generations")
     try {
@@ -295,20 +314,33 @@ object StreamNearDedup {
     * consumer may need — the documented trade; fold it yourself if
     * you don't).
     *
-    * `foldEvery = 0` disables maintenance (the pre-r10 behavior). */
+    * `foldEvery = 0` disables maintenance; `foldEvery > 0` requires
+    * the BUCKETED mode (`bandDir` set): the flat table's one-level
+    * fold rewrites the whole accumulated corpus through a single
+    * task every cadence — O(corpus) serial work that grows
+    * quadratically over the stream's life. A flat stream that needs
+    * aging should move to the bucketed layout (per-bucket parallel
+    * fold) — refusing loud here beats wiring in a scaling cliff. */
   def run(spark: SparkSession, inDir: String, sideDir: String,
           pairsDir: String, checkpointDir: String,
           trigger: org.apache.spark.sql.streaming.Trigger =
             org.apache.spark.sql.streaming.Trigger
               .ProcessingTime("2 seconds"),
           maxFilesPerTrigger: Int = 8,
-          textCol: String = "text", idCol: String = "doc_id",
-          shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-          threshold: Double = 0.5, seed: Long = 42L,
-          bandDir: Option[String] = None, buckets: Int = 1024,
+          textCol: String = Defaults.TextCol,
+          idCol: String = Defaults.IdCol,
+          shingleN: Int = Defaults.ShingleN,
+          k: Int = Defaults.K, bands: Int = Defaults.Bands,
+          threshold: Double = Defaults.Threshold,
+          seed: Long = Defaults.Seed,
+          bandDir: Option[String] = None,
+          buckets: Int = Defaults.Buckets,
           foldEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(foldEvery >= 0, "foldEvery must be >= 0 (0 = never)")
+    require(foldEvery == 0 || bandDir.isDefined,
+      "foldEvery requires the bucketed mode (bandDir): folding the " +
+        "flat layout rewrites the whole corpus serially per cadence")
     spark.readStream
       .schema(s"$idCol long, $textCol string")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)

@@ -408,6 +408,13 @@ object ScaleEvidence {
               lit("""{"app":"3speak/1.0"}""").as("json_metadata")))
             .as("payload"))).as("operations"))).as("transactions"))
     val postsDir = s"$work/posts"
+    // ONE recursive-delete helper for every stage that recreates an
+    // artifact dir (a second spelling drifts on future fixes)
+    def rmDir(d: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+    }
     // the label means "catch-up FROM EMPTY": mergeBlocksBatch merges
     // into whatever exists, so a leftover store from a different-reps
     // run would absorb the batch and every downstream stage would
@@ -415,11 +422,8 @@ object ScaleEvidence {
     // round 10: a 5M-labeled sweep merged into a 50M store — and the
     // 5M-sized merge plan against 50M-scale buckets OOMed). Selected
     // runs recreate; filtered runs reuse deliberately.
-    if (stageSelected(s"catch-up merge: $nPosts inserts")) {
-      val p = new org.apache.hadoop.fs.Path(postsDir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
-    }
+    if (stageSelected(s"catch-up merge: $nPosts inserts"))
+      rmDir(postsDir)
     timed(s"catch-up merge: $nPosts inserts") {
       graft.streaming.StreamIngest.mergeBlocksBatch(spark,
         blocksFor(0, nPosts, 0, lit("original body text")), postsDir)
@@ -1822,11 +1826,6 @@ object ScaleEvidence {
       s"store+index n=4096 vs $nPosts stored"
     val pageAtLabel = s"children page(100) LEAF-ENUMERATED reads " +
       s"store+index n=4096 vs $nPosts stored"
-    def rmDir(d: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(d)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(p, true)
-    }
     timed(store4096Label) {
       // fresh CREATE at the target modulus (an existing store's
       // marker would pin its own n — delete, don't merge into)
@@ -1871,7 +1870,14 @@ object ScaleEvidence {
           .contains(4096) &&
           scala.util.Try(spark.read.parquet(idx4096).count())
             .toOption.contains(nPosts / 10L * 9L)
-      if (Seq(page4096Label, point4096Label, pointAtLabel, pageAtLabel)
+      // skip the freshness job entirely when THIS run's modulus
+      // sweep already rebuilt the index two stages ago (the same
+      // !stageSelected(build) short-circuit the store guard has) —
+      // the label must spell the sweep's own interpolation at
+      // mod=4096 exactly (stageSelected drift rule)
+      if (!stageSelected(s"reply index build n=4096 vs $nPosts " +
+            "stored") &&
+          Seq(page4096Label, point4096Label, pointAtLabel, pageAtLabel)
             .exists(stageSelected) && !idxFresh)
         graft.state.Layout.writeReplyIndex(replyForest(posts4096),
           idx4096, 4096)
