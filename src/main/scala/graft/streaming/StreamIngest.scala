@@ -46,11 +46,14 @@ object StreamIngest {
     *     Edits keep their stored created_at via the seeded fold, so a
     *     post never migrates partitions.
     *   - read side: the gate-seed / fold-seed / restore lookups no
-    *     longer scan the table — [[prunedExisting]] computes the hash
-    *     buckets of the batch's keys (and referenced parents) and the
-    *     scan partition-prunes to those buckets: O(batch keys ·
+    *     longer scan the table — the hash buckets of the batch's keys
+    *     (and referenced parents) are computed first
+    *     ([[batchKeyBuckets]]) and the stored view is read through
+    *     [[graft.state.Layout.readBucketLeaves]], so both the DRIVER
+    *     LISTING and the scan are bounded by the batch: O(batch keys ·
     *     table/n) per trigger, independent of table growth
-    *     (metric-proven in StreamIngestSpec).
+    *     (metric-proven in StreamIngestSpec; the listing half measured
+    *     in BENCH_NOTES r11).
     *   - write side: only the exact (month, bucket) pairs present in
     *     the batch's output rows join the latest-wins union and are
     *     replaced by dynamic partition overwrite — write
@@ -114,9 +117,19 @@ object StreamIngest {
     // is written before the data (see below), so this is the
     // recovery path and the merge restarts as a fresh create
     val hasData = graft.state.Layout.hasDataFiles(fs, tablePath)
-    val existing =
-      if (hasData) Some(spark.read.parquet(postsDir))
-      else None
+    // schema/layout probe from ONE data leaf (basePath restores the
+    // partition columns), NOT a fresh full read: a fresh partitioned
+    // read lists EVERY leaf dir to build its file index — at a
+    // production modulus (n=4096 × months) that per-trigger driver
+    // listing dwarfs the merge's task time, the same wall
+    // Layout.readBucketLeaves closed for point probes (BENCH_NOTES
+    // r10). A root with entries but no parquet anywhere degrades to
+    // the full read (can only be a tiny/degenerate table).
+    val leafView =
+      if (!hasData) None
+      else Some(graft.state.Layout.firstDataLeaf(spark, postsDir)
+        .map(l => spark.read.option("basePath", postsDir).parquet(l))
+        .getOrElse(spark.read.parquet(postsDir)))
     // A table written before the bucketed layout (month-only
     // partitions, no key_bucket column) CANNOT be merged bucketed:
     // the bucket predicate would not resolve, and a (month, bucket)
@@ -125,7 +138,7 @@ object StreamIngest {
     // tables month-scoped in their own layout; migrating to buckets
     // is an explicit offline rewrite.
     val legacyLayout =
-      existing.exists(e => !e.columns.contains("key_bucket"))
+      leafView.exists(v => !v.columns.contains("key_bucket"))
     // the modulus is a property of the TABLE, not the call: pruning
     // or writing with a different n than the stored rows were hashed
     // with silently splits keys across buckets. The first bucketed
@@ -135,7 +148,7 @@ object StreamIngest {
     // corrupted — refuse rather than guess (guessing the caller's
     // default was the silent key-splitting hazard).
     val n = if (legacyLayout) 1
-      else existing match {
+      else leafView match {
         case Some(_) => storedKeyBuckets(fs, tablePath).getOrElse(
           throw new IllegalStateException(
             s"bucketed table at $postsDir has no _graft_layout.json; " +
@@ -149,9 +162,20 @@ object StreamIngest {
       PostsIngest.commentEvents(ops))
     // the bucket-pruned stored view is read FOUR times per batch
     // (gate seeds, fold seeds, restore joins, merge union) — cache it
-    // so the partition listing + scan happen once
-    val pruned = existing.map(ex => graft.CacheTracker.persistTracked(
-      prunedExisting(ex, evs, n)))
+    // so the listing + scan happen once. The read is LEAF-ENUMERATED
+    // (Layout.readBucketLeaves): the batch's own key buckets name the
+    // exact leaf dirs, so Spark's file index is built over ≤|batch
+    // keys| leaves instead of a full n×months listing — the same
+    // contract as prunedExisting's isin prune, moved from plan time
+    // to listing time (legacy month-only tables pass through as the
+    // full read; no bucket column to enumerate by). None of the
+    // batch's buckets on disk ⇒ no stored row can match any batch
+    // key: an empty stored view with the leaf probe's schema.
+    val pruned = leafView.map(lv => graft.CacheTracker.persistTracked(
+      if (legacyLayout) spark.read.parquet(postsDir)
+      else graft.state.Layout.readBucketLeaves(spark, postsDir,
+          "key_bucket", batchKeyBuckets(evs, n))
+        .getOrElse(lv.filter(lit(false)))))
     // persisted: the pair-discovery collect and the merge union both
     // read it — without the cache the whole ingest (gate fixpoint +
     // fold) would run twice
@@ -238,7 +262,7 @@ object StreamIngest {
       replyIndexDir.foreach(d =>
         refreshReplyIndex(spark, fresh, d, keyBuckets,
           bootstrapFrom =
-            if (existing.isDefined)
+            if (leafView.isDefined)
               Some(() => spark.read.parquet(postsDir))
             else None))
     } finally {
@@ -322,8 +346,14 @@ object StreamIngest {
     val touched = delta.select("reply_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
-    val existing = spark.read.parquet(idxDir)
-      .filter(col("reply_bucket").isin(touched: _*))
+    // LEAF-ENUMERATED read of the touched buckets: a fresh
+    // partitioned read would list all n index dirs per trigger to
+    // serve a ≤|batch|-bucket union — enumerate exactly the touched
+    // leaves instead (none on disk yet ⇒ nothing stored to merge
+    // with: the empty frame, schema via the shared projection)
+    val existing = graft.state.Layout
+      .readBucketLeaves(spark, idxDir, "reply_bucket", touched)
+      .getOrElse(graft.state.Layout.emptyReplyIndexRows(spark))
     val merged = Merge.latestWins(
       existing.withColumn("__src", lit(1))
         .unionByName(delta.withColumn("__src", lit(0))),
@@ -359,20 +389,30 @@ object StreamIngest {
   def prunedExisting(existing: DataFrame, evs: DataFrame,
                      keyBuckets: Int): DataFrame =
     if (!existing.columns.contains("key_bucket")) existing
-    else {
-      val bucketOf = graft.state.Layout.keyBucket(
-        col("author"), col("permlink"), keyBuckets)
-      // top-level posts carry the empty ("","") parent ref — its hash
-      // bucket can never match a stored key (gateEvents filters the
-      // same case), so keep it out of the pruned scan
-      val buckets = evs.select(col("author"), col("permlink"))
-        .unionByName(evs.filter(col("parent_author") =!= "")
-          .select(col("parent_author").as("author"),
-            col("parent_permlink").as("permlink")))
-        .select(bucketOf.as("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq
-      existing.filter(col("key_bucket").isin(buckets: _*))
-    }
+    else existing.filter(col("key_bucket")
+      .isin(batchKeyBuckets(evs, keyBuckets): _*))
+
+  /** The key buckets a batch's events can possibly touch: the batch's
+    * own (author, permlink) keys (fold seeds / restore joins) plus
+    * its referenced parents (gate seeds) — ONE bucket-discovery
+    * collect shared by the isin-prune form ([[prunedExisting]]) and
+    * the merge's leaf-enumerated read, so the two prunes can never
+    * cover different key sets. ≤ min(batch keys, n) ints —
+    * driver-trivial. */
+  private[graft] def batchKeyBuckets(evs: DataFrame,
+                                     keyBuckets: Int): Seq[Int] = {
+    val bucketOf = graft.state.Layout.keyBucket(
+      col("author"), col("permlink"), keyBuckets)
+    // top-level posts carry the empty ("","") parent ref — its hash
+    // bucket can never match a stored key (gateEvents filters the
+    // same case), so keep it out of the pruned scan
+    evs.select(col("author"), col("permlink"))
+      .unionByName(evs.filter(col("parent_author") =!= "")
+        .select(col("parent_author").as("author"),
+          col("parent_permlink").as("permlink")))
+      .select(bucketOf.as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+  }
 
   /** The streaming query: block files → per-micro-batch ingest+merge,
     * exactly-once via checkpoint. */

@@ -401,6 +401,44 @@ class StreamIngestSpec extends SparkSpec {
       .getAs[String]("body") == "edited body")
   }
 
+  test("leaf-enumerated stored view: a batch editing an existing key " +
+    "AND inserting a key whose bucket dir does not exist yet merges " +
+    "both correctly") {
+    import spark.implicits._
+    // with n=2 the two authors below land in DIFFERENT buckets; only
+    // alice's exists on disk before the second merge, so the
+    // leaf-enumerated read must serve (a) the existing bucket's rows
+    // for the latest-wins union and (b) an empty view for the new
+    // bucket — without the full-listing fallback path masking either
+    val dir = Files.createTempDirectory("graft-leafmerge").toString
+    val postsDir = s"$dir/posts"
+    def mergeBlock(json: String): Unit =
+      StreamIngest.mergeBlocksBatch(spark,
+        spark.read.schema(graft.domain.Schemas.block)
+          .json(Seq(json).toDS()),
+        postsDir, keyBuckets = 2)
+    mergeBlock(block(100, "2024-05-01T12:00:00",
+      ("t1", Seq(("comment", comment("alice", "p1", "v1 body"))))))
+    val aliceBucket = spark.read.parquet(postsDir)
+      .select("key_bucket").head().getInt(0)
+    // pick an author hashing to the OTHER bucket (n=2 ⇒ exists)
+    val other = (1 to 50).map(i => s"user$i").find { a =>
+      spark.range(1).select(graft.state.Layout.keyBucket(
+          lit(a), lit("pnew"), 2).as("b"))
+        .head().getInt(0) != aliceBucket
+    }.get
+    mergeBlock(block(101, "2024-05-01T12:00:05",
+      ("t2", Seq(("comment", comment("alice", "p1", "v2 body")))),
+      ("t3", Seq(("comment", comment(other, "pnew", "new body"))))))
+    val after = spark.read.parquet(postsDir)
+    assert(after.count() == 2)
+    assert(after.filter(col("author") === "alice").head()
+      .getAs[String]("body") == "v2 body")
+    assert(after.filter(col("author") === other).head()
+      .getAs[String]("body") == "new body")
+    assert(after.select("key_bucket").distinct().count() == 2)
+  }
+
   test("legacy month-only table: merge stays in-layout, no bucket refs") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-legacy").toString
