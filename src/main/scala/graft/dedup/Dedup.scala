@@ -955,28 +955,95 @@ object Dedup {
                            seed: Long,
                            bandBuckets: Option[Int] = None,
                            setsBuckets: Option[Int] = None)
-      : DataFrame = {
+      : DataFrame =
+    probeBandsCore(
+      // layout pruning ([[writeBandSideTable]]): a stored band row
+      // can only join the candidate probe if it shares a (band, key)
+      // with some delta row — so restricting the scan to the DELTA's
+      // key buckets is semantics-preserving, and the isin on the
+      // partition column turns it into directory-level pruning
+      // (≤ |delta|·bands of n buckets read; the discovery collect is
+      // delta-sized)
+      bNewEarly => (bandBuckets match {
+        case Some(n) if corpusBands.columns.contains("band_bucket") =>
+          val bk = bNewEarly
+            .select(bandBucket(col("band"), col("key"), n).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          corpusBands.filter(col("band_bucket").isin(bk: _*))
+        case _ => corpusBands
+      }).drop("band_bucket"),
+      // layout pruning ([[writeSetsSideTable]]): the fetch only keeps
+      // candidate-id rows (broadcast inner join in the core), so
+      // restricting the stored-sets scan to the CANDIDATES' id
+      // buckets is semantics-preserving — one candidate-sized
+      // discovery collect turns the corpus-sets read into
+      // ≤ |candidates| of n directories
+      candIds => (setsBuckets match {
+        case Some(n) if corpusSets.columns.contains("id_bucket") =>
+          val ib = candIds.select(idBucket(col("id"), n).as("b"))
+            .distinct().collect().map(_.getInt(0)).toSeq
+          corpusSets.filter(col("id_bucket").isin(ib: _*))
+        case _ => corpusSets
+      }).drop("id_bucket"),
+      deltaSets, k, bands, threshold, seed)
+
+  /** [[minhashLshProbeBands]] with the corpus sides supplied as
+    * BUCKET-VALUE PROVIDERS — the LISTING-cost form for streaming
+    * callers over batch-appended layouts. The isin form above prunes
+    * the SCAN, but the fresh partitioned read it filters still lists
+    * every `bucket=…/batch_id=…` leaf of both side tables per probe
+    * to build its file index; a long-lived bucketed store makes that
+    * per-trigger driver listing the dominant fixed cost (the same
+    * wall [[graft.state.Layout.readBucketLeaves]] closed for point
+    * probes, BENCH_NOTES r10). Here the probe computes its bucket
+    * values first — the delta's band buckets, then the candidates' id
+    * buckets — and hands them to the providers, which enumerate
+    * exactly those leaf dirs (bucket → directory is computable; the
+    * layout is its own manifest).
+    *
+    * Provider contract: `corpusBandsFor(bk)` must return EVERY stored
+    * band row whose [[bandBucket]] (same modulus as `buckets`) is in
+    * `bk`, as (id, band, key); `corpusSetsFor(ib)` every stored set
+    * row whose [[idBucket]] is in `ib`, as (id, sh). A superset is
+    * semantics-preserving (the joins match exactly); a SUBSET loses
+    * true duplicates silently — the same contract as the modulus
+    * handshake. Output is identical to [[minhashLshProbeBands]] over
+    * the same stored rows (spec-pinned via the streaming parity
+    * spec). */
+  def minhashLshProbeBandsPruned(corpusBandsFor: Seq[Int] => DataFrame,
+                                 corpusSetsFor: Seq[Int] => DataFrame,
+                                 deltaSets: DataFrame,
+                                 k: Int, bands: Int, threshold: Double,
+                                 seed: Long, buckets: Int)
+      : DataFrame =
+    probeBandsCore(
+      bNewEarly => corpusBandsFor(bNewEarly
+        .select(bandBucket(col("band"), col("key"), buckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq),
+      candIds => corpusSetsFor(candIds
+        .select(idBucket(col("id"), buckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq),
+      deltaSets, k, bands, threshold, seed)
+
+  /** Shared relational core of the banded probes: the corpus sides
+    * arrive as functions of the probe's own discovery frames — the
+    * delta's band rows (for the band-side prune) and the candidate
+    * ids (for the sets-side prune) — so the isin-prune and
+    * leaf-enumeration forms cannot drift on join shape, latest-wins
+    * rule, canonicalization, or verification. Both callbacks may run
+    * eager collects; they execute against PERSISTED frames. */
+  private def probeBandsCore(corpusBandsFor: DataFrame => DataFrame,
+                             corpusSetsFor: DataFrame => DataFrame,
+                             deltaSets: DataFrame,
+                             k: Int, bands: Int, threshold: Double,
+                             seed: Long): DataFrame = {
     val shNew = CacheTracker.persistTracked(deltaSets)
     // delta ids are micro-batch-sized by contract — broadcast them
     // into both latest-wins anti-joins so neither side table shuffles
     val newIds = broadcast(shNew.select("id"))
     val bNewEarly = CacheTracker.persistTracked(
       minhashBandRows(shNew, k, bands, seed))
-    // layout pruning ([[writeBandSideTable]]): a stored band row can
-    // only join the candidate probe if it shares a (band, key) with
-    // some delta row — so restricting the scan to the DELTA's key
-    // buckets is semantics-preserving, and the isin on the partition
-    // column turns it into directory-level pruning (≤ |delta|·bands
-    // of n buckets read; the discovery collect is delta-sized)
-    val bOldSrc = bandBuckets match {
-      case Some(n) if corpusBands.columns.contains("band_bucket") =>
-        val bk = bNewEarly
-          .select(bandBucket(col("band"), col("key"), n).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        corpusBands.filter(col("band_bucket").isin(bk: _*))
-          .drop("band_bucket")
-      case _ => corpusBands.drop("band_bucket")
-    }
+    val bOldSrc = corpusBandsFor(bNewEarly)
     val bOld = bOldSrc.join(newIds, Seq("id"), "left_anti")
     val bNew = bNewEarly
     val bAll = bOld.withColumn("was_new", lit(false))
@@ -998,20 +1065,8 @@ object Dedup {
     val candP = CacheTracker.persistTracked(cand)
     val candIds = candP.select(col("new_id").as("id"))
       .unionByName(candP.select(col("old_id").as("id"))).distinct()
-    // layout pruning ([[writeSetsSideTable]]): the fetch only keeps
-    // candidate-id rows (broadcast inner join below), so restricting
-    // the stored-sets scan to the CANDIDATES' id buckets is
-    // semantics-preserving — one candidate-sized discovery collect
-    // (cand is persisted; the collect rides the cache) turns the
-    // corpus-sets read into ≤ |candidates| of n directories
-    val shOldSrc = setsBuckets match {
-      case Some(n) if corpusSets.columns.contains("id_bucket") =>
-        val ib = candIds.select(idBucket(col("id"), n).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq
-        corpusSets.filter(col("id_bucket").isin(ib: _*))
-          .drop("id_bucket")
-      case _ => corpusSets.drop("id_bucket")
-    }
+    // the sets-side callback's discovery collect rides candP's cache
+    val shOldSrc = corpusSetsFor(candIds)
     val shAll = shOldSrc.join(newIds, Seq("id"), "left_anti")
       .unionByName(shNew)
     val fetched = CacheTracker.persistTracked(

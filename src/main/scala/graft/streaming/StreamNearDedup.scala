@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * (cheap, codegen) — at larger scale the band table is ALSO
   * persisted ([[graft.dedup.Dedup.writeBandSideTable]], partitioned
   * by [[graft.dedup.Dedup.bandBucket]]) and the probe switches to
-  * [[graft.dedup.Dedup.minhashLshProbeBands]] with
-  * `bandBuckets = Some(n)`, making the corpus-side read
-  * bucket-pruned like the q21 posting layout (measured d44d).
+  * [[graft.dedup.Dedup.minhashLshProbeBandsPruned]], whose corpus
+  * reads are LEAF-ENUMERATED ([[graft.state.Layout.readBucketLeaves]])
+  * — both the scan and the per-trigger driver listing are bounded by
+  * the probe's own bucket values, like the q21 posting layout
+  * (measured d44d/d44e).
   *
   * Wire into a stream exactly like [[StreamIngest]]:
   * `readStream...foreachBatch((b, id) => probeAndAppend(spark, b, id, …))`.
@@ -45,7 +47,38 @@ object StreamNearDedup {
     val Threshold = 0.5
     val Seed = 42L
     val Buckets = 1024
+
+    /** Corpus size (docs) above which the BUCKETED layout wins. The
+      * crossover is measured, not guessed (BENCH_NOTES d44e, both
+      * decades): per 20-doc trigger, flat vs bucketed n=1024 wall —
+      * at 500k docs 8.1 s vs 28.7 s (flat wins: the bucketed mode's
+      * fixed costs — leaf listing + ~180 tiny leaf writes — dominate
+      * while the flat mode's O(corpus) re-band term is still small);
+      * at 5M docs 143.9 s vs 33.5 s, 3,852 s vs 280 s task, 17.7 GB
+      * vs ZERO shuffle (bucketed wins 4.3× wall / 13.8× cluster
+      * work, and keeps winning — the flat term grows linearly with
+      * the corpus, the bucketed term is flat). The boundary sits
+      * between the measured decades; 1M is the geometric midpoint. */
+    val BucketedCorpusFloor = 1000000L
   }
+
+  /** The flat-vs-bucketed mode choice as an ENGINE sizing rule
+    * instead of caller guesswork: None (flat) below
+    * [[Defaults.BucketedCorpusFloor]] expected corpus docs,
+    * Some(bandDir) at or above — the measured d44e crossover (see
+    * the floor's doc for the numbers). The decision is CREATE-time
+    * only: both layouts record a marker/shape the other mode refuses
+    * ([[probeAndAppend]]'s handshake), so re-evaluating the rule over
+    * a growing corpus never silently switches a live store — a flat
+    * stream that outgrows the floor migrates by rebuilding into a
+    * bucketed layout ([[graft.dedup.Dedup.writeSetsSideTable]] /
+    * [[graft.dedup.Dedup.writeBandSideTable]]) and restarting with
+    * `bandDir` set. */
+  def recommendedBandDir(expectedCorpusDocs: Long, bandDir: => String)
+      : Option[String] =
+    if (expectedCorpusDocs >= Defaults.BucketedCorpusFloor)
+      Some(bandDir)
+    else None
 
   /** One micro-batch: emit (new_id, old_id, n_inter, n_union,
     * batch_id) pairs to `pairsDir`, then register the batch's
@@ -88,7 +121,8 @@ object StreamNearDedup {
                      threshold: Double = Defaults.Threshold,
                      seed: Long = Defaults.Seed,
                      bandDir: Option[String] = None,
-                     buckets: Int = Defaults.Buckets): Long = {
+                     buckets: Int = Defaults.Buckets,
+                     pairProvenanceCol: Option[String] = None): Long = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId): " +
       "negative ids are reserved for folded base generations")
     try {
@@ -163,36 +197,46 @@ object StreamNearDedup {
                   "layout, or point the stream at a fresh directory")
             }
       }
-      // a replayed batch must not probe against its OWN first-run
-      // signatures (every doc would "near-dup" itself) — exclude the
-      // batch's partition from the corpus side
-      val corpusSets =
-        if (hasSide) {
-          val r = spark.read.parquet(sideDir)
-            .filter(col("batch_id") =!= batchId)
-          if (bandDir.isDefined) r.select("id", "sh", "id_bucket")
-          else r.select("id", "sh")
-        } else deltaSets.filter(lit(false))
       val pairs = CacheTracker.persistTracked(bandDir match {
         // BUCKETED mode: the corpus side is the persisted band +
         // sets layout pair ([[graft.dedup.Dedup.writeBandSideTable]]
         // shape, here maintained incrementally), and the probe
-        // directory-prunes both reads (measured d44d)
+        // LEAF-ENUMERATES both reads
+        // ([[graft.dedup.Dedup.minhashLshProbeBandsPruned]] +
+        // [[graft.state.Layout.readBucketLeaves]]): a fresh
+        // partitioned read would re-list every `bucket=…/batch_id=…`
+        // leaf of both side tables per trigger — O(buckets × batches)
+        // driver RPCs that grow with the stream's life — where the
+        // probe's own bucket values name exactly the leaf dirs it
+        // will read. A replayed batch must not probe against its OWN
+        // first-run signatures (every doc would "near-dup" itself) —
+        // the batch's partition is filtered out of the enumerated
+        // read (a partition filter over the already-small file
+        // index). The folded base generation (batch_id = -1) is
+        // enumerated like any other leaf.
         case Some(bd) =>
-          val corpusBands =
-            if (hasData(bd))
-              spark.read.parquet(bd)
-                .filter(col("batch_id") =!= batchId)
-                .select("id", "band", "key", "band_bucket")
-            else
-              Dedup.minhashBandRows(deltaSets.filter(lit(false)),
-                  k, bands, seed)
-                .withColumn("band_bucket",
-                  Dedup.bandBucket(col("band"), col("key"), buckets))
-          Dedup.minhashLshProbeBands(corpusBands, corpusSets,
-            deltaSets, k, bands, threshold, seed,
-            bandBuckets = Some(buckets), setsBuckets = Some(buckets))
+          val emptyBands = Dedup.minhashBandRows(
+            deltaSets.filter(lit(false)), k, bands, seed)
+          Dedup.minhashLshProbeBandsPruned(
+            bk => graft.state.Layout
+              .readBucketLeaves(spark, bd, "band_bucket", bk)
+              .map(_.filter(col("batch_id") =!= batchId)
+                .select("id", "band", "key"))
+              .getOrElse(emptyBands),
+            ib => graft.state.Layout
+              .readBucketLeaves(spark, sideDir, "id_bucket", ib)
+              .map(_.filter(col("batch_id") =!= batchId)
+                .select("id", "sh"))
+              .getOrElse(deltaSets.filter(lit(false))),
+            deltaSets, k, bands, threshold, seed, buckets)
         case None =>
+          // FLAT mode: the side table has no bucket column to
+          // enumerate by — the corpus read is the whole table minus
+          // the batch's own partition
+          val corpusSets =
+            if (hasSide) spark.read.parquet(sideDir)
+              .filter(col("batch_id") =!= batchId).select("id", "sh")
+            else deltaSets.filter(lit(false))
           Dedup.minhashLshProbeSets(corpusSets, deltaSets,
             k, bands, threshold, seed)
       })
@@ -234,7 +278,15 @@ object StreamNearDedup {
           s"batch_id=$batchId")
         pp.getFileSystem(conf).delete(pp, true)
       }
-      pairs.withColumn("batch_id", lit(batchId))
+      // `pairProvenanceCol`: copy the batch id into a DATA column so
+      // the pairs table can be AGED ([[foldBatches]] collapses the
+      // batch_id LAYOUT column to -1; the data column survives the
+      // fold — the documented provenance trade, made optional).
+      // Choose it at stream creation and keep it: enabling it on a
+      // table with provenance-less batches splits the schema.
+      pairProvenanceCol.foldLeft(pairs)(
+          (df, c) => df.withColumn(c, lit(batchId)))
+        .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
@@ -320,7 +372,23 @@ object StreamNearDedup {
     * task every cadence — O(corpus) serial work that grows
     * quadratically over the stream's life. A flat stream that needs
     * aging should move to the bucketed layout (per-bucket parallel
-    * fold) — refusing loud here beats wiring in a scaling cliff. */
+    * fold) — refusing loud here beats wiring in a scaling cliff.
+    * (Sizing: pass `bandDir = recommendedBandDir(expectedDocs, dir)`
+    * to let the measured d44e crossover pick the mode at create
+    * time.)
+    *
+    * `agePairs = true` extends the fold to the PAIRS OUTPUT table:
+    * by default its `batch_id` leaves are kept forever because they
+    * carry per-batch provenance the consumer may need (the layout
+    * column is what the fold collapses). With the flag, every batch
+    * copies its id into a `src_batch_id` DATA column (which survives
+    * folding) and the pairs table folds at the same cadence — one
+    * file per cadence instead of one per pair-emitting batch. The
+    * pairs table stays one-level, so its fold is the serial-rewrite
+    * shape; it is the PAIRS output (duplicates found), naturally a
+    * tiny fraction of the corpus — a pairs feed large enough for
+    * that to matter should be partitioned downstream instead.
+    * Requires `foldEvery > 0`. */
   def run(spark: SparkSession, inDir: String, sideDir: String,
           pairsDir: String, checkpointDir: String,
           trigger: org.apache.spark.sql.streaming.Trigger =
@@ -335,12 +403,16 @@ object StreamNearDedup {
           seed: Long = Defaults.Seed,
           bandDir: Option[String] = None,
           buckets: Int = Defaults.Buckets,
-          foldEvery: Int = 0)
+          foldEvery: Int = 0,
+          agePairs: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(foldEvery >= 0, "foldEvery must be >= 0 (0 = never)")
     require(foldEvery == 0 || bandDir.isDefined,
       "foldEvery requires the bucketed mode (bandDir): folding the " +
         "flat layout rewrites the whole corpus serially per cadence")
+    require(!agePairs || foldEvery > 0,
+      "agePairs requires a fold cadence (foldEvery > 0): the pairs " +
+        "table ages at the same cadence as the side tables")
     spark.readStream
       .schema(s"$idCol long, $textCol string")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -351,12 +423,19 @@ object StreamNearDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         probeAndAppend(spark, batch, batchId, sideDir, pairsDir,
           textCol, idCol, shingleN, k, bands, threshold, seed,
-          bandDir, buckets)
+          bandDir, buckets,
+          pairProvenanceCol =
+            if (agePairs) Some("src_batch_id") else None)
         if (foldEvery > 0 && batchId > 0 && batchId % foldEvery == 0) {
           graft.state.Generations.foldBatches(spark, sideDir,
             horizon = batchId)
           bandDir.foreach(bd => graft.state.Generations
             .foldBatches(spark, bd, horizon = batchId))
+          // same horizon: only replay-expired pair leaves fold, so a
+          // replayed current batch still overwrites its own partition
+          if (agePairs)
+            graft.state.Generations.foldBatches(spark, pairsDir,
+              horizon = batchId)
         }
         ()
       }

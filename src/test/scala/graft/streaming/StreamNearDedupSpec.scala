@@ -189,13 +189,15 @@ class StreamNearDedupSpec extends SparkSpec {
       val q = StreamNearDedup.run(spark, in, side, pairs, cp,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
         maxFilesPerTrigger = 1, threshold = 0.2,
-        bandDir = Some(band), buckets = 8, foldEvery = 2)
+        bandDir = Some(band), buckets = 8, foldEvery = 2,
+        agePairs = true)
       q.awaitTermination()
     }
     runOnce()
-    def undirected(): Set[Set[Long]] = spark.read.schema(
-        "new_id long, old_id long, n_inter long, n_union long, " +
-          "batch_id long")
+    val pairsSchema =
+      "new_id long, old_id long, n_inter long, n_union long, " +
+        "src_batch_id long, batch_id long"
+    def undirected(): Set[Set[Long]] = spark.read.schema(pairsSchema)
       .parquet(pairs).select("new_id", "old_id")
       .as[(Long, Long)].collect().toSet.map((p: (Long, Long)) =>
         Set(p._1, p._2))
@@ -216,6 +218,36 @@ class StreamNearDedupSpec extends SparkSpec {
     assert(undirected() === Set(Set(1L, 10L), Set(1L, 20L),
       Set(10L, 20L), Set(30L, 1L), Set(30L, 10L), Set(30L, 20L)))
     assert(spark.read.parquet(side).count() === 5)
+    // agePairs: batch 1's pair leaf folded to the base at horizon 2,
+    // but its provenance rides the src_batch_id DATA column; batches
+    // ≥ horizon keep their leaves
+    val provs = spark.read.schema(pairsSchema).parquet(pairs)
+      .select(array_sort(array(col("new_id"), col("old_id"))),
+        col("src_batch_id"), col("batch_id"))
+      .as[(Seq[Long], Long, Long)].collect()
+      .map(r => (r._1.toSet, r._2, r._3)).toSet
+    assert(provs === Set(
+      (Set(1L, 10L), 1L, graft.state.Generations.BaseBatchId),
+      (Set(1L, 20L), 2L, 2L),
+      (Set(10L, 20L), 2L, 2L),
+      (Set(30L, 1L), 3L, 3L),
+      (Set(30L, 10L), 3L, 3L),
+      (Set(30L, 20L), 3L, 3L)))
+  }
+
+  test("recommendedBandDir pins the measured d44e crossover: flat " +
+    "below the floor, bucketed at/above") {
+    import StreamNearDedup.{Defaults, recommendedBandDir}
+    assert(recommendedBandDir(0L, "bd").isEmpty)
+    assert(recommendedBandDir(Defaults.BucketedCorpusFloor - 1, "bd")
+      .isEmpty)
+    assert(recommendedBandDir(Defaults.BucketedCorpusFloor, "bd")
+      .contains("bd"))
+    assert(recommendedBandDir(Long.MaxValue, "bd").contains("bd"))
+    // the floor sits between the measured decades (flat wins at
+    // 500k, bucketed at 5M — BENCH_NOTES d44e)
+    assert(Defaults.BucketedCorpusFloor > 500000L &&
+      Defaults.BucketedCorpusFloor < 5000000L)
   }
 
   test("a MISSING replay watermark on a data-bearing table is not " +
