@@ -451,13 +451,21 @@ object PostQueries {
       .getOrElse(graft.state.Layout.emptyReplyIndexRows(spark))
     val storeN = graft.state.Layout.markedBuckets(spark, sourceDir,
       "key_buckets")
-    // empty-result schema source: ONE data leaf, not a full listing
-    def emptyStore(): DataFrame = sourceView(
+    // empty-result schema source: ONE data leaf, not a full listing.
+    // A store with NO data leaves at all (legitimately empty — e.g.
+    // freshly bootstrapped with an empty-generation marker) must
+    // answer the page with empty children, not crash: its index is
+    // empty too, so only the SCHEMA is needed — the slim index
+    // projection stands in (children arrays are [] regardless; the
+    // raw `sourceView` is skipped there, since a view expecting
+    // store columns would re-throw on the slim surrogate).
+    def emptyStore(): DataFrame =
       graft.state.Layout.firstDataLeaf(spark, sourceDir)
-        .map(leaf => spark.read.option("basePath", sourceDir)
-          .parquet(leaf).filter(lit(false)))
-        .getOrElse(throw new IllegalStateException(
-          s"$sourceDir holds no data files")))
+        .map(leaf => sourceView(spark.read
+          .option("basePath", sourceDir)
+          .parquet(leaf).filter(lit(false))))
+        .getOrElse(graft.state.Layout.emptyReplyIndexRows(spark)
+          .drop("reply_bucket"))
     childrenForIndexedCore(page, kf, idx, storeN,
       {
         case Some(kb) =>

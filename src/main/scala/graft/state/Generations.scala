@@ -155,7 +155,27 @@ object Generations {
       id == BaseBatchId && parents.contains(p) }
     val readPaths = (foldable ++ bases).map { case (p, id) =>
       leafPath(root, p, id).toString }
+    // ONE-LEVEL layouts rewrite the WHOLE accumulated table through
+    // coalesce(1) — a single serial task that grows with the corpus.
+    // That is the right shape for a naturally-small table (the pairs
+    // output feed), and a scaling cliff for a corpus-sized one (which
+    // belongs in a bucketed layout — per-bucket parallel fold). The
+    // cliff must fail loud at the API, not only in
+    // StreamNearDedup.run's guard: warn when the serial rewrite is
+    // about to absorb a large leaf count.
+    if (foldable.forall(_._1.isEmpty) && foldable.size > 64)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"foldBatches($dir): one-level (flat) layout — folding " +
+          s"${foldable.size} leaves rewrites the ENTIRE accumulated " +
+          "table through a single serial task (O(corpus), grows " +
+          "every cadence). Corpus-sized tables should use a " +
+          "bucketed layout (per-bucket parallel fold).")
     val (foldedFiles, foldedBytes) = {
+      // serial driver loop, O(foldable leaves) listing RPCs — bounded
+      // by the very leaf count the fold is about to rewrite (the fold
+      // itself reads every one of these dirs), so the accounting can
+      // never dominate the fold it prices; runs at maintenance
+      // cadence, not per trigger
       var n = 0L; var b = 0L
       foldable.foreach { case (p, id) =>
         fs.listStatus(leafPath(root, p, id)).foreach { st =>
@@ -214,7 +234,17 @@ object Generations {
     * table (advanced marker-before-data by the streaming writer).
     * `batchId <= watermark` ⇒ a prior attempt of that batch may have
     * left leaves (replay: clear them); `>` ⇒ provably none did (the
-    * first-run fast path that skips the per-batch ghost glob). */
+    * first-run fast path that skips the per-batch ghost glob).
+    *
+    * ABSENCE CONTRACT (binding on every consumer): None on a table
+    * that already holds data means "possible replay", NEVER "first
+    * run" — the install below is rename-based but a crash (or a
+    * non-overwriting FS falling back to delete+rename) can leave the
+    * file absent for an instant, and a pre-watermark table has no
+    * file at all. A reader treating absence as first-run would skip
+    * the ghost clears and silently re-admit drifted-replay ghosts
+    * ([[graft.streaming.StreamNearDedup.probeAndAppend]] honors this;
+    * spec-pinned). */
   def lastBatchWatermark(fs: FileSystem, table: Path): Option[Long] = {
     val p = new Path(table, WatermarkFile)
     if (!fs.exists(p)) None
@@ -232,10 +262,14 @@ object Generations {
   /** Advance the watermark WITHOUT a truncating rewrite of the live
     * file (the ensureMarker rule: a per-batch truncate-then-write
     * would re-open a zero-byte-corruption crash window every
-    * trigger): write a dot-temp, swap it in. The delete+rename pair
-    * leaves at worst an ABSENT watermark for a crash instant — and
-    * absence on a data-bearing table is treated as "possible replay"
-    * by the consumer, never as proof of a first run. */
+    * trigger): write a dot-temp, swap it in. The swap TRIES the
+    * direct rename first — on POSIX-semantics filesystems rename
+    * overwrites atomically, so no absent-watermark instant exists at
+    * all — and only falls back to delete+rename where the FS refuses
+    * an occupied destination. Even there the worst case is an ABSENT
+    * watermark for a crash instant, which the absence contract on
+    * [[lastBatchWatermark]] makes safe ("possible replay", never
+    * proof of a first run). */
   def writeLastBatchWatermark(fs: FileSystem, table: Path,
                               batchId: Long): Unit = {
     val tmp = new Path(table, "." + WatermarkFile + ".tmp")
@@ -244,10 +278,12 @@ object Generations {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(table, WatermarkFile)
-    fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new IllegalStateException(
-        s"cannot install watermark at $dst")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new IllegalStateException(
+          s"cannot install watermark at $dst")
+    }
   }
 
   private case class Commit(parents: Seq[String], folded: Seq[String])

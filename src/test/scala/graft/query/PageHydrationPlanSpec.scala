@@ -293,6 +293,23 @@ class PageHydrationPlanSpec extends SparkSpec {
     val none = PostQueries.childrenForIndexedAt(spark, lonely,
       s"$base/posts", s"$base/idx", limit = 2)
     assert(kidsOf(none)("p7").isEmpty)
+    // a LEGITIMATELY EMPTY store (marker-only dirs — a freshly
+    // bootstrapped pair before any data) answers the page with empty
+    // children instead of throwing (ADVICE r10)
+    val emptyBase = java.nio.file.Files
+      .createTempDirectory("graft-replyidx-empty").toString
+    Seq(s"$emptyBase/posts" -> "key_buckets",
+        s"$emptyBase/idx" -> "reply_buckets").foreach { case (d, k) =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(p)
+      graft.state.Layout.writeLayoutMarker(fs, p, k, 8)
+    }
+    val onEmpty = PostQueries.childrenForIndexedAt(spark,
+      lonely.select("author", "permlink"),
+      s"$emptyBase/posts", s"$emptyBase/idx", limit = 2)
+    assert(onEmpty.count() === 1)
+    assert(onEmpty.select(size(col("children"))).head().getInt(0) === 0)
   }
 
   test("withParentFrom: no full-table shuffle against the page — " +

@@ -185,6 +185,42 @@ class GenerationsSpec extends SparkSpec {
       .as[Long].collect().toSet === sideBefore)
   }
 
+  test("agePairs escape: provenance copied into the src_batch_id " +
+    "DATA column survives the pairs fold exactly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("gen-agepairs").toString
+    val side = s"$dir/side"; val pairs = s"$dir/pairs"
+    val band = s"$dir/band"
+    def run(batchId: Long, docs: Seq[(Long, String)]): Long =
+      StreamNearDedup.probeAndAppend(spark,
+        docs.toDF("doc_id", "text"), batchId, side, pairs,
+        threshold = 0.2, bandDir = Some(band), buckets = 8,
+        pairProvenanceCol = Some("src_batch_id"))
+    run(0L, Seq(1L -> base))
+    run(1L, Seq(10L -> base.replace("sigma", "SIGMA")))
+    run(2L, Seq(20L -> base.replace("tau", "TAU")))
+    val provSchema = "new_id long, old_id long, n_inter long, " +
+      "n_union long, src_batch_id long, batch_id long"
+    def rows(): Set[(Long, Long, Long, Long)] =
+      spark.read.schema(provSchema).parquet(pairs)
+        .select(col("new_id"), col("old_id"), col("src_batch_id"),
+          col("batch_id"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    val before = rows()
+    assert(before.nonEmpty)
+    // every pair's data-column provenance equals the layout column
+    // it was written under
+    assert(before.forall(p => p._3 == p._4))
+    val st = Generations.foldBatches(spark, pairs, horizon = 3L)
+    assert(st.foldedLeaves > 0)
+    val after = rows()
+    // the fold collapses the LAYOUT column to the base generation,
+    // but the provenance DATA column rides through untouched — the
+    // documented escape from the provenance-vs-aging trade
+    assert(after === before.map(p =>
+      (p._1, p._2, p._3, Generations.BaseBatchId)))
+  }
+
   test("crash recovery: staging without a commit record is " +
     "discarded; a committed fold is completed idempotently") {
     val dir = java.nio.file.Files
