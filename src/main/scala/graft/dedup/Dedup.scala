@@ -966,10 +966,8 @@ object Dedup {
       // delta-sized)
       bNewEarly => (bandBuckets match {
         case Some(n) if corpusBands.columns.contains("band_bucket") =>
-          val bk = bNewEarly
-            .select(bandBucket(col("band"), col("key"), n).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          corpusBands.filter(col("band_bucket").isin(bk: _*))
+          corpusBands.filter(col("band_bucket")
+            .isin(deltaBandBuckets(bNewEarly, n): _*))
         case _ => corpusBands
       }).drop("band_bucket"),
       // layout pruning ([[writeSetsSideTable]]): the fetch only keeps
@@ -980,12 +978,25 @@ object Dedup {
       // ≤ |candidates| of n directories
       candIds => (setsBuckets match {
         case Some(n) if corpusSets.columns.contains("id_bucket") =>
-          val ib = candIds.select(idBucket(col("id"), n).as("b"))
-            .distinct().collect().map(_.getInt(0)).toSeq
-          corpusSets.filter(col("id_bucket").isin(ib: _*))
+          corpusSets.filter(col("id_bucket")
+            .isin(candIdBuckets(candIds, n): _*))
         case _ => corpusSets
       }).drop("id_bucket"),
       deltaSets, k, bands, threshold, seed)
+
+  /** ONE spelling of each probe-side bucket-discovery collect,
+    * shared by the isin-prune and leaf-enumeration forms (the same
+    * no-drift rule as [[probeBandsCore]] itself): the delta's band
+    * rows → their [[bandBucket]] values; the candidate ids → their
+    * [[idBucket]] values. Both collects are delta-/candidate-sized
+    * (driver-trivial) and ride their frames' caches. */
+  private def deltaBandBuckets(bandRows: DataFrame, n: Int): Seq[Int] =
+    bandRows.select(bandBucket(col("band"), col("key"), n).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+  private def candIdBuckets(ids: DataFrame, n: Int): Seq[Int] =
+    ids.select(idBucket(col("id"), n).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
 
   /** [[minhashLshProbeBands]] with the corpus sides supplied as
     * BUCKET-VALUE PROVIDERS — the LISTING-cost form for streaming
@@ -1017,12 +1028,8 @@ object Dedup {
                                  seed: Long, buckets: Int)
       : DataFrame =
     probeBandsCore(
-      bNewEarly => corpusBandsFor(bNewEarly
-        .select(bandBucket(col("band"), col("key"), buckets).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq),
-      candIds => corpusSetsFor(candIds
-        .select(idBucket(col("id"), buckets).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSeq),
+      bNewEarly => corpusBandsFor(deltaBandBuckets(bNewEarly, buckets)),
+      candIds => corpusSetsFor(candIdBuckets(candIds, buckets)),
       deltaSets, k, bands, threshold, seed)
 
   /** Shared relational core of the banded probes: the corpus sides

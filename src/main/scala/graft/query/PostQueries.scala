@@ -442,6 +442,21 @@ object PostQueries {
       .getOrElse(throw new IllegalArgumentException(
         s"$indexDir has no reply_buckets layout marker — build it " +
           "with Layout.writeReplyIndex"))
+    // a store with NO data leaves at all (legitimately empty — e.g.
+    // freshly bootstrapped, empty-generation-marked) answers the
+    // page with EMPTY children without running the probe: its index
+    // is empty too, and running the core would need a store schema
+    // that does not exist (`sourceView`/`hydrate` referencing store
+    // columns would crash on any surrogate). The empty arrays are
+    // typed as the slim index projection — the one schema an empty
+    // store pair still defines; once data lands, the element type is
+    // the (hydrated) store row as usual.
+    val firstLeaf = graft.state.Layout.firstDataLeaf(spark, sourceDir)
+    if (firstLeaf.isEmpty)
+      return page.withColumn(outCol, array().cast(
+        org.apache.spark.sql.types.ArrayType(
+          graft.state.Layout.emptyReplyIndexRows(spark)
+            .drop("reply_bucket").schema)))
     val kf = keysFrom.getOrElse(page)
     val pb = kf.select(graft.state.Layout.keyBucket(col("author"),
         col("permlink"), idxN).as("b"))
@@ -451,21 +466,11 @@ object PostQueries {
       .getOrElse(graft.state.Layout.emptyReplyIndexRows(spark))
     val storeN = graft.state.Layout.markedBuckets(spark, sourceDir,
       "key_buckets")
-    // empty-result schema source: ONE data leaf, not a full listing.
-    // A store with NO data leaves at all (legitimately empty — e.g.
-    // freshly bootstrapped with an empty-generation marker) must
-    // answer the page with empty children, not crash: its index is
-    // empty too, so only the SCHEMA is needed — the slim index
-    // projection stands in (children arrays are [] regardless; the
-    // raw `sourceView` is skipped there, since a view expecting
-    // store columns would re-throw on the slim surrogate).
-    def emptyStore(): DataFrame =
-      graft.state.Layout.firstDataLeaf(spark, sourceDir)
-        .map(leaf => sourceView(spark.read
-          .option("basePath", sourceDir)
-          .parquet(leaf).filter(lit(false))))
-        .getOrElse(graft.state.Layout.emptyReplyIndexRows(spark)
-          .drop("reply_bucket"))
+    // empty-result schema source: the ONE data leaf found above, not
+    // a full listing (the data-less case already short-circuited)
+    def emptyStore(): DataFrame = sourceView(spark.read
+      .option("basePath", sourceDir)
+      .parquet(firstLeaf.get).filter(lit(false)))
     childrenForIndexedCore(page, kf, idx, storeN,
       {
         case Some(kb) =>

@@ -94,9 +94,11 @@ object StreamNearDedup {
     * sets table partitions by ([[graft.dedup.Dedup.idBucket]],
     * batch_id), a band table at `dir` by
     * ([[graft.dedup.Dedup.bandBucket]], batch_id) — both maintained
-    * per batch — and the probe becomes the fully-pruned
-    * [[graft.dedup.Dedup.minhashLshProbeBands]] form (measured 6.6×
-    * less cluster work per probe at 5M docs, BENCH_NOTES d44d).
+    * per batch — and the probe becomes the fully-pruned,
+    * LEAF-ENUMERATED [[graft.dedup.Dedup.minhashLshProbeBandsPruned]]
+    * form (measured 6.6× less cluster work per probe at 5M docs,
+    * BENCH_NOTES d44d; listing bounded by the probe's own buckets,
+    * d44e r11).
     * `buckets` is the shared modulus, recorded in each table's
     * layout marker on first create and VALIDATED every batch — a
     * restart with a different modulus, or against the other mode's
@@ -282,8 +284,45 @@ object StreamNearDedup {
       // the pairs table can be AGED ([[foldBatches]] collapses the
       // batch_id LAYOUT column to -1; the data column survives the
       // fold — the documented provenance trade, made optional).
-      // Choose it at stream creation and keep it: enabling it on a
-      // table with provenance-less batches splits the schema.
+      // The mode is a CREATE-time property of the table, enforced by
+      // the same marker handshake that pins the side tables' moduli:
+      // toggling it against a table with opposite-mode batches splits
+      // the schema, and the next fold (schema inferred from an
+      // arbitrary leaf, mergeSchema off) would silently DROP or null
+      // the provenance column — fail loud instead.
+      locally {
+        val pp = new org.apache.hadoop.fs.Path(pairsDir)
+        val pfs = pp.getFileSystem(conf)
+        // RAW read first (the sideDir-guard rule): a marker that
+        // exists but carries no pair_provenance key is a FOREIGN
+        // table (someone pointed pairsDir at a bucketed layout) —
+        // refuse with the found contents, in BOTH modes, rather than
+        // misdiagnose it as corrupt or silently write into it
+        val raw = graft.state.Layout.layoutMarkerRaw(pfs, pp)
+        val stored = graft.state.Layout.layoutMarker(pfs, pp,
+          "pair_provenance")
+        require(raw.isEmpty || stored.nonEmpty,
+          s"$pairsDir carries a foreign layout marker (${raw.get}) " +
+            "— point the stream at a fresh pairs directory")
+        pairProvenanceCol match {
+          case Some(_) =>
+            require(stored.contains(1) || !hasData(pairsDir),
+              s"$pairsDir holds pairs written WITHOUT a provenance " +
+                "column (no pair_provenance marker): folding a " +
+                "mixed-schema table silently loses provenance — " +
+                "start a fresh pairs dir (or drop pairProvenanceCol)")
+            if (stored.isEmpty) { // marker BEFORE first data
+              pfs.mkdirs(pp)
+              graft.state.Layout.writeLayoutMarker(pfs, pp,
+                "pair_provenance", 1)
+            }
+          case None =>
+            require(!stored.contains(1),
+              s"$pairsDir carries the pair_provenance marker: its " +
+                "pairs have a src-batch data column — pass " +
+                "pairProvenanceCol (or start a fresh pairs dir)")
+        }
+      }
       pairProvenanceCol.foldLeft(pairs)(
           (df, c) => df.withColumn(c, lit(batchId)))
         .withColumn("batch_id", lit(batchId))
@@ -361,10 +400,10 @@ object StreamNearDedup {
     * single-writer contract holds by construction. Measured: on a
     * store aged 1,000 batches the fold cut trigger wall 3.4× and
     * cluster work 11× (BENCH_NOTES r10); it pays for itself in ~2
-    * triggers, so any small cadence is reasonable. The pairs OUTPUT
-    * table is never folded here (its `batch_id` is provenance the
-    * consumer may need — the documented trade; fold it yourself if
-    * you don't).
+    * triggers, so any small cadence is reasonable. By DEFAULT the
+    * pairs OUTPUT table is never folded (its `batch_id` leaves are
+    * provenance the consumer may need — the documented trade);
+    * `agePairs` below opts out of that trade.
     *
     * `foldEvery = 0` disables maintenance; `foldEvery > 0` requires
     * the BUCKETED mode (`bandDir` set): the flat table's one-level

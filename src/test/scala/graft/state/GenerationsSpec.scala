@@ -219,6 +219,29 @@ class GenerationsSpec extends SparkSpec {
     // documented escape from the provenance-vs-aging trade
     assert(after === before.map(p =>
       (p._1, p._2, p._3, Generations.BaseBatchId)))
+    // the mode is pinned by the pair_provenance marker in BOTH
+    // directions: a provenance table refuses provenance-less writes…
+    val e1 = intercept[IllegalArgumentException] {
+      StreamNearDedup.probeAndAppend(spark,
+        Seq(30L -> base.replace("rho", "RHO")).toDF("doc_id", "text"),
+        3L, side, pairs, threshold = 0.2, bandDir = Some(band),
+        buckets = 8)
+    }
+    assert(e1.getMessage.contains("pair_provenance"))
+    // …and a provenance-less table refuses the flag (schema split →
+    // the fold would silently lose provenance)
+    val pairs2 = s"$dir/pairs2"
+    StreamNearDedup.probeAndAppend(spark,
+      Seq(40L -> base.replace("mu", "MU")).toDF("doc_id", "text"),
+      3L, side, pairs2, threshold = 0.2, bandDir = Some(band),
+      buckets = 8)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamNearDedup.probeAndAppend(spark,
+        Seq(50L -> base.replace("xi", "XI")).toDF("doc_id", "text"),
+        4L, side, pairs2, threshold = 0.2, bandDir = Some(band),
+        buckets = 8, pairProvenanceCol = Some("src_batch_id"))
+    }
+    assert(e2.getMessage.contains("provenance"))
   }
 
   test("crash recovery: staging without a commit record is " +

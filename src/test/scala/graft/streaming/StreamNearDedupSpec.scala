@@ -235,6 +235,43 @@ class StreamNearDedupSpec extends SparkSpec {
       (Set(30L, 20L), 3L, 3L)))
   }
 
+  test("run() default contract: with agePairs=false the fold NEVER " +
+    "touches the pairs table — batch_id leaves survive as " +
+    "provenance and no src column is written") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("snd-defpairs").toString
+    val in = s"$dir/in"; val side = s"$dir/side"
+    val pairs = s"$dir/pairs"; val band = s"$dir/band"
+    new java.io.File(in).mkdirs()
+    def writeDocs(name: String, docs: Seq[(Long, String)]): Unit = {
+      val f = new java.io.File(in, name)
+      val w = new java.io.PrintWriter(f)
+      try docs.foreach { case (id, t) =>
+        w.println(s"""{"doc_id": $id, "text": "$t"}""") }
+      finally w.close()
+      f.setLastModified(System.currentTimeMillis())
+      Thread.sleep(1100)
+    }
+    writeDocs("b0.json", Seq(1L -> base))
+    writeDocs("b1.json", Seq(10L -> base.replace("sigma", "SIGMA")))
+    writeDocs("b2.json", Seq(20L -> base.replace("tau", "TAU")))
+    val q = StreamNearDedup.run(spark, in, side, pairs, s"$dir/cp",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1, threshold = 0.2,
+      bandDir = Some(band), buckets = 8, foldEvery = 2)
+    q.awaitTermination()
+    // the side tables folded at batch 2 (horizon 2) — the pairs table
+    // did NOT: its per-batch provenance leaves are intact
+    val pt = spark.read.parquet(pairs)
+    assert(pt.columns.sorted.toSeq ===
+      Seq("batch_id", "n_inter", "n_union", "new_id", "old_id"))
+    assert(pt.select("batch_id").as[Long].collect().toSet ===
+      Set(1L, 2L))
+    assert(spark.read.parquet(side)
+      .filter(col("batch_id") === graft.state.Generations.BaseBatchId)
+      .count() > 0)
+  }
+
   test("recommendedBandDir pins the measured d44e crossover: flat " +
     "below the floor, bucketed at/above") {
     import StreamNearDedup.{Defaults, recommendedBandDir}
