@@ -1013,9 +1013,11 @@ object Dedup {
     * layout is its own manifest).
     *
     * Provider contract: `corpusBandsFor(bk)` must return EVERY stored
-    * band row whose [[bandBucket]] (same modulus as `buckets`) is in
-    * `bk`, as (id, band, key); `corpusSetsFor(ib)` every stored set
-    * row whose [[idBucket]] is in `ib`, as (id, sh). A superset is
+    * band row whose [[bandBucket]] (modulus `bandBuckets` — each
+    * table's own recorded modulus, they may differ) is in `bk`, as
+    * (id, band, key); `corpusSetsFor(ib)` every stored set row whose
+    * [[idBucket]] (modulus `setsBuckets`) is in `ib`, as (id, sh). A
+    * superset is
     * semantics-preserving (the joins match exactly); a SUBSET loses
     * true duplicates silently — the same contract as the modulus
     * handshake. Output is identical to [[minhashLshProbeBands]] over
@@ -1025,11 +1027,13 @@ object Dedup {
                                  corpusSetsFor: Seq[Int] => DataFrame,
                                  deltaSets: DataFrame,
                                  k: Int, bands: Int, threshold: Double,
-                                 seed: Long, buckets: Int)
+                                 seed: Long, bandBuckets: Int,
+                                 setsBuckets: Int)
       : DataFrame =
     probeBandsCore(
-      bNewEarly => corpusBandsFor(deltaBandBuckets(bNewEarly, buckets)),
-      candIds => corpusSetsFor(candIdBuckets(candIds, buckets)),
+      bNewEarly =>
+        corpusBandsFor(deltaBandBuckets(bNewEarly, bandBuckets)),
+      candIds => corpusSetsFor(candIdBuckets(candIds, setsBuckets)),
       deltaSets, k, bands, threshold, seed)
 
   /** Shared relational core of the banded probes: the corpus sides
@@ -1101,19 +1105,40 @@ object Dedup {
     * resolved from its own `_graft_layout.json` marker (written by
     * [[writeBandSideTable]]/[[writeSetsSideTable]] before any data),
     * so a probe can never prune with a modulus the rows were not
-    * hashed with, even across a rebuild that changed n. An unmarked
-    * (flat) table — or one whose bucket column is absent — degrades
-    * to the scan-but-never-shuffle form: slower, never lossy. */
+    * hashed with, even across a rebuild that changed n — the two
+    * moduli are independent. A MARKED table's read is LEAF-ENUMERATED
+    * ([[minhashLshProbeBandsPruned]] over
+    * [[graft.state.Layout.readBucketLeaves]]): the probe's own bucket
+    * values name the leaf dirs, so neither the scan NOR the driver
+    * listing touches the rest of the layout. An unmarked (flat)
+    * table — or one whose bucket column is absent — degrades to the
+    * scan-but-never-shuffle form: slower, never lossy. */
   def minhashLshProbeBandsAt(spark: org.apache.spark.sql.SparkSession,
                              bandDir: String, setsDir: String,
                              deltaSets: DataFrame,
                              k: Int, bands: Int, threshold: Double,
                              seed: Long): DataFrame =
-    minhashLshProbeBands(
-      spark.read.parquet(bandDir), spark.read.parquet(setsDir),
-      deltaSets, k, bands, threshold, seed,
-      bandBuckets = bandSideBuckets(spark, bandDir),
-      setsBuckets = setsSideBuckets(spark, setsDir))
+    (bandSideBuckets(spark, bandDir),
+     setsSideBuckets(spark, setsDir)) match {
+      case (Some(bn), Some(sn)) =>
+        minhashLshProbeBandsPruned(
+          bk => graft.state.Layout
+            .readBucketLeaves(spark, bandDir, "band_bucket", bk)
+            .map(_.select("id", "band", "key"))
+            .getOrElse(minhashBandRows(deltaSets.filter(lit(false)),
+              k, bands, seed)),
+          ib => graft.state.Layout
+            .readBucketLeaves(spark, setsDir, "id_bucket", ib)
+            .map(_.select("id", "sh"))
+            .getOrElse(deltaSets.filter(lit(false)).select("id", "sh")),
+          deltaSets, k, bands, threshold, seed,
+          bandBuckets = bn, setsBuckets = sn)
+      case (bn, sn) =>
+        minhashLshProbeBands(
+          spark.read.parquet(bandDir), spark.read.parquet(setsDir),
+          deltaSets, k, bands, threshold, seed,
+          bandBuckets = bn, setsBuckets = sn)
+    }
 
   /** Sorted-neighborhood near-dup (Hernández & Stolfo 1995): sort
     * the corpus by a domain sort key (here a normalized text

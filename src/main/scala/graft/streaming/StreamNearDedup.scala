@@ -230,7 +230,8 @@ object StreamNearDedup {
               .map(_.filter(col("batch_id") =!= batchId)
                 .select("id", "sh"))
               .getOrElse(deltaSets.filter(lit(false))),
-            deltaSets, k, bands, threshold, seed, buckets)
+            deltaSets, k, bands, threshold, seed,
+            bandBuckets = buckets, setsBuckets = buckets)
         case None =>
           // FLAT mode: the side table has no bucket column to
           // enumerate by — the corpus read is the whole table minus
