@@ -1107,10 +1107,13 @@ object Dedup {
     * so a probe can never prune with a modulus the rows were not
     * hashed with, even across a rebuild that changed n — the two
     * moduli are independent. A MARKED table's read is LEAF-ENUMERATED
-    * ([[minhashLshProbeBandsPruned]] over
-    * [[graft.state.Layout.readBucketLeaves]]): the probe's own bucket
+    * ([[minhashLshProbeBandsPruned]] over the
+    * [[graft.state.Layout.BucketedTable]] facade — the one home of
+    * the (bucketCol, markerKey) pairing): the probe's own bucket
     * values name the leaf dirs, so neither the scan NOR the driver
-    * listing touches the rest of the layout. An unmarked (flat)
+    * listing touches the rest of the layout; a marked table whose
+    * data is NOT bucket-partitioned refuses loud (the facade's strict
+    * read) instead of serving an empty corpus. An unmarked (flat)
     * table — or one whose bucket column is absent — degrades to the
     * scan-but-never-shuffle form: slower, never lossy. */
   def minhashLshProbeBandsAt(spark: org.apache.spark.sql.SparkSession,
@@ -1122,13 +1125,13 @@ object Dedup {
      setsSideBuckets(spark, setsDir)) match {
       case (Some(bn), Some(sn)) =>
         minhashLshProbeBandsPruned(
-          bk => graft.state.Layout
-            .readBucketLeaves(spark, bandDir, "band_bucket", bk)
+          bk => graft.state.Layout.bandSideTable(bandDir)
+            .readBuckets(spark, bk)
             .map(_.select("id", "band", "key"))
             .getOrElse(minhashBandRows(deltaSets.filter(lit(false)),
               k, bands, seed)),
-          ib => graft.state.Layout
-            .readBucketLeaves(spark, setsDir, "id_bucket", ib)
+          ib => graft.state.Layout.setsSideTable(setsDir)
+            .readBuckets(spark, ib)
             .map(_.select("id", "sh"))
             .getOrElse(deltaSets.filter(lit(false)).select("id", "sh")),
           deltaSets, k, bands, threshold, seed,

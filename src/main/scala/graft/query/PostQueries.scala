@@ -461,8 +461,8 @@ object PostQueries {
     val pb = kf.select(graft.state.Layout.keyBucket(col("author"),
         col("permlink"), idxN).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val idx = graft.state.Layout
-      .readBucketLeaves(spark, indexDir, "reply_bucket", pb)
+    val idx = graft.state.Layout.replyIndexTable(indexDir)
+      .readBuckets(spark, pb)
       .getOrElse(graft.state.Layout.emptyReplyIndexRows(spark))
     val storeN = graft.state.Layout.markedBuckets(spark, sourceDir,
       "key_buckets")
@@ -475,8 +475,8 @@ object PostQueries {
       {
         case Some(kb) =>
           if (kb.isEmpty) emptyStore()
-          else graft.state.Layout
-            .readBucketLeaves(spark, sourceDir, "key_bucket", kb)
+          else graft.state.Layout.postsStoreTable(sourceDir)
+            .readBuckets(spark, kb)
             .map(sourceView).getOrElse(emptyStore())
         case None => sourceView(spark.read.parquet(sourceDir))
       },

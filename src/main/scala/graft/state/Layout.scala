@@ -212,9 +212,14 @@ object Layout {
       Generations.foldBatches(spark, dir, horizon)
     def compactFiles(spark: SparkSession, targetBytes: Long)
         : (Long, Long) = compact(spark, dir, targetBytes)
+    /** Leaf-enumerated read of `values`' buckets — STRICT
+      * ([[readBucketLeavesStrict]]): this facade is only ever built
+      * for marked layouts, where data without bucket dirs is a
+      * marker/layout mismatch that must refuse, not serve an empty
+      * corpus. */
     def readBuckets(spark: SparkSession, values: Seq[Int])
         : Option[DataFrame] =
-      readBucketLeaves(spark, dir, bucketCol, values)
+      readBucketLeavesStrict(spark, dir, bucketCol, values)
   }
 
   /** The three streaming-maintained instances + the store's marker
@@ -328,11 +333,26 @@ object Layout {
     * (hash buckets with no rows are never written). */
   def bucketLeafDirs(spark: SparkSession, dir: String,
                      bucketCol: String, values: Seq[Int])
-      : Seq[String] = {
-    if (values.isEmpty) return Nil
+      : Seq[String] =
+    bucketLeafScan(spark, dir, bucketCol, values)._1
+
+  /** The single listing pass behind [[bucketLeafDirs]] /
+    * [[readBucketLeaves]]: (matching leaf dirs, whether ANY
+    * `bucketCol=` dir exists at either level). The second half is the
+    * marked-table sanity signal — it distinguishes "the requested
+    * buckets hold no rows" (normal: empty hash buckets are never
+    * written) from "the table's data is not bucketed by `bucketCol`
+    * at all" (a marker/layout mismatch that would make enumeration
+    * silently lossy). */
+  private def bucketLeafScan(spark: SparkSession, dir: String,
+                             bucketCol: String, values: Seq[Int])
+      : (Seq[String], Boolean) = {
+    // no requested buckets ⇒ no read and no corruption question —
+    // skip the listing entirely (vacuously "bucketed")
+    if (values.isEmpty) return (Nil, true)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return Nil
+    if (!fs.exists(root)) return (Nil, false)
     val wanted = values.map(v => s"$bucketCol=$v").toSet
     val top = fs.listStatus(root).filter { st =>
       val nm = st.getPath.getName
@@ -340,14 +360,20 @@ object Layout {
     }
     val oneLevel = top.exists(_.getPath.getName.startsWith(bucketCol + "="))
     if (oneLevel)
-      top.filter(st => wanted(st.getPath.getName))
-        .map(_.getPath.toString).toSeq
-    else
-      top.toSeq.flatMap { parent =>
-        fs.listStatus(parent.getPath)
-          .filter(c => c.isDirectory && wanted(c.getPath.getName))
-          .map(_.getPath.toString)
+      (top.filter(st => wanted(st.getPath.getName))
+        .map(_.getPath.toString).toSeq, true)
+    else {
+      var sawBucketDir = false
+      val dirs = top.toSeq.flatMap { parent =>
+        fs.listStatus(parent.getPath).filter { c =>
+          val hit = c.isDirectory &&
+            c.getPath.getName.startsWith(bucketCol + "=")
+          if (hit) sawBucketDir = true
+          c.isDirectory && wanted(c.getPath.getName)
+        }.map(_.getPath.toString)
       }
+      (dirs, sawBucketDir)
+    }
   }
 
   /** Bucket-pruned parquet read via [[bucketLeafDirs]]: Spark's file
@@ -363,6 +389,33 @@ object Layout {
     val dirs = bucketLeafDirs(spark, dir, bucketCol, values)
     if (dirs.isEmpty) None
     else Some(spark.read.option("basePath", dir).parquet(dirs: _*))
+  }
+
+  /** [[readBucketLeaves]] for a table KNOWN to be bucketed (a marked
+    * layout): additionally FAILS LOUD when the table holds data but
+    * no `bucketCol=` partition dir exists anywhere — enumerating such
+    * a table would silently serve an empty/partial view of rows that
+    * exist (lost corpus rows, no error: the exact silent-lossiness
+    * the modulus handshake exists to prevent). None still means "the
+    * requested buckets hold no rows" — normal, callers short-circuit
+    * with their empty frame. */
+  def readBucketLeavesStrict(spark: SparkSession, dir: String,
+                             bucketCol: String, values: Seq[Int])
+      : Option[DataFrame] = {
+    val (dirs, sawBucketDirs) = bucketLeafScan(spark, dir, bucketCol,
+      values)
+    if (dirs.nonEmpty)
+      Some(spark.read.option("basePath", dir).parquet(dirs: _*))
+    else {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!sawBucketDirs && hasDataFiles(fs, root))
+        throw new IllegalStateException(
+          s"$dir holds data but no $bucketCol= partition dirs — the " +
+            "layout does not match its marker; rebuild the table")
+      None
+    }
   }
 
   /** One data-bearing leaf dir of a (possibly partitioned) table —

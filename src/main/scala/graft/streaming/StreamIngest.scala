@@ -173,8 +173,8 @@ object StreamIngest {
     // key: an empty stored view with the leaf probe's schema.
     val pruned = leafView.map(lv => graft.CacheTracker.persistTracked(
       if (legacyLayout) spark.read.parquet(postsDir)
-      else graft.state.Layout.readBucketLeaves(spark, postsDir,
-          "key_bucket", batchKeyBuckets(evs, n))
+      else graft.state.Layout.postsStoreTable(postsDir)
+        .readBuckets(spark, batchKeyBuckets(evs, n))
         .getOrElse(lv.filter(lit(false)))))
     // persisted: the pair-discovery collect and the merge union both
     // read it — without the cache the whole ingest (gate fixpoint +
@@ -346,13 +346,13 @@ object StreamIngest {
     val touched = delta.select("reply_bucket").distinct()
       .collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
-    // LEAF-ENUMERATED read of the touched buckets: a fresh
-    // partitioned read would list all n index dirs per trigger to
-    // serve a ≤|batch|-bucket union — enumerate exactly the touched
-    // leaves instead (none on disk yet ⇒ nothing stored to merge
-    // with: the empty frame, schema via the shared projection)
-    val existing = graft.state.Layout
-      .readBucketLeaves(spark, idxDir, "reply_bucket", touched)
+    // LEAF-ENUMERATED read of the touched buckets via the facade: a
+    // fresh partitioned read would list all n index dirs per trigger
+    // to serve a ≤|batch|-bucket union — enumerate exactly the
+    // touched leaves instead (none on disk yet ⇒ nothing stored to
+    // merge with: the empty frame, schema via the shared projection)
+    val existing = graft.state.Layout.replyIndexTable(idxDir)
+      .readBuckets(spark, touched)
       .getOrElse(graft.state.Layout.emptyReplyIndexRows(spark))
     val merged = Merge.latestWins(
       existing.withColumn("__src", lit(1))

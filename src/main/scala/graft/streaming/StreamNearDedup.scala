@@ -216,17 +216,19 @@ object StreamNearDedup {
         // read (a partition filter over the already-small file
         // index). The folded base generation (batch_id = -1) is
         // enumerated like any other leaf.
-        case Some(bd) =>
+        case Some(_) =>
           val emptyBands = Dedup.minhashBandRows(
             deltaSets.filter(lit(false)), k, bands, seed)
+          // facade reads ([[graft.state.Layout.BucketedTable]]): the
+          // one (bucketCol, markerKey) spelling, and STRICT — a
+          // marked table whose data is not bucket-partitioned
+          // refuses instead of probing an empty corpus
           Dedup.minhashLshProbeBandsPruned(
-            bk => graft.state.Layout
-              .readBucketLeaves(spark, bd, "band_bucket", bk)
+            bk => bandTable.get.readBuckets(spark, bk)
               .map(_.filter(col("batch_id") =!= batchId)
                 .select("id", "band", "key"))
               .getOrElse(emptyBands),
-            ib => graft.state.Layout
-              .readBucketLeaves(spark, sideDir, "id_bucket", ib)
+            ib => setsTable.readBuckets(spark, ib)
               .map(_.filter(col("batch_id") =!= batchId)
                 .select("id", "sh"))
               .getOrElse(deltaSets.filter(lit(false))),

@@ -196,6 +196,35 @@ class IncrementalSegmentSpec extends SparkSpec {
     Dedup.writeSetsSideTable(corpusSets, setsDir, n = 8)
     assert(Dedup.bandSideBuckets(spark, bandDir).contains(16))
     assert(probeAt() === truth)
+    // MIXED markers (band bucketed, sets FLAT): the degrade branch —
+    // per-side Option pruning, same output (a swapped-moduli
+    // regression in the fallback forwarding would mis-prune here)
+    val flatSets = s"$dir/sets_flat"
+    corpusSets.write.mode("overwrite").parquet(flatSets)
+    locally {
+      val r = Dedup.minhashLshProbeBandsAt(spark, bandDir, flatSets,
+        sets(delta), k = 32, bands = 8, threshold = 0.2, seed = 42L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      graft.CacheTracker.releaseAll()
+      assert(r === truth)
+    }
+    // a MARKED table whose data is NOT bucket-partitioned refuses
+    // loud (strict facade read) instead of probing an empty corpus
+    val lying = s"$dir/sets_lying"
+    corpusSets.write.mode("overwrite").parquet(lying)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(lying)
+      graft.state.Layout.writeLayoutMarker(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+        "sets_buckets", 8)
+    }
+    val e = intercept[IllegalStateException] {
+      Dedup.minhashLshProbeBandsAt(spark, bandDir, lying,
+        sets(delta), k = 32, bands = 8, threshold = 0.2, seed = 42L)
+        .count()
+    }
+    graft.CacheTracker.releaseAll()
+    assert(e.getMessage.contains("does not match its marker"))
   }
 
   test("segment dedup removes cross-doc boilerplate and rebuilds survivors") {
