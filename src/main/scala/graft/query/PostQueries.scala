@@ -429,7 +429,18 @@ object PostQueries {
     * every store read — identity in production; test/bench harnesses
     * that derive a virtual forest from the flat store hook it here.
     * Results are identical to [[childrenForIndexed]] over the same
-    * tables (spec-pinned). */
+    * tables (spec-pinned).
+    *
+    * EMPTY-STORE SCHEMA CAVEAT: a store with no data leaves at all
+    * answers with `outCol` typed as an array of the SLIM reply-index
+    * projection (parent/child keys + `created_at` — the only schema
+    * an empty store pair still defines), while a data-bearing store
+    * yields arrays of (hydrated) store rows. A consumer that binds to
+    * store columns inside `outCol`, or unions pages across store
+    * states, must treat the empty page's arrays as schema-less
+    * emptiness (e.g. gate on the store's emptiness, or select only
+    * the index columns) — the store's own row schema does not exist
+    * on disk to derive in that state. */
   def childrenForIndexedAt(spark: SparkSession, page: DataFrame,
                            sourceDir: String, indexDir: String,
                            limit: Int = 100, skip: Int = 0,

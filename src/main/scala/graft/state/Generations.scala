@@ -278,7 +278,15 @@ object Generations {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dst = new Path(table, WatermarkFile)
-    if (!fs.rename(tmp, dst)) {
+    // rename's occupied-destination behavior is implementation-
+    // defined: POSIX-semantics FS overwrite, HDFS returns false, and
+    // some (e.g. FileAlreadyExistsException throwers) THROW — treat
+    // any exception like a false return so the delete+rename fallback
+    // runs instead of failing every trigger's watermark install
+    val direct =
+      try fs.rename(tmp, dst)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!direct) {
       fs.delete(dst, false)
       if (!fs.rename(tmp, dst))
         throw new IllegalStateException(

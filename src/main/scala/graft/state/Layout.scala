@@ -338,41 +338,68 @@ object Layout {
 
   /** The single listing pass behind [[bucketLeafDirs]] /
     * [[readBucketLeaves]]: (matching leaf dirs, whether ANY
-    * `bucketCol=` dir exists at either level). The second half is the
-    * marked-table sanity signal — it distinguishes "the requested
-    * buckets hold no rows" (normal: empty hash buckets are never
-    * written) from "the table's data is not bucketed by `bucketCol`
-    * at all" (a marker/layout mismatch that would make enumeration
-    * silently lossy). */
+    * `bucketCol=` dir exists at either level, first UNBUCKETED data
+    * location or None). The second element distinguishes "the
+    * requested buckets hold no rows" (normal: empty hash buckets are
+    * never written) from "the table's data is not bucketed by
+    * `bucketCol` at all"; the third catches the PARTIAL mix the
+    * all-or-nothing signal can't — some parents bucketed, one parent
+    * (or the root itself) holding raw data outside any `bucketCol=`
+    * dir, e.g. a partially migrated legacy store — whose rows an
+    * enumerated read would silently omit. Both are marker/layout
+    * mismatches that make enumeration lossy; [[readBucketLeavesStrict]]
+    * refuses on either. */
   private def bucketLeafScan(spark: SparkSession, dir: String,
                              bucketCol: String, values: Seq[Int])
-      : (Seq[String], Boolean) = {
+      : (Seq[String], Boolean, Option[String]) = {
     // no requested buckets ⇒ no read and no corruption question —
     // skip the listing entirely (vacuously "bucketed")
-    if (values.isEmpty) return (Nil, true)
+    if (values.isEmpty) return (Nil, true, None)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return (Nil, false)
+    if (!fs.exists(root)) return (Nil, false, None)
     val wanted = values.map(v => s"$bucketCol=$v").toSet
-    val top = fs.listStatus(root).filter { st =>
+    val all = fs.listStatus(root).filterNot { st =>
       val nm = st.getPath.getName
-      st.isDirectory && !nm.startsWith(".") && !nm.startsWith("_")
+      nm.startsWith(".") || nm.startsWith("_")
     }
+    // data FILES directly at the root sit outside every bucket dir in
+    // either shape — lossy alongside any bucket dir
+    val rootFile = all.find(!_.isDirectory).map(_.getPath.toString)
+    val top = all.filter(_.isDirectory)
     val oneLevel = top.exists(_.getPath.getName.startsWith(bucketCol + "="))
-    if (oneLevel)
+    if (oneLevel) {
+      // a non-bucketCol sibling DIR next to the bucket dirs (a
+      // different partition column, a raw subdir) is unbucketed data
+      // at this level too
+      val strayDir = top.find(
+        !_.getPath.getName.startsWith(bucketCol + "="))
+        .map(_.getPath.toString)
       (top.filter(st => wanted(st.getPath.getName))
-        .map(_.getPath.toString).toSeq, true)
-    else {
+        .map(_.getPath.toString).toSeq, true, rootFile.orElse(strayDir))
+    } else {
       var sawBucketDir = false
+      var stray: Option[String] = rootFile
       val dirs = top.toSeq.flatMap { parent =>
-        fs.listStatus(parent.getPath).filter { c =>
-          val hit = c.isDirectory &&
-            c.getPath.getName.startsWith(bucketCol + "=")
-          if (hit) sawBucketDir = true
-          c.isDirectory && wanted(c.getPath.getName)
-        }.map(_.getPath.toString)
+        val children = fs.listStatus(parent.getPath).filterNot { c =>
+          val nm = c.getPath.getName
+          nm.startsWith(".") || nm.startsWith("_")
+        }
+        if (children.exists(c => c.isDirectory &&
+            c.getPath.getName.startsWith(bucketCol + "=")))
+          sawBucketDir = true
+        // any child that is NOT a bucketCol= dir — a raw data file,
+        // or a subdir partitioned by something else — is data outside
+        // every enumerable leaf, whether or not this parent also has
+        // bucketed children
+        if (stray.isEmpty)
+          stray = children.find(c => !(c.isDirectory &&
+              c.getPath.getName.startsWith(bucketCol + "=")))
+            .map(_.getPath.toString)
+        children.filter(c => c.isDirectory &&
+          wanted(c.getPath.getName)).map(_.getPath.toString)
       }
-      (dirs, sawBucketDir)
+      (dirs, sawBucketDir, stray)
     }
   }
 
@@ -392,18 +419,29 @@ object Layout {
   }
 
   /** [[readBucketLeaves]] for a table KNOWN to be bucketed (a marked
-    * layout): additionally FAILS LOUD when the table holds data but
-    * no `bucketCol=` partition dir exists anywhere — enumerating such
-    * a table would silently serve an empty/partial view of rows that
-    * exist (lost corpus rows, no error: the exact silent-lossiness
-    * the modulus handshake exists to prevent). None still means "the
-    * requested buckets hold no rows" — normal, callers short-circuit
-    * with their empty frame. */
+    * layout): additionally FAILS LOUD when the table holds data
+    * outside the `bucketCol=` partition tree — either NO bucket dir
+    * exists anywhere (all-or-nothing mismatch) or SOME data sits
+    * outside the bucket dirs (partial mix: a parent with raw files
+    * and no `bucketCol=` children, a stray file at the root — e.g. a
+    * partially migrated legacy store). Enumerating either would
+    * silently serve an empty/partial view of rows that exist (lost
+    * corpus rows, no error: the exact silent-lossiness the modulus
+    * handshake exists to prevent). None still means "the requested
+    * buckets hold no rows" — normal, callers short-circuit with their
+    * empty frame. */
   def readBucketLeavesStrict(spark: SparkSession, dir: String,
                              bucketCol: String, values: Seq[Int])
       : Option[DataFrame] = {
-    val (dirs, sawBucketDirs) = bucketLeafScan(spark, dir, bucketCol,
-      values)
+    val (dirs, sawBucketDirs, stray) = bucketLeafScan(spark, dir,
+      bucketCol, values)
+    stray.foreach { s =>
+      throw new IllegalStateException(
+        s"$dir holds data outside the $bucketCol= partition tree " +
+          s"(e.g. $s) — an enumerated read would silently omit those " +
+          "rows; the layout does not match its marker, rebuild the " +
+          "table")
+    }
     if (dirs.nonEmpty)
       Some(spark.read.option("basePath", dir).parquet(dirs: _*))
     else {

@@ -283,6 +283,22 @@ object StreamNearDedup {
           s"batch_id=$batchId")
         pp.getFileSystem(conf).delete(pp, true)
       }
+      // the provenance column must be a NEW column: "batch_id" (or
+      // any existing pair column) would make the withColumn below a
+      // silent OVERWRITE — the fold would then collapse the
+      // 'provenance' to -1 (batch_id IS the layout column the fold
+      // rewrites) or corrupt pair data, defeating the guarantee the
+      // marker handshake enforces
+      pairProvenanceCol.foreach { c =>
+        require(c != "batch_id",
+          "pairProvenanceCol must not be \"batch_id\": that is the " +
+            "LAYOUT column the fold collapses — the provenance copy " +
+            "would silently overwrite it and fold to -1")
+        require(!pairs.columns.contains(c),
+          s"pairProvenanceCol '$c' collides with a pairs column " +
+            s"(${pairs.columns.mkString(", ")}): withColumn would " +
+            "silently overwrite pair data")
+      }
       // `pairProvenanceCol`: copy the batch id into a DATA column so
       // the pairs table can be AGED ([[foldBatches]] collapses the
       // batch_id LAYOUT column to -1; the data column survives the

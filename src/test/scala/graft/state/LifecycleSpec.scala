@@ -98,6 +98,44 @@ class LifecycleSpec extends SparkSpec {
     }
   }
 
+  test("strict leaf reads refuse PARTIALLY mixed layouts: data " +
+    "outside the bucket tree (a legacy parent, a stray root file) " +
+    "fails loud instead of being silently omitted") {
+    // two-level shape (the posts store): one month parent bucketed,
+    // another holding raw parquet files with no key_bucket= children
+    // — the partially-migrated-legacy case the all-or-nothing signal
+    // misses (some bucket dirs exist, so sawBucketDir is true)
+    val dir = java.nio.file.Files
+      .createTempDirectory("lc-mixed").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v")
+      .write.parquet(s"$dir/created_month=2024-01/key_bucket=0")
+    Seq((2L, "b")).toDF("k", "v")
+      .write.parquet(s"$dir/created_month=2024-02") // raw, unbucketed
+    val t = Layout.postsStoreTable(dir)
+    val e = intercept[IllegalStateException] {
+      t.readBuckets(spark, Seq(0)) }
+    assert(e.getMessage.contains("outside the key_bucket= partition"))
+    // one-level shape: a foreign partition dir next to the bucket
+    // dirs is unbucketed data at that level too
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("lc-mixed2").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v")
+      .write.parquet(s"$dir2/reply_bucket=0")
+    Seq((2L, "b")).toDF("k", "v")
+      .write.parquet(s"$dir2/batch_id=7")
+    val e2 = intercept[IllegalStateException] {
+      Layout.replyIndexTable(dir2).readBuckets(spark, Seq(0)) }
+    assert(e2.getMessage.contains("outside the reply_bucket="))
+    // ...and NO false positive on the healthy batch-appended shape
+    // (bucket dirs whose children are batch_id= leaves)
+    val dir3 = java.nio.file.Files
+      .createTempDirectory("lc-mixed3").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v")
+      .write.parquet(s"$dir3/id_bucket=0/batch_id=0")
+    assert(Layout.setsSideTable(dir3).readBuckets(spark, Seq(0))
+      .get.count() === 1)
+  }
+
   test("batch-appended instances (band, sets) age by FOLD through " +
     "the shared facade; the overwrite instance (reply index) ages " +
     "by file compaction — same facade, layout-appropriate op") {

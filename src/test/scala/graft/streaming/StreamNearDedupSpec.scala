@@ -272,6 +272,25 @@ class StreamNearDedupSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("pairProvenanceCol refuses reserved/colliding names: " +
+    "\"batch_id\" (the layout column the fold collapses) and " +
+    "existing pair columns would be silently overwritten") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("snd-prov").toString
+    def run(c: String): Long =
+      StreamNearDedup.probeAndAppend(spark,
+        Seq(1L -> base).toDF("doc_id", "text"), 0L,
+        s"$dir/side-$c", s"$dir/pairs-$c", threshold = 0.2,
+        bandDir = Some(s"$dir/band-$c"), buckets = 8,
+        pairProvenanceCol = Some(c))
+    val e1 = intercept[IllegalArgumentException] { run("batch_id") }
+    assert(e1.getMessage.contains("LAYOUT column"))
+    val e2 = intercept[IllegalArgumentException] { run("new_id") }
+    assert(e2.getMessage.contains("collides with a pairs column"))
+    // a fresh non-colliding name still works
+    assert(run("src_batch_id") === 0L)
+  }
+
   test("recommendedBandDir pins the measured d44e crossover: flat " +
     "below the floor, bucketed at/above") {
     import StreamNearDedup.{Defaults, recommendedBandDir}
