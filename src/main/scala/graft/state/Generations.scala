@@ -79,8 +79,10 @@ object Generations {
 
   /** Batch-id leaves of the table: `(parentDirRelativeToRoot, id)` —
     * parent is "" for the one-level shape. Staging/marker entries
-    * (`.`/`_`) are skipped at both levels. */
-  private def batchLeaves(fs: FileSystem, root: Path)
+    * (`.`/`_`) are skipped at both levels. `private[state]`:
+    * [[Layout.maintain]] uses its non-emptiness as the
+    * batch-appended-vs-overwrite layout signal. */
+  private[state] def batchLeaves(fs: FileSystem, root: Path)
       : Seq[(String, Long)] = {
     if (!fs.exists(root)) return Nil
     def idOf(name: String): Option[Long] =
@@ -226,6 +228,39 @@ object Generations {
         .count(_.getPath.getName.endsWith(".parquet")).toLong
     }.sum
     FoldStats(foldable.size, foldedFiles, foldedBytes, baseFiles)
+  }
+
+  /** Mean `batch_id=` leaves per bucket dir, SAMPLED over the first
+    * `sample` bucket dirs (name-sorted, so the estimate is
+    * deterministic) — the aging-health metric behind the AUTO fold
+    * cadence ([[graft.streaming.StreamNearDedup.maybeAutoFold]]).
+    * Hash bucketing spreads every trigger's rows ~uniformly, so
+    * leaves accumulate at the same rate in every bucket and a small
+    * sample estimates the table-wide mean; cost is 1 + min(sample,
+    * buckets) listing RPCs — safe to pay EVERY trigger, unlike the
+    * full [[foldBatches]] enumeration (O(buckets)) which runs only
+    * when the decision fires. The base generation counts as one leaf
+    * (it is one listed dir like any other). 0.0 for a missing table
+    * or a layout with no bucket dirs (the one-level flat shape keeps
+    * `batch_id=` at the root — no bucket denominator exists, and the
+    * flat fold is the documented serial-rewrite cliff the auto
+    * cadence must never trigger). */
+  def sampleLeavesPerBucket(spark: SparkSession, dir: String,
+                            sample: Int = 16): Double = {
+    require(sample >= 1, "sample >= 1")
+    val (fs, root) = fsOf(spark, dir)
+    if (!fs.exists(root)) return 0.0
+    val buckets = fs.listStatus(root).iterator.filter { st =>
+      val nm = st.getPath.getName
+      st.isDirectory && !nm.startsWith(".") && !nm.startsWith("_") &&
+        nm.contains('=') && !nm.startsWith("batch_id=")
+    }.map(_.getPath).toSeq.sortBy(_.getName).take(sample)
+    if (buckets.isEmpty) return 0.0
+    val leaves = buckets.map { b =>
+      fs.listStatus(b).count(c => c.isDirectory &&
+        c.getPath.getName.startsWith("batch_id="))
+    }.sum
+    leaves.toDouble / buckets.size
   }
 
   private val WatermarkFile = "_graft_last_batch.json"

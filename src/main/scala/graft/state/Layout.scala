@@ -212,6 +212,11 @@ object Layout {
       Generations.foldBatches(spark, dir, horizon)
     def compactFiles(spark: SparkSession, targetBytes: Long)
         : (Long, Long) = compact(spark, dir, targetBytes)
+    def maintain(spark: SparkSession,
+                 foldHorizon: Option[Long] = None,
+                 compactTargetBytes: Long = DefaultCompactTargetBytes)
+        : MaintainReport =
+      Layout.maintain(spark, dir, foldHorizon, compactTargetBytes)
     /** Leaf-enumerated read of `values`' buckets — STRICT
       * ([[readBucketLeavesStrict]]): this facade is only ever built
       * for marked layouts, where data without bucket dirs is a
@@ -220,6 +225,67 @@ object Layout {
     def readBuckets(spark: SparkSession, values: Seq[Int])
         : Option[DataFrame] =
       readBucketLeavesStrict(spark, dir, bucketCol, values)
+  }
+
+  /** ~few-GB output files — the compaction target that keeps a
+    * 100 TB table's file count in the manifest-friendly range
+    * without rewriting healthy partitions. */
+  val DefaultCompactTargetBytes: Long = 128L << 20
+
+  /** What [[maintain]] ran: the fold's stats when the layout is
+    * batch-appended and a safe horizon existed, the (before, after)
+    * file counts when the overwrite layout was bin-packed. At most
+    * one is set — the layout's shape picks the op. */
+  final case class MaintainReport(
+      fold: Option[Generations.FoldStats],
+      compacted: Option[(Long, Long)]) {
+    def ran: Boolean = fold.nonEmpty || compacted.nonEmpty
+  }
+
+  /** ONE maintenance entry for any graft layout — the layout IS its
+    * own manifest for maintenance too: inspect the directory tree and
+    * run whichever aging op this layout needs, with crash recovery
+    * for BOTH protocols up front ([[Generations.recover]] completes a
+    * committed-but-unfinished fold; [[compact]] runs its own staging
+    * recovery internally). Batch-appended layouts (any `batch_id=`
+    * leaf present — the streaming side tables, an aged pairs table)
+    * FOLD replay-expired leaves into the per-bucket base generation;
+    * overwrite layouts (reply index, posts store) BIN-PACK small
+    * files toward `compactTargetBytes`. Same single-writer contract
+    * as both underlying ops: run between triggers or with the stream
+    * stopped.
+    *
+    * The fold horizon: `foldHorizon` when given, else the table's own
+    * replay watermark ([[Generations.lastBatchWatermark]] — the
+    * highest batch id whose writes ever STARTED; ids below it can
+    * never be re-delivered by foreachBatch, so `horizon = watermark`
+    * folds exactly the leaves no replay will target). A
+    * batch-appended table with NEITHER (e.g. a band/pairs table,
+    * which carries no watermark of its own) skips the fold — give
+    * those the sets table's horizon explicitly, as
+    * [[graft.streaming.StreamNearDedup.maybeAutoFold]] does. */
+  def maintain(spark: SparkSession, dir: String,
+               foldHorizon: Option[Long] = None,
+               compactTargetBytes: Long = DefaultCompactTargetBytes)
+      : MaintainReport = {
+    Generations.recover(spark, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // any batch_id= leaf — including a lone folded base — marks the
+    // batch-appended shape (a fully-folded store must not fall
+    // through to the overwrite branch)
+    val batchAppended = Generations.batchLeaves(fs, root).nonEmpty
+    if (batchAppended) {
+      val horizon = foldHorizon
+        .orElse(Generations.lastBatchWatermark(fs, root))
+      horizon match {
+        case Some(h) => MaintainReport(
+          Some(Generations.foldBatches(spark, dir, h)), None)
+        case None => MaintainReport(None, None)
+      }
+    } else if (hasDataFiles(fs, root))
+      MaintainReport(None, Some(compact(spark, dir, compactTargetBytes)))
+    else MaintainReport(None, None)
   }
 
   /** The three streaming-maintained instances + the store's marker

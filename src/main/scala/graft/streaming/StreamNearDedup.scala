@@ -48,6 +48,26 @@ object StreamNearDedup {
     val Seed = 42L
     val Buckets = 1024
 
+    /** Mean batch-leaves per bucket at which the AUTO fold cadence
+      * fires. Derived from the measured regime boundary, not guessed
+      * (BENCH_NOTES r10 aged store): triggers went TASK-BOUND at
+      * ~22.6 leaves/bucket (46,276 leaves / 2,048 buckets — 23.9 s
+      * wall, 405 s task per 20-doc trigger, ~6k tiny file opens) vs
+      * 7.7 s wall / 55 s task post-fold; a fold pays for itself in
+      * ~2 triggers. 8 sits at a third of that wall: every trigger
+      * stays in the post-fold regime, and since leaves grow by the
+      * trigger's touched-bucket fraction per batch, folds fire
+      * rarely enough that their amortized cost is a few percent.
+      * Re-derive if leaf-write batching or the fold's own cost move
+      * the regime boundary. */
+    val AutoFoldLeavesPerBucket = 8.0
+
+    /** Bucket dirs sampled per auto-cadence check
+      * ([[graft.state.Generations.sampleLeavesPerBucket]]) — 17
+      * listing RPCs per trigger, noise next to the probe's own
+      * leaf enumeration. */
+    val AutoFoldSampleBuckets = 16
+
     /** Corpus size (docs) above which the BUCKETED layout wins. The
       * crossover is measured, not guessed (BENCH_NOTES d44e, both
       * decades): per 20-doc trigger, flat vs bucketed n=1024 wall —
@@ -58,7 +78,16 @@ object StreamNearDedup {
       * vs ZERO shuffle (bucketed wins 4.3× wall / 13.8× cluster
       * work, and keeps winning — the flat term grows linearly with
       * the corpus, the bucketed term is flat). The boundary sits
-      * between the measured decades; 1M is the geometric midpoint. */
+      * between the measured decades; 1M is the geometric midpoint.
+      *
+      * RE-DERIVATION RULE: this floor is where (bucketed fixed cost
+      * per trigger: leaf listing + ~180 tiny leaf writes) crosses
+      * (flat O(corpus) re-band term). Any change that shrinks the
+      * bucketed fixed costs — leaf-write batching, a cheaper probe
+      * listing, auto-fold keeping leaf counts lower — moves the
+      * crossover DOWN; re-run the d44e flat-vs-bucketed A/B at two
+      * decades (ScaleEvidence "d44e" stages) and reset the floor to
+      * the new geometric midpoint. */
     val BucketedCorpusFloor = 1000000L
   }
 
@@ -378,6 +407,12 @@ object StreamNearDedup {
                 }
             }
           }
+          // NO pre-write repartition on the leaf columns: measured
+          // (r12 d44e A/B at 100×) it buys nothing — the trigger's
+          // writes are already ~1 file per touched leaf, the fixed
+          // cost is the dynamic-overwrite commit machinery per leaf
+          // dir, and the added (tiny) shuffle broke the mode's
+          // zero-shuffle property for a 16.5-vs-16.4 s wash
           deltaSets
             .withColumn("id_bucket",
               Dedup.idBucket(col("id"), buckets))
@@ -407,33 +442,79 @@ object StreamNearDedup {
     }
   }
 
+  /** The AUTO aging decision + fold — the engine-side cadence that
+    * replaces caller-chosen `foldEvery` as [[run]]'s default: fold
+    * when the sampled mean batch-leaves per bucket of ANY maintained
+    * bucketed table reaches `threshold`
+    * ([[graft.state.Generations.sampleLeavesPerBucket]] — ~17 listing
+    * RPCs per table, cheap enough to check every trigger). The
+    * decision is the MAX over the sets and band tables because they
+    * age at DIFFERENT per-bucket rates: each doc lands in exactly
+    * one sets bucket but `bands` band buckets, so the band table
+    * accumulates leaves ~bands× faster — a sets-only sample would
+    * let the band listing walk most of the way to the task-bound
+    * wall before firing (measured: the r10 aged store sat at 5.9
+    * sets- but 39 band-leaves/bucket). All maintained tables (plus
+    * the pairs table, when aged) fold in LOCKSTEP off the one
+    * decision. `horizon` must be ≤ the smallest batch id the source
+    * could still re-deliver (foreachBatch: the current batch id —
+    * exactly the horizon the explicit cadence uses). Returns the
+    * deciding leaves-per-bucket when the fold fired, None when the
+    * store is healthy. No-op on a flat layout (no bucket dirs →
+    * sample is 0 — the flat fold is the documented serial-rewrite
+    * cliff; auto must never walk into it). */
+  def maybeAutoFold(spark: SparkSession, sideDir: String,
+                    bandDir: Option[String],
+                    pairsDir: Option[String], horizon: Long,
+                    threshold: Double = Defaults.AutoFoldLeavesPerBucket,
+                    sample: Int = Defaults.AutoFoldSampleBuckets)
+      : Option[Double] = {
+    val lpb = (Seq(sideDir) ++ bandDir).map(
+      graft.state.Generations.sampleLeavesPerBucket(spark, _, sample))
+      .max
+    if (lpb < threshold) None
+    else {
+      (Seq(sideDir) ++ bandDir ++ pairsDir).foreach(
+        graft.state.Generations.foldBatches(spark, _, horizon))
+      Some(lpb)
+    }
+  }
+
   /** The turnkey streaming query: a JSON doc feed → per-micro-batch
     * [[probeAndAppend]], exactly-once via checkpoint — the
     * [[StreamIngest.run]] shape for the near-dup plane, with the
-    * AGING maintenance wired in: every `foldEvery` batches the
-    * bucketed side tables fold their replay-expired leaves into the
-    * base generation ([[graft.state.Generations.foldBatches]],
-    * `horizon = <current batch>` — exactly the safe horizon, since
-    * foreachBatch can only re-deliver the current batch). The fold
-    * runs INSIDE foreachBatch, so it can never race a probe — the
-    * single-writer contract holds by construction. Measured: on a
-    * store aged 1,000 batches the fold cut trigger wall 3.4× and
-    * cluster work 11× (BENCH_NOTES r10); it pays for itself in ~2
-    * triggers, so any small cadence is reasonable. By DEFAULT the
-    * pairs OUTPUT table is never folded (its `batch_id` leaves are
-    * provenance the consumer may need — the documented trade);
+    * AGING maintenance wired in as an ENGINE decision: by default
+    * (`foldEvery = None`) every bucketed-mode trigger samples each
+    * side table's mean batch-leaves per bucket and folds
+    * replay-expired leaves into the base generation the moment it
+    * reaches [[Defaults.AutoFoldLeavesPerBucket]]
+    * ([[maybeAutoFold]]; `horizon = <current batch>` — exactly the
+    * safe horizon, since foreachBatch can only re-deliver the
+    * current batch). An operator who never thinks about cadence
+    * therefore never reaches the measured task-bound regime the
+    * un-folded store walks into (~22.6 leaves/bucket: 23.9 s wall /
+    * 405 s task per trigger vs 7.7 s / 55 s post-fold — BENCH_NOTES
+    * r10; spec-pinned invariant). The fold runs INSIDE foreachBatch,
+    * so it can never race a probe — the single-writer contract holds
+    * by construction. It pays for itself in ~2 triggers. By DEFAULT
+    * the pairs OUTPUT table is never folded (its `batch_id` leaves
+    * are provenance the consumer may need — the documented trade);
     * `agePairs` below opts out of that trade.
     *
-    * `foldEvery = 0` disables maintenance; `foldEvery > 0` requires
-    * the BUCKETED mode (`bandDir` set): the flat table's one-level
-    * fold rewrites the whole accumulated corpus through a single
-    * task every cadence — O(corpus) serial work that grows
-    * quadratically over the stream's life. A flat stream that needs
-    * aging should move to the bucketed layout (per-bucket parallel
-    * fold) — refusing loud here beats wiring in a scaling cliff.
-    * (Sizing: pass `bandDir = recommendedBandDir(expectedDocs, dir)`
-    * to let the measured d44e crossover pick the mode at create
-    * time.)
+    * `foldEvery` is the OVERRIDE: `Some(k)` folds every k batches
+    * regardless of leaf counts (the pre-auto interface), `Some(0)`
+    * disables maintenance entirely, `None` (default) is the auto
+    * cadence. An explicit `Some(k > 0)` requires the BUCKETED mode
+    * (`bandDir` set): the flat table's one-level fold rewrites the
+    * whole accumulated corpus through a single task every cadence —
+    * O(corpus) serial work that grows quadratically over the
+    * stream's life. A flat stream that needs aging should move to
+    * the bucketed layout (per-bucket parallel fold) — refusing loud
+    * here beats wiring in a scaling cliff; the AUTO cadence is
+    * simply inert in flat mode for the same reason (no bucket dirs
+    * to sample, no per-bucket fold to run). (Sizing: pass
+    * `bandDir = recommendedBandDir(expectedDocs, dir)` to let the
+    * measured d44e crossover pick the mode at create time.)
     *
     * `agePairs = true` extends the fold to the PAIRS OUTPUT table:
     * by default its `batch_id` leaves are kept forever because they
@@ -446,7 +527,9 @@ object StreamNearDedup {
     * shape; it is the PAIRS output (duplicates found), naturally a
     * tiny fraction of the corpus — a pairs feed large enough for
     * that to matter should be partitioned downstream instead.
-    * Requires `foldEvery > 0`. */
+    * Requires folding to be possible: the bucketed mode with either
+    * the auto cadence (`foldEvery = None`) or an explicit
+    * `Some(k > 0)`. */
   def run(spark: SparkSession, inDir: String, sideDir: String,
           pairsDir: String, checkpointDir: String,
           trigger: org.apache.spark.sql.streaming.Trigger =
@@ -461,16 +544,19 @@ object StreamNearDedup {
           seed: Long = Defaults.Seed,
           bandDir: Option[String] = None,
           buckets: Int = Defaults.Buckets,
-          foldEvery: Int = 0,
+          foldEvery: Option[Int] = None,
           agePairs: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    require(foldEvery >= 0, "foldEvery must be >= 0 (0 = never)")
-    require(foldEvery == 0 || bandDir.isDefined,
+    require(foldEvery.forall(_ >= 0),
+      "foldEvery must be None (auto), Some(0) (never) or Some(k > 0)")
+    require(!foldEvery.exists(_ > 0) || bandDir.isDefined,
       "foldEvery requires the bucketed mode (bandDir): folding the " +
         "flat layout rewrites the whole corpus serially per cadence")
-    require(!agePairs || foldEvery > 0,
-      "agePairs requires a fold cadence (foldEvery > 0): the pairs " +
-        "table ages at the same cadence as the side tables")
+    require(!agePairs ||
+        (bandDir.isDefined && !foldEvery.contains(0)),
+      "agePairs requires folding to be possible (bucketed mode with " +
+        "the auto cadence or foldEvery > 0): the pairs table ages " +
+        "at the same cadence as the side tables")
     spark.readStream
       .schema(s"$idCol long, $textCol string")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -484,16 +570,21 @@ object StreamNearDedup {
           bandDir, buckets,
           pairProvenanceCol =
             if (agePairs) Some("src_batch_id") else None)
-        if (foldEvery > 0 && batchId > 0 && batchId % foldEvery == 0) {
-          graft.state.Generations.foldBatches(spark, sideDir,
-            horizon = batchId)
-          bandDir.foreach(bd => graft.state.Generations
-            .foldBatches(spark, bd, horizon = batchId))
-          // same horizon: only replay-expired pair leaves fold, so a
-          // replayed current batch still overwrites its own partition
-          if (agePairs)
-            graft.state.Generations.foldBatches(spark, pairsDir,
-              horizon = batchId)
+        // same horizon either way: only replay-expired pair leaves
+        // fold, so a replayed current batch still overwrites its own
+        // partition
+        val agedPairsDir = if (agePairs) Some(pairsDir) else None
+        foldEvery match {
+          case None => // AUTO: the engine's own leaves-per-bucket rule
+            if (bandDir.isDefined)
+              maybeAutoFold(spark, sideDir, bandDir, agedPairsDir,
+                horizon = batchId)
+          case Some(k) if k > 0 &&
+              batchId > 0 && batchId % k == 0 =>
+            (Seq(sideDir) ++ bandDir ++ agedPairsDir).foreach(
+              graft.state.Generations.foldBatches(spark, _,
+                horizon = batchId))
+          case _ => () // Some(0) = never, or off-cadence batch
         }
         ()
       }

@@ -74,9 +74,16 @@ object ScaleEvidence {
     // whose wall >> run/32 is driver- or GC-bound, not plan-bound
     val runS = (execRunMs.get() - e0) / 1e3
     val gcS = (execGcMs.get() - g0) / 1e3
+    // MECHANICAL memory-pressure tag (the same-run-A/B rule): a wall
+    // reading taken while GC eats a material share of task time is
+    // environment, not plan — tag it so a 254 s catch-up merge with
+    // 480 s of GC can never be read as a regression in a later diff
+    // of this table (BENCH_NOTES r11 box-day variance note)
+    val tag = if (gcS > 5.0 && gcS > 0.15 * runS)
+      "  !MEM-PRESSURE(gc)" else ""
     println(f"$label%-42s ${secs}%7.2f s  $n%,12d rows  " +
       f"shuffle w=$wMb%8.1f MB r=$rMb%8.1f MB  " +
-      f"taskrun=$runS%8.1f s gc=$gcS%7.1f s")
+      f"taskrun=$runS%8.1f s gc=$gcS%7.1f s$tag")
   }
 
   def main(args: Array[String]): Unit = {
@@ -1037,9 +1044,9 @@ object ScaleEvidence {
     val agedPreLabel =
       "aged near-dup trigger: 20 docs vs 1k-batch leaves PRE-fold"
     val agedFoldLabel =
-      "aged near-dup FOLD: 1000 batches into base generation"
+      "aged near-dup AUTO-FOLD: engine leaves/bucket decision"
     val agedPostLabel =
-      "aged near-dup trigger: 20 docs AFTER fold"
+      "aged near-dup trigger: 20 docs AFTER auto-fold (+auto check)"
     val agedAll = Seq(agedPreLabel, agedFoldLabel, agedPostLabel)
     if (agedAll.exists(stageSelected)) {
       require(agedAll.forall(stageSelected),
@@ -1135,20 +1142,39 @@ object ScaleEvidence {
         n
       }
       timed(agedPreLabel) { trigger(1001L) }
+      // the ENGINE's own cadence (run()'s default, no foldEvery):
+      // sample mean leaves-per-bucket, fold when it crosses the
+      // threshold — on this 1k-batch store the sample sits ~3x past
+      // it, so the decision MUST fire (require pins that; a silent
+      // non-fire would fake the post-fold walls below)
       timed(agedFoldLabel) {
-        val s1 = graft.state.Layout.setsSideTable(aSide)
-          .fold(spark, horizon = 1001L)
-        val s2 = graft.state.Layout.bandSideTable(aBand)
-          .fold(spark, horizon = 1001L)
-        println(s"  folded: sets ${s1.foldedLeaves} leaves " +
-          s"(${s1.foldedFiles} files) -> ${s1.baseFilesAfter} base " +
-          s"files; band ${s2.foldedLeaves} leaves " +
-          s"(${s2.foldedFiles} files) -> ${s2.baseFilesAfter}")
-        s1.foldedLeaves + s2.foldedLeaves
+        val lpbS = graft.state.Generations.sampleLeavesPerBucket(
+          spark, aSide)
+        val lpbB = graft.state.Generations.sampleLeavesPerBucket(
+          spark, aBand)
+        val fired = graft.streaming.StreamNearDedup.maybeAutoFold(
+          spark, aSide, Some(aBand), None, horizon = 1001L)
+        require(fired.nonEmpty, "auto cadence did not fire on the " +
+          s"aged store (lpb sets=$lpbS band=$lpbB)")
+        println(f"  auto decision: sampled leaves/bucket sets=" +
+          f"$lpbS%.1f band=$lpbB%.1f, max >= threshold " +
+          f"${graft.streaming.StreamNearDedup.Defaults
+            .AutoFoldLeavesPerBucket}%.1f -> folded both side tables")
+        fired.get.toLong
       }
       println(s"  aged leaves post-fold: sets=${leafCount(aSide)} " +
         s"band=${leafCount(aBand)}")
-      timed(agedPostLabel) { trigger(1002L) }
+      // an UN-TUNED run() trigger on the auto-maintained store: the
+      // probe plus the per-trigger auto check (which samples and
+      // declines on the now-healthy store) — the full default-path
+      // per-trigger cost, no cadence ever passed
+      timed(agedPostLabel) {
+        val n = trigger(1002L)
+        require(graft.streaming.StreamNearDedup.maybeAutoFold(
+          spark, aSide, Some(aBand), None, horizon = 1002L).isEmpty,
+          "auto cadence re-fired on a just-folded store")
+        n
+      }
     } else agedAll.foreach(l => println(f"$l%-42s   skipped (filter)"))
     timed(s"d45 segment dedup + rebuild (${reps*5}k docs)") {
       // replicas make every replica-0 doc's segments duplicated

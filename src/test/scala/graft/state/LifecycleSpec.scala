@@ -185,4 +185,74 @@ class LifecycleSpec extends SparkSpec {
     assert(spark.read.parquet(t.dir).count() === before)
     assert(t.modulus(spark).contains(2)) // compaction keeps the marker
   }
+
+  test("maintain(): ONE entry, layout-inspected — batch-appended " +
+    "instances fold (horizon from arg or their own watermark), the " +
+    "overwrite instance bin-packs; rows survive either op") {
+    // batch-appended (band, sets): maintain == recover + fold
+    for ((name, mk) <- layouts.drop(1)) {
+      val t = mk(java.nio.file.Files
+        .createTempDirectory(s"lc5-$name").toString + "/t")
+      t.writeMarker(spark, 4)
+      for (b <- 0L to 2L)
+        rows(4).map { case (k, v, bk) => (k + b * 100, v, bk) }
+          .toDF("k", "v", t.bucketCol)
+          .withColumn("batch_id", lit(b))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(t.bucketCol, "batch_id").parquet(t.dir)
+      val before = spark.read.parquet(t.dir).select("k")
+        .as[Long].collect().toSet
+      // no horizon and no watermark: the fold is SKIPPED, not guessed
+      assert(!t.maintain(spark).ran, name)
+      // explicit horizon folds
+      val r = t.maintain(spark, foldHorizon = Some(2L))
+      assert(r.fold.exists(_.foldedLeaves > 0) &&
+        r.compacted.isEmpty, name)
+      assert(spark.read.parquet(t.dir).select("k")
+        .as[Long].collect().toSet === before, name)
+      // a table's OWN watermark supplies the horizon when present
+      val t2 = mk(java.nio.file.Files
+        .createTempDirectory(s"lc5b-$name").toString + "/t")
+      t2.writeMarker(spark, 4)
+      for (b <- 0L to 1L)
+        rows(4).toDF("k", "v", t2.bucketCol)
+          .withColumn("batch_id", lit(b))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(t2.bucketCol, "batch_id").parquet(t2.dir)
+      locally {
+        val p = new org.apache.hadoop.fs.Path(t2.dir)
+        Generations.writeLastBatchWatermark(
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration),
+          p, 1L)
+      }
+      // horizon = watermark 1: only batch 0's leaves fold; batch 1
+      // (replayable) survives
+      assert(t2.maintain(spark).fold.exists(_.foldedLeaves > 0), name)
+      assert(spark.read.parquet(t2.dir)
+        .select("batch_id").distinct().as[Long].collect().toSet ===
+        Set(Generations.BaseBatchId, 1L), name)
+      // a fully-folded store stays on the fold path (a zero-leaf
+      // structural no-op), never the overwrite branch
+      val r2 = t2.maintain(spark, foldHorizon = Some(1L))
+      assert(r2.fold.exists(_.foldedLeaves === 0) &&
+        r2.compacted.isEmpty, name)
+    }
+    // overwrite instance (reply index): maintain == compact
+    val t = Layout.replyIndexTable(java.nio.file.Files
+      .createTempDirectory("lc5-reply").toString + "/t")
+    t.rebuild(spark, 2) {
+      val df = rows(2).toDF("k", "v", t.bucketCol)
+      df.write.option("partitionOverwriteMode", "dynamic")
+        .partitionBy(t.bucketCol).mode("overwrite").parquet(t.dir)
+      df.write.partitionBy(t.bucketCol).mode("append").parquet(t.dir)
+    }
+    val before = spark.read.parquet(t.dir).count()
+    val r = t.maintain(spark)
+    assert(r.compacted.exists { case (b, a) => a < b } &&
+      r.fold.isEmpty)
+    assert(spark.read.parquet(t.dir).count() === before)
+    assert(t.modulus(spark).contains(2))
+  }
 }

@@ -189,7 +189,7 @@ class StreamNearDedupSpec extends SparkSpec {
       val q = StreamNearDedup.run(spark, in, side, pairs, cp,
         trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
         maxFilesPerTrigger = 1, threshold = 0.2,
-        bandDir = Some(band), buckets = 8, foldEvery = 2,
+        bandDir = Some(band), buckets = 8, foldEvery = Some(2),
         agePairs = true)
       q.awaitTermination()
     }
@@ -258,7 +258,7 @@ class StreamNearDedupSpec extends SparkSpec {
     val q = StreamNearDedup.run(spark, in, side, pairs, s"$dir/cp",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
       maxFilesPerTrigger = 1, threshold = 0.2,
-      bandDir = Some(band), buckets = 8, foldEvery = 2)
+      bandDir = Some(band), buckets = 8, foldEvery = Some(2))
     q.awaitTermination()
     // the side tables folded at batch 2 (horizon 2) — the pairs table
     // did NOT: its per-batch provenance leaves are intact
@@ -270,6 +270,103 @@ class StreamNearDedupSpec extends SparkSpec {
     assert(spark.read.parquet(side)
       .filter(col("batch_id") === graft.state.Generations.BaseBatchId)
       .count() > 0)
+  }
+
+  test("AUTO cadence invariant: an un-tuned probe loop (run()'s " +
+    "exact per-batch composition) NEVER reaches the measured " +
+    "task-bound regime — leaves-per-bucket stays bounded by the " +
+    "threshold, and pair history matches a never-folded control") {
+    import StreamNearDedup.Defaults
+    val dir = java.nio.file.Files
+      .createTempDirectory("snd-auto").toString
+    val side = s"$dir/side"; val pairs = s"$dir/pairs"
+    val band = s"$dir/band"
+    val ctlSide = s"$dir/cside"; val ctlPairs = s"$dir/cpairs"
+    val ctlBand = s"$dir/cband"
+    // buckets=2 so every 2-doc batch touches ~all buckets: leaves
+    // per bucket grow ~1/batch — 30 batches would age to ~30
+    // leaves/bucket un-folded, PAST the measured ~22.6 task-bound
+    // wall; the auto cadence must keep it under the threshold
+    def batchDocs(b: Long) = Seq(
+      b * 10 -> base.replace("alpha", s"A$b"),
+      b * 10 + 1 -> s"unique filler text number $b with nothing shared")
+    var maxLpb = 0.0
+    var folds = 0
+    for (b <- 0L until 30L) {
+      val docs = batchDocs(b).toDF("doc_id", "text")
+      StreamNearDedup.probeAndAppend(spark, docs, b, side, pairs,
+        threshold = 0.2, bandDir = Some(band), buckets = 2)
+      // run()'s default maintenance, verbatim: auto decision + fold
+      if (StreamNearDedup.maybeAutoFold(spark, side, Some(band),
+          None, horizon = b).nonEmpty) folds += 1
+      // BOTH tables must stay healthy — the band table ages faster
+      // per bucket (bands rows per doc), which is why the decision
+      // is the max over the two samples
+      maxLpb = math.max(maxLpb, math.max(
+        graft.state.Generations.sampleLeavesPerBucket(spark, side),
+        graft.state.Generations.sampleLeavesPerBucket(spark, band)))
+      // the never-folded control
+      StreamNearDedup.probeAndAppend(spark, docs, b, ctlSide,
+        ctlPairs, threshold = 0.2, bandDir = Some(ctlBand),
+        buckets = 2)
+    }
+    // the invariant the auto cadence exists for: the store NEVER
+    // ages into the task-bound regime (measured at ~22.6
+    // leaves/bucket), and in fact never exceeds the fire threshold
+    // (the fold runs the same trigger the sample crosses it)
+    assert(folds >= 2, s"auto cadence never fired (folds=$folds)")
+    assert(maxLpb <= Defaults.AutoFoldLeavesPerBucket,
+      s"auto-folded store aged past the threshold: $maxLpb")
+    // the un-tuned control DID age — the invariant is not vacuous
+    assert(graft.state.Generations.sampleLeavesPerBucket(spark,
+      ctlSide) > Defaults.AutoFoldLeavesPerBucket * 2)
+    // folding never changed what the stream found
+    val sch = "new_id long, old_id long, n_inter long, " +
+      "n_union long, batch_id long"
+    def hist(d: String) = spark.read.schema(sch).parquet(d)
+      .select("new_id", "old_id").as[(Long, Long)].collect().toSet
+    assert(hist(pairs) === hist(ctlPairs) && hist(pairs).nonEmpty)
+  }
+
+  test("un-tuned run(): the real StreamingQuery with NO cadence " +
+    "argument auto-folds mid-stream — the base generation appears " +
+    "without the caller ever passing foldEvery") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("snd-autorun").toString
+    val in = s"$dir/in"; val side = s"$dir/side"
+    val pairs = s"$dir/pairs"; val band = s"$dir/band"
+    new java.io.File(in).mkdirs()
+    // explicit spaced mtimes (no sleeps): the file source orders
+    // batches by modification time
+    val t0 = System.currentTimeMillis() - 600000L
+    for (b <- 0 until 10) {
+      val f = new java.io.File(in, f"b$b%02d.json")
+      val w = new java.io.PrintWriter(f)
+      // 24 docs/batch across buckets=8 → every batch touches all
+      // buckets, leaves/bucket grows ~1/batch → the default
+      // threshold (8.0) fires inside 10 batches
+      try (0 until 24).foreach { i =>
+        w.println(s"""{"doc_id": ${b * 100 + i}, "text": "doc $b $i """ +
+          s"""filler words ${b * 100 + i} more tokens here"}""") }
+      finally w.close()
+      f.setLastModified(t0 + b * 2000L)
+    }
+    val q = StreamNearDedup.run(spark, in, side, pairs, s"$dir/cp",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxFilesPerTrigger = 1, threshold = 0.2,
+      bandDir = Some(band), buckets = 8)
+    q.awaitTermination()
+    // the engine folded on its own: a base generation exists in both
+    // side tables and the store is healthy (bounded leaves/bucket)
+    for (d <- Seq(side, band)) {
+      assert(spark.read.parquet(d)
+        .filter(col("batch_id") === graft.state.Generations.BaseBatchId)
+        .count() > 0, s"no base generation in $d — auto fold never ran")
+      assert(graft.state.Generations.sampleLeavesPerBucket(spark, d)
+        <= StreamNearDedup.Defaults.AutoFoldLeavesPerBucket, d)
+    }
+    // every doc is in the corpus exactly once (folds lose nothing)
+    assert(spark.read.parquet(side).count() === 240)
   }
 
   test("pairProvenanceCol refuses reserved/colliding names: " +
