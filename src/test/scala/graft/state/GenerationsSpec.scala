@@ -313,4 +313,33 @@ class GenerationsSpec extends SparkSpec {
     run(2L, Seq(20L -> base.replace("tau", "TAU")))
     assert(!fs.exists(staging2))
   }
+
+  test("sampleLeavesPerBucket: deterministic sampled mean over " +
+    "bucket dirs; 0.0 for flat/missing layouts (auto-fold can " +
+    "never fire where no per-bucket fold exists)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("gen-lpb").toString
+    // missing table
+    assert(Generations.sampleLeavesPerBucket(spark, s"$dir/nope")
+      === 0.0)
+    // bucketed: 3 buckets x (2|3|4) batch leaves -> mean 3.0; the
+    // base generation counts like any other leaf
+    val t = s"$dir/t"
+    for (b <- 0 until 3; l <- 0 to (b + 1))
+      Seq((1L, "x")).toDF("k", "v")
+        .write.parquet(s"$t/id_bucket=$b/batch_id=${
+          if (l == 0) -1 else l}")
+    assert(Generations.sampleLeavesPerBucket(spark, t) === 3.0)
+    // sample smaller than the bucket count: name-sorted prefix
+    // (id_bucket=0 has 2 leaves) — deterministic
+    assert(Generations.sampleLeavesPerBucket(spark, t, sample = 1)
+      === 2.0)
+    // flat one-level layout (batch_id= at the root): no bucket
+    // denominator -> 0.0, the auto cadence stays inert
+    val f = s"$dir/flat"
+    for (b <- 0 until 5)
+      Seq((1L, "x")).toDF("k", "v")
+        .write.parquet(s"$f/batch_id=$b")
+    assert(Generations.sampleLeavesPerBucket(spark, f) === 0.0)
+  }
 }
