@@ -317,15 +317,25 @@ object Generations {
     // defined: POSIX-semantics FS overwrite, HDFS returns false, and
     // some (e.g. FileAlreadyExistsException throwers) THROW — treat
     // any exception like a false return so the delete+rename fallback
-    // runs instead of failing every trigger's watermark install
+    // runs instead of failing every trigger's watermark install. The
+    // swallowed exception is kept: if the failure was UNRELATED to an
+    // occupied destination the fallback fails too, and the terminal
+    // error must carry the root cause, not just "cannot install"
+    // (the worst case either way is an ABSENT watermark, which the
+    // absence contract on [[lastBatchWatermark]] makes safe)
+    var firstFailure: Option[Throwable] = None
     val direct =
       try fs.rename(tmp, dst)
-      catch { case scala.util.control.NonFatal(_) => false }
+      catch { case scala.util.control.NonFatal(e) =>
+        firstFailure = Some(e); false }
     if (!direct) {
       fs.delete(dst, false)
-      if (!fs.rename(tmp, dst))
-        throw new IllegalStateException(
+      if (!fs.rename(tmp, dst)) {
+        val ex = new IllegalStateException(
           s"cannot install watermark at $dst")
+        firstFailure.foreach(ex.initCause)
+        throw ex
+      }
     }
   }
 

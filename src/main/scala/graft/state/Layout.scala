@@ -227,9 +227,10 @@ object Layout {
       readBucketLeavesStrict(spark, dir, bucketCol, values)
   }
 
-  /** ~few-GB output files — the compaction target that keeps a
-    * 100 TB table's file count in the manifest-friendly range
-    * without rewriting healthy partitions. */
+  /** ~128-MB output files — the standard parquet bin-pack target
+    * (one comfortable HDFS/object-store block, the same size
+    * ScaleEvidence's compaction stages use); partitions already at
+    * or under it are never rewritten. */
   val DefaultCompactTargetBytes: Long = 128L << 20
 
   /** What [[maintain]] ran: the fold's stats when the layout is

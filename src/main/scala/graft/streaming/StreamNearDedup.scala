@@ -91,6 +91,25 @@ object StreamNearDedup {
     val BucketedCorpusFloor = 1000000L
   }
 
+  /** The probes' pair output schema, as a constant: lets the
+    * provenance-column collision check run BEFORE any side effect
+    * (the pairs frame does not exist yet at validation time); a
+    * drift canary inside [[probeAndAppend]] pins it to the actual
+    * frame. */
+  val PairOutputColumns: Seq[String] =
+    Seq("new_id", "old_id", "n_inter", "n_union")
+
+  /** Fold `horizon`-expired leaves of ALL maintained tables in
+    * lockstep — THE one spelling of the maintained-table set, shared
+    * by the auto cadence ([[maybeAutoFold]]) and [[run]]'s explicit
+    * `foldEvery` arm so the two cadences cannot silently diverge on
+    * which tables age. */
+  private def foldAll(spark: SparkSession, sideDir: String,
+                      bandDir: Option[String],
+                      pairsDir: Option[String], horizon: Long): Unit =
+    (Seq(sideDir) ++ bandDir ++ pairsDir).foreach(
+      graft.state.Generations.foldBatches(spark, _, horizon))
+
   /** The flat-vs-bucketed mode choice as an ENGINE sizing rule
     * instead of caller guesswork: None (flat) below
     * [[Defaults.BucketedCorpusFloor]] expected corpus docs,
@@ -156,6 +175,25 @@ object StreamNearDedup {
                      pairProvenanceCol: Option[String] = None): Long = {
     require(batchId >= 0, s"batchId must be >= 0 (got $batchId): " +
       "negative ids are reserved for folded base generations")
+    // pure config checks FIRST, before any side effect: a replayed
+    // batch deletes its own pairs partition below — a misconfigured
+    // provenance column failing only after that delete would leave
+    // the stream down with the batch's pairs missing until a fixed
+    // restart. The provenance column must be NEW: "batch_id" (or any
+    // pair output column) would make the withColumn a silent
+    // OVERWRITE — the fold would then collapse the 'provenance' to
+    // -1 (batch_id IS the layout column the fold rewrites) or
+    // corrupt pair data, defeating the marker handshake's guarantee.
+    pairProvenanceCol.foreach { c =>
+      require(c != "batch_id",
+        "pairProvenanceCol must not be \"batch_id\": that is the " +
+          "LAYOUT column the fold collapses — the provenance copy " +
+          "would silently overwrite it and fold to -1")
+      require(!PairOutputColumns.contains(c),
+        s"pairProvenanceCol '$c' collides with a pairs column " +
+          s"(${PairOutputColumns.mkString(", ")}): withColumn would " +
+          "silently overwrite pair data")
+    }
     try {
       // complete any fold that crashed mid-commit BEFORE reading: a
       // committed-but-unfinished fold has some buckets' rows in both
@@ -312,22 +350,15 @@ object StreamNearDedup {
           s"batch_id=$batchId")
         pp.getFileSystem(conf).delete(pp, true)
       }
-      // the provenance column must be a NEW column: "batch_id" (or
-      // any existing pair column) would make the withColumn below a
-      // silent OVERWRITE — the fold would then collapse the
-      // 'provenance' to -1 (batch_id IS the layout column the fold
-      // rewrites) or corrupt pair data, defeating the guarantee the
-      // marker handshake enforces
-      pairProvenanceCol.foreach { c =>
-        require(c != "batch_id",
-          "pairProvenanceCol must not be \"batch_id\": that is the " +
-            "LAYOUT column the fold collapses — the provenance copy " +
-            "would silently overwrite it and fold to -1")
-        require(!pairs.columns.contains(c),
-          s"pairProvenanceCol '$c' collides with a pairs column " +
-            s"(${pairs.columns.mkString(", ")}): withColumn would " +
-            "silently overwrite pair data")
-      }
+      // drift canary for the top-of-method config check: the
+      // provenance-collision require validates against
+      // [[PairOutputColumns]] (so it can fail BEFORE any side
+      // effect) — if the probes' output schema ever evolves, this
+      // fails the first batch loudly instead of letting the constant
+      // silently under-protect
+      require(pairs.columns.toSet == PairOutputColumns.toSet,
+        s"pair output columns drifted: ${pairs.columns.mkString(",")}" +
+          s" != $PairOutputColumns — update PairOutputColumns")
       // `pairProvenanceCol`: copy the batch id into a DATA column so
       // the pairs table can be AGED ([[foldBatches]] collapses the
       // batch_id LAYOUT column to -1; the data column survives the
@@ -474,8 +505,7 @@ object StreamNearDedup {
       .max
     if (lpb < threshold) None
     else {
-      (Seq(sideDir) ++ bandDir ++ pairsDir).foreach(
-        graft.state.Generations.foldBatches(spark, _, horizon))
+      foldAll(spark, sideDir, bandDir, pairsDir, horizon)
       Some(lpb)
     }
   }
@@ -581,9 +611,8 @@ object StreamNearDedup {
                 horizon = batchId)
           case Some(k) if k > 0 &&
               batchId > 0 && batchId % k == 0 =>
-            (Seq(sideDir) ++ bandDir ++ agedPairsDir).foreach(
-              graft.state.Generations.foldBatches(spark, _,
-                horizon = batchId))
+            foldAll(spark, sideDir, bandDir, agedPairsDir,
+              horizon = batchId)
           case _ => () // Some(0) = never, or off-cadence batch
         }
         ()
