@@ -157,8 +157,9 @@ object StreamNearDedup {
     *
     * Aging: every bucketed trigger appends one `batch_id` leaf per
     * touched bucket — fold leaves older than the replay horizon into
-    * the per-bucket base generation with
-    * [[graft.state.Generations.foldBatches]] (e.g. every K triggers,
+    * the per-bucket base generation ([[maybeAutoFold]], the engine's
+    * own cadence [[run]] wires in by default, or
+    * [[graft.state.Generations.foldBatches]] directly with
     * `horizon = batchId`); this method runs
     * [[graft.state.Generations.recover]] on its tables first, so a
     * fold that crashed mid-commit is completed before any read. */
