@@ -329,8 +329,19 @@ object Generations {
       catch { case scala.util.control.NonFatal(e) =>
         firstFailure = Some(e); false }
     if (!direct) {
-      fs.delete(dst, false)
-      if (!fs.rename(tmp, dst)) {
+      // the fallback itself can throw (permissions, FS quirks) —
+      // every exit from it must carry the captured firstFailure, or
+      // the root cause of the original rename refusal is lost exactly
+      // when the diagnosis needs it most
+      val installed =
+        try {
+          fs.delete(dst, false)
+          fs.rename(tmp, dst)
+        } catch { case scala.util.control.NonFatal(e) =>
+          firstFailure.foreach(f => if (f ne e) e.addSuppressed(f))
+          throw e
+        }
+      if (!installed) {
         val ex = new IllegalStateException(
           s"cannot install watermark at $dst")
         firstFailure.foreach(ex.initCause)

@@ -313,6 +313,18 @@ object StreamNearDedup {
           Dedup.minhashLshProbeSets(corpusSets, deltaSets,
             k, bands, threshold, seed)
       })
+      // drift canary for the top-of-method config check, run BEFORE
+      // the first side effect (watermark advance, replay pair-clear):
+      // the provenance-collision require validates against
+      // [[PairOutputColumns]] — if the probes' output schema ever
+      // evolves, this must fail the batch with the table UNTOUCHED
+      // (a replayed batch failing here after its pairs partition was
+      // deleted would leave the stream down with those pairs missing
+      // — the exact ordering the config checks exist to prevent),
+      // instead of letting the constant silently under-protect
+      require(pairs.columns.toSet == PairOutputColumns.toSet,
+        s"pair output columns drifted: ${pairs.columns.mkString(",")}" +
+          s" != $PairOutputColumns — update PairOutputColumns")
       // dynamic overwrite as a PER-WRITE option, not session conf:
       // under foreachBatch these frames are bound to the query's
       // CLONED session (conf copied at query start), so a setting on
@@ -351,15 +363,6 @@ object StreamNearDedup {
           s"batch_id=$batchId")
         pp.getFileSystem(conf).delete(pp, true)
       }
-      // drift canary for the top-of-method config check: the
-      // provenance-collision require validates against
-      // [[PairOutputColumns]] (so it can fail BEFORE any side
-      // effect) — if the probes' output schema ever evolves, this
-      // fails the first batch loudly instead of letting the constant
-      // silently under-protect
-      require(pairs.columns.toSet == PairOutputColumns.toSet,
-        s"pair output columns drifted: ${pairs.columns.mkString(",")}" +
-          s" != $PairOutputColumns — update PairOutputColumns")
       // `pairProvenanceCol`: copy the batch id into a DATA column so
       // the pairs table can be AGED ([[foldBatches]] collapses the
       // batch_id LAYOUT column to -1; the data column survives the

@@ -342,4 +342,67 @@ class GenerationsSpec extends SparkSpec {
         .write.parquet(s"$f/batch_id=$b")
     assert(Generations.sampleLeavesPerBucket(spark, f) === 0.0)
   }
+
+  test("watermark install: a failing delete+rename fallback still " +
+    "carries the original rename refusal (cause/suppressed), and a " +
+    "working fallback installs despite a throwing rename") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("gen-wm").toString
+    val table = new org.apache.hadoop.fs.Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val raw = table.getFileSystem(conf)
+    val wmDst = new org.apache.hadoop.fs.Path(table,
+      "_graft_last_batch.json")
+
+    // an FS whose rename THROWS on an occupied destination (the
+    // FileAlreadyExistsException class of filesystems) but whose
+    // delete works: the fallback must succeed — no watermark-install
+    // failure on every trigger
+    Generations.writeLastBatchWatermark(raw, table, 1L)
+    val renameThrows = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def rename(src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Boolean =
+        if (dst == wmDst && fs.exists(dst))
+          throw new java.io.IOException("rename refused: dst exists")
+        else fs.rename(src, dst)
+    }
+    Generations.writeLastBatchWatermark(renameThrows, table, 2L)
+    assert(Generations.lastBatchWatermark(raw, table).contains(2L))
+
+    // the fallback ITSELF failing (e.g. permissions on delete) must
+    // propagate WITH the first rename refusal attached — losing the
+    // root cause is the regression this pins
+    val bothFail = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def rename(src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Boolean =
+        if (dst == wmDst)
+          throw new java.io.IOException("rename refused")
+        else fs.rename(src, dst)
+      override def delete(p: org.apache.hadoop.fs.Path,
+                          recursive: Boolean): Boolean =
+        if (p == wmDst)
+          throw new java.io.IOException("delete refused")
+        else fs.delete(p, recursive)
+    }
+    val e = intercept[java.io.IOException] {
+      Generations.writeLastBatchWatermark(bothFail, table, 3L) }
+    assert(e.getMessage === "delete refused")
+    assert(e.getSuppressed.exists(
+      _.getMessage == "rename refused"),
+      s"first failure lost: suppressed=${e.getSuppressed.toSeq}")
+    // the live watermark is untouched by the failed install
+    assert(Generations.lastBatchWatermark(raw, table).contains(2L))
+
+    // false-returning rename with a false-returning fallback: the
+    // terminal IllegalStateException (no throwable root cause exists
+    // — nothing to chain)
+    val bothFalse = new org.apache.hadoop.fs.FilterFileSystem(raw) {
+      override def rename(src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Boolean =
+        if (dst == wmDst) false else fs.rename(src, dst)
+    }
+    val e2 = intercept[IllegalStateException] {
+      Generations.writeLastBatchWatermark(bothFalse, table, 3L) }
+    assert(e2.getMessage.contains("cannot install watermark"))
+  }
 }
