@@ -79,10 +79,12 @@ object Generations {
 
   /** Batch-id leaves of the table: `(parentDirRelativeToRoot, id)` —
     * parent is "" for the one-level shape. Staging/marker entries
-    * (`.`/`_`) are skipped at both levels. `private[state]`:
+    * (`.`/`_`) are skipped at both levels. `private[graft]`:
     * [[Layout.maintain]] uses its non-emptiness as the
-    * batch-appended-vs-overwrite layout signal. */
-  private[state] def batchLeaves(fs: FileSystem, root: Path)
+    * batch-appended-vs-overwrite layout signal;
+    * [[graft.streaming.StreamNearDedup.migrateToBucketed]] reads the
+    * flat table's shape and max batch id from it. */
+  private[graft] def batchLeaves(fs: FileSystem, root: Path)
       : Seq[(String, Long)] = {
     if (!fs.exists(root)) return Nil
     def idOf(name: String): Option[Long] =

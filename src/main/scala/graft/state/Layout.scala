@@ -235,12 +235,22 @@ object Layout {
 
   /** What [[maintain]] ran: the fold's stats when the layout is
     * batch-appended and a safe horizon existed, the (before, after)
-    * file counts when the overwrite layout was bin-packed. At most
-    * one is set — the layout's shape picks the op. */
+    * file counts when the overwrite layout was bin-packed, or the
+    * per-member fold stats when the dir carries a group manifest
+    * (the whole group ages off one call). At most one shape is set —
+    * the layout picks the op. `skipped` is the MANDATORY reason when
+    * nothing ran but maintenance was requested on a table that looks
+    * like it needs it (a batch-appended table with no safe horizon):
+    * a cron calling maintain() and never reading the report still
+    * gets the warn log, and a caller that does read it gets the why
+    * instead of a quiet `ran=false`. */
   final case class MaintainReport(
       fold: Option[Generations.FoldStats],
-      compacted: Option[(Long, Long)]) {
-    def ran: Boolean = fold.nonEmpty || compacted.nonEmpty
+      compacted: Option[(Long, Long)],
+      group: Seq[(String, Generations.FoldStats)] = Nil,
+      skipped: Option[String] = None) {
+    def ran: Boolean = fold.nonEmpty || compacted.nonEmpty ||
+      group.nonEmpty
   }
 
   /** ONE maintenance entry for any graft layout — the layout IS its
@@ -269,9 +279,19 @@ object Layout {
                foldHorizon: Option[Long] = None,
                compactTargetBytes: Long = DefaultCompactTargetBytes)
       : MaintainReport = {
-    Generations.recover(spark, dir)
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a GROUP manifest trumps the single-table inspection: entering
+    // through ANY member (the band table, the un-aged pairs table)
+    // ages the whole group in lockstep with the shared horizon —
+    // the one case the single-table rule could not cover (band/pairs
+    // carry no watermark of their own, so standalone maintain() on
+    // them had to skip)
+    readGroupManifest(fs, root) match {
+      case Some(g) => return maintainGroup(spark, dir, g, foldHorizon)
+      case None => ()
+    }
+    Generations.recover(spark, dir)
     // any batch_id= leaf — including a lone folded base — marks the
     // batch-appended shape (a fully-folded store must not fall
     // through to the overwrite branch)
@@ -282,11 +302,183 @@ object Layout {
       horizon match {
         case Some(h) => MaintainReport(
           Some(Generations.foldBatches(spark, dir, h)), None)
-        case None => MaintainReport(None, None)
+        case None =>
+          // LOG-LOUD skip, never a quiet no-op: the table needs
+          // aging but no safe horizon exists — folding with a
+          // guessed one would break replay idempotence
+          val why = s"maintain($dir): batch-appended table with no " +
+            "replay watermark and no foldHorizon given — fold " +
+            "SKIPPED (a guessed horizon would break replay " +
+            "idempotence). Pass foldHorizon, or let the owning " +
+            "stream write a group manifest so the sets table's " +
+            "watermark can supply it."
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(why)
+          MaintainReport(None, None, skipped = Some(why))
       }
     } else if (hasDataFiles(fs, root))
       MaintainReport(None, Some(compact(spark, dir, compactTargetBytes)))
     else MaintainReport(None, None)
+  }
+
+  /** [[maintain]]'s group arm: fold every member in `g.fold` with the
+    * ONE shared horizon — `foldHorizon` when given, else the horizon
+    * source's replay watermark (the sets table: the highest batch id
+    * whose writes ever started; ids below it can never be
+    * re-delivered, on ANY sibling — the stream writes all members
+    * from the same foreachBatch). Missing members refuse (a stale
+    * manifest on a moved group must not fold half a group); a
+    * horizon source with no watermark is the log-loud skip (never
+    * guess). */
+  private def maintainGroup(spark: SparkSession, dir: String,
+                            g: MaintenanceGroup,
+                            foldHorizon: Option[Long])
+      : MaintainReport = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val missing = (g.horizonSource +: g.fold).distinct.filterNot { m =>
+      val p = new org.apache.hadoop.fs.Path(m)
+      p.getFileSystem(conf).exists(p)
+    }
+    require(missing.isEmpty,
+      s"maintain($dir): group manifest names missing member(s) " +
+        s"${missing.mkString(", ")} — the group moved or the " +
+        "manifest is stale; folding the remaining members alone " +
+        "would desynchronize the group. Restart the stream at the " +
+        "new paths (it rewrites the manifests) or delete the stale " +
+        "_graft_group.json.")
+    val hs = new org.apache.hadoop.fs.Path(g.horizonSource)
+    val horizon = foldHorizon.orElse(
+      Generations.lastBatchWatermark(hs.getFileSystem(conf), hs))
+    horizon match {
+      case Some(h) =>
+        MaintainReport(None, None,
+          group = g.fold.map(m =>
+            m -> Generations.foldBatches(spark, m, h)))
+      case None =>
+        val why = s"maintain($dir): group manifest's horizon source " +
+          s"${g.horizonSource} carries no replay watermark and no " +
+          "foldHorizon was given — group fold SKIPPED (a guessed " +
+          "horizon would break replay idempotence)."
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(why)
+        MaintainReport(None, None, skipped = Some(why))
+    }
+  }
+
+  private val GroupManifestFile = "_graft_group.json"
+
+  /** A maintenance GROUP: sibling tables one stream maintains
+    * together (the near-dup sets/band/pairs trio), recorded in each
+    * member's dir so [[maintain]] on ANY member ages the whole group.
+    * `horizonSource` is the member whose replay watermark supplies
+    * the shared fold horizon (the sets table — the one table the
+    * stream watermarks); `fold` is the members folded in lockstep
+    * (the pairs table appears only when its provenance mode lets it
+    * age — an entry dir absent from `fold` still triggers the
+    * group's fold, it just keeps its own leaves). */
+  final case class MaintenanceGroup(horizonSource: String,
+                                    fold: Seq[String])
+
+  /** Member dir → its group manifest (None = not grouped). STRICT: a
+    * present-but-corrupt manifest throws — maintain() is a write
+    * path, and degrading to single-table maintenance would silently
+    * stop aging the siblings. */
+  def readGroupManifest(fs: org.apache.hadoop.fs.FileSystem,
+                        table: org.apache.hadoop.fs.Path)
+      : Option[MaintenanceGroup] = {
+    val p = new org.apache.hadoop.fs.Path(table, GroupManifestFile)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val hs = jsonStringsAfter(s, "\"horizon_source\"", 1)
+      val fold = jsonStringsAfter(s, "\"fold\"", Int.MaxValue)
+      if (hs.isEmpty || s.indexOf("\"fold\"") < 0)
+        throw new IllegalStateException(
+          s"corrupt group manifest at $p: $s")
+      Some(MaintenanceGroup(hs.head, fold))
+    }
+  }
+
+  /** Write the manifest via dot-temp + rename (the watermark-install
+    * rule: never truncate the live file in place). */
+  def writeGroupManifest(fs: org.apache.hadoop.fs.FileSystem,
+                         table: org.apache.hadoop.fs.Path,
+                         g: MaintenanceGroup): Unit = {
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val body = s"""{"horizon_source": "${esc(g.horizonSource)}", """ +
+      s""""fold": [${g.fold.map(f => "\"" + esc(f) + "\"")
+        .mkString(", ")}]}"""
+    val tmp = new org.apache.hadoop.fs.Path(table,
+      "." + GroupManifestFile + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(table, GroupManifestFile)
+    val direct = try fs.rename(tmp, dst)
+      catch { case scala.util.control.NonFatal(_) => false }
+    if (!direct) {
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst)) throw new IllegalStateException(
+        s"cannot install group manifest at $dst")
+    }
+  }
+
+  /** Keep every member's manifest current: read, rewrite only when
+    * absent or drifted (a moved/reconfigured group self-heals on the
+    * next trigger; an unchanged group costs one small read per
+    * member). Creates member dirs that don't exist yet (the pairs
+    * table before its first pair). */
+  def ensureGroupManifest(spark: SparkSession, members: Seq[String],
+                          g: MaintenanceGroup): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    members.distinct.foreach { m =>
+      val p = new org.apache.hadoop.fs.Path(m)
+      val fs = p.getFileSystem(conf)
+      val current =
+        try readGroupManifest(fs, p)
+        catch { case _: IllegalStateException => None } // corrupt: heal
+      if (!current.contains(g)) {
+        fs.mkdirs(p)
+        writeGroupManifest(fs, p, g)
+      }
+    }
+  }
+
+  /** The ≤`max` JSON string literals following `key` in `s` (first
+    * occurrence), scanned with real escape handling — paths are
+    * arbitrary strings, so the regex-over-JSON trick the int markers
+    * use is not safe here. Stops at the closing `]` for arrays; a
+    * bare string value reads one literal. */
+  private def jsonStringsAfter(s: String, key: String, max: Int)
+      : Seq[String] = {
+    val at = s.indexOf(key)
+    if (at < 0) return Nil
+    var i = at + key.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inArray = false
+    var done = false
+    while (!done && i < s.length && out.size < max) {
+      s.charAt(i) match {
+        case '[' => inArray = true; i += 1
+        case ']' => done = true
+        case '"' =>
+          val sb = new StringBuilder
+          i += 1
+          while (i < s.length && s.charAt(i) != '"') {
+            if (s.charAt(i) == '\\' && i + 1 < s.length) {
+              sb.append(s.charAt(i + 1)); i += 2
+            } else { sb.append(s.charAt(i)); i += 1 }
+          }
+          i += 1
+          out += sb.toString
+          if (!inArray) done = true
+        case ',' | ':' | ' ' | '\t' | '\n' | '\r' => i += 1
+        case _ => done = true // next key / malformed — stop
+      }
+    }
+    out.toSeq
   }
 
   /** The three streaming-maintained instances + the store's marker

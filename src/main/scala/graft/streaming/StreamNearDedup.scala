@@ -128,6 +128,203 @@ object StreamNearDedup {
       Some(bandDir)
     else None
 
+  /** What [[migrateToBucketed]] did: `migrated = false` means the
+    * sets table was ALREADY bucketed at the requested modulus (a
+    * re-invocation, or entry-time recovery completed a crashed
+    * migration's swap) — idempotent no-op. `preservedBatch` is the
+    * flat table's max batch id, the one batch the source could still
+    * re-deliver: its leaf survives the migration unfolded so the
+    * bucketed replay-clear can still scrub it. */
+  final case class MigrateReport(migrated: Boolean, docs: Long,
+                                 preservedBatch: Option[Long])
+
+  /** Flat→bucketed migration as ONE engine call — the lifecycle step
+    * a growing corpus hits when it outgrows
+    * [[Defaults.BucketedCorpusFloor]] (the reference handles the
+    * analogous layout change with a full-reindex protocol:
+    * `update.sh:12-37`'s stop → rebuild → restart). Rebuilds the
+    * FLAT sets table at `sideDir` into the bucketed layout in place,
+    * builds the band side table at `bandDir`, and installs the whole
+    * marker handshake (`sets_buckets`/`band_buckets` markers, replay
+    * watermark, group manifest) — afterwards the stream restarts
+    * with `bandDir = Some(...)` and the same `sideDir`/`pairsDir`,
+    * nothing else to sequence. The pairs table needs no migration
+    * (its layout is mode-independent).
+    *
+    * REPLAY SAFETY across the migration: foreachBatch is sequential,
+    * so if `batch_id = N` leaves exist then every batch < N already
+    * committed to the checkpoint — only N can ever be re-delivered.
+    * The migration therefore folds every batch BELOW the max into
+    * the per-bucket base generation (exactly what the auto cadence
+    * would do) and PRESERVES the max batch's leaf under its own id,
+    * installing the replay watermark at that id: a post-restart
+    * redelivery of N — identical or drifted — hits the standard
+    * bucketed replay path (proven-replay ghost clears) against the
+    * preserved leaf. Spec-pinned: pair history is identical across
+    * (flat stream → migrate → bucketed stream, replay straddling)
+    * vs an always-bucketed control.
+    *
+    * CRASH SAFETY: the new sets tree is staged under a dot-prefixed
+    * sibling; the band table is (re)built before the swap; the swap
+    * is two renames. The live flat table is renamed away only after
+    * staging and band are COMPLETE, so at entry `sideDir` absent +
+    * staging present proves a crashed swap — recovery completes it;
+    * `sideDir` present means any staging/old debris is from an
+    * attempt that never reached the swap — discarded, the flat
+    * table untouched. Re-run after ANY crash; the call is
+    * idempotent. Single-writer maintenance op: run with the stream
+    * STOPPED (same contract as fold/compact).
+    *
+    * Validation is all-up-front (nothing deleted before it passes):
+    * `sideDir` must be a flat batch-appended sets table (a foreign
+    * or corrupt marker refuses); `bandDir` must be empty, absent, or
+    * a matching-modulus band table (a crashed attempt's own debris)
+    * — data without the `band_buckets` marker, or a mismatched
+    * modulus, refuses rather than deleting a foreign table. */
+  def migrateToBucketed(spark: SparkSession, sideDir: String,
+                        bandDir: String,
+                        buckets: Int = Defaults.Buckets,
+                        k: Int = Defaults.K,
+                        bands: Int = Defaults.Bands,
+                        seed: Long = Defaults.Seed): MigrateReport = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val side = new org.apache.hadoop.fs.Path(sideDir)
+    val fs = side.getFileSystem(conf)
+    val staging = new org.apache.hadoop.fs.Path(
+      side.getParent, "." + side.getName + "__migrate")
+    val old = new org.apache.hadoop.fs.Path(
+      side.getParent, "." + side.getName + "__migrate_old")
+    // ── entry-time recovery ──
+    if (!fs.exists(side)) {
+      if (fs.exists(staging)) {
+        // crashed between the swap's two renames: the live table is
+        // only ever renamed away AFTER staging + band are complete,
+        // so staging IS the new sets table — finish the swap
+        if (!fs.rename(staging, side))
+          throw new IllegalStateException(
+            s"migration recovery: cannot install $staging at $side")
+        fs.delete(old, true)
+      } else if (fs.exists(old)) {
+        // no staging to install (manual damage): restore the flat
+        // table rather than leave no table at all
+        if (!fs.rename(old, side))
+          throw new IllegalStateException(
+            s"migration recovery: cannot restore $old to $side")
+      } else throw new IllegalArgumentException(
+        s"$sideDir does not exist — nothing to migrate")
+    } else {
+      // live table present: staging never reached the swap — discard;
+      // a leftover old dir is the superseded flat table of a swap
+      // that completed (crash before its delete) — discard too
+      fs.delete(staging, true)
+      fs.delete(old, true)
+    }
+    // ── validation, all before any destructive step ──
+    val setsTable = graft.state.Layout.setsSideTable(sideDir)
+    graft.state.Layout.layoutMarkerRaw(fs, side) match {
+      case Some(raw) =>
+        setsTable.modulus(spark) match {
+          case Some(n) =>
+            require(n == buckets,
+              s"$sideDir is already bucketed with sets_buckets=$n; " +
+                s"this migration requested buckets=$buckets — " +
+                "moduli must match (a modulus change is a rebuild, " +
+                "not a migration)")
+            // already migrated (idempotent re-run / completed
+            // recovery): nothing to do
+            return MigrateReport(migrated = false, docs = 0L,
+              preservedBatch = None)
+          case None => throw new IllegalArgumentException(
+            s"$sideDir carries a foreign layout marker ($raw) — not " +
+              "a flat near-dup sets table; refusing to migrate")
+        }
+      case None => ()
+    }
+    require(graft.state.Layout.hasDataFiles(fs, side),
+      s"$sideDir holds no data — nothing to migrate")
+    val leaves = graft.state.Generations.batchLeaves(fs, side)
+    require(leaves.nonEmpty && leaves.forall(_._1.isEmpty),
+      s"$sideDir is not a flat batch-appended sets table " +
+        s"(expected batch_id= leaves at the root)")
+    val maxBatch = leaves.map(_._2).max
+    val bandPath = new org.apache.hadoop.fs.Path(bandDir)
+    val bfs = bandPath.getFileSystem(conf)
+    graft.state.Layout.layoutMarkerRaw(bfs, bandPath) match {
+      case Some(raw) =>
+        require(graft.state.Layout.markedBuckets(spark, bandDir,
+            "band_buckets").contains(buckets),
+          s"$bandDir carries a layout marker ($raw) that is not " +
+            s"band_buckets=$buckets — refusing to delete what may " +
+            "be a foreign (or differently-bucketed) table")
+      case None =>
+        require(!graft.state.Layout.hasDataFiles(bfs, bandPath),
+          s"$bandDir holds data without a band_buckets marker — " +
+            "refusing to overwrite a foreign table")
+    }
+    // a crashed FOLD on the flat table must complete before the
+    // rebuild reads it (rows could otherwise be read twice)
+    graft.state.Generations.recover(spark, sideDir)
+    // ── stage the bucketed sets tree ──
+    // batch mapping = exactly a fold at horizon maxBatch: ids below
+    // it can never be re-delivered (sequential foreachBatch), the max
+    // leaf is preserved for the straddling replay
+    fs.delete(staging, true)
+    val flat = spark.read.parquet(sideDir)
+    val docs = flat.count()
+    flat
+      .withColumn("batch_id",
+        when(col("batch_id") === lit(maxBatch), lit(maxBatch))
+          .otherwise(lit(graft.state.Generations.BaseBatchId)))
+      .withColumn("id_bucket", Dedup.idBucket(col("id"), buckets))
+      .repartition(col("id_bucket"))
+      .write.mode("overwrite")
+      .partitionBy("id_bucket", "batch_id")
+      .parquet(staging.toString)
+    graft.state.Layout.writeLayoutMarker(fs, staging,
+      "sets_buckets", buckets)
+    if (maxBatch >= 0)
+      graft.state.Generations.writeLastBatchWatermark(fs, staging,
+        maxBatch)
+    // ── build the band table (before the swap: a completed swap
+    // must imply a complete band table) ──
+    def bandRowsAt(sets: org.apache.spark.sql.DataFrame,
+                   batch: Long) =
+      Dedup.minhashBandRows(sets.select("id", "sh"), k, bands, seed)
+        .withColumn("band_bucket",
+          Dedup.bandBucket(col("band"), col("key"), buckets))
+        .withColumn("batch_id", lit(batch))
+    graft.state.Layout.bandSideTable(bandDir).rebuild(spark, buckets) {
+      bandRowsAt(flat.filter(col("batch_id") =!= lit(maxBatch)),
+          graft.state.Generations.BaseBatchId)
+        .unionByName(bandRowsAt(
+          flat.filter(col("batch_id") === lit(maxBatch)), maxBatch))
+        .repartition(col("band_bucket"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("band_bucket", "batch_id")
+        .parquet(bandDir)
+    }
+    // ── the swap: the ONLY window where the live table moves ──
+    if (!fs.rename(side, old))
+      throw new IllegalStateException(
+        s"migration: cannot move $side aside")
+    if (!fs.rename(staging, side)) {
+      fs.rename(old, side) // roll back
+      throw new IllegalStateException(
+        s"migration: cannot install $staging at $side")
+    }
+    fs.delete(old, true)
+    // group manifest so maintain() on either member ages the pair
+    // from day one; the first post-restart trigger extends it with
+    // the pairs dir ([[probeAndAppend]]'s ensure)
+    graft.state.Layout.ensureGroupManifest(spark,
+      Seq(sideDir, bandDir),
+      graft.state.Layout.MaintenanceGroup(
+        horizonSource = sideDir, fold = Seq(sideDir, bandDir)))
+    MigrateReport(migrated = true, docs = docs,
+      preservedBatch = if (maxBatch >= 0) Some(maxBatch) else None)
+  }
+
   /** One micro-batch: emit (new_id, old_id, n_inter, n_union,
     * batch_id) pairs to `pairsDir`, then register the batch's
     * shingle sets in `sideDir`. Both writes are per-batch-partition
@@ -464,6 +661,21 @@ object StreamNearDedup {
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("band_bucket", "batch_id")
             .parquet(bd)
+          // the GROUP manifest, kept current every trigger (rewrite
+          // only on drift): names the sibling tables + the horizon
+          // source, so ONE `Layout.maintain(anyMemberDir)` ages the
+          // whole group with the sets table's watermark — without it
+          // a standalone maintain(bandDir) had no safe horizon and
+          // skipped. The pairs table is in the FOLD list only when
+          // its provenance mode lets it age (provenance rides a data
+          // column); un-aged it still carries the manifest, so
+          // entering through it maintains the siblings.
+          graft.state.Layout.ensureGroupManifest(spark,
+            Seq(sideDir, bd, pairsDir),
+            graft.state.Layout.MaintenanceGroup(
+              horizonSource = sideDir,
+              fold = Seq(sideDir, bd) ++
+                pairProvenanceCol.map(_ => pairsDir)))
         case None =>
           deltaSets.withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")

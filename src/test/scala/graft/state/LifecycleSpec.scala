@@ -203,8 +203,14 @@ class LifecycleSpec extends SparkSpec {
           .partitionBy(t.bucketCol, "batch_id").parquet(t.dir)
       val before = spark.read.parquet(t.dir).select("k")
         .as[Long].collect().toSet
-      // no horizon and no watermark: the fold is SKIPPED, not guessed
-      assert(!t.maintain(spark).ran, name)
+      // no horizon and no watermark: the fold is SKIPPED, not
+      // guessed — and the skip is REPORT-MANDATORY, never a quiet
+      // ran=false (a cron that never reads the report still gets the
+      // warn log; one that does gets the why)
+      val skippedReport = t.maintain(spark)
+      assert(!skippedReport.ran &&
+        skippedReport.skipped.exists(_.contains("no replay " +
+          "watermark")), name)
       // explicit horizon folds
       val r = t.maintain(spark, foldHorizon = Some(2L))
       assert(r.fold.exists(_.foldedLeaves > 0) &&
@@ -254,5 +260,131 @@ class LifecycleSpec extends SparkSpec {
       r.fold.isEmpty)
     assert(spark.read.parquet(t.dir).count() === before)
     assert(t.modulus(spark).contains(2))
+  }
+
+  test("group manifest: maintain() on ANY member of a live near-dup " +
+    "group ages the WHOLE group in lockstep with the sets table's " +
+    "watermark as the shared horizon — incl. the band/pairs tables " +
+    "that carry no watermark of their own") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val dir = java.nio.file.Files
+      .createTempDirectory("lc-group").toString
+    val side = s"$dir/side"; val pairs = s"$dir/pairs"
+    val band = s"$dir/band"
+    def run(b: Long, docs: Seq[(Long, String)]): Long =
+      graft.streaming.StreamNearDedup.probeAndAppend(spark,
+        docs.toDF("doc_id", "text"), b, side, pairs,
+        threshold = 0.2, bandDir = Some(band), buckets = 8,
+        pairProvenanceCol = Some("src_batch_id"))
+    run(0L, Seq(1L -> base))
+    run(1L, Seq(10L -> base.replace("sigma", "SIGMA")))
+    run(2L, Seq(20L -> base.replace("tau", "TAU")))
+    val sch = "new_id long, old_id long, n_inter long, " +
+      "n_union long, src_batch_id long, batch_id long"
+    val history = spark.read.schema(sch).parquet(pairs)
+      .select("new_id", "old_id", "src_batch_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(history.nonEmpty)
+    // ONE maintenance entry, through the member that used to have to
+    // skip (the band table has no watermark): the manifest supplies
+    // the siblings and the sets table's watermark (2) the horizon
+    val r = Layout.maintain(spark, band)
+    assert(r.group.map(_._1).toSet === Set(side, band, pairs))
+    assert(r.group.forall(_._2.foldedLeaves > 0), r.group.toString)
+    assert(r.fold.isEmpty && r.compacted.isEmpty && r.ran)
+    // all three folded in LOCKSTEP: batches < 2 in the base
+    // generation, batch 2 (replayable) preserved — and nothing lost
+    for (d <- Seq(side, band, pairs)) {
+      val got = spark.read.parquet(d).select("batch_id").distinct()
+        .as[Long].collect().toSet
+      assert(got === Set(Generations.BaseBatchId, 2L), d)
+    }
+    assert(spark.read.schema(sch).parquet(pairs)
+      .select("new_id", "old_id", "src_batch_id")
+      .as[(Long, Long, Long)].collect().toSet === history)
+    // the stream continues on the maintained group
+    assert(run(3L, Seq(30L -> base.replace("rho", "RHO"))) === 3L)
+  }
+
+  test("group manifest: an UN-AGED pairs table (no provenance mode) " +
+    "still carries the manifest — entering through it ages the " +
+    "siblings while its own provenance leaves stay untouched") {
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val dir = java.nio.file.Files
+      .createTempDirectory("lc-group2").toString
+    val side = s"$dir/side"; val pairs = s"$dir/pairs"
+    val band = s"$dir/band"
+    def run(b: Long, docs: Seq[(Long, String)]): Long =
+      graft.streaming.StreamNearDedup.probeAndAppend(spark,
+        docs.toDF("doc_id", "text"), b, side, pairs,
+        threshold = 0.2, bandDir = Some(band), buckets = 8)
+    run(0L, Seq(1L -> base))
+    run(1L, Seq(10L -> base.replace("sigma", "SIGMA")))
+    run(2L, Seq(20L -> base.replace("tau", "TAU")))
+    val r = Layout.maintain(spark, pairs)
+    // the pairs table is NOT in the fold list (its batch_id leaves
+    // are the provenance contract) but its manifest folds the
+    // siblings
+    assert(r.group.map(_._1).toSet === Set(side, band))
+    for (d <- Seq(side, band))
+      assert(spark.read.parquet(d).select("batch_id").distinct()
+        .as[Long].collect().toSet ===
+        Set(Generations.BaseBatchId, 2L), d)
+    // pairs: per-batch leaves intact (batches 1 and 2 emitted pairs)
+    assert(spark.read.parquet(pairs).select("batch_id").distinct()
+      .as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("group manifest guards: corrupt manifest refuses, a missing " +
+    "member refuses (stale manifest on a moved group), a horizonless " +
+    "group skips log-loud with the reason, and exotic paths survive " +
+    "the write/read round-trip") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("lc-group3").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val t = new org.apache.hadoop.fs.Path(s"$dir/t")
+    val fs = t.getFileSystem(conf)
+    fs.mkdirs(t)
+    // corrupt: strict refusal — degrading to single-table
+    // maintenance would silently stop aging the siblings
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(t, "_graft_group.json"), true)
+    out.write("{\"garbage\"".getBytes("UTF-8")); out.close()
+    intercept[IllegalStateException] { Layout.maintain(spark, s"$dir/t") }
+    // missing member: never fold half a group
+    val m1 = s"$dir/m1"; val gone = s"$dir/gone"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(m1))
+    Layout.writeGroupManifest(fs, new org.apache.hadoop.fs.Path(m1),
+      Layout.MaintenanceGroup(m1, Seq(m1, gone)))
+    val e = intercept[IllegalArgumentException] {
+      Layout.maintain(spark, m1) }
+    assert(e.getMessage.contains("missing member"))
+    // horizonless group (watermark hand-deleted): log-loud skip,
+    // never a guessed horizon
+    val m2 = s"$dir/m2"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(m2))
+    Layout.writeGroupManifest(fs, new org.apache.hadoop.fs.Path(m2),
+      Layout.MaintenanceGroup(m2, Seq(m2)))
+    val r = Layout.maintain(spark, m2)
+    assert(!r.ran && r.skipped.exists(_.contains("no replay " +
+      "watermark")))
+    // ...but an explicit foldHorizon overrides the missing watermark
+    import spark.implicits._
+    Seq((1L, "x")).toDF("k", "v")
+      .write.parquet(s"$m2/id_bucket=0/batch_id=0")
+    Seq((2L, "y")).toDF("k", "v")
+      .write.parquet(s"$m2/id_bucket=0/batch_id=1")
+    val r2 = Layout.maintain(spark, m2, foldHorizon = Some(1L))
+    assert(r2.group.exists { case (d, st) =>
+      d == m2 && st.foldedLeaves === 1 })
+    // exotic path escaping round-trips (quotes + backslashes)
+    val weird = Layout.MaintenanceGroup(
+      "/tmp/we\"ird\\path", Seq("/tmp/a\"b", "/tmp/c\\d"))
+    Layout.writeGroupManifest(fs, t, weird)
+    assert(Layout.readGroupManifest(fs, t).contains(weird))
   }
 }
