@@ -270,11 +270,17 @@ object Layout {
     * replay watermark ([[Generations.lastBatchWatermark]] — the
     * highest batch id whose writes ever STARTED; ids below it can
     * never be re-delivered by foreachBatch, so `horizon = watermark`
-    * folds exactly the leaves no replay will target). A
-    * batch-appended table with NEITHER (e.g. a band/pairs table,
-    * which carries no watermark of its own) skips the fold — give
-    * those the sets table's horizon explicitly, as
-    * [[graft.streaming.StreamNearDedup.maybeAutoFold]] does. */
+    * folds exactly the leaves no replay will target).
+    *
+    * GROUPED tables (a `_graft_group.json` manifest, maintained by
+    * the bucketed near-dup stream and [[
+    * graft.streaming.StreamNearDedup.migrateToBucketed]]): maintain()
+    * on ANY member folds the whole group in lockstep with the
+    * horizon source's watermark — the band/pairs tables, which carry
+    * no watermark of their own, age through their manifest. A
+    * STANDALONE batch-appended table with neither horizon nor
+    * watermark skips the fold LOG-LOUD with the reason on the report
+    * (`skipped`) — never a guessed horizon, never a quiet no-op. */
   def maintain(spark: SparkSession, dir: String,
                foldHorizon: Option[Long] = None,
                compactTargetBytes: Long = DefaultCompactTargetBytes)

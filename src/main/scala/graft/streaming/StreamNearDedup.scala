@@ -118,10 +118,9 @@ object StreamNearDedup {
     * only: both layouts record a marker/shape the other mode refuses
     * ([[probeAndAppend]]'s handshake), so re-evaluating the rule over
     * a growing corpus never silently switches a live store — a flat
-    * stream that outgrows the floor migrates by rebuilding into a
-    * bucketed layout ([[graft.dedup.Dedup.writeSetsSideTable]] /
-    * [[graft.dedup.Dedup.writeBandSideTable]]) and restarting with
-    * `bandDir` set. */
+    * stream that outgrows the floor migrates with ONE engine call,
+    * [[migrateToBucketed]] (stop the stream, call it, restart with
+    * `bandDir` set). */
   def recommendedBandDir(expectedCorpusDocs: Long, bandDir: => String)
       : Option[String] =
     if (expectedCorpusDocs >= Defaults.BucketedCorpusFloor)
@@ -755,7 +754,8 @@ object StreamNearDedup {
     * whole accumulated corpus through a single task every cadence —
     * O(corpus) serial work that grows quadratically over the
     * stream's life. A flat stream that needs aging should move to
-    * the bucketed layout (per-bucket parallel fold) — refusing loud
+    * the bucketed layout ([[migrateToBucketed]], one call; the fold
+    * there is per-bucket parallel) — refusing loud
     * here beats wiring in a scaling cliff; the AUTO cadence is
     * simply inert in flat mode for the same reason (no bucket dirs
     * to sample, no per-bucket fold to run). (Sizing: pass

@@ -51,18 +51,48 @@ object ScaleEvidence {
     */
   private var only: Option[scala.util.matching.Regex] = None
 
+  /** BOUNDARY tier (VERDICT r12 #4): stages that price deliberate
+    * design boundaries, not regression sentinels — the documented
+    * quadratic oracle gate (v15), the codec-bound multimodal decodes
+    * (mm09/mm10), and the q29 broadcast loop kept as the bucketed
+    * win's comparator. Together they are ~60 % of the full sweep's
+    * 1h17m wall (r12: 313 + 199 + 136 + 201 s at reps=100), so the
+    * default sweep SKIPS them — the regression tier then runs in
+    * ~30 min and gets re-run more readily. Run them on demand:
+    * `runMain graft.tools.ScaleEvidence 100 . boundary` (3rd arg),
+    * or select them explicitly with the stage filter (an explicit
+    * regex always wins — you asked for the stage, you get it). */
+  private val BoundaryPrefixes = Seq(
+    "v15 margin mining",
+    "mm09 audio chunk plan",
+    "mm10 video frame decode",
+    "q29 pagerank broadcast loop")
+  private var includeBoundary = false
+  private def isBoundary(label: String): Boolean =
+    BoundaryPrefixes.exists(label.startsWith)
+
   /** THE selection predicate — timed() and every off-clock setup
     * gate test the filter against the SAME full stage label, so a
     * regex that selects a stage always also runs the seeding that
     * stage depends on (gates pass the exact label value the timed
     * call uses; fragments drifted — a suffix-matching filter used to
-    * run a stage whose setup had been skipped). */
-  private def stageSelected(label: String): Boolean =
-    only.forall(_.findFirstIn(label).isDefined)
+    * run a stage whose setup had been skipped). An EXPLICIT filter
+    * decides alone (boundary stages included — selecting one by
+    * regex IS the on-demand path); without one, the boundary tier
+    * runs only under the 3rd-arg opt-in. */
+  private def stageSelected(label: String): Boolean = only match {
+    case Some(r) => r.findFirstIn(label).isDefined
+    case None => includeBoundary || !isBoundary(label)
+  }
 
   private def timed(label: String)(f: => Long): Unit = {
     val selected = stageSelected(label)
-    if (!selected) { println(f"$label%-42s   skipped (filter)"); return }
+    if (!selected) {
+      val why = if (only.isEmpty && isBoundary(label))
+        "skipped (boundary tier — 3rd arg 'boundary', or filter)"
+      else "skipped (filter)"
+      println(f"$label%-42s   $why"); return
+    }
     val w0 = shuffleWrite.get(); val r0 = shuffleRead.get()
     val e0 = execRunMs.get(); val g0 = execGcMs.get()
     val t0 = System.nanoTime()
@@ -106,6 +136,11 @@ object ScaleEvidence {
     val reps = args.headOption.map(_.toInt).getOrElse(10)
     only = args.lift(1).map(_.r)
     only.foreach(r => println(s"stage filter: ${r.regex}"))
+    includeBoundary = args.lift(2).exists(
+      a => a == "boundary" || a == "all")
+    if (only.isEmpty && !includeBoundary)
+      println("boundary tier (v15/mm09/mm10/q29-broadcast) " +
+        "skipped by default — 3rd arg 'boundary' runs it")
 
     // ── corpus: 10× documents, token-salted per replica ─────────────
     val docs0 = graft.Tables.documents(spark, d)
@@ -1030,6 +1065,57 @@ object ScaleEvidence {
       println(f"$d44eFlatLabel%-42s   skipped (filter)")
       println(f"$d44eBucketedLabel%-42s   skipped (filter)")
     }
+    // ── d44f: the flat→bucketed MIGRATION as one engine call
+    //    (VERDICT r12 #1's timing line): a flat store holding the
+    //    whole corpus across 8 batch leaves — the shape a flat
+    //    stream's life leaves behind when it outgrows the 1M-doc
+    //    floor — rebuilt in place by migrateToBucketed (staged sets
+    //    tree + band build + marker/watermark/manifest handshake +
+    //    swap), then ONE bucketed trigger proving the migrated store
+    //    serves at the bucketed mode's per-trigger cost. ────────────
+    val d44fLabel =
+      s"d44f migrate flat->bucketed (${reps*5}k docs, one call)"
+    val d44fTrigLabel =
+      s"d44f post-migration 20-doc trigger (bucketed, n=1024)"
+    if (Seq(d44fLabel, d44fTrigLabel).exists(stageSelected)) {
+      require(Seq(d44fLabel, d44fTrigLabel).forall(stageSelected),
+        "the d44f stages are one pipeline — select both ('d44f') " +
+          "or none")
+      val mDir = s"$work/d44f"
+      locally {
+        val p = new org.apache.hadoop.fs.Path(mDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
+      // off-clock seeding: the flat layout exactly as probeAndAppend
+      // leaves it (batch_id leaves at the root, no marker, no
+      // watermark — flat mode writes neither)
+      dynOverwrite(shingleSets(corpus)
+          .withColumn("batch_id", pmod(col("id"), lit(8L))),
+        s"$mDir/side", "batch_id")
+      timed(d44fLabel) {
+        val r = graft.streaming.StreamNearDedup.migrateToBucketed(
+          spark, s"$mDir/side", s"$mDir/band", buckets = 1024)
+        require(r.migrated && r.preservedBatch.contains(7L),
+          s"unexpected migration report: $r")
+        r.docs
+      }
+      timed(d44fTrigLabel) {
+        val delta = corpus
+          .filter(col("doc_id") % 7 === 0 && col("doc_id") < 140)
+          .select((col("doc_id") + 2000000000L).as("doc_id"),
+            col("text"))
+        val n = graft.streaming.StreamNearDedup.probeAndAppend(spark,
+          delta, 8L, s"$mDir/side", s"$mDir/pairs", threshold = 0.2,
+          bandDir = Some(s"$mDir/band"), buckets = 1024)
+        graft.CacheTracker.releaseAll()
+        require(n >= 20, s"post-migration trigger found only $n pairs")
+        n
+      }
+    } else {
+      println(f"$d44fLabel%-42s   skipped (filter)")
+      println(f"$d44fTrigLabel%-42s   skipped (filter)")
+    }
     // ── the aging story, measured (VERDICT r9 #1's "done" line):
     //    the bucketed streaming mode appends batch_id leaves every
     //    trigger; after ~1k batches the per-trigger LISTING of those
@@ -1041,18 +1127,35 @@ object ScaleEvidence {
     //    trigger again. Leaf-dir counts printed around the fold are
     //    the listing-cost evidence. ─────────────────────────────────
     println("== aged streaming side tables: ~1k-batch fold ==")
-    val agedPreLabel =
-      "aged near-dup trigger: 20 docs vs 1k-batch leaves PRE-fold"
-    val agedFoldLabel =
-      "aged near-dup AUTO-FOLD: engine leaves/bucket decision"
-    val agedPostLabel =
-      "aged near-dup trigger: 20 docs AFTER auto-fold (+auto check)"
-    val agedAll = Seq(agedPreLabel, agedFoldLabel, agedPostLabel)
-    if (agedAll.exists(stageSelected)) {
+    // TWO measured decades for the auto-fold threshold (VERDICT r12
+    // #3): the same 50k-seed + 1000x5-doc aging script at n=1024
+    // (the r10/r11/r12 regime point -- the band table ages to ~40
+    // leaves/bucket) and at n=4096 (the SAME ~41k total band leaves
+    // spread 4x thinner, ~10/bucket). A 20-doc trigger touches <=160
+    // band buckets at EITHER modulus, so if the per-enumerated-leaf
+    // cost is the invariant behind AutoFoldLeavesPerBucket's
+    // derivation (file-open cost per leaf), the n=4096 pre-fold
+    // excess over its own post-fold floor should shrink
+    // ~proportionally to lpb -- and the threshold, expressed in
+    // leaves/bucket, holds across moduli. Both pipelines print
+    // sampled lpb + leaf counts so BENCH_NOTES derives the per-leaf
+    // marginal cost per decade from one same-run table.
+    def agedPipeline(tag: String, buckets: Int): Unit = {
+      val agedPreLabel =
+        s"$tag near-dup trigger: 20 docs vs 1k-batch leaves PRE-fold"
+      val agedFoldLabel =
+        s"$tag near-dup AUTO-FOLD: engine leaves/bucket decision"
+      val agedPostLabel =
+        s"$tag near-dup trigger: 20 docs AFTER auto-fold (+auto check)"
+      val agedAll = Seq(agedPreLabel, agedFoldLabel, agedPostLabel)
+      if (!agedAll.exists(stageSelected)) {
+        agedAll.foreach(l => println(f"$l%-42s   skipped (filter)"))
+        return
+      }
       require(agedAll.forall(stageSelected),
-        "the aged stages are one pipeline — select all three " +
-          "('aged ') or none")
-      val aDir = s"$work/aged"
+        s"the $tag stages are one pipeline — select all three " +
+          s"('$tag ') or none")
+      val aDir = s"$work/$tag"
       val conf = spark.sparkContext.hadoopConfiguration
       locally {
         val p = new org.apache.hadoop.fs.Path(aDir)
@@ -1076,7 +1179,7 @@ object ScaleEvidence {
           val p = new org.apache.hadoop.fs.Path(d)
           val fs = p.getFileSystem(conf)
           fs.mkdirs(p)
-          graft.state.Layout.writeLayoutMarker(fs, p, key, 1024)
+          graft.state.Layout.writeLayoutMarker(fs, p, key, buckets)
         }
       locally {
         val p = new org.apache.hadoop.fs.Path(aSide)
@@ -1086,14 +1189,14 @@ object ScaleEvidence {
       val seedSets = setsOf(spark.range(50000)
         .select(col("id").as("id"), genText(col("id")).as("text")))
       dynOverwrite(seedSets
-          .withColumn("id_bucket", Dedup.idBucket(col("id"), 1024))
+          .withColumn("id_bucket", Dedup.idBucket(col("id"), buckets))
           .withColumn("batch_id", lit(0L))
           .repartition(col("id_bucket")),
         aSide, "id_bucket", "batch_id")
       dynOverwrite(Dedup.minhashBandRows(seedSets, k = 32, bands = 8,
             seed = 42L)
           .withColumn("band_bucket",
-            Dedup.bandBucket(col("band"), col("key"), 1024))
+            Dedup.bandBucket(col("band"), col("key"), buckets))
           .withColumn("batch_id", lit(0L))
           .repartition(col("band_bucket")),
         aBand, "band_bucket", "batch_id")
@@ -1106,13 +1209,13 @@ object ScaleEvidence {
         genText(col("id") + 1000000000L).as("text"))
       val agedSets = setsOf(agedDocs)
       dynOverwrite(agedSets
-          .withColumn("id_bucket", Dedup.idBucket(col("id"), 1024))
+          .withColumn("id_bucket", Dedup.idBucket(col("id"), buckets))
           .repartition(col("id_bucket"), col("batch_id")),
         aSide, "id_bucket", "batch_id")
       dynOverwrite(Dedup.minhashBandRows(agedSets.select("id", "sh"),
             k = 32, bands = 8, seed = 42L)
           .withColumn("band_bucket",
-            Dedup.bandBucket(col("band"), col("key"), 1024))
+            Dedup.bandBucket(col("band"), col("key"), buckets))
           .withColumn("batch_id",
             ((col("id") - 1000000000L) / 5 + 1).cast("long"))
           .repartition(col("band_bucket"), col("batch_id")),
@@ -1123,8 +1226,8 @@ object ScaleEvidence {
           new org.apache.hadoop.fs.Path(p, "*/batch_id=*")))
           .map(_.length).getOrElse(0)
       }
-      println(s"  aged leaves pre-fold: sets=${leafCount(aSide)} " +
-        s"band=${leafCount(aBand)}")
+      println(s"  $tag leaves pre-fold: sets=${leafCount(aSide)} " +
+        s"band=${leafCount(aBand)} (n=$buckets)")
       // the trigger: 10 exact dups of seed docs (guaranteed pairs) +
       // 10 fresh docs
       def trigger(batchId: Long): Long = {
@@ -1136,9 +1239,9 @@ object ScaleEvidence {
           .select(col("doc_id"), genText(col("src")).as("text"))
         val n = graft.streaming.StreamNearDedup.probeAndAppend(spark,
           delta, batchId, aSide, aPairs, threshold = 0.5,
-          bandDir = Some(aBand), buckets = 1024)
+          bandDir = Some(aBand), buckets = buckets)
         graft.CacheTracker.releaseAll()
-        require(n >= 10, s"aged trigger found only $n pairs")
+        require(n >= 10, s"$tag trigger found only $n pairs")
         n
       }
       timed(agedPreLabel) { trigger(1001L) }
@@ -1155,15 +1258,15 @@ object ScaleEvidence {
         val fired = graft.streaming.StreamNearDedup.maybeAutoFold(
           spark, aSide, Some(aBand), None, horizon = 1001L)
         require(fired.nonEmpty, "auto cadence did not fire on the " +
-          s"aged store (lpb sets=$lpbS band=$lpbB)")
+          s"$tag store (lpb sets=$lpbS band=$lpbB)")
         println(f"  auto decision: sampled leaves/bucket sets=" +
           f"$lpbS%.1f band=$lpbB%.1f, max >= threshold " +
           f"${graft.streaming.StreamNearDedup.Defaults
             .AutoFoldLeavesPerBucket}%.1f -> folded both side tables")
         fired.get.toLong
       }
-      println(s"  aged leaves post-fold: sets=${leafCount(aSide)} " +
-        s"band=${leafCount(aBand)}")
+      println(s"  $tag leaves post-fold: sets=${leafCount(aSide)} " +
+        s"band=${leafCount(aBand)} (n=$buckets)")
       // an UN-TUNED run() trigger on the auto-maintained store: the
       // probe plus the per-trigger auto check (which samples and
       // declines on the now-healthy store) — the full default-path
@@ -1175,7 +1278,9 @@ object ScaleEvidence {
           "auto cadence re-fired on a just-folded store")
         n
       }
-    } else agedAll.foreach(l => println(f"$l%-42s   skipped (filter)"))
+    }
+    agedPipeline("aged", 1024)
+    agedPipeline("aged4096", 4096)
     timed(s"d45 segment dedup + rebuild (${reps*5}k docs)") {
       // replicas make every replica-0 doc's segments duplicated
       // across... no: token salting keeps segments replica-local, so
