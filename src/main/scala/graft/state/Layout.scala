@@ -383,6 +383,13 @@ object Layout {
   final case class MaintenanceGroup(horizonSource: String,
                                     fold: Seq[String])
 
+  /** Existence probe only — for guards that must refuse on ANY
+    * manifest, even a corrupt one (a parse there would fail-loud
+    * with the wrong diagnosis; the flat-mode sideDir guard). */
+  def hasGroupManifest(fs: org.apache.hadoop.fs.FileSystem,
+                       table: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(table, GroupManifestFile))
+
   /** Member dir → its group manifest (None = not grouped). STRICT: a
     * present-but-corrupt manifest throws — maintain() is a write
     * path, and degrading to single-table maintenance would silently

@@ -451,10 +451,9 @@ object StreamNearDedup {
           // marker" — fail-loud with the wrong diagnosis. ANY marker
           // means this dir belongs to some bucketed layout; flat
           // batch_id writes would corrupt its partition tree.
-          graft.state.Layout.layoutMarkerRaw(
-              new org.apache.hadoop.fs.Path(sideDir)
-                .getFileSystem(conf),
-              new org.apache.hadoop.fs.Path(sideDir))
+          val sp = new org.apache.hadoop.fs.Path(sideDir)
+          val sfs = sp.getFileSystem(conf)
+          graft.state.Layout.layoutMarkerRaw(sfs, sp)
             .foreach { raw =>
               throw new IllegalArgumentException(
                 s"$sideDir carries a layout marker ($raw): it is a " +
@@ -462,6 +461,17 @@ object StreamNearDedup {
                   " — pass bandDir for the bucketed near-dup " +
                   "layout, or point the stream at a fresh directory")
             }
+          // same refusal for a GROUP manifest with the layout marker
+          // gone (hand-deleted): the manifest alone still proves the
+          // dir belongs to a maintained bucketed group — flat writes
+          // would corrupt the tree the siblings will fold. Existence
+          // probe only (a corrupt manifest must refuse too, not
+          // parse-fail with the wrong diagnosis).
+          if (graft.state.Layout.hasGroupManifest(sfs, sp))
+            throw new IllegalArgumentException(
+              s"$sideDir carries a maintenance-group manifest: it " +
+                "belongs to a bucketed near-dup group — pass " +
+                "bandDir, or point the stream at a fresh directory")
       }
       val pairs = CacheTracker.persistTracked(bandDir match {
         // BUCKETED mode: the corpus side is the persisted band +

@@ -160,6 +160,17 @@ class StreamNearDedupSpec extends SparkSpec {
         s"$dir2/side", s"$dir2/pairs", threshold = 0.2,
         bandDir = Some(s"$dir2/band"), buckets = 8) }
     assert(e3.getMessage.contains("flat mode"))
+    // a bucketed store whose layout marker was HAND-DELETED still
+    // refuses a flat restart: the group manifest alone proves the
+    // dir belongs to a maintained bucketed tree
+    val smp = new org.apache.hadoop.fs.Path(side,
+      "_graft_layout.json")
+    val sfs = smp.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(sfs.delete(smp, false))
+    val e4 = intercept[IllegalArgumentException] {
+      run(3L, Seq(300L -> base), bd = None) }
+    assert(e4.getMessage.contains("maintenance-group manifest"))
   }
 
   test("run(): a real StreamingQuery end-to-end — per-file batches, " +
