@@ -58,8 +58,18 @@ object StreamNearDedup {
       * stays in the post-fold regime, and since leaves grow by the
       * trigger's touched-bucket fraction per batch, folds fire
       * rarely enough that their amortized cost is a few percent.
+      *
+      * VALIDATED ACROSS A SECOND DECADE (BENCH_NOTES r13, same-run
+      * n=1024 vs n=4096 aged stores, identical data): the marginal
+      * cost per ENUMERATED LEAF is modulus-independent — 34.1 vs
+      * 33.3 ms task/leaf — so per-trigger cost is linear in
+      * (touched buckets × leaves/bucket) with one slope. A probe's
+      * touched buckets are capped by its own size (docs × bands
+      * keys) at any practical modulus, so the wall EXPRESSED IN
+      * LEAVES/BUCKET holds across moduli and the constant stands;
+      * the telemetry-derived cadence sketched in r12 is not needed.
       * Re-derive if leaf-write batching or the fold's own cost move
-      * the regime boundary. */
+      * the per-leaf slope. */
     val AutoFoldLeavesPerBucket = 8.0
 
     /** Bucket dirs sampled per auto-cadence check
