@@ -38,6 +38,33 @@ object Tables {
     documents(s, d).select("doc_id")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** [[documents]] spread across the session's cores — the mediaIds
+    * fix generalized (r13; opt guide §2.5 "input skew: one huge
+    * unsplittable file … repartition immediately after the read").
+    * Each sf parquet file holds ONE row group, so every scan plans
+    * as a single task no matter what maxPartitionBytes says, and the
+    * per-row-heavy operators (tokenize + shingle, LM scoring, regex
+    * extraction, per-row vector math) ran on 1 of 32 cores — the r13
+    * profile measured wall ≈ summed-task on ~25 queries (~25 s of
+    * serialized compute across the catalog). Hash-partition on the
+    * unique id: even spread, deterministic under task retry (§2.5
+    * warns off rand-derived keys), and Catalyst still pushes query
+    * filters through the repartition to the scan. Keep plain
+    * [[documents]] for metadata-only/id-hash rows — the exchange
+    * moves the text bytes once, so it is only bought where per-row
+    * compute dominates. */
+  def documentsSpread(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
+  /** [[embeddings]] spread across the session's cores — same
+    * single-row-group rationale as [[documentsSpread]] for the
+    * per-row vector math (dot products, signatures, PQ distance
+    * tables) the v-rows run in their scan stage. */
+  def embeddingsSpread(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+
   /** `events.ts` normalization — schema-adaptive because the driver
     * has shipped the column two ways across data generations:
     *
@@ -66,4 +93,29 @@ object Tables {
   val conf: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
+
+  /** Performance configs (opt guide §2.2/§6) — size-adaptive, not
+    * tuned to local[32]: both delegate partition sizing to AQE's
+    * byte-based coalescing, so they no-op where partitions are
+    * already advisory-sized (the 100 TB case) and collapse the
+    * pathological many-tiny-partition layouts the r13 profile
+    * measured locally (q29: 911 tasks / 33 stages over ~40 MB).
+    *
+    *   - canChangeCachedPlanOutputPartitioning: by default a cached
+    *     plan PINS spark.sql.shuffle.partitions partitions (AQE is
+    *     bypassed so the cache stays reusable under any consumer
+    *     partitioning); every CacheTracker intermediate then forces
+    *     KB-sized partitions on all downstream stages. true lets AQE
+    *     apply its normal byte-sizing to cached plans too
+    *     (SPARK-38389).
+    *   - coalescePartitions.parallelismFirst=false: the default true
+    *     coalesces only down to defaultParallelism — i.e. never below
+    *     the core count, whatever the bytes. The Spark tuning docs
+    *     themselves recommend false so the advisory target size
+    *     (64 MB default) governs. At cluster scale advisory-sized
+    *     shuffles are untouched; locally it removes per-task launch +
+    *     codegen-init overhead that dominates KB-sized stages.
+    */
+  val perfConf: Map[String, String] = Map(
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
 }

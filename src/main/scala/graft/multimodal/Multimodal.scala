@@ -94,19 +94,34 @@ object Multimodal {
       new java.io.ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 
+  /** All pixels as packed sRGB ints, row-major — ONE bulk getRGB call
+    * per image. The per-pixel `getRGB(x, y)` overload routes every
+    * pixel through `Raster.getDataElements` (a fresh transfer-array
+    * allocation per call on the byte-interleaved rasters JPEG/PNG
+    * decode to) plus a virtual color-model dispatch; a 20k-pixel
+    * frame paid 20k allocations. The bulk overload runs the SAME
+    * color-model conversion over a reused transfer object into one
+    * int[] — bit-identical values (profiled on mm10: the per-pixel
+    * loop's allocation churn was the query's GC signature). */
+  private def pixelsRGB(
+      img: java.awt.image.BufferedImage): Array[Int] =
+    img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+      img.getWidth)
+
   /** 8-dim feature from real pixels: mean luminance of 8 vertical
     * strips, in [0,1] (Rec.601 luma). Deterministic, codec-honest. */
   private[multimodal] def stripLuma(
       img: java.awt.image.BufferedImage): Array[Float] = {
     val w = img.getWidth
     val h = img.getHeight
+    val px = pixelsRGB(img)
     val sums = new Array[Double](8)
     val counts = new Array[Long](8)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val rgb = img.getRGB(x, y)
+        val rgb = px(y * w + x)
         val luma = 0.299 * ((rgb >> 16) & 0xff) +
           0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
         val s = x * 8 / w
@@ -345,13 +360,14 @@ object Multimodal {
             val h = img.getHeight
             val cellSum = Array.ofDim[Long](gridH, gridW)
             val cellCnt = Array.ofDim[Long](gridH, gridW)
+            val px = pixelsRGB(img)
             var total = 0L
             var y = 0
             while (y < h) {
               val j = y * gridH / h
               var x = 0
               while (x < w) {
-                val rgb = img.getRGB(x, y)
+                val rgb = px(y * w + x)
                 val s = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
                   (rgb & 0xff)
                 cellSum(j)(x * gridW / w) += s
@@ -507,6 +523,7 @@ object Multimodal {
     // footgun for other callers).
     val s = if (salt == Long.MinValue) Long.MaxValue else math.abs(salt)
     val sMix = if (s == 0L) 0L else mix64(s)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -519,11 +536,12 @@ object Multimodal {
           ((n >> 8) & 0xFF)) % 256).toInt
         val b = ((x * y * (1 + s % 2) + id + s * 13 +
           ((n >> 16) & 0xFF)) % 256).toInt
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        px(y * w + x) = (r << 16) | (g << 8) | b
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w) // one bulk store (see pixelsRGB)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
@@ -718,6 +736,7 @@ object Multimodal {
       : Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
     var y = 0
     while (y < h) {
       var x = 0
@@ -725,11 +744,12 @@ object Multimodal {
         // frame-shifted gradient: frames of one video differ, and the
         // mean luma is a closed-form target for the roundtrip spec
         val v = ((x + y + f * 16 + (id % 7)) % 256).toInt
-        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        px(y * w + x) = (v << 16) | (v << 8) | v
         x += 1
       }
       y += 1
     }
+    img.setRGB(0, 0, w, h, px, 0, w) // one bulk store (see pixelsRGB)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "jpg", bos)
     bos.toByteArray
@@ -860,18 +880,15 @@ object Multimodal {
               Option(javax.imageio.ImageIO.read(
                 new java.io.ByteArrayInputStream(bytes))) match {
                 case Some(img) =>
+                  val px = pixelsRGB(img)
                   var sum = 0.0
-                  var y = 0
-                  while (y < img.getHeight) {
-                    var x = 0
-                    while (x < img.getWidth) {
-                      val rgb = img.getRGB(x, y)
-                      sum += (((rgb >> 16) & 0xff) * 299 +
-                        ((rgb >> 8) & 0xff) * 587 +
-                        (rgb & 0xff) * 114) / 1000.0
-                      x += 1
-                    }
-                    y += 1
+                  var i = 0
+                  while (i < px.length) {
+                    val rgb = px(i)
+                    sum += (((rgb >> 16) & 0xff) * 299 +
+                      ((rgb >> 8) & 0xff) * 587 +
+                      (rgb & 0xff) * 114) / 1000.0
+                    i += 1
                   }
                   FrameRow(m.media_id, idx, decoded = true,
                     img.getWidth, img.getHeight,

@@ -5,7 +5,7 @@ import graft.dedup.Dedup
 import graft.functions.{Text, Vectors}
 import graft.query.{Feeds, Predicates, Where}
 import graft.state.Merge
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,34 @@ final case class Q(
     oracle: Option[String])
 
 object Catalog {
+
+  // Presentation sort WITHOUT the double execution (r13): a global
+  // orderBy executes its child TWICE — the range partitioner's
+  // sample job, then the real shuffle pass — and under AQE that
+  // recomputation reaches back to the last materialized exchange,
+  // i.e. for scan-level pipelines the ENTIRE scan + compute (guide
+  // §2.4; measured: mm04/mm09 halved, mm10's codec pipeline was the
+  // single largest line in the catalog). Registering the sort's
+  // child with the cache manager makes the sample pass populate the
+  // cache and the shuffle pass read it; the harness releases it
+  // after each query (CacheTracker contract). The returned DataFrame
+  // is the SAME object — the plan, schema, rows and row order are
+  // untouched by construction; only the physical execution of the
+  // identical plan changes (cache substitution at planning time).
+  // Applied uniformly to every catalog row whose analyzed plan ends
+  // in a global Sort; rows ending in sort+limit plan as
+  // TakeOrderedAndProject (no range exchange) and match nothing.
+  private def cacheFinalSortChild(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.analyzed(df) match {
+      case Sort(_, true, child, _) =>
+        graft.CacheTracker.persistTracked(
+          GraftBridge.ofRows(df.sparkSession, child))
+        df
+      case _ => df
+    }
+  }
 
   // Shared tokenizer fragment for oracle SQL (must match Text.tokens:
   // lowercase, split on \s+, drop empties).
@@ -102,7 +130,7 @@ object Catalog {
           * CAST(0.2 AS DOUBLE), 4)"""
   }
 
-  val all: Seq[Q] = Seq(
+  private val raw: Seq[Q] = Seq(
 
     // ── §2.2 predicate algebra ────────────────────────────────────────
     Q("q01_where_algebra",
@@ -195,7 +223,7 @@ object Catalog {
     Q("q21_inverted_search",
       (s, d) => {
         val idx = graft.text.InvertedIndex.build(
-          Tables.documents(s, d), "text", "doc_id")
+          Tables.documentsSpread(s, d), "text", "doc_id")
         graft.text.InvertedIndex.search(idx, Seq("spark", "join"), 20)
           .withColumnRenamed("id", "doc_id")
       },
@@ -501,7 +529,7 @@ object Catalog {
     // ── §7.5 n-gram Jaccard similarity vs anchor doc ─────────────────
     Q("d05_jaccard_anchor",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = Tables.documentsSpread(s, d)
           .withColumn("__toks", Text.tokens(col("text")))
           .withColumn("sh", Text.wordShingles(col("__toks"), 3))
         // anchor = one document's shingle set, collected once (like
@@ -554,7 +582,7 @@ object Catalog {
     //    oracle (identical to the double compare off the boundary,
     //    exact on it). ──────────────────────────────────────────────
     Q("m01_minhash_pairs",
-      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d),
+      (s, d) => Dedup.minhashLshPairs(Tables.documentsSpread(s, d),
         "text", "doc_id", shingleN = 3, k = 32, bands = 8,
         threshold = 0.2, seed = 42L)
         .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
@@ -570,7 +598,7 @@ object Catalog {
     //    component min id — `doc_id = cluster_id` is the survivor. ──
     Q("d09_neardup_clusters",
       (s, d) => Dedup.neardupClusters(
-        Dedup.minhashLshPairs(Tables.documents(s, d),
+        Dedup.minhashLshPairs(Tables.documentsSpread(s, d),
           "text", "doc_id", shingleN = 3, k = 32, bands = 8,
           threshold = 0.2, seed = 42L))
         .select(col("id").as("doc_id"), col("cluster").as("cluster_id"))
@@ -668,7 +696,7 @@ object Catalog {
             Text.langId(toks).getField("lang").as("pred_lang"),
             Text.qualityScoreFromToks(col("text"), toks).as("q"))
         }
-        graft.query.Predicates.evalOnce(Tables.documents(s, d),
+        graft.query.Predicates.evalOnce(Tables.documentsSpread(s, d),
           Seq(col("doc_id")), "__m" -> m)
           .filter(col("__m.pred_lang") === "en" &&
             col("__m.n_tokens").between(20, 10000))
@@ -692,7 +720,7 @@ object Catalog {
     //    xxhash64 signature stays the scale path (spec + pinned
     //    regression). ───────────────────────────────────────────────
     Q("m02_simhash_pairs",
-      (s, d) => Dedup.simhashPairs(Tables.documents(s, d),
+      (s, d) => Dedup.simhashPairs(Tables.documentsSpread(s, d),
         "text", "doc_id", maxHamming = 3,
         tokenHash = Text.portableTokenHash)
         .select(col("id_a"), col("id_b"),
@@ -815,7 +843,7 @@ object Catalog {
     //    Nearest pair sits 1.9e-4 from the threshold — far beyond
     //    any cross-engine float gap. ─────────────────────────────────
     Q("v07_semdedup",
-      (s, d) => Vectors.semdedupKeep(Tables.embeddings(s, d),
+      (s, d) => Vectors.semdedupKeep(Tables.embeddingsSpread(s, d),
         "embedding", "vec_id", "label", threshold = 0.3)
         .select("vec_id", "label")
         .orderBy("vec_id"),
@@ -1080,7 +1108,7 @@ object Catalog {
     //    no query ever concentrates the corpus on one partition. ────
     Q("v04_batch_ann",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = Tables.embeddingsSpread(s, d)
         val queries = emb.filter(col("vec_id") < 5)
           .select(col("vec_id").as("qid"), col("embedding").as("qv"))
         Vectors.batchTopKCosine(emb, "embedding", queries, "qv",
@@ -1239,7 +1267,7 @@ object Catalog {
         // re-evaluate the whole quality dag as the scan predicate
         // (measured 2x — FilterEvalProbe / BENCH_NOTES)
         graft.query.Predicates.evalOnce(
-          Tables.documents(s, d)
+          Tables.documentsSpread(s, d)
             .withColumn("__toks", Text.tokens(col("text"))),
           Seq(col("doc_id")),
           "q" -> Text.qualityScoreFromToks(col("text"), toks),
@@ -1334,7 +1362,7 @@ object Catalog {
     //    carrying (id, start) longs; coverage is one aggregate-HOF
     //    interval-merge pass per doc (no window, no per-token loop). ──
     Q("d31_dup_spans",
-      (s, d) => Dedup.dupSpanStats(Tables.documents(s, d),
+      (s, d) => Dedup.dupSpanStats(Tables.documentsSpread(s, d),
         "text", "doc_id", shingleN = 3, minDocs = 2)
         .select(col("id").as("doc_id"), col("n_tokens"),
           col("n_covered"), col("n_clean"))
@@ -1407,7 +1435,7 @@ object Catalog {
     //    re-derives (a real model broadcasts trained weights, same
     //    plan). ──────────────────────────────────────────────────────
     Q("d33_hash_quality",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .withColumn("__toks", Text.tokens(col("text")))
         .withColumn("score_milli",
           Text.hashLinearScore(col("__toks"), buckets = 4096))
@@ -1496,7 +1524,7 @@ object Catalog {
     //    counts. Pure codegen scalar pipeline, no shuffle. ───────────
     Q("d13_pii_redact",
       (s, d) => {
-        Tables.documents(s, d)
+        Tables.documentsSpread(s, d)
           .withColumn("__aug", concat(col("text"),
             lit(" contact user"), col("doc_id").cast("string"),
             lit("@example.com or call 555-123-"),
@@ -1617,7 +1645,7 @@ object Catalog {
     Q("d15_repetition",
       (s, d) => {
         val toks = col("__toks")
-        Tables.documents(s, d)
+        Tables.documentsSpread(s, d)
           .withColumn("__toks", Text.tokens(col("text")))
           .withColumn("__g2", Text.wordShingles(toks, 2))
           .select(col("doc_id"),
@@ -1660,7 +1688,7 @@ object Catalog {
         // separate distinct-then-count branch would rebuild from a
         // second corpus pass
         val tf = graft.CacheTracker.persistTracked(
-          Tables.documents(s, d)
+          Tables.documentsSpread(s, d)
             .withColumn("__toks", Text.tokens(col("text")))
             .select(col("doc_id"), explode(col("__toks")).as("w"))
             .groupBy("doc_id", "w")
@@ -1832,7 +1860,7 @@ object Catalog {
     //    in ≥2 docs corpus-wide. One shingle hash-agg + same-key join
     //    back; integer outputs, string-exact oracle. ─────────────────
     Q("d20_dup_ngrams",
-      (s, d) => Dedup.dupNgramStats(Tables.documents(s, d),
+      (s, d) => Dedup.dupNgramStats(Tables.documentsSpread(s, d),
         "text", "doc_id", shingleN = 3, minDocs = 2)
         .select(col("id").as("doc_id"), col("n_sh"), col("n_dup"))
         .orderBy("doc_id"),
@@ -1967,7 +1995,7 @@ object Catalog {
     //    aggregate order-independent-exact; oracle mirrors the IEEE
     //    dag textually (see Bm25.scala). ──────────────────────────────
     Q("q26_bm25",
-      (s, d) => graft.text.Bm25.score(Tables.documents(s, d),
+      (s, d) => graft.text.Bm25.score(Tables.documentsSpread(s, d),
         col("text"), Seq("spark", "join"), 20),
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t FROM documents),
           f AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS len,
@@ -2203,7 +2231,7 @@ object Catalog {
     //    adist_micro verifies ADC. ───────────────────────────────────
     Q("v10_pq_adc",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = Tables.embeddingsSpread(s, d)
         val cbs = Vectors.pqCodebooksFrom(emb, "embedding", "vec_id",
           dim = 64, m = 8, k = 16)
         val q = emb.filter(col("vec_id") === 0)
@@ -2257,7 +2285,7 @@ object Catalog {
     Q("q31_hybrid_rrf",
       (s, d) => {
         val lex = graft.query.Rank.globalRowNumber(
-          graft.text.Bm25.score(Tables.documents(s, d), col("text"),
+          graft.text.Bm25.score(Tables.documentsSpread(s, d), col("text"),
             Seq("spark", "join"), 30),
           Seq(col("score").desc, col("doc_id").asc))
           .select(col("doc_id").as("id"), col("rank"))
@@ -2719,7 +2747,7 @@ object Catalog {
     //    so the oracle hash-compares without float rounding. One
     //    codegen pass, no shuffle. ─────────────────────────────────
     Q("d38_gopher_rules",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => Tables.documentsSpread(s, d)
         .withColumn("__toks", Text.tokens(col("text")))
         .withColumn("__g", Text.gopherStats(col("__toks")))
         .select(col("doc_id"), col("__g.n_words").as("n_words"),
@@ -2831,7 +2859,7 @@ object Catalog {
     //    distances hash-compare exactly. ────────────────────────────
     Q("d39_fuzzy_blocked_pairs",
       (s, d) => Dedup.blockedEditDistancePairs(
-        Tables.documents(s, d), "text", "doc_id",
+        Tables.documentsSpread(s, d), "text", "doc_id",
         blockToks = 2, prefixLen = 60, maxDist = 30)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH t AS (SELECT doc_id,
@@ -3159,7 +3187,7 @@ object Catalog {
     //    so equality proves both zero false positives AND zero false
     //    negatives. Exact integer outputs. ───────────────────────────
     Q("d41_prefix_join_pairs",
-      (s, d) => Dedup.prefixFilterJoinPairs(Tables.documents(s, d),
+      (s, d) => Dedup.prefixFilterJoinPairs(Tables.documentsSpread(s, d),
           "text", "doc_id", shingleN = 3, tNum = 4, tDen = 5)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
@@ -3191,7 +3219,7 @@ object Catalog {
     //    index; recall 1 by construction (see Dedup Scaladoc).
     //    Oracle = all-pairs containment enumeration. ─────────────────
     Q("d42_containment_pairs",
-      (s, d) => Dedup.containmentJoinPairs(Tables.documents(s, d),
+      (s, d) => Dedup.containmentJoinPairs(Tables.documentsSpread(s, d),
           "text", "doc_id", shingleN = 3, tNum = 9, tDen = 10)
         .orderBy("id_a", "id_b"),
       Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS t
@@ -3662,7 +3690,7 @@ object Catalog {
     //    k-th-neighbor boundary is engine-reproducible. ─────────────
     Q("v14_knn_label",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = Tables.embeddingsSpread(s, d)
         Vectors.knnLabelVote(
           emb.filter(col("vec_id") % 5 =!= 0),
           emb.filter(col("vec_id") % 5 === 0),
@@ -3767,7 +3795,7 @@ object Catalog {
     //    differs; the oracle applies the identical arithmetic. ──────
     Q("q49_length_tiles",
       (s, d) => {
-        val counted = Tables.documents(s, d)
+        val counted = Tables.documentsSpread(s, d)
           .select(col("doc_id"), Text.tokenCount(col("text"))
             .as("n_tokens"))
         val ranked = graft.query.Rank.globalRowNumber(counted,
@@ -4342,7 +4370,7 @@ object Catalog {
     //    division. A = labels 0-4, B = labels 5-9. ──────────────────
     Q("v15_margin_mining",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = Tables.embeddingsSpread(s, d)
         // allowExact: this row IS the documented quadratic oracle
         // gate (and the ScaleEvidence 100× boundary probe) — every
         // corpus-scale caller routes to v16 / marginMiningIvf, and
@@ -4398,7 +4426,7 @@ object Catalog {
     //    drop list a downstream anti join consumes. ─────────────────
     Q("d54_semantic_decontam",
       (s, d) => {
-        val emb = Tables.embeddings(s, d)
+        val emb = Tables.embeddingsSpread(s, d)
         Vectors.semanticDecontamFlags(
           emb.filter(col("vec_id") % 50 =!= 0),
           emb.filter(col("vec_id") % 50 === 0),
@@ -4851,4 +4879,9 @@ object Catalog {
         JOIN lm USING (cluster_id)
         ORDER BY cluster_id"""))
   )
+
+  /** The catalog, with every row's final global Sort single-executed
+    * (see [[cacheFinalSortChild]]). Identity transform on results. */
+  val all: Seq[Q] = raw.map(q =>
+    q.copy(run = (s, d) => cacheFinalSortChild(q.run(s, d))))
 }
