@@ -617,21 +617,29 @@ object Dedup {
     // the positional filter. Persisted: BOTH self-join sides read it
     // (the m01 banded-table lesson — without it the dfreq join +
     // collect_list chain executes twice)
+    // candidate-join key = xxhash64(shingle), NOT the shingle string
+    // (guide §2.3 — shuffle 8-byte keys, not payloads; also shrinks
+    // the pref cache). The rarest-first ORDERING stays on the string
+    // (array_sort below), so the pigeonhole/positional proofs are
+    // untouched. A hash collision can only ADD candidate rows — the
+    // true pair's rarest-shared-shingle row survives unchanged
+    // (hash(s) = hash(s)) and exact verification discards impostors —
+    // the same merge-never-split argument as the mm06 band keys.
     val pref = CacheTracker.persistTracked(ex.join(dfreq, "tk")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tk"))))
         .as("os"))
       .select(col("id"), size(col("os")).cast("long").as("n"),
-        expr("transform(os, s -> s.tk)").as("os"))
+        expr("transform(os, s -> xxhash64(s.tk))").as("os"))
       .select(col("id"), col("n"), posexplode(expr(
           s"slice(os, 1, cast(n - (($tNum * n + ${tDen - 1}) DIV " +
-            s"$tDen) + 1 AS INT))")).as(Seq("p0", "tk")))
+            s"$tDen) + 1 AS INT))")).as(Seq("p0", "tkh")))
       .select(col("id"), col("n"), (col("p0") + 1).as("pos"),
-        col("tk")))
-    val cand = pref.select(col("tk"), col("id").as("id_a"),
+        col("tkh")))
+    val cand = pref.select(col("tkh"), col("id").as("id_a"),
         col("n").as("na"), col("pos").as("pa"))
-      .join(pref.select(col("tk"), col("id").as("id_b"),
-        col("n").as("nb"), col("pos").as("pb")), Seq("tk"))
+      .join(pref.select(col("tkh"), col("id").as("id_b"),
+        col("n").as("nb"), col("pos").as("pb")), Seq("tkh"))
       .filter(col("id_a") < col("id_b"))
       .filter(col("na") * tNum <= col("nb") * tDen &&
         col("nb") * tNum <= col("na") * tDen)
@@ -686,23 +694,28 @@ object Dedup {
         .as("sh")))
     val ex = sets.select(col("id"), explode(col("sh")).as("tk"))
     val dfreq = ex.groupBy("tk").agg(count(lit(1)).as("df"))
+    // candidate-join key = xxhash64(shingle) — same scheme and same
+    // recall argument as prefixFilterJoinPairs above: ordering stays
+    // on the string, collisions only add candidates, verification is
+    // exact.
     val pref = CacheTracker.persistTracked(ex.join(dfreq, "tk")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tk"))))
         .as("os"))
       .select(col("id"), size(col("os")).cast("long").as("n"),
-        expr("transform(os, s -> s.tk)").as("os"))
+        expr("transform(os, s -> xxhash64(s.tk))").as("os"))
       .select(col("id"), col("n"), posexplode(expr(
           s"slice(os, 1, cast(n - (($tNum * n + ${tDen - 1}) DIV " +
-            s"$tDen) + 1 AS INT))")).as(Seq("p0", "tk")))
+            s"$tDen) + 1 AS INT))")).as(Seq("p0", "tkh")))
       .select(col("id"), col("n"), (col("p0") + 1).as("pos"),
-        col("tk")))
+        col("tkh")))
     val index = sets.select(col("id").as("id_b"),
       size(col("sh")).cast("long").as("nb"),
       explode(col("sh")).as("tk"))
-    val cand = pref.select(col("tk"), col("id").as("id_a"),
+      .select(col("id_b"), col("nb"), xxhash64(col("tk")).as("tkh"))
+    val cand = pref.select(col("tkh"), col("id").as("id_a"),
         col("n").as("na"), col("pos").as("pa"))
-      .join(index, Seq("tk"))
+      .join(index, Seq("tkh"))
       .filter(col("id_a") =!= col("id_b"))
       .filter(lit(1L) + (col("na") - col("pa")) >=
         expr(s"($tNum * least(na, nb) + ${tDen - 1}) DIV $tDen"))

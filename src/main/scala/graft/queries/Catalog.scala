@@ -626,7 +626,7 @@ object Catalog {
             Text.qualityScoreFromToks(col("text"), toks).as("q"))
         Dedup.clusterSurvivors(
           Dedup.neardupClusters(
-            Dedup.minhashLshPairs(Tables.documents(s, d),
+            Dedup.minhashLshPairs(Tables.documentsSpread(s, d),
               "text", "doc_id", shingleN = 3, k = 32, bands = 8,
               threshold = 0.2, seed = 42L)),
           scored, "doc_id", "q")
@@ -4844,7 +4844,7 @@ object Catalog {
     Q("d57_golden_record",
       (s, d) => graft.dedup.Dedup.goldenRecords(
         graft.dedup.Dedup.neardupClusters(
-          graft.dedup.Dedup.minhashLshPairs(Tables.documents(s, d),
+          graft.dedup.Dedup.minhashLshPairs(Tables.documentsSpread(s, d),
             "text", "doc_id", shingleN = 3, k = 32, bands = 8,
             threshold = 0.2, seed = 42L)),
         Tables.documents(s, d), "doc_id", "n_chars", "lang")
