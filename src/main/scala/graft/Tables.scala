@@ -94,27 +94,29 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC")
 
-  /** Performance configs (opt guide §2.2/§6) — size-adaptive, not
-    * tuned to local[32]: both delegate partition sizing to AQE's
-    * byte-based coalescing, so they no-op where partitions are
-    * already advisory-sized (the 100 TB case) and collapse the
-    * pathological many-tiny-partition layouts the r13 profile
-    * measured locally (q29: 911 tasks / 33 stages over ~40 MB).
+  /** Performance configs (opt guide §2.2) — size-adaptive, not tuned
+    * to local[32].
     *
-    *   - canChangeCachedPlanOutputPartitioning: by default a cached
-    *     plan PINS spark.sql.shuffle.partitions partitions (AQE is
-    *     bypassed so the cache stays reusable under any consumer
-    *     partitioning); every CacheTracker intermediate then forces
-    *     KB-sized partitions on all downstream stages. true lets AQE
-    *     apply its normal byte-sizing to cached plans too
-    *     (SPARK-38389).
-    *   - coalescePartitions.parallelismFirst=false: the default true
-    *     coalesces only down to defaultParallelism — i.e. never below
-    *     the core count, whatever the bytes. The Spark tuning docs
-    *     themselves recommend false so the advisory target size
-    *     (64 MB default) governs. At cluster scale advisory-sized
-    *     shuffles are untouched; locally it removes per-task launch +
-    *     codegen-init overhead that dominates KB-sized stages.
+    * canChangeCachedPlanOutputPartitioning=true: by default a cached
+    * plan PINS spark.sql.shuffle.partitions partitions (AQE is
+    * bypassed so the cache stays reusable under any consumer
+    * partitioning); every CacheTracker intermediate then forced
+    * KB-sized 32-partition layouts on all downstream stages (r13
+    * profile: q29 ran 911 tasks / 33 stages over ~40 MB). true lets
+    * AQE apply its normal byte-based sizing to cached plans too
+    * (SPARK-38389) — a no-op where caches are already advisory-sized,
+    * i.e. at cluster scale.
+    *
+    * Measured and REJECTED (r13, numbers in OPTIMIZATION_r13.md):
+    *   - coalescePartitions.parallelismFirst=false — the Spark-docs-
+    *     recommended byte-based target serialized this catalog's
+    *     KB-sized/CPU-heavy verification stages (d47 1.3→11.2 s,
+    *     d42 4.4→9.7 s): AQE sizes by bytes and cannot see per-row
+    *     CPU cost.
+    *   - adaptive.maxShuffledHashJoinLocalMapThreshold=64m (runtime
+    *     SMJ→SHJ conversion) — flat to slightly worse on the
+    *     join-heavy subset (24.4 → 25.0 s); the surviving SMJs here
+    *     sort tiny slim-key tables, so the sort is not the cost.
     */
   val perfConf: Map[String, String] = Map(
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")

@@ -744,8 +744,26 @@ object Vectors {
         }), 1, nprobe)))
       .select(col("a_id"), col("__av"), col("__an2"),
         col("__probe.cid").as("cluster"))
+    // Hot-key fan-out (guide §2.5 salting): the candidate join's key
+    // space is |clusters| = nlist, so with a small fixed seed-centroid
+    // list (this catalog: 8) the per-pair cosine work lands on ≤nlist
+    // partitions however many cores exist. Salt the probe side with
+    // a deterministic pmod(xxhash64(a_id), k) and replicate the
+    // assigned side k ways so the join spreads over nlist·k
+    // partitions. k = cores/nlist rounds to 1 as nlist grows past the
+    // core count — at corpus scale (nlist ≈ √N ≫ cores) this is
+    // exactly the unsalted join, zero replication. Results identical:
+    // each probe row still meets each same-cluster b row exactly once
+    // (its own salt's copy).
+    val saltK = math.max(1,
+      a.sparkSession.sparkContext.defaultParallelism /
+        math.max(centroids.size, 1))
+    val probesSalted = probes.withColumn("__salt",
+      pmod(xxhash64(col("a_id")), lit(saltK.toLong)).cast("int"))
+    val bSalted = bAssigned.withColumn("__salt",
+      explode(array((0 until saltK).map(lit): _*)))
     val pairs = graft.CacheTracker.persistTracked(
-      probes.join(bAssigned, "cluster")
+      probesSalted.join(bSalted, Seq("cluster", "__salt"))
         .select(col("a_id"), col("b_id"),
           when(col("__an2") === 0 || col("__bn2") === 0, lit(0L))
             .otherwise(round(lit(1e6) * d(col("__av"), col("__bv")) /
