@@ -23,14 +23,19 @@ object Bench {
     // default made every self-recorded number non-comparable to the
     // official artifact — set the env var explicitly to deviate
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // perfConf FIRST, pinned session configs after (ADVICE r13): the
+    // explicit .config calls below are the session contract ("set
+    // explicitly to deviate"), so they must win over any future
+    // overlapping perfConf key.
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+    Tables.perfConf.foreach { case (k, v) => builder.config(k, v) }
+    builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    Tables.perfConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/scan warmup (untimed): without it the first queries

@@ -119,5 +119,30 @@ object Tables {
     *     sort tiny slim-key tables, so the sort is not the cost.
     */
   val perfConf: Map[String, String] = Map(
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true",
+    // Never take the bypass-merge shuffle writer (r14). Bypass opens
+    // numPartitions FILES PER MAP TASK (M·R creates+deletes per
+    // shuffle; thread dumps showed FileOutputStream.open0 /
+    // FileChannel map0/unmap0 as the TOP executor frames at 32
+    // cores), where the serialized sort writer spills ONE file per
+    // map task whatever R is. Measured on the shuffle-heavy subset
+    // (d20/d31/d41/d42/m02/q49/d05, paired 32-core runs): wall
+    // 13.0 → 10.0 s, summed task 188 → 121 s; q49's shuffle stages
+    // alone 11.0 → 1.8 task-s. Scale-honest: bypass is only eligible
+    // at numPartitions ≤ 200 and no map-side combine, so at cluster
+    // scale (R ≫ 200) this flag is a no-op — it changes exactly the
+    // small-R shuffles, where file-creation syscalls dominate the
+    // write itself, at ANY core count (8-core task seconds drop
+    // too).
+    "spark.shuffle.sort.bypassMergeThreshold" -> "1") ++
+    // dev-only A/B seam: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" lets a
+    // profiling run flip one config without a rebuild. Applied BEFORE
+    // the pinned session configs (ADVICE r13 precedence), so it can
+    // never override the session contract.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq.flatMap(_.split(';'))
+      .map(_.trim).filter(_.contains('='))
+      .map { kv =>
+        val i = kv.indexOf('=')
+        kv.take(i) -> kv.drop(i + 1)
+      }
 }

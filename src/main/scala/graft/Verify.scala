@@ -11,13 +11,16 @@ object Verify {
     val nameFilter = args.lift(2).map(_.r)
     def keep(n: String) = nameFilter.forall(_.findFirstIn(n).isDefined)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // perfConf first, pinned session configs after (ADVICE r13; see
+    // Bench.scala for the precedence rationale)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+    Tables.perfConf.foreach { case (k, v) => builder.config(k, v) }
+    builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    Tables.perfConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -32,8 +32,19 @@ object Text {
   def let(c: Column)(f: Column => Column): Column =
     element_at(transform(array(c), f), 1)
 
-  /** Lowercased whitespace tokenization; empty strings removed. */
+  /** Lowercased whitespace tokenization; empty strings removed.
+    * `lower()` stays the Spark builtin (collation semantics
+    * untouched); the split+filter pair is the native one-pass
+    * [[WhitespaceTokens]] — the composed ArrayFilter ran an
+    * interpreted lambda per element (CodegenFallback) in the hottest
+    * expression of the catalog. Equivalence pinned in
+    * TokenExprsSpec against [[tokensComposed]]. */
   def tokens(text: Column): Column =
+    TokenExprs.whitespaceTokens(lower(text))
+
+  /** The pre-r14 composed form — kept as the semantic reference the
+    * spec compares [[tokens]] against. */
+  private[graft] def tokensComposed(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= lit(""))
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
@@ -46,6 +57,16 @@ object Text {
     * function lambdas, so an inline tokenizer here would re-run once
     * per shingle position (O(T²) per row). See BENCH notes. */
   def wordShingles(toks: Column, n: Int): Column =
+    // Native one-pass shingler (r14): the composed transform+slice+
+    // concat_ws form ran an interpreted ArrayTransform lambda per
+    // shingle position and allocated a sliced array copy each time.
+    // Same values incl. the short-doc and NULL-array guards —
+    // equivalence pinned in TokenExprsSpec vs [[wordShinglesComposed]].
+    TokenExprs.wordShingles(toks, n)
+
+  /** The pre-r14 composed form — kept as the semantic reference the
+    * spec compares [[wordShingles]] against. */
+  private[graft] def wordShinglesComposed(toks: Column, n: Int): Column =
     // Docs shorter than n tokens have no shingles. Without the guard,
     // sequence(1, 0) DESCENDS ([1,0] — Spark sequence is inclusive both
     // ways) and slice(toks, 0, n) throws INVALID_PARAMETER_VALUE.START.

@@ -4880,8 +4880,41 @@ object Catalog {
         ORDER BY cluster_id"""))
   )
 
-  /** The catalog, with every row's final global Sort single-executed
-    * (see [[cacheFinalSortChild]]). Identity transform on results. */
-  val all: Seq[Q] = raw.map(q =>
-    q.copy(run = (s, d) => cacheFinalSortChild(q.run(s, d))))
+  /** Rows that keep the final-sort child cache — r14 SELECTIVE
+    * application of r13's uniform wrapper. A paired full-catalog A/B
+    * (two runs each side, min-of-2 per query; OPTIMIZATION_r14.md)
+    * measured the wrapper as a net TAX on 77 of 141 rows (median
+    * −5.1% without it: the cache build + block-manager round trip
+    * costs more than re-running a cheap scan-side child twice) and a
+    * clear win only where the sort child is genuinely expensive —
+    * the codec pipelines (mm02/04/09/10), heavy verify stages
+    * (d42/d47/v14), per-row-heavy single-split scans (d02/d07/v08),
+    * and multi-consumer subtrees (d26/q31). Keep-set = rows where
+    * cache-ON won by ≥0.14 s in the A/B; everything else returns to
+    * the plain double-execution plan, which the same A/B measured as
+    * cheaper. This also retires the r13 ADVICE risk of pinning huge
+    * pair-enumeration intermediates (d41 — measured −1.18 s without
+    * the cache) in block-manager memory. */
+  private val sortCacheRows: Set[String] = Set(
+    "mm02_media_features", "mm04_audio_decode", "mm09_audio_chunks",
+    "mm10_video_frames", "d42_containment_pairs",
+    "d47_sorted_neighborhood", "v14_knn_label", "d02_token_stats",
+    "d07_rolling_fp", "v08_centroid_outliers", "d26_cluster_survivors",
+    "q31_hybrid_rrf")
+
+  /** The catalog, with the [[sortCacheRows]] rows' final global Sort
+    * single-executed (see [[cacheFinalSortChild]]). Identity
+    * transform on results. `SPARK_GRAFT_SORTCACHE=off` disables the
+    * wrapper everywhere, `=all` applies it everywhere (dev-only A/B
+    * switches — results are identical either way; only the physical
+    * execution of the final sort's child changes). */
+  val all: Seq[Q] = sys.env.get("SPARK_GRAFT_SORTCACHE") match {
+    case Some("off") => raw
+    case Some("all") => raw.map(q =>
+      q.copy(run = (s, d) => cacheFinalSortChild(q.run(s, d))))
+    case _ => raw.map(q =>
+      if (sortCacheRows(q.name))
+        q.copy(run = (s, d) => cacheFinalSortChild(q.run(s, d)))
+      else q)
+  }
 }

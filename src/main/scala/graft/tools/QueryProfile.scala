@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
 object QueryProfile {
   private val shuffleWrite = new AtomicLong(0)
   private val execRunMs = new AtomicLong(0)
+  private val execCpuNs = new AtomicLong(0)
   private val execGcMs = new AtomicLong(0)
   private val nStages = new AtomicLong(0)
   private val nTasks = new AtomicLong(0)
@@ -26,6 +27,7 @@ object QueryProfile {
       if (tm != null) {
         shuffleWrite.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
         execRunMs.addAndGet(tm.executorRunTime)
+        execCpuNs.addAndGet(tm.executorCpuTime)
         execGcMs.addAndGet(tm.jvmGCTime)
         nStages.incrementAndGet()
         nTasks.addAndGet(sc.stageInfo.numTasks)
@@ -37,14 +39,17 @@ object QueryProfile {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nameRe = args.lift(1).map(_.r)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // perfConf first, pinned session configs after (ADVICE r13; see
+    // Bench.scala for the precedence rationale)
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
+    graft.Tables.perfConf.foreach { case (k, v) => builder.config(k, v) }
+    builder
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    graft.Tables.perfConf.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new L)
@@ -64,10 +69,11 @@ object QueryProfile {
     } catch { case _: Throwable => () }
     finally graft.CacheTracker.releaseAll()
     println(f"${"query"}%-26s ${"wall_s"}%8s ${"task_s"}%8s " +
-      f"${"gc_s"}%6s ${"shufW_MB"}%9s ${"stages"}%6s ${"tasks"}%6s")
+      f"${"cpu_s"}%8s ${"gc_s"}%6s ${"shufW_MB"}%9s ${"stages"}%6s ${"tasks"}%6s")
     var total = 0.0
     val rows = selected.map { case (name, fn) =>
       val w0 = shuffleWrite.get(); val e0 = execRunMs.get()
+      val c0 = execCpuNs.get()
       val g0 = execGcMs.get(); val s0 = nStages.get(); val k0 = nTasks.get()
       val t0 = System.nanoTime()
       val err = try { materialize(fn); None }
@@ -76,13 +82,14 @@ object QueryProfile {
       val wall = (System.nanoTime() - t0) / 1e9
       total += wall
       (name, wall, (execRunMs.get() - e0) / 1e3,
+        (execCpuNs.get() - c0) / 1e9,
         (execGcMs.get() - g0) / 1e3,
         (shuffleWrite.get() - w0) / 1e6,
         nStages.get() - s0, nTasks.get() - k0, err)
     }
-    rows.sortBy(-_._2).foreach { case (n, w, t, g, sw, st, tk, err) =>
-      println(f"$n%-26s $w%8.2f $t%8.1f $g%6.1f $sw%9.1f $st%6d $tk%6d" +
-        err.map(" ERR " + _).getOrElse(""))
+    rows.sortBy(-_._2).foreach { case (n, w, t, c, g, sw, st, tk, err) =>
+      println(f"$n%-26s $w%8.2f $t%8.1f $c%8.1f $g%6.1f $sw%9.1f " +
+        f"$st%6d $tk%6d" + err.map(" ERR " + _).getOrElse(""))
     }
     println(f"TOTAL wall ${total}%.1f s over ${rows.size} queries")
     spark.stop()
